@@ -1,0 +1,81 @@
+"""spicey_tpu — a TPU-native SPICE circuit-simulation engine.
+
+A from-scratch JAX/XLA/Pallas rebuild with the capabilities and netlist-in /
+results-out contract of tscircuit/spicey (reference at /root/reference;
+public surface mirrored from lib/index.ts:1-12): ``parse_netlist``,
+``simulate``, ``simulate_ac``, ``simulate_tran``, ``format_ac_result``,
+``format_tran_result``, ``spicey_tran_to_vgraphs``,
+``eec_engine_tran_to_vgraphs``. camelCase aliases are provided for drop-in
+familiarity.
+
+Architecture (see SURVEY.md §7): netlists parse once into a static tensorized
+IR; MNA assembly is vectorized scatter-add stamping; AC sweeps are one
+batched complex solve vmapped over the frequency grid; transients are a
+``lax.scan`` over timesteps; Monte-Carlo parameter sweeps batch along a
+leading variants axis and shard over TPU meshes (spicey_tpu.parallel).
+
+float64 is required for SPICE-grade conditioning (the reference computes in
+JS doubles), so importing this package enables JAX x64 mode.
+"""
+
+from __future__ import annotations
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .analysis.ac import simulate_ac
+from .analysis.results import ACResult, SimulationResult, TranResult
+from .analysis.simulate import simulate
+from .analysis.tran import simulate_tran
+from .constants import EPS, VT_300K
+from .formatting.jsnum import to_precision
+from .formatting.text import format_ac_result, format_tran_result
+from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
+from .ir.circuit import CircuitTensors, build_tensors
+from .parsing.netlist import ParsedCircuit, parse_netlist
+from .parsing.numbers import parse_number_with_units
+from .parsing.waveforms import (
+    PulseSpec,
+    parse_pulse_args,
+    parse_pwl_args,
+    pulse_value,
+    pwl_value,
+)
+
+# camelCase aliases matching the reference's npm surface (lib/index.ts:1-12)
+parseNetlist = parse_netlist
+simulateAC = simulate_ac
+simulateTRAN = simulate_tran
+formatAcResult = format_ac_result
+formatTranResult = format_tran_result
+spiceyTranToVGraphs = spicey_tran_to_vgraphs
+eecEngineTranToVGraphs = eec_engine_tran_to_vgraphs
+
+__all__ = [
+    "ACResult",
+    "CircuitTensors",
+    "EPS",
+    "ParsedCircuit",
+    "PulseSpec",
+    "SimulationResult",
+    "TranResult",
+    "VT_300K",
+    "build_tensors",
+    "eec_engine_tran_to_vgraphs",
+    "format_ac_result",
+    "format_tran_result",
+    "parse_netlist",
+    "parse_number_with_units",
+    "parse_pulse_args",
+    "parse_pwl_args",
+    "pulse_value",
+    "pwl_value",
+    "simulate",
+    "simulate_ac",
+    "simulate_tran",
+    "spicey_tran_to_vgraphs",
+    "to_precision",
+]
+
+__version__ = "0.1.0"

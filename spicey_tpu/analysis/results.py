@@ -1,0 +1,55 @@
+"""Result containers.
+
+Shapes mirror the reference's return records:
+  - AC:   {freqs, nodeVoltages, elementCurrents} with per-frequency phasors
+          (/root/reference/lib/analysis/simulateAC.ts:129)
+  - TRAN: {times, nodeVoltages, elementCurrents}
+          (/root/reference/lib/analysis/simulateTRAN.ts:251)
+Series are NumPy arrays instead of JS number lists; dict insertion order
+matches the reference's recording order (nodes in discovery order, then
+element currents in R, C, L, V[, S, D] stamp order).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ACResult:
+    freqs: np.ndarray  # (F,) float64
+    node_voltages: dict[str, np.ndarray]  # name -> (F,) complex128
+    element_currents: dict[str, np.ndarray] = field(default_factory=dict)
+
+    # camelCase views for drop-in familiarity with the reference API
+    @property
+    def nodeVoltages(self):
+        return self.node_voltages
+
+    @property
+    def elementCurrents(self):
+        return self.element_currents
+
+
+@dataclass
+class TranResult:
+    times: np.ndarray  # (S+1,) float64
+    node_voltages: dict[str, np.ndarray]  # name -> (S+1,) float64
+    element_currents: dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def nodeVoltages(self):
+        return self.node_voltages
+
+    @property
+    def elementCurrents(self):
+        return self.element_currents
+
+
+@dataclass
+class SimulationResult:
+    circuit: object
+    ac: ACResult | None
+    tran: TranResult | None

@@ -1,0 +1,276 @@
+"""Transient analysis: backward-Euler companions under a compiled time scan.
+
+Contract: /root/reference/lib/analysis/simulateTRAN.ts:14-252. The reference
+runs a Python-style sequential loop per timestep with up to 20 inner
+iterations, reallocating dense matrices each pass. Here the *entire* run is
+one compiled program:
+
+  - the time axis is a ``lax.scan`` carrying ``(vPrev, iPrev, vdPrev, swOn)``
+    — the loop-carried state the reference mutates onto IR objects
+    (simulateTRAN.ts:221-237);
+  - the inner switch/Newton loop is a ``lax.while_loop`` with per-lane done
+    masking (vmap-safe), reproducing the reference's exact semantics: x seeded
+    to zero each step (:149), up to 20 rebuild+solve passes, exiting as soon
+    as no switch toggled (:159-161) — so diodes get exactly one Newton step
+    per switch-stable pass, seeded from vdPrev on the first iteration
+    (:81-85);
+  - all source values are precomputed over the grid (ir/circuit.py), so the
+    scan body touches only arrays;
+  - element currents are NOT computed in the scan: they are recovered from
+    the stacked solutions afterwards in fully vectorized form (C from the
+    step-to-step voltage delta, L as a cumulative sum of companion updates —
+    identical values to the reference's per-step recording at :173-219).
+
+Device models inside the step (simulateTRAN.ts:25-106):
+  - C: Gc = C/max(dt,EPS), Ieq = -Gc*vPrev;
+  - L: Gl = max(dt,EPS)/L, Norton current iPrev;
+  - S: R = isOn ? Ron : Roff, clamped |R| >= EPS;
+  - V: precomputed waveform(t) | dc;
+  - D: Shockley NR companion with vd clamped to [-1.0, +0.8], gd floored at
+    1e-12 (GMIN).
+Switch hysteresis update (:108-128): ON->OFF when vctrl < Voff, OFF->ON when
+vctrl > Von.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DIODE_VD_MAX,
+    DIODE_VD_MIN,
+    EPS,
+    GMIN,
+    MAX_NR_ITERS,
+    VT_300K,
+)
+from ..ir.circuit import (
+    CircuitTensors,
+    build_tensors,
+    effective_time_step,
+    sample_source_values,
+)
+from ..ops.linsolve import solve
+from ..ops.stamps import (
+    pad_solution,
+    stamp_admittance,
+    stamp_current,
+    stamp_voltage_source,
+)
+from ..parsing.netlist import ParsedCircuit
+from .results import TranResult
+
+
+def _vdrop(x_pad, idx):
+    return x_pad[..., idx[:, 0]] - x_pad[..., idx[:, 1]]
+
+
+def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_l,
+                  vd_prev_d, sw_on):
+    (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+     s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n) = tensors_arrays
+    dtype = x.dtype
+    A = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
+    b = jnp.zeros((nvar + 1,), dtype=dtype)
+    dt_c = jnp.maximum(dt, EPS)
+
+    # R
+    A = stamp_admittance(A, r_idx, 1.0 / r_vals)
+    # C companion
+    g_c = c_vals / dt_c
+    A = stamp_admittance(A, c_idx, g_c)
+    b = stamp_current(b, c_idx, -g_c * v_prev_c)
+    # L companion
+    g_l = dt_c / l_vals
+    A = stamp_admittance(A, l_idx, g_l)
+    b = stamp_current(b, l_idx, i_prev_l)
+    # Switches by current hysteresis state
+    r_sw = jnp.where(sw_on, s_ron, s_roff)
+    g_sw = 1.0 / jnp.maximum(jnp.abs(r_sw), EPS)
+    A = stamp_admittance(A, s_idx[:, :2], g_sw)
+    # V sources
+    A, b = stamp_voltage_source(A, b, v_idx, vs_t)
+    # Diode Shockley companions
+    x_pad = pad_solution(x, nvar)
+    vd_iter = _vdrop(x_pad, d_idx)
+    vd = jnp.where(it == 0, vd_prev_d, vd_iter)
+    vd_lim = jnp.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+    v_th = d_n * VT_300K
+    exp_val = jnp.exp(vd_lim / v_th)
+    i_d = d_is * (exp_val - 1.0)
+    g_d = jnp.maximum((d_is / v_th) * exp_val, GMIN)
+    ieq = i_d - g_d * vd_lim
+    A = stamp_admittance(A, d_idx, g_d)
+    b = stamp_current(b, d_idx, ieq)
+    return A[:nvar, :nvar], b[:nvar]
+
+
+def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
+    """Hysteresis state transition (simulateTRAN.ts:108-128)."""
+    vctrl = x_pad[..., s_idx[:, 2]] - x_pad[..., s_idx[:, 3]]
+    return jnp.where(sw_on, ~(vctrl < s_voff), vctrl > s_von)
+
+
+@partial(jax.jit, static_argnames=("nvar", "method"))
+def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+               v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
+               nvar: int, method: str = "gj"):
+    """scan over timesteps; returns stacked (x, sw_on, valid) per step."""
+    tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+                      s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n)
+    dtype = vs_grid.dtype
+    n_c = c_idx.shape[0]
+    n_l = l_idx.shape[0]
+    n_s = s_idx.shape[0]
+    n_d = d_idx.shape[0]
+
+    def step_fn(carry, vs_t):
+        v_prev_c, i_prev_l, vd_prev_d, sw_on, valid_all = carry
+
+        def cond(st):
+            _x, _sw, it, done, _ok = st
+            return jnp.logical_and(it < MAX_NR_ITERS, ~jnp.all(done))
+
+        def body(st):
+            x, sw, it, done, ok = st
+            A, b = _stamp_system(
+                tensors_arrays, nvar, dt, vs_t, x, it,
+                v_prev_c, i_prev_l, vd_prev_d, sw,
+            )
+            x_new, solve_ok = solve(A, b, method=method)
+            x_pad_new = pad_solution(x_new, nvar)
+            new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
+            switched = jnp.any(new_on != sw)
+            # masked commit: once done, the lane is frozen (vmap-safe)
+            x = jnp.where(done, x, x_new)
+            sw_out = jnp.where(done, sw, new_on)
+            ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
+            it = it + jnp.where(done, 0, 1)
+            done = jnp.logical_or(done, ~switched)
+            return x, sw_out, it, done, ok
+
+        x0 = jnp.zeros((nvar,), dtype=dtype)
+        x, sw_on, _it, _done, step_ok = jax.lax.while_loop(
+            cond, body,
+            (x0, sw_on, jnp.asarray(0), jnp.asarray(False), jnp.asarray(True)),
+        )
+        x_pad = pad_solution(x, nvar)
+        # state commit (simulateTRAN.ts:221-237)
+        v_prev_c = _vdrop(x_pad, c_idx) if n_c else v_prev_c
+        dt_c = jnp.maximum(dt, EPS)
+        if n_l:
+            i_prev_l = i_prev_l + (dt_c / l_vals) * _vdrop(x_pad, l_idx)
+        vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
+        valid_all = jnp.logical_and(valid_all, step_ok)
+        carry = (v_prev_c, i_prev_l, vd_prev_d, sw_on, valid_all)
+        return carry, (x, sw_on)
+
+    init = (
+        jnp.zeros((n_c,), dtype=dtype),
+        jnp.zeros((n_l,), dtype=dtype),
+        jnp.zeros((n_d,), dtype=dtype),
+        jnp.zeros((n_s,), jnp.bool_),
+        jnp.asarray(True),
+    )
+    carry, (xs, sw_states) = jax.lax.scan(step_fn, init, vs_grid)
+    return xs, sw_states, carry[-1]
+
+
+def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
+                      ) -> dict[str, np.ndarray]:
+    """Vectorized post-scan recovery of per-step element currents
+    (simulateTRAN.ts:173-219)."""
+    xs_pad = np.concatenate([xs, np.zeros((xs.shape[0], 1))], axis=1)
+    dt_c = max(dt, EPS)
+    out: dict[str, np.ndarray] = {}
+
+    def vdrop(idx):
+        return xs_pad[:, idx[:, 0]] - xs_pad[:, idx[:, 1]]  # (S+1, nE)
+
+    if tensors.n_r:
+        i_r = vdrop(tensors.r_idx) / tensors.r_vals[None, :]
+        for k, name in enumerate(tensors.r_names):
+            out[name] = i_r[:, k]
+    if tensors.n_c:
+        vd = vdrop(tensors.c_idx)
+        prev = np.concatenate([np.zeros((1, tensors.n_c)), vd[:-1]], axis=0)
+        i_c = tensors.c_vals[None, :] * (vd - prev) / dt_c
+        for k, name in enumerate(tensors.c_names):
+            out[name] = i_c[:, k]
+    if tensors.n_l:
+        g_l = dt_c / tensors.l_vals[None, :]
+        i_l = np.cumsum(g_l * vdrop(tensors.l_idx), axis=0)
+        for k, name in enumerate(tensors.l_names):
+            out[name] = i_l[:, k]
+    for k, name in enumerate(tensors.v_names):
+        out[name] = xs[:, tensors.v_idx[k, 2]]
+    if tensors.n_s:
+        r_sw = np.where(sw_states, tensors.s_ron[None, :],
+                        tensors.s_roff[None, :])
+        i_s = vdrop(tensors.s_idx[:, :2]) / np.maximum(np.abs(r_sw), EPS)
+        for k, name in enumerate(tensors.s_names):
+            out[name] = i_s[:, k]
+    if tensors.n_d:
+        vd = vdrop(tensors.d_idx)
+        v_th = tensors.d_n[None, :] * VT_300K
+        with np.errstate(over="ignore"):
+            i_d = tensors.d_is[None, :] * (np.exp(vd / v_th) - 1.0)
+        for k, name in enumerate(tensors.d_names):
+            out[name] = i_d[:, k]
+    return out
+
+
+def simulate_tran(
+    ckt: ParsedCircuit,
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+) -> TranResult | None:
+    if ckt.tran is None:
+        return None
+    if tensors is None:
+        tensors = build_tensors(ckt)
+
+    dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
+    times = np.arange(steps + 1, dtype=np.float64) * dt
+    vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
+
+    xs, sw_states, valid = _tran_core(
+        jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
+        jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+        jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+        jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+        jnp.asarray(tensors.v_idx),
+        jnp.asarray(tensors.s_idx),
+        jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+        jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+        jnp.asarray(tensors.d_idx),
+        jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+        nvar=tensors.nvar, method=method,
+    )
+    xs = np.asarray(xs)
+    sw_states = np.asarray(sw_states)
+    if not bool(np.asarray(valid)):
+        raise ValueError("Singular matrix in TRAN solve")
+
+    node_voltages = {
+        name: xs[:, i] for i, name in enumerate(tensors.node_names)
+    }
+    element_currents = _element_currents(tensors, xs, sw_states, dt)
+
+    # probe filter (simulateTRAN.ts:240-249): keep canonical-casing keys
+    if ckt.tran_probes:
+        upper = {p.upper() for p in ckt.tran_probes}
+        node_voltages = {
+            name: series for name, series in node_voltages.items()
+            if name.upper() in upper
+        }
+
+    return TranResult(
+        times=times,
+        node_voltages=node_voltages,
+        element_currents=element_currents,
+    )

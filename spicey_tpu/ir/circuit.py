@@ -1,0 +1,195 @@
+"""Static tensorized circuit IR.
+
+The reference walks per-element object lists and scatter-adds into freshly
+allocated dense matrices on every frequency/timestep
+(/root/reference/lib/analysis/simulateAC.ts:24-60,
+ /root/reference/lib/analysis/simulateTRAN.ts:25-106). The TPU-native design
+parses once into *static, device-type-segregated index/value arrays* so the
+whole assembly becomes a handful of vectorized scatter-adds inside one
+compiled program, with no Python in the hot path.
+
+Ground handling: the reference's stamps guard every write with
+``matrixIndexOfNode != -1`` (lib/stamping/stampAdmittanceReal.ts:10-28). Here
+ground maps to a *dump slot* at index ``nvar`` of an (nvar+1)-sized padded
+system; contributions to the dump row/column are simply sliced off. This turns
+per-entry branching into branch-free scatter-adds — the XLA-friendly
+formulation of the same contract.
+
+MNA unknown ordering matches the reference (parseNetlist.ts:455-459): node
+voltages 1..N-1 first (matrix index = node id - 1), then voltage-source branch
+currents at ``n_node_vars + i``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..parsing.netlist import ParsedCircuit
+
+
+@dataclass(frozen=True)
+class CircuitTensors:
+    """Immutable array-of-struct view of a parsed circuit."""
+
+    nvar: int
+    n_node_vars: int
+    node_names: tuple[str, ...]  # non-ground canonical names, id order
+
+    # 2-terminal elements: matrix indices (nE, 2) with ground -> nvar (dump)
+    r_idx: np.ndarray
+    r_vals: np.ndarray
+    r_names: tuple[str, ...]
+
+    c_idx: np.ndarray
+    c_vals: np.ndarray
+    c_names: tuple[str, ...]
+
+    l_idx: np.ndarray
+    l_vals: np.ndarray
+    l_names: tuple[str, ...]
+
+    # voltage sources: (nV, 3) = [i1, i2, branch]; branch never ground
+    v_idx: np.ndarray
+    v_dc: np.ndarray
+    v_ac_mag: np.ndarray
+    v_ac_phase_deg: np.ndarray
+    v_has_waveform: np.ndarray  # bool (nV,)
+    v_names: tuple[str, ...]
+
+    # switches: (nS, 4) = [i1, i2, ic_pos, ic_neg] dump-mapped
+    s_idx: np.ndarray
+    s_ron: np.ndarray
+    s_roff: np.ndarray
+    s_von: np.ndarray
+    s_voff: np.ndarray
+    s_names: tuple[str, ...]
+
+    # diodes: (nD, 2) = [i_plus, i_minus] dump-mapped
+    d_idx: np.ndarray
+    d_is: np.ndarray
+    d_n: np.ndarray
+    d_names: tuple[str, ...]
+
+    @property
+    def n_r(self) -> int:
+        return self.r_idx.shape[0]
+
+    @property
+    def n_c(self) -> int:
+        return self.c_idx.shape[0]
+
+    @property
+    def n_l(self) -> int:
+        return self.l_idx.shape[0]
+
+    @property
+    def n_v(self) -> int:
+        return self.v_idx.shape[0]
+
+    @property
+    def n_s(self) -> int:
+        return self.s_idx.shape[0]
+
+    @property
+    def n_d(self) -> int:
+        return self.d_idx.shape[0]
+
+
+def _or0(x: float) -> float:
+    """JS ``x || 0``: NaN (and ±0) coerce to 0."""
+    return 0.0 if (x != x or x == 0.0) else x
+
+
+def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
+    n_node_vars = ckt.n_node_vars
+    nvar = ckt.n_vars
+    dump = nvar
+
+    def midx(node_id: int) -> int:
+        return dump if node_id == 0 else node_id - 1
+
+    def two_term(elems, attr):
+        idx = np.asarray(
+            [[midx(e.n1), midx(e.n2)] for e in elems], dtype=np.int32
+        ).reshape(-1, 2)
+        vals = np.asarray([getattr(e, attr) for e in elems], dtype=np.float64)
+        names = tuple(e.name for e in elems)
+        return idx, vals, names
+
+    r_idx, r_vals, r_names = two_term(ckt.R, "R")
+    c_idx, c_vals, c_names = two_term(ckt.C, "C")
+    l_idx, l_vals, l_names = two_term(ckt.L, "L")
+
+    v_idx = np.asarray(
+        [[midx(v.n1), midx(v.n2), v.index] for v in ckt.V], dtype=np.int32
+    ).reshape(-1, 3)
+    v_dc = np.asarray([v.dc for v in ckt.V], dtype=np.float64)
+    v_ac_mag = np.asarray([_or0(v.ac_mag) for v in ckt.V], dtype=np.float64)
+    v_ac_phase = np.asarray([_or0(v.ac_phase_deg) for v in ckt.V], dtype=np.float64)
+    v_has_wave = np.asarray([v.waveform is not None for v in ckt.V], dtype=bool)
+    v_names = tuple(v.name for v in ckt.V)
+
+    s_idx = np.asarray(
+        [[midx(s.n1), midx(s.n2), midx(s.nc_pos), midx(s.nc_neg)] for s in ckt.S],
+        dtype=np.int32,
+    ).reshape(-1, 4)
+    s_ron = np.asarray([s.model.Ron for s in ckt.S], dtype=np.float64)
+    s_roff = np.asarray([s.model.Roff for s in ckt.S], dtype=np.float64)
+    s_von = np.asarray([s.model.Von for s in ckt.S], dtype=np.float64)
+    s_voff = np.asarray([s.model.Voff for s in ckt.S], dtype=np.float64)
+    s_names = tuple(s.name for s in ckt.S)
+
+    d_idx = np.asarray(
+        [[midx(d.n_plus), midx(d.n_minus)] for d in ckt.D], dtype=np.int32
+    ).reshape(-1, 2)
+    d_is = np.asarray([d.model.Is for d in ckt.D], dtype=np.float64)
+    d_n = np.asarray([d.model.N for d in ckt.D], dtype=np.float64)
+    d_names = tuple(d.name for d in ckt.D)
+
+    return CircuitTensors(
+        nvar=nvar,
+        n_node_vars=n_node_vars,
+        node_names=tuple(ckt.nodes.rev[1:]),
+        r_idx=r_idx, r_vals=r_vals, r_names=r_names,
+        c_idx=c_idx, c_vals=c_vals, c_names=c_names,
+        l_idx=l_idx, l_vals=l_vals, l_names=l_names,
+        v_idx=v_idx, v_dc=v_dc, v_ac_mag=v_ac_mag,
+        v_ac_phase_deg=v_ac_phase, v_has_waveform=v_has_wave, v_names=v_names,
+        s_idx=s_idx, s_ron=s_ron, s_roff=s_roff, s_von=s_von, s_voff=s_voff,
+        s_names=s_names,
+        d_idx=d_idx, d_is=d_is, d_n=d_n, d_names=d_names,
+    )
+
+
+def sample_source_values(ckt: ParsedCircuit, times: np.ndarray) -> np.ndarray:
+    """Precompute every V-source value over the whole time grid.
+
+    Mirrors ``vs.waveform ? vs.waveform(t) : vs.dc || 0``
+    (/root/reference/lib/analysis/simulateTRAN.ts:66-69), vectorized so the
+    compiled scan indexes a (steps+1, nV) array instead of calling Python.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    cols = []
+    for vs in ckt.V:
+        if vs.waveform is not None:
+            cols.append(vs.waveform.sample(times))
+        else:
+            dc = vs.dc
+            dc = 0.0 if (dc != dc or dc == 0.0) else dc
+            cols.append(np.full(times.shape, dc, dtype=np.float64))
+    if not cols:
+        return np.zeros((times.shape[0], 0), dtype=np.float64)
+    return np.stack(cols, axis=1)
+
+
+def effective_time_step(dt_requested: float, tstop: float) -> tuple[float, int]:
+    """Timestep policy (/root/reference/lib/analysis/simulateTRAN.ts:14-19)."""
+    from ..constants import EPS
+
+    dt_eff = dt_requested if dt_requested > EPS else max(tstop / 1000.0, EPS)
+    steps = max(1, math.ceil(tstop / max(dt_eff, EPS)))
+    dt = tstop / steps if steps > 0 else tstop
+    return dt, steps

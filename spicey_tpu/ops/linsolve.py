@@ -1,0 +1,109 @@
+"""Dense linear solves for tiny MNA systems, batch-first.
+
+The reference solves each system with scalar Gaussian elimination + partial
+pivoting (/root/reference/lib/math/solveReal.ts:3-74, solveComplex.ts:4-74),
+throwing on |pivot| < EPS. The TPU formulation must (a) avoid data-dependent
+control flow and (b) vectorize across a huge batch axis (frequencies /
+Monte-Carlo variants) rather than inside one tiny matrix.
+
+``gj_solve`` implements Gauss-Jordan elimination with *one-hot partial
+pivoting*: the pivot row is selected per step with an argmax over unused rows
+and extracted/applied via one-hot masks — no gathers, no row swaps, no
+data-dependent shapes. Every operation is an elementwise op or a reduction,
+so ``vmap`` turns it into pure VPU work over the batch axis. Singularity is
+reported as a per-system ``valid`` flag instead of a host exception (batched
+code can't throw; callers surface errors at the host boundary).
+
+``solve`` picks between this and ``jnp.linalg.solve`` (LAPACK/XLA LU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import EPS
+
+
+def gj_solve(A, b, eps: float = EPS):
+    """Solve A x = b via one-hot-pivoted Gauss-Jordan.
+
+    A: (N, N) real or complex; b: (N,). Returns (x, valid).
+    vmap over leading axes for batching.
+    """
+    N = A.shape[-1]
+    dtype = jnp.result_type(A.dtype, b.dtype)
+    Ab = jnp.concatenate(
+        [A.astype(dtype), b.astype(dtype)[..., None]], axis=-1
+    )  # (N, N+1)
+    used = jnp.zeros((N,), jnp.bool_)
+    # P[r, k] = 1 when row r is the pivot row for column k
+    P = jnp.zeros((N, N), dtype)
+    valid = jnp.asarray(True)
+    rows = jnp.arange(N)
+
+    def body(k, state):
+        Ab, used, P, valid = state
+        col = lax.dynamic_slice_in_dim(Ab, k, 1, axis=1)[:, 0]  # (N,)
+        mag = jnp.abs(col)
+        score = jnp.where(used, -jnp.ones_like(mag), mag)
+        p = jnp.argmax(score)
+        onehot = rows == p  # (N,) bool
+        pivot_val = jnp.sum(jnp.where(onehot, col, jnp.zeros_like(col)))
+        ok = jnp.abs(pivot_val) >= eps
+        valid = jnp.logical_and(valid, ok)
+        safe_pv = jnp.where(ok, pivot_val, jnp.asarray(1, dtype))
+        # extract the pivot row with a masked reduction (no gather)
+        pivot_row = (
+            jnp.sum(jnp.where(onehot[:, None], Ab, jnp.zeros_like(Ab)), axis=0)
+            / safe_pv
+        )  # (N+1,)
+        # pivot_row is already normalized by the pivot, so eliminating row r
+        # subtracts col[r] * (Ab[p]/pv) — the standard col[r]/pv * Ab[p].
+        factor = jnp.where(onehot, jnp.zeros_like(col), col)
+        Ab = Ab - factor[:, None] * pivot_row[None, :]
+        Ab = jnp.where(onehot[:, None], pivot_row[None, :], Ab)
+        used = jnp.logical_or(used, onehot)
+        P = P + jnp.outer(
+            onehot.astype(dtype), (rows == k).astype(dtype)
+        )
+        return Ab, used, P, valid
+
+    Ab, used, P, valid = lax.fori_loop(0, N, body, (Ab, used, P, valid))
+    # After full elimination each pivot row r carries x[k] in its RHS entry.
+    x = P.T @ Ab[:, N]
+    return x, valid
+
+
+def solve(A, b, method: str = "gj", eps: float = EPS):
+    """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid)."""
+    if method == "lax":
+        x = jnp.linalg.solve(A, b[..., None])[..., 0]
+        valid = jnp.all(
+            jnp.isfinite(x.real) & jnp.isfinite(x.imag), axis=-1
+        )
+        return x, valid
+    fn = gj_solve
+    batch_dims = A.ndim - 2
+    for _ in range(batch_dims):
+        fn = jax.vmap(fn, in_axes=(0, 0, None))
+    return fn(A, b, eps)
+
+
+def solve_complex_blocks(A_re, A_im, b_re, b_im, method: str = "gj",
+                         eps: float = EPS):
+    """Solve (A_re + j*A_im) x = (b_re + j*b_im) without complex dtypes.
+
+    TPU hardware has no complex support (C128 rejected by XLA:TPU), so the
+    complex MNA system is solved as the equivalent 2N real block system
+        [[A_re, -A_im], [A_im, A_re]] [x_re; x_im] = [b_re; b_im].
+    Shapes: A_*: (..., N, N); b_*: (..., N). Returns (x_re, x_im, valid).
+    """
+    top = jnp.concatenate([A_re, -A_im], axis=-1)
+    bot = jnp.concatenate([A_im, A_re], axis=-1)
+    K = jnp.concatenate([top, bot], axis=-2)  # (..., 2N, 2N)
+    rhs = jnp.concatenate([b_re, b_im], axis=-1)
+    x, valid = solve(K, rhs, method=method, eps=eps)
+    N = A_re.shape[-1]
+    return x[..., :N], x[..., N:], valid

@@ -1,0 +1,60 @@
+"""Vectorized MNA stamp assembly.
+
+The reference's six stamp functions (/root/reference/lib/stamping/*.ts) are
+per-element scatter-adds with ground guards. Here each becomes ONE batched
+``.at[...].add`` over all elements of a device type, operating on a padded
+(nvar+1)-sized system whose last row/column is a dump slot for ground
+(see ir/circuit.py). XLA lowers these to fused scatters; under ``vmap`` the
+whole assembly batches over frequencies/variants for free.
+
+Patterns:
+  - admittance (4-point ±Y): stampAdmittance{Real,Complex}.ts:10-29
+  - RHS current injection:   stampCurrent{Real,Complex}.ts:10-14
+  - voltage-source rows (±1 couplings + RHS voltage):
+                             stampVoltageSource{Real,Complex}.ts:11-34
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def stamp_admittance(A_pad, idx, y):
+    """Scatter ±y for each 2-terminal element. idx: (nE,2); y: (nE,)."""
+    i1 = idx[:, 0]
+    i2 = idx[:, 1]
+    A_pad = A_pad.at[i1, i1].add(y)
+    A_pad = A_pad.at[i2, i2].add(y)
+    A_pad = A_pad.at[i1, i2].add(-y)
+    A_pad = A_pad.at[i2, i1].add(-y)
+    return A_pad
+
+
+def stamp_current(b_pad, idx, current):
+    """RHS injection: b[i1] -= I, b[i2] += I."""
+    b_pad = b_pad.at[idx[:, 0]].add(-current)
+    b_pad = b_pad.at[idx[:, 1]].add(current)
+    return b_pad
+
+
+def stamp_voltage_source(A_pad, b_pad, v_idx, volts):
+    """±1 node/branch couplings and branch-row RHS voltage.
+
+    v_idx: (nV,3) = [i1, i2, branch]; volts: (nV,) real or complex.
+    """
+    i1 = v_idx[:, 0]
+    i2 = v_idx[:, 1]
+    j = v_idx[:, 2]
+    one = jnp.ones(i1.shape, dtype=A_pad.dtype)
+    A_pad = A_pad.at[i1, j].add(one)
+    A_pad = A_pad.at[j, i1].add(one)
+    A_pad = A_pad.at[i2, j].add(-one)
+    A_pad = A_pad.at[j, i2].add(-one)
+    b_pad = b_pad.at[j].add(volts)
+    return A_pad, b_pad
+
+
+def pad_solution(x, nvar):
+    """Append the ground slot (0) so dump-mapped indices read 0 volts."""
+    zero_shape = x.shape[:-1] + (1,)
+    return jnp.concatenate([x, jnp.zeros(zero_shape, dtype=x.dtype)], axis=-1)

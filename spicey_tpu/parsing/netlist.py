@@ -1,0 +1,435 @@
+"""SPICE-dialect netlist parser -> ParsedCircuit IR.
+
+Contract: /root/reference/lib/parsing/parseNetlist.ts:109-498. Every dialect
+rule below carries the reference file:line it mirrors. The output IR differs
+from the reference in one deliberate way: it is *immutable* — transient state
+(vPrev/iPrev/vdPrev/isOn) lives in the analysis engines' scan carries, not on
+IR objects (the reference mutates its IR in place, simulateTRAN.ts:221-237).
+
+Dialect summary:
+  - tokenizer keeps quoted strings, NAME(args) calls, bare (...) groups, and
+    whitespace-split words as single tokens           (parseNetlist.ts:109-115)
+  - '*' comment lines; '.end' stops; '//' and ';' inline comments; first
+    non-element non-directive line is the title       (parseNetlist.ts:141-161)
+  - directives: .ac dec|lin, .tran (extra tokens ignored), .print tran v(...),
+    .model vswitch|sw|d                               (parseNetlist.ts:163-289)
+  - elements: R/C/L/V (dc, ac [phase], PULSE, PWL), S (vswitch), D (4-token
+    form only); everything else lands in `skipped`    (parseNetlist.ts:291-446)
+  - post-pass: V-source branch index = nNodes + i; model refs resolved with
+    errors on unknown models                          (parseNetlist.ts:455-479)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .node_index import NodeIndex
+from .numbers import parse_number_with_units
+from .waveforms import (
+    PulseWaveform,
+    PwlWaveform,
+    Waveform,
+    parse_pulse_args,
+    parse_pwl_args,
+)
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
+_ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
+_END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
+_PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
+_PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
+_ASSIGN_SPLIT_RE = re.compile(r"[\s,]+")
+
+
+def smart_tokens(line: str) -> list[str]:
+    return _TOKEN_RE.findall(line)
+
+
+def _require(tokens: list[str], index: int, context: str) -> str:
+    if index >= len(tokens) or tokens[index] is None:
+        raise ValueError(context)
+    return tokens[index]
+
+
+@dataclass
+class Resistor:
+    name: str
+    n1: int
+    n2: int
+    R: float
+
+
+@dataclass
+class Capacitor:
+    name: str
+    n1: int
+    n2: int
+    C: float
+
+
+@dataclass
+class Inductor:
+    name: str
+    n1: int
+    n2: int
+    L: float
+
+
+@dataclass
+class VoltageSource:
+    name: str
+    n1: int
+    n2: int
+    dc: float = 0.0
+    ac_mag: float = 0.0
+    ac_phase_deg: float = 0.0
+    waveform: Waveform | None = None
+    index: int = -1  # MNA branch-unknown index, assigned in post-pass
+
+
+@dataclass
+class VSwitchModel:
+    name: str
+    Ron: float = 1.0
+    Roff: float = 1e12
+    Von: float = 0.0
+    Voff: float = 0.0
+
+
+@dataclass
+class DiodeModel:
+    name: str
+    Is: float = 1e-14
+    N: float = 1.0
+
+
+@dataclass
+class Switch:
+    name: str
+    n1: int
+    n2: int
+    nc_pos: int
+    nc_neg: int
+    model_name: str
+    model: VSwitchModel | None = None
+
+
+@dataclass
+class Diode:
+    name: str
+    n_plus: int
+    n_minus: int
+    model_name: str
+    model: DiodeModel | None = None
+
+
+@dataclass
+class ACAnalysis:
+    mode: str  # "dec" | "lin"
+    N: int
+    f1: float
+    f2: float
+
+
+@dataclass
+class TranAnalysis:
+    dt: float
+    tstop: float
+
+
+@dataclass
+class ParsedCircuit:
+    nodes: NodeIndex = field(default_factory=NodeIndex)
+    R: list[Resistor] = field(default_factory=list)
+    C: list[Capacitor] = field(default_factory=list)
+    L: list[Inductor] = field(default_factory=list)
+    V: list[VoltageSource] = field(default_factory=list)
+    S: list[Switch] = field(default_factory=list)
+    D: list[Diode] = field(default_factory=list)
+    ac: ACAnalysis | None = None
+    tran: TranAnalysis | None = None
+    tran_probes: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
+    diode_models: dict[str, DiodeModel] = field(default_factory=dict)
+    title: str | None = None
+
+    @property
+    def n_node_vars(self) -> int:
+        return self.nodes.count() - 1
+
+    @property
+    def n_vars(self) -> int:
+        return self.n_node_vars + len(self.V)
+
+    # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
+    @property
+    def analyses(self):
+        return {"ac": self.ac, "tran": self.tran}
+
+    @property
+    def probes(self):
+        return {"tran": self.tran_probes}
+
+    @property
+    def models(self):
+        return {"vswitch": self.vswitch_models, "diode": self.diode_models}
+
+
+def _parse_model_params(params_str: str) -> dict[str, float]:
+    """key=value pairs split on whitespace/commas (parseNetlist.ts:242-255)."""
+    out: dict[str, float] = {}
+    if not params_str:
+        return out
+    for assignment in filter(None, _ASSIGN_SPLIT_RE.split(params_str)):
+        key_raw, sep, value_raw = assignment.partition("=")
+        if not key_raw or not sep or value_raw == "":
+            continue
+        value = parse_number_with_units(value_raw)
+        if value != value:  # NaN
+            continue
+        out[key_raw.lower()] = value
+    return out
+
+
+def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str) -> None:
+    dir_name = tokens[0].lower()
+    if dir_name == ".ac":
+        mode = _require(tokens, 1, ".ac missing mode").lower()
+        if mode not in ("dec", "lin"):
+            raise ValueError(".ac supports 'dec' or 'lin'")
+        N = int(js_parse_int(_require(tokens, 2, ".ac missing point count")))
+        f1 = parse_number_with_units(_require(tokens, 3, ".ac missing start frequency"))
+        f2 = parse_number_with_units(_require(tokens, 4, ".ac missing stop frequency"))
+        ckt.ac = ACAnalysis(mode=mode, N=N, f1=f1, f2=f2)
+    elif dir_name == ".tran":
+        dt = parse_number_with_units(_require(tokens, 1, ".tran missing timestep"))
+        tstop = parse_number_with_units(_require(tokens, 2, ".tran missing stop time"))
+        # Extra tokens (e.g. ngspice's `uic`) are silently ignored
+        # (parseNetlist.ts:180-187).
+        ckt.tran = TranAnalysis(dt=dt, tstop=tstop)
+    elif dir_name == ".print":
+        analysis_type = _require(tokens, 1, ".print missing analysis type").lower()
+        if analysis_type == "tran":
+            for token in tokens[2:]:
+                m = _PROBE_RE.match(token)
+                if m and m.group(1):
+                    node_name = m.group(1)
+                    if not any(p.upper() == node_name.upper() for p in ckt.tran_probes):
+                        ckt.tran_probes.append(node_name)
+        else:
+            ckt.skipped.append(line)
+    elif dir_name == ".model":
+        name_token = _require(tokens, 1, ".model missing name")
+        type_token = _require(tokens, 2, ".model missing type")
+        mtype = type_token
+        params_str = ""
+        if "(" in mtype:
+            idx = mtype.index("(")
+            params_str = mtype[idx + 1:]
+            mtype = mtype[:idx]
+        if not params_str:
+            rest = " ".join(tokens[3:])
+            params_str = re.sub(r"^\(", "", re.sub(r"\)$", "", rest))
+        else:
+            rest = re.sub(r"\)$", "", " ".join(tokens[3:]))
+            params_str = f"{params_str} {rest}".strip()
+        params_str = re.sub(r"^\(", "", re.sub(r"\)$", "", params_str)).strip()
+        type_lower = mtype.lower()
+        if type_lower in ("vswitch", "sw"):
+            model = VSwitchModel(name=name_token)
+            params = _parse_model_params(params_str)
+            if "ron" in params:
+                model.Ron = params["ron"]
+            if "roff" in params:
+                model.Roff = params["roff"]
+            if "von" in params:
+                model.Von = params["von"]
+            if "voff" in params:
+                model.Voff = params["voff"]
+            if "vt" in params:
+                vh = params.get("vh", 0.0)
+                model.Von = params["vt"] + vh / 2
+                model.Voff = params["vt"] - vh / 2
+            ckt.vswitch_models[name_token.lower()] = model
+        elif type_lower == "d":
+            model = DiodeModel(name=name_token)
+            params = _parse_model_params(params_str)
+            if "is" in params:
+                model.Is = params["is"]
+            if "n" in params:
+                model.N = params["n"]
+            ckt.diode_models[name_token.lower()] = model
+        else:
+            ckt.skipped.append(line)
+    else:
+        ckt.skipped.append(line)
+
+
+def js_parse_int(s: str) -> int:
+    """JS ``parseInt(s, 10)``: longest decimal-integer prefix."""
+    m = re.match(r"^\s*([+-]?\d+)", s)
+    if not m:
+        raise ValueError(f"invalid integer: {s!r}")
+    return int(m.group(1))
+
+
+def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
+    """V element with dc/ac/PULSE/PWL keyword scanning (parseNetlist.ts:328-399)."""
+    n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Voltage source missing node"))
+    n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Voltage source missing node"))
+    vs = VoltageSource(name=name, n1=n1, n2=n2)
+    i = 3
+    if i < len(tokens) and not re.match(r"^[a-zA-Z]", tokens[i]):
+        vs.dc = parse_number_with_units(tokens[i])
+        i += 1
+    while i < len(tokens):
+        key = tokens[i].lower()
+        if key == "dc":
+            vs.dc = parse_number_with_units(_require(tokens, i + 1, "DC value missing"))
+            i += 2
+        elif key == "ac":
+            vs.ac_mag = parse_number_with_units(
+                _require(tokens, i + 1, "AC magnitude missing")
+            )
+            phase_token = tokens[i + 2] if i + 2 < len(tokens) else None
+            if phase_token is not None and re.match(r"^[+-]?\d", phase_token):
+                vs.ac_phase_deg = parse_number_with_units(phase_token)
+                i += 3
+            else:
+                i += 2
+        elif key.startswith("pulse"):
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "PULSE() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed PULSE() specification")
+            vs.waveform = PulseWaveform(parse_pulse_args(arg_token))
+            i += 1 if "(" in key else 2
+        elif key.startswith("pwl"):
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "PWL() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed PWL() specification")
+            vs.waveform = PwlWaveform(parse_pwl_args(arg_token))
+            i += 1 if "(" in key else 2
+        else:
+            # stray parenthesized groups and unknown keywords are skipped
+            # one token at a time (parseNetlist.ts:384-388)
+            i += 1
+    ckt.V.append(vs)
+
+
+def parse_netlist(text: str) -> ParsedCircuit:
+    ckt = ParsedCircuit()
+    seen_title = False
+
+    for raw in re.split(r"\r?\n", text):
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("*"):
+            continue
+        if _END_RE.match(line):
+            break
+        line = re.sub(r"//.*$", "", line)
+        line = re.sub(r";.*$", "", line)
+
+        tokens = smart_tokens(line)
+        if not tokens:
+            continue
+        first = tokens[0]
+        if not first:
+            continue
+
+        if (
+            not seen_title
+            and not _ELEMENT_OR_TITLE_RE.match(first)
+            and not first.startswith(".")
+        ):
+            seen_title = True
+            ckt.title = line
+            continue
+
+        if first.startswith("."):
+            _parse_directive(ckt, tokens, line)
+            continue
+
+        type_char = first[0].lower()
+        name = first
+        try:
+            if type_char == "r":
+                n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Resistor missing node"))
+                n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Resistor missing node"))
+                val = parse_number_with_units(_require(tokens, 3, "Resistor missing value"))
+                ckt.R.append(Resistor(name=name, n1=n1, n2=n2, R=val))
+            elif type_char == "c":
+                n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Capacitor missing node"))
+                n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Capacitor missing node"))
+                val = parse_number_with_units(_require(tokens, 3, "Capacitor missing value"))
+                ckt.C.append(Capacitor(name=name, n1=n1, n2=n2, C=val))
+            elif type_char == "l":
+                n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Inductor missing node"))
+                n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Inductor missing node"))
+                val = parse_number_with_units(_require(tokens, 3, "Inductor missing value"))
+                ckt.L.append(Inductor(name=name, n1=n1, n2=n2, L=val))
+            elif type_char == "v":
+                _parse_voltage_source(ckt, name, tokens)
+            elif type_char == "s":
+                n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Switch missing node"))
+                n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Switch missing node"))
+                nc_pos = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "Switch missing control node")
+                )
+                nc_neg = ckt.nodes.get_or_create(
+                    _require(tokens, 4, "Switch missing control node")
+                )
+                model_name = _require(tokens, 5, "Switch missing model")
+                ckt.S.append(
+                    Switch(
+                        name=name, n1=n1, n2=n2, nc_pos=nc_pos, nc_neg=nc_neg,
+                        model_name=model_name.lower(),
+                    )
+                )
+            elif type_char == "d":
+                if len(tokens) == 4:
+                    n_plus = ckt.nodes.get_or_create(_require(tokens, 1, "Diode missing node"))
+                    n_minus = ckt.nodes.get_or_create(_require(tokens, 2, "Diode missing node"))
+                    model_name = _require(tokens, 3, "Diode missing model")
+                    ckt.D.append(
+                        Diode(
+                            name=name, n_plus=n_plus, n_minus=n_minus,
+                            model_name=model_name.lower(),
+                        )
+                    )
+                else:
+                    ckt.skipped.append(line)
+            else:
+                ckt.skipped.append(line)
+        except ValueError as err:
+            raise ValueError(f'Parse error on line: "{line}"\n{err}') from err
+
+    # Post-pass (parseNetlist.ts:455-479)
+    n_nodes = ckt.nodes.count() - 1
+    for i, vs in enumerate(ckt.V):
+        vs.index = n_nodes + i
+
+    for sw in ckt.S:
+        model = ckt.vswitch_models.get(sw.model_name)
+        if model is None:
+            raise ValueError(
+                f"Unknown .model {sw.model_name} referenced by switch {sw.name}"
+            )
+        sw.model = model
+
+    for d in ckt.D:
+        model = ckt.diode_models.get(d.model_name)
+        if model is None:
+            raise ValueError(
+                f"Unknown .model {d.model_name} referenced by diode {d.name}"
+            )
+        d.model = model
+
+    return ckt

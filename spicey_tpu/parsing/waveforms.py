@@ -1,0 +1,178 @@
+"""Time-domain source waveforms: PULSE(...) and PWL(...).
+
+Contract:
+  - PulseSpec fields:  /root/reference/lib/types/simulation.ts:1-10
+  - parse_pulse_args:  /root/reference/lib/parsing/parsePulseArgs.ts:4-23
+  - pulse_value:       /root/reference/lib/parsing/pulseValue.ts:4-22
+  - parse_pwl_args:    /root/reference/lib/parsing/parsePwlArgs.ts:3-19
+  - pwl_value:         /root/reference/lib/parsing/pwlValue.ts:3-16
+
+Unlike the reference (per-call scalar closures), each waveform also exposes a
+vectorized ``sample(t)`` over a whole time grid (NumPy, float64) so transient
+runs can precompute every source value for every timestep in one shot before
+entering the compiled `lax.scan` — the time axis never sees Python callbacks.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import EPS
+from .numbers import parse_number_with_units
+
+_PULSE_HEAD_RE = re.compile(r"^pulse\s*\(", re.IGNORECASE)
+_PWL_HEAD_RE = re.compile(r"^pwl\s*\(", re.IGNORECASE)
+_SPLIT_RE = re.compile(r"[\s,]+")
+
+
+def _strip_call(token: str, head_re: re.Pattern[str]) -> str:
+    clean = head_re.sub("(", token.strip(), count=1)
+    clean = re.sub(r"^\(", "", clean)
+    clean = re.sub(r"\)$", "", clean)
+    return clean.strip()
+
+
+@dataclass(frozen=True)
+class PulseSpec:
+    v1: float
+    v2: float
+    td: float
+    tr: float
+    tf: float
+    ton: float
+    period: float
+    ncycles: float  # Infinity when unbounded
+
+
+def parse_pulse_args(token: str) -> PulseSpec:
+    inside = _strip_call(token, _PULSE_HEAD_RE)
+    parts = [p for p in _SPLIT_RE.split(inside) if p]
+    if len(parts) < 7:
+        raise ValueError("PULSE(...) requires 7 or 8 args")
+    vals = [parse_number_with_units(p) for p in parts]
+    if any(math.isnan(v) for v in vals):
+        raise ValueError("Invalid PULSE() numeric value")
+    return PulseSpec(
+        v1=vals[0], v2=vals[1], td=vals[2], tr=vals[3], tf=vals[4],
+        ton=vals[5], period=vals[6],
+        ncycles=vals[7] if len(parts) > 7 else math.inf,
+    )
+
+
+def parse_pwl_args(token: str) -> list[tuple[float, float]]:
+    inside = _strip_call(token, _PWL_HEAD_RE)
+    parts = [p for p in _SPLIT_RE.split(inside) if p]
+    if len(parts) == 0 or len(parts) % 2 != 0:
+        raise ValueError("PWL(...) requires an even number of time/value pairs")
+    pairs: list[tuple[float, float]] = []
+    for i in range(0, len(parts), 2):
+        t = parse_number_with_units(parts[i])
+        v = parse_number_with_units(parts[i + 1])
+        if math.isnan(t) or math.isnan(v):
+            raise ValueError("Invalid PWL() numeric value")
+        pairs.append((t, v))
+    return pairs
+
+
+def pulse_value(p: PulseSpec, t: float) -> float:
+    """Scalar pulse evaluation (reference pulseValue.ts:4-22)."""
+    if t < p.td:
+        return p.v1
+    tt = t - p.td
+    cycles_done = math.floor(tt / p.period)
+    if cycles_done >= p.ncycles:
+        return p.v1
+    tc = tt - cycles_done * p.period
+    if tc < p.tr:
+        return p.v1 + (p.v2 - p.v1) * (tc / max(p.tr, EPS))
+    if tc < p.tr + p.ton:
+        return p.v2
+    if tc < p.tr + p.ton + p.tf:
+        a = (tc - (p.tr + p.ton)) / max(p.tf, EPS)
+        return p.v2 + (p.v1 - p.v2) * a
+    return p.v1
+
+
+def pwl_value(pairs: list[tuple[float, float]], t: float) -> float:
+    """Scalar PWL evaluation (reference pwlValue.ts:3-16): clamp-ends lerp."""
+    if not pairs:
+        return 0.0
+    if t <= pairs[0][0]:
+        return pairs[0][1]
+    for i in range(1, len(pairs)):
+        tp, vp = pairs[i - 1]
+        tc, vc = pairs[i]
+        if t <= tc:
+            dt = max(tc - tp, EPS)
+            return vp + (vc - vp) * ((t - tp) / dt)
+    return pairs[-1][1]
+
+
+class Waveform:
+    """Base class: a time-domain source with scalar and vectorized sampling."""
+
+    def __call__(self, t: float) -> float:
+        raise NotImplementedError
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        """Vectorized float64 evaluation over a time grid."""
+        raise NotImplementedError
+
+
+class PulseWaveform(Waveform):
+    def __init__(self, spec: PulseSpec):
+        self.spec = spec
+
+    def __call__(self, t: float) -> float:
+        return pulse_value(self.spec, t)
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        p = self.spec
+        t = np.asarray(t, dtype=np.float64)
+        tt = t - p.td
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cycles_done = np.floor(tt / p.period)
+        tc = tt - cycles_done * p.period
+        rise = p.v1 + (p.v2 - p.v1) * (tc / max(p.tr, EPS))
+        fall = p.v2 + (p.v1 - p.v2) * ((tc - (p.tr + p.ton)) / max(p.tf, EPS))
+        out = np.where(
+            tc < p.tr, rise,
+            np.where(tc < p.tr + p.ton, p.v2,
+                     np.where(tc < p.tr + p.ton + p.tf, fall, p.v1)),
+        )
+        out = np.where(cycles_done >= p.ncycles, p.v1, out)
+        out = np.where(t < p.td, p.v1, out)
+        return out
+
+
+class PwlWaveform(Waveform):
+    def __init__(self, pairs: list[tuple[float, float]]):
+        self.pairs = pairs
+
+    def __call__(self, t: float) -> float:
+        return pwl_value(self.pairs, t)
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        t = np.asarray(t, dtype=np.float64)
+        if not self.pairs:
+            return np.zeros_like(t)
+        ts = np.array([p[0] for p in self.pairs], dtype=np.float64)
+        vs = np.array([p[1] for p in self.pairs], dtype=np.float64)
+        if ts.shape[0] == 1 or not np.all(np.diff(ts) >= 0):
+            # non-monotone knots: fall back to the scalar first-match scan
+            return np.array([pwl_value(self.pairs, float(x)) for x in t])
+        # vectorized version of the reference's exact lerp formula
+        # (pwlValue.ts:8-14): segment i is the first with t <= ts[i]
+        idx = np.searchsorted(ts, t, side="left")
+        seg = np.clip(idx, 1, ts.shape[0] - 1)
+        tp, tc = ts[seg - 1], ts[seg]
+        vp, vc = vs[seg - 1], vs[seg]
+        a = (t - tp) / np.maximum(tc - tp, EPS)
+        out = vp + (vc - vp) * a
+        out = np.where(t <= ts[0], vs[0], out)
+        out = np.where(t > ts[-1], vs[-1], out)
+        return out

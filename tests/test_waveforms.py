@@ -1,0 +1,98 @@
+"""Unit tests for PULSE/PWL waveforms (contract:
+/root/reference/lib/parsing/{parsePulseArgs,pulseValue,parsePwlArgs,pwlValue}.ts)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from spicey_tpu.parsing.waveforms import (
+    PulseWaveform,
+    PwlWaveform,
+    parse_pulse_args,
+    parse_pwl_args,
+    pulse_value,
+    pwl_value,
+)
+
+
+def test_parse_pulse():
+    p = parse_pulse_args("PULSE(0 5 0 1n 1n 5u 10u)")
+    assert (p.v1, p.v2, p.td) == (0.0, 5.0, 0.0)
+    # units multiply: 5u -> 5*1e-6 (not the 5e-6 literal; same fp value JS gets)
+    assert p.tr == p.tf == 1 * 1e-9
+    assert p.ton == 5 * 1e-6 and p.period == 10 * 1e-6
+    assert p.ncycles == math.inf
+
+
+def test_parse_pulse_ncycles_and_commas():
+    p = parse_pulse_args("pulse(1, 2, 3, 4, 5, 6, 7, 8)")
+    assert p.ncycles == 8.0
+
+
+def test_parse_pulse_errors():
+    with pytest.raises(ValueError):
+        parse_pulse_args("PULSE(1 2 3)")
+    with pytest.raises(ValueError):
+        parse_pulse_args("PULSE(1 2 3 4 5 6 xx)")
+
+
+def test_pulse_value_shape():
+    p = parse_pulse_args("PULSE(0 5 1u 1u 1u 5u 10u)")
+    assert pulse_value(p, 0.0) == 0.0          # before delay
+    assert pulse_value(p, 1.5e-6) == pytest.approx(2.5)  # mid-rise
+    assert pulse_value(p, 3e-6) == 5.0         # on
+    assert pulse_value(p, 7.5e-6) == pytest.approx(2.5)  # mid-fall
+    assert pulse_value(p, 9e-6) == 0.0         # off
+    assert pulse_value(p, 13e-6) == 5.0        # next cycle on
+
+
+def test_pulse_ncycles_expiry():
+    p = parse_pulse_args("PULSE(0 5 0 1n 1n 5u 10u 2)")
+    assert pulse_value(p, 2e-6) == 5.0
+    assert pulse_value(p, 12e-6) == 5.0   # 2nd cycle
+    assert pulse_value(p, 22e-6) == 0.0   # expired -> v1
+
+
+def test_pulse_vectorized_matches_scalar():
+    p = parse_pulse_args("PULSE(-1 3 2u 1u 2u 4u 10u 3)")
+    wf = PulseWaveform(p)
+    t = np.linspace(0, 5e-5, 1777)
+    vec = wf.sample(t)
+    ref = np.array([pulse_value(p, float(x)) for x in t])
+    np.testing.assert_allclose(vec, ref, rtol=0, atol=0)
+
+
+def test_parse_pwl():
+    pairs = parse_pwl_args("PWL(0 0   1m 5   3m 0)")
+    assert pairs == [(0.0, 0.0), (1e-3, 5.0), (3e-3, 0.0)]
+    with pytest.raises(ValueError):
+        parse_pwl_args("PWL(0 0 1m)")
+    with pytest.raises(ValueError):
+        parse_pwl_args("PWL()")
+
+
+def test_pwl_value_clamps_and_interpolates():
+    pairs = [(0.0, 0.0), (1e-3, 5.0), (3e-3, 0.0)]
+    assert pwl_value(pairs, -1.0) == 0.0
+    assert pwl_value(pairs, 0.5e-3) == pytest.approx(2.5)
+    assert pwl_value(pairs, 2e-3) == pytest.approx(2.5)
+    assert pwl_value(pairs, 10.0) == 0.0
+    assert pwl_value([], 1.0) == 0.0
+
+
+def test_pwl_vectorized_matches_scalar():
+    pairs = [(0.0, 0.0), (1e-3, 5.0), (3e-3, 0.0), (7e-3, 5.0), (9e-3, 0.0)]
+    wf = PwlWaveform(pairs)
+    t = np.linspace(-1e-3, 12e-3, 997)
+    vec = wf.sample(t)
+    ref = np.array([pwl_value(pairs, float(x)) for x in t])
+    np.testing.assert_array_equal(vec, ref)  # bit-exact same formula
+
+
+def test_pwl_duplicate_knots_use_scalar_path():
+    pairs = [(0.0, 0.0), (1e-3, 5.0), (1e-3, 2.0), (2e-3, 2.0)]
+    wf = PwlWaveform(pairs)
+    t = np.array([0.5e-3, 1e-3, 1.5e-3])
+    ref = np.array([pwl_value(pairs, float(x)) for x in t])
+    np.testing.assert_allclose(wf.sample(t), ref)
