@@ -29,6 +29,7 @@ from .analysis.results import ACResult, SimulationResult, TranResult
 from .analysis.simulate import simulate
 from .analysis.tran import simulate_tran
 from .constants import EPS, VT_300K
+from .formatting.compare import compare_voltage_levels
 from .formatting.jsnum import to_precision
 from .formatting.text import format_ac_result, format_tran_result
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
@@ -62,6 +63,7 @@ __all__ = [
     "TranResult",
     "VT_300K",
     "build_tensors",
+    "compare_voltage_levels",
     "eec_engine_tran_to_vgraphs",
     "format_ac_result",
     "format_tran_result",
