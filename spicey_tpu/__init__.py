@@ -34,6 +34,14 @@ from .formatting.jsnum import to_precision
 from .formatting.text import format_ac_result, format_tran_result
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
 from .ir.circuit import CircuitTensors, build_tensors
+from .math_complex import Complex
+from .analysis.batch import (
+    BatchACResult,
+    BatchTranResult,
+    simulate_ac_batch,
+    simulate_tran_batch,
+)
+from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units
 from .parsing.waveforms import (
@@ -55,7 +63,10 @@ eecEngineTranToVGraphs = eec_engine_tran_to_vgraphs
 
 __all__ = [
     "ACResult",
+    "BatchACResult",
+    "BatchTranResult",
     "CircuitTensors",
+    "Complex",
     "EPS",
     "ParsedCircuit",
     "PulseSpec",
@@ -67,15 +78,19 @@ __all__ = [
     "eec_engine_tran_to_vgraphs",
     "format_ac_result",
     "format_tran_result",
+    "make_mesh",
     "parse_netlist",
     "parse_number_with_units",
     "parse_pulse_args",
     "parse_pwl_args",
     "pulse_value",
     "pwl_value",
+    "sharder",
     "simulate",
     "simulate_ac",
+    "simulate_ac_batch",
     "simulate_tran",
+    "simulate_tran_batch",
     "spicey_tran_to_vgraphs",
     "to_precision",
 ]

@@ -1,0 +1,246 @@
+"""Batched Monte-Carlo / corner-sweep analysis.
+
+The reference simulates ONE netlist per call (simulate.ts:5-10); parameter
+sweeps require re-parsing and re-running serially. This module is the TPU
+lever the reference leaves on the table (SURVEY.md §2 parallelism table):
+thousands of parameter variants of one topology solve in a single compiled
+call — a leading ``variants`` axis on the element value arrays, ``vmap``ped
+over the same assemble+solve cores used by the single-circuit engines, and
+optionally sharded over a device mesh (spicey_tpu.parallel).
+
+API:
+  overrides = {"r1": values_B, "c1": values_B, "v1": dc_values_B, ...}
+  simulate_ac_batch(netlist_or_ckt, overrides)   -> BatchACResult
+  simulate_tran_batch(netlist_or_ckt, overrides) -> BatchTranResult
+
+Element names are matched case-insensitively against parsed element names.
+Voltage-source overrides set the DC value (and the whole time grid for
+sources without waveforms); waveform-driven sources keep their waveform.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ir.circuit import (
+    CircuitTensors,
+    build_tensors,
+    effective_time_step,
+    sample_source_values,
+)
+from ..parsing.netlist import ParsedCircuit, parse_netlist
+from .ac import _ac_sweep_core, build_frequency_array
+from .tran import _tran_core
+
+
+@dataclass
+class BatchACResult:
+    freqs: np.ndarray          # (F,)
+    node_names: tuple[str, ...]
+    x: np.ndarray              # (B, F, nvar) complex128 solution
+    valid: np.ndarray          # (B, F) bool
+
+    def node_voltage(self, name: str) -> np.ndarray:
+        i = [n.upper() for n in self.node_names].index(name.upper())
+        return self.x[..., i]
+
+
+@dataclass
+class BatchTranResult:
+    times: np.ndarray          # (S+1,)
+    node_names: tuple[str, ...]
+    xs: np.ndarray             # (B, S+1, nvar)
+    sw_states: np.ndarray      # (B, S+1, nS)
+    valid: np.ndarray          # (B,)
+
+    def node_voltage(self, name: str) -> np.ndarray:
+        i = [n.upper() for n in self.node_names].index(name.upper())
+        return self.xs[..., i]
+
+
+def _resolve(ckt: ParsedCircuit | str) -> ParsedCircuit:
+    return parse_netlist(ckt) if isinstance(ckt, str) else ckt
+
+
+def _batch_values(base: np.ndarray, names: tuple[str, ...],
+                  overrides: dict[str, np.ndarray], B: int) -> np.ndarray:
+    """Tile (nE,) base values to (B, nE), applying per-element overrides."""
+    out = np.broadcast_to(base, (B,) + base.shape).copy()
+    lower = {n.lower(): i for i, n in enumerate(names)}
+    for key, vals in overrides.items():
+        idx = lower.get(key.lower())
+        if idx is None:
+            continue
+        vals = np.asarray(vals, dtype=np.float64)
+        if vals.shape != (B,):
+            raise ValueError(
+                f"override for {key!r} must have shape ({B},), got {vals.shape}"
+            )
+        out[:, idx] = vals
+    return out
+
+
+def _batch_size(overrides: dict[str, np.ndarray]) -> int:
+    sizes = {np.asarray(v).shape[0] for v in overrides.values()}
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent override batch sizes: {sizes}")
+    return sizes.pop()
+
+
+def _consumed(names_groups, overrides) -> set[str]:
+    known = set()
+    for names in names_groups:
+        known.update(n.lower() for n in names)
+    unknown = {k for k in overrides if k.lower() not in known}
+    if unknown:
+        raise ValueError(f"overrides reference unknown elements: {sorted(unknown)}")
+    return known
+
+
+def simulate_ac_batch(
+    circuit: ParsedCircuit | str,
+    overrides: dict[str, np.ndarray],
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+    device_put=None,
+) -> BatchACResult:
+    """One compiled batched AC sweep over all parameter variants.
+
+    ``device_put``: optional callable mapping (array, axes) -> placed array,
+    used by spicey_tpu.parallel to shard the batch/freq axes over a mesh.
+    """
+    ckt = _resolve(circuit)
+    if ckt.ac is None:
+        raise ValueError("netlist has no .ac analysis")
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    B = _batch_size(overrides)
+    _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               tensors.v_names], overrides)
+
+    r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
+    c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
+    l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
+    if np.any(r_vals <= 0):
+        bad = tensors.r_names[int(np.argwhere(r_vals <= 0)[0][1])]
+        raise ValueError(f"R {bad} must be > 0")
+
+    freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
+    ph = tensors.v_ac_phase_deg * math.pi / 180.0
+    v_re = np.broadcast_to(tensors.v_ac_mag * np.cos(ph), (B, tensors.n_v))
+    v_im = np.broadcast_to(tensors.v_ac_mag * np.sin(ph), (B, tensors.n_v))
+
+    arrays = dict(
+        freqs=jnp.asarray(freqs),
+        r_vals=jnp.asarray(r_vals), c_vals=jnp.asarray(c_vals),
+        l_vals=jnp.asarray(l_vals),
+        v_re=jnp.asarray(v_re), v_im=jnp.asarray(v_im),
+    )
+    if device_put is not None:
+        arrays["freqs"] = device_put(arrays["freqs"], ("freq",))
+        for key in ("r_vals", "c_vals", "l_vals", "v_re", "v_im"):
+            arrays[key] = device_put(arrays[key], ("batch", None))
+
+    core = jax.vmap(
+        lambda rv, cv, lv, vre, vim: _ac_sweep_core(
+            arrays["freqs"],
+            jnp.asarray(tensors.r_idx), rv,
+            jnp.asarray(tensors.c_idx), cv,
+            jnp.asarray(tensors.l_idx), lv,
+            jnp.asarray(tensors.v_idx), vre, vim,
+            nvar=tensors.nvar, method=method,
+        )
+    )
+    x_re, x_im, valid = core(
+        arrays["r_vals"], arrays["c_vals"], arrays["l_vals"],
+        arrays["v_re"], arrays["v_im"],
+    )
+    x = np.asarray(x_re) + 1j * np.asarray(x_im)
+    return BatchACResult(
+        freqs=freqs, node_names=tensors.node_names, x=x,
+        valid=np.asarray(valid),
+    )
+
+
+def simulate_tran_batch(
+    circuit: ParsedCircuit | str,
+    overrides: dict[str, np.ndarray],
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+    device_put=None,
+) -> BatchTranResult:
+    """One compiled batched transient run over all parameter variants."""
+    ckt = _resolve(circuit)
+    if ckt.tran is None:
+        raise ValueError("netlist has no .tran analysis")
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    B = _batch_size(overrides)
+    _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               tensors.v_names], overrides)
+
+    r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
+    c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
+    l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
+
+    dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
+    times = np.arange(steps + 1, dtype=np.float64) * dt
+    vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
+
+    # DC overrides on waveform-less sources batch the source grid
+    v_lower = {n.lower(): i for i, n in enumerate(tensors.v_names)}
+    v_over = {k: v for k, v in overrides.items() if k.lower() in v_lower}
+    vs_batched = None
+    if v_over:
+        vs_batched = np.broadcast_to(
+            vs_grid, (B,) + vs_grid.shape
+        ).copy()  # (B, S+1, nV)
+        for key, vals in v_over.items():
+            i = v_lower[key.lower()]
+            if tensors.v_has_waveform[i]:
+                raise ValueError(
+                    f"cannot override waveform-driven source {key!r}"
+                )
+            vs_batched[:, :, i] = np.asarray(vals, dtype=np.float64)[:, None]
+
+    vs_in = jnp.asarray(vs_batched if vs_batched is not None else vs_grid)
+    arrays = dict(
+        r_vals=jnp.asarray(r_vals), c_vals=jnp.asarray(c_vals),
+        l_vals=jnp.asarray(l_vals), vs=vs_in,
+    )
+    if device_put is not None:
+        for key in ("r_vals", "c_vals", "l_vals"):
+            arrays[key] = device_put(arrays[key], ("batch", None))
+        if vs_batched is not None:
+            arrays["vs"] = device_put(arrays["vs"], ("batch", None, None))
+
+    vs_axis = 0 if vs_batched is not None else None
+    core = jax.vmap(
+        lambda vsg, rv, cv, lv: _tran_core(
+            vsg, jnp.asarray(dt, jnp.float64),
+            jnp.asarray(tensors.r_idx), rv,
+            jnp.asarray(tensors.c_idx), cv,
+            jnp.asarray(tensors.l_idx), lv,
+            jnp.asarray(tensors.v_idx),
+            jnp.asarray(tensors.s_idx),
+            jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+            jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+            jnp.asarray(tensors.d_idx),
+            jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+            nvar=tensors.nvar, method=method,
+        ),
+        in_axes=(vs_axis, 0, 0, 0),
+    )
+    xs, sw_states, valid = core(
+        arrays["vs"], arrays["r_vals"], arrays["c_vals"], arrays["l_vals"]
+    )
+    return BatchTranResult(
+        times=times, node_names=tensors.node_names,
+        xs=np.asarray(xs), sw_states=np.asarray(sw_states),
+        valid=np.asarray(valid),
+    )

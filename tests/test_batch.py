@@ -1,0 +1,143 @@
+"""Batched Monte-Carlo API tests: batched-vs-single consistency (the key
+invariant — one compiled batched call must reproduce N independent runs) and
+sharded execution on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from spicey_tpu import parse_netlist, simulate_ac, simulate_tran
+from spicey_tpu.analysis.batch import simulate_ac_batch, simulate_tran_batch
+from spicey_tpu.parallel.mesh import make_mesh, sharder
+from tests.fixtures import netlists
+
+AC_NET = netlists.BASICS01_AC
+TRAN_NET = netlists.RC_PULSE
+
+
+def _edit_netlist(net, name, value):
+    out = []
+    for line in net.split("\n"):
+        toks = line.split()
+        if toks and toks[0].lower() == name.lower():
+            toks[-1] = repr(float(value))
+            line = " ".join(toks)
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_ac_batch_matches_single_runs():
+    B = 5
+    rng = np.random.default_rng(42)
+    r_vals = 30.0 * (1 + 0.2 * rng.standard_normal(B))
+    c_vals = 100e-6 * (1 + 0.1 * rng.standard_normal(B))
+    res = simulate_ac_batch(AC_NET, {"r1": r_vals, "c1": c_vals})
+    assert res.x.shape[0] == B
+    assert bool(res.valid.all())
+    for b in range(B):
+        net_b = _edit_netlist(_edit_netlist(AC_NET, "r1", r_vals[b]),
+                              "c1", c_vals[b])
+        single = simulate_ac(parse_netlist(net_b))
+        np.testing.assert_allclose(
+            res.node_voltage("2")[b], single.node_voltages["2"],
+            rtol=1e-9, atol=1e-12,
+        )
+
+
+def test_tran_batch_matches_single_runs():
+    B = 4
+    rng = np.random.default_rng(7)
+    r_vals = 1e3 * (1 + 0.3 * rng.random(B))
+    res = simulate_tran_batch(TRAN_NET, {"R1": r_vals})
+    assert res.xs.shape[0] == B
+    assert bool(res.valid.all())
+    for b in range(B):
+        net_b = _edit_netlist(TRAN_NET, "R1", r_vals[b])
+        single = simulate_tran(parse_netlist(net_b))
+        np.testing.assert_allclose(
+            res.node_voltage("2")[b], single.node_voltages["2"],
+            rtol=1e-9, atol=1e-12,
+        )
+
+
+def test_tran_batch_dc_override():
+    B = 3
+    net = "The t\nV1 1 0 DC 5\nR1 1 2 1k\nC1 2 0 1u\n.tran 10u 1m\n.end\n"
+    dcs = np.array([1.0, 5.0, -2.0])
+    res = simulate_tran_batch(net, {"V1": dcs})
+    finals = res.node_voltage("2")[:, -1]
+    # RC settles toward each DC value (~63% at 1*tau)
+    np.testing.assert_allclose(finals, dcs * (1 - np.exp(-1)), rtol=1e-2)
+
+
+def test_waveform_source_override_rejected():
+    with pytest.raises(ValueError, match="waveform-driven"):
+        simulate_tran_batch(TRAN_NET, {"V1": np.ones(2)})
+
+
+def test_unknown_override_rejected():
+    with pytest.raises(ValueError, match="unknown elements"):
+        simulate_ac_batch(AC_NET, {"nope": np.ones(2)})
+
+
+def test_inconsistent_batch_rejected():
+    with pytest.raises(ValueError, match="inconsistent"):
+        simulate_ac_batch(AC_NET, {"r1": np.ones(2), "c1": np.ones(3)})
+
+
+def test_nonpositive_batched_r_rejected():
+    with pytest.raises(ValueError, match="must be > 0"):
+        simulate_ac_batch(AC_NET, {"r1": np.array([30.0, -1.0])})
+
+
+def test_batched_singular_flags_not_raises():
+    """Batched runs report validity per variant instead of throwing
+    (SURVEY §7 hard part (d))."""
+    net = "The t\nv1 1 0 ac 1\nv2 1 0 ac 2\nr1 1 0 1k\n.ac lin 2 1 10\n"
+    res = simulate_ac_batch(net, {"r1": np.array([1e3, 2e3])})
+    assert not res.valid.any()
+
+
+def test_ac_batch_sharded_over_cpu_mesh():
+    cpus = jax.devices("cpu")
+    mesh = make_mesh({"batch": 8}, devices=cpus)
+    B = 16
+    rng = np.random.default_rng(0)
+    r_vals = 30.0 * (1 + 0.1 * rng.random(B))
+    res_sharded = simulate_ac_batch(
+        AC_NET, {"r1": r_vals}, device_put=sharder(mesh)
+    )
+    res_local = simulate_ac_batch(AC_NET, {"r1": r_vals})
+    np.testing.assert_allclose(
+        res_sharded.x.view(np.float64), res_local.x.view(np.float64),
+        rtol=1e-12, atol=1e-15,
+    )
+
+
+def test_ac_batch_2d_mesh_batch_by_freq():
+    cpus = jax.devices("cpu")
+    mesh = make_mesh({"batch": 4, "freq": 2}, devices=cpus)
+    B = 8
+    r_vals = np.linspace(10, 50, B)
+    net = "The t\nv1 1 0 ac 1\nr1 1 2 30\nc1 2 0 100u\n.ac lin 16 1 100\n.end\n"
+    res = simulate_ac_batch(net, {"r1": r_vals}, device_put=sharder(mesh))
+    res_ref = simulate_ac_batch(net, {"r1": r_vals})
+    np.testing.assert_allclose(
+        res.x.view(np.float64), res_ref.x.view(np.float64),
+        rtol=1e-12, atol=1e-15,
+    )
+
+
+def test_tran_batch_sharded_over_cpu_mesh():
+    cpus = jax.devices("cpu")
+    mesh = make_mesh({"batch": 8}, devices=cpus)
+    B = 8
+    r_vals = 1e3 * (1 + 0.2 * np.linspace(0, 1, B))
+    res_sharded = simulate_tran_batch(
+        TRAN_NET, {"R1": r_vals}, device_put=sharder(mesh)
+    )
+    res_local = simulate_tran_batch(TRAN_NET, {"R1": r_vals})
+    np.testing.assert_allclose(
+        res_sharded.xs, res_local.xs, rtol=1e-12, atol=1e-15
+    )
