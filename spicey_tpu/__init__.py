@@ -41,6 +41,7 @@ from .analysis.batch import (
     simulate_ac_batch,
     simulate_tran_batch,
 )
+from .analysis.mc import MCStats, mc_ac_stats, mc_tran_stats
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units
@@ -79,6 +80,9 @@ __all__ = [
     "format_ac_result",
     "format_tran_result",
     "make_mesh",
+    "mc_ac_stats",
+    "mc_tran_stats",
+    "MCStats",
     "parse_netlist",
     "parse_number_with_units",
     "parse_pulse_args",

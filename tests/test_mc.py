@@ -1,0 +1,61 @@
+"""Monte-Carlo on-device statistics tests: fused solve+reduce must agree with
+host-side statistics over the raw batched solutions."""
+
+import numpy as np
+import pytest
+
+from spicey_tpu.analysis.batch import simulate_ac_batch, simulate_tran_batch
+from spicey_tpu.analysis.mc import mc_ac_stats, mc_tran_stats
+from tests.fixtures import netlists
+
+
+def test_mc_ac_stats_matches_raw_batch():
+    B = 64
+    rng = np.random.default_rng(3)
+    overrides = {
+        "r1": 30.0 * (1 + 0.2 * rng.random(B)),
+        "c1": 100e-6 * (1 + 0.2 * rng.random(B)),
+    }
+    stats = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2")
+    raw = simulate_ac_batch(netlists.BASICS01_AC, overrides)
+    mag = np.abs(raw.node_voltage("2"))  # (B, F)
+    np.testing.assert_allclose(stats.mean, mag.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(stats.std, mag.std(axis=0), rtol=1e-9, atol=1e-15)
+    np.testing.assert_allclose(stats.min, mag.min(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(stats.max, mag.max(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(
+        stats.quantiles[50.0], np.percentile(mag, 50, axis=0), rtol=1e-9
+    )
+    assert stats.n_valid == B and stats.n_total == B
+
+
+def test_mc_ac_stats_analytic():
+    B = 128
+    rng = np.random.default_rng(0)
+    r = 30.0 * (1 + 0.1 * rng.random(B))
+    c = 100e-6 * (1 + 0.1 * rng.random(B))
+    stats = mc_ac_stats(netlists.BASICS01_AC, {"r1": r, "c1": c}, node="2")
+    w = 2 * np.pi * stats.grid
+    h = np.abs(1.0 / (1.0 + 1j * w[None, :] * (r * c)[:, None]))
+    np.testing.assert_allclose(stats.mean, h.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(stats.max, h.max(axis=0), rtol=1e-9)
+
+
+def test_mc_tran_stats_matches_raw_batch():
+    B = 16
+    rng = np.random.default_rng(1)
+    overrides = {"R1": 1e3 * (1 + 0.3 * rng.random(B))}
+    stats = mc_tran_stats(netlists.RC_PULSE, overrides, node="2")
+    raw = simulate_tran_batch(netlists.RC_PULSE, overrides)
+    v = raw.node_voltage("2")  # (B, S+1)
+    np.testing.assert_allclose(stats.mean, v.mean(axis=0), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(stats.min, v.min(axis=0), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(stats.max, v.max(axis=0), rtol=1e-12, atol=1e-15)
+    assert stats.n_valid == B
+
+
+def test_mc_requires_analysis():
+    with pytest.raises(ValueError, match="no .ac analysis"):
+        mc_ac_stats(netlists.RC_PULSE, {"R1": np.ones(2)}, node="2")
+    with pytest.raises(ValueError, match="no .tran analysis"):
+        mc_tran_stats(netlists.BASICS01_AC, {"r1": np.ones(2)}, node="2")
