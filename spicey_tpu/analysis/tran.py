@@ -69,8 +69,9 @@ def _vdrop(x_pad, idx):
     return x_pad[..., idx[:, 0]] - x_pad[..., idx[:, 1]]
 
 
-def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_l,
-                  vd_prev_d, sw_on):
+def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
+                  i_prev_l, v_prev_l, vd_prev_d, sw_on,
+                  integration: str = "be", is_first=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n) = tensors_arrays
     dtype = x.dtype
@@ -80,14 +81,28 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_l,
 
     # R
     A = stamp_admittance(A, r_idx, 1.0 / r_vals)
-    # C companion
-    g_c = c_vals / dt_c
-    A = stamp_admittance(A, c_idx, g_c)
-    b = stamp_current(b, c_idx, -g_c * v_prev_c)
-    # L companion
-    g_l = dt_c / l_vals
-    A = stamp_admittance(A, l_idx, g_l)
-    b = stamp_current(b, l_idx, i_prev_l)
+    if integration == "trap":
+        # Trapezoidal companions (2nd-order improvement toggle):
+        #   C: i = (2C/dt)(v_n+1 - v_n) - i_n  -> G=2C/dt, Ieq=-(G v_n + i_n)
+        #   L: i = i_n + (dt/2L)(v_n + v_n+1)  -> G=dt/2L, Isrc=i_n + G v_n
+        # The t=0 record is a backward-Euler step (trap is not self-starting:
+        # the zero initial companion current would inject a persistent
+        # half-step error into the marginally-damped trap recurrence).
+        g_c = jnp.where(is_first, c_vals / dt_c, 2.0 * c_vals / dt_c)
+        A = stamp_admittance(A, c_idx, g_c)
+        b = stamp_current(b, c_idx, -(g_c * v_prev_c + i_prev_c))
+        g_l = jnp.where(is_first, dt_c / l_vals, dt_c / (2.0 * l_vals))
+        A = stamp_admittance(A, l_idx, g_l)
+        b = stamp_current(b, l_idx, i_prev_l + g_l * v_prev_l)
+    else:
+        # backward-Euler companions (reference semantics,
+        # simulateTRAN.ts:41-53)
+        g_c = c_vals / dt_c
+        A = stamp_admittance(A, c_idx, g_c)
+        b = stamp_current(b, c_idx, -g_c * v_prev_c)
+        g_l = dt_c / l_vals
+        A = stamp_admittance(A, l_idx, g_l)
+        b = stamp_current(b, l_idx, i_prev_l)
     # Switches by current hysteresis state
     r_sw = jnp.where(sw_on, s_ron, s_roff)
     g_sw = 1.0 / jnp.maximum(jnp.abs(r_sw), EPS)
@@ -115,11 +130,22 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
     return jnp.where(sw_on, ~(vctrl < s_voff), vctrl > s_von)
 
 
-@partial(jax.jit, static_argnames=("nvar", "method"))
+@partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
+                                   "nr_tol", "max_nr"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-               nvar: int, method: str = "gj"):
-    """scan over timesteps; returns stacked (x, sw_on, valid) per step."""
+               nvar: int, method: str = "gj", integration: str = "be",
+               nr: str = "spicey", nr_tol: float = 1e-9,
+               max_nr: int | None = None):
+    """scan over timesteps; returns stacked (x, sw_on, valid) per step.
+
+    Defaults reproduce the reference exactly. Improvement toggles:
+      integration="trap"  second-order trapezoidal companions;
+      nr="converged"      iterate Newton until |dx| < nr_tol*(1+|x|) instead
+                          of the reference's break-on-switch-stability (which
+                          gives diodes a single Newton step per pass,
+                          simulateTRAN.ts:159-161).
+    """
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n)
     dtype = vs_grid.dtype
@@ -127,30 +153,41 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     n_l = l_idx.shape[0]
     n_s = s_idx.shape[0]
     n_d = d_idx.shape[0]
+    if max_nr is None:
+        max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
-    def step_fn(carry, vs_t):
-        v_prev_c, i_prev_l, vd_prev_d, sw_on, valid_all = carry
+    def step_fn(carry, inputs):
+        vs_t, is_first = inputs
+        (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw_on,
+         valid_all) = carry
 
         def cond(st):
             _x, _sw, it, done, _ok = st
-            return jnp.logical_and(it < MAX_NR_ITERS, ~jnp.all(done))
+            return jnp.logical_and(it < max_nr, ~jnp.all(done))
 
         def body(st):
             x, sw, it, done, ok = st
             A, b = _stamp_system(
                 tensors_arrays, nvar, dt, vs_t, x, it,
-                v_prev_c, i_prev_l, vd_prev_d, sw,
+                v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw,
+                integration=integration, is_first=is_first,
             )
             x_new, solve_ok = solve(A, b, method=method)
             x_pad_new = pad_solution(x_new, nvar)
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
             switched = jnp.any(new_on != sw)
+            if nr == "converged":
+                delta = jnp.max(jnp.abs(x_new - x)) if nvar else 0.0
+                scale = 1.0 + jnp.max(jnp.abs(x_new)) if nvar else 1.0
+                settled = jnp.logical_and(~switched, delta <= nr_tol * scale)
+            else:
+                settled = ~switched
             # masked commit: once done, the lane is frozen (vmap-safe)
             x = jnp.where(done, x, x_new)
             sw_out = jnp.where(done, sw, new_on)
             ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
             it = it + jnp.where(done, 0, 1)
-            done = jnp.logical_or(done, ~switched)
+            done = jnp.logical_or(done, settled)
             return x, sw_out, it, done, ok
 
         x0 = jnp.zeros((nvar,), dtype=dtype)
@@ -159,31 +196,59 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             (x0, sw_on, jnp.asarray(0), jnp.asarray(False), jnp.asarray(True)),
         )
         x_pad = pad_solution(x, nvar)
-        # state commit (simulateTRAN.ts:221-237)
-        v_prev_c = _vdrop(x_pad, c_idx) if n_c else v_prev_c
+        # state commit (simulateTRAN.ts:221-237; trap adds the companion
+        # current/voltage states its formulas carry)
         dt_c = jnp.maximum(dt, EPS)
+        if n_c:
+            vd_c = _vdrop(x_pad, c_idx)
+            if integration == "trap":
+                # first step committed with its BE companion current
+                i_prev_c = jnp.where(
+                    is_first,
+                    (c_vals / dt_c) * (vd_c - v_prev_c),
+                    (2.0 * c_vals / dt_c) * (vd_c - v_prev_c) - i_prev_c,
+                )
+            v_prev_c = vd_c
         if n_l:
-            i_prev_l = i_prev_l + (dt_c / l_vals) * _vdrop(x_pad, l_idx)
+            vd_l = _vdrop(x_pad, l_idx)
+            if integration == "trap":
+                i_prev_l = i_prev_l + jnp.where(
+                    is_first,
+                    (dt_c / l_vals) * vd_l,
+                    (dt_c / (2.0 * l_vals)) * (v_prev_l + vd_l),
+                )
+                v_prev_l = vd_l
+            else:
+                i_prev_l = i_prev_l + (dt_c / l_vals) * vd_l
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
         valid_all = jnp.logical_and(valid_all, step_ok)
-        carry = (v_prev_c, i_prev_l, vd_prev_d, sw_on, valid_all)
+        carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw_on,
+                 valid_all)
         return carry, (x, sw_on)
 
     init = (
         jnp.zeros((n_c,), dtype=dtype),
+        jnp.zeros((n_c,), dtype=dtype),
+        jnp.zeros((n_l,), dtype=dtype),
         jnp.zeros((n_l,), dtype=dtype),
         jnp.zeros((n_d,), dtype=dtype),
         jnp.zeros((n_s,), jnp.bool_),
         jnp.asarray(True),
     )
-    carry, (xs, sw_states) = jax.lax.scan(step_fn, init, vs_grid)
+    n_steps = vs_grid.shape[0]
+    first_flags = jnp.arange(n_steps) == 0
+    carry, (xs, sw_states) = jax.lax.scan(
+        step_fn, init, (vs_grid, first_flags)
+    )
     return xs, sw_states, carry[-1]
 
 
 def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
-                      ) -> dict[str, np.ndarray]:
+                      integration: str = "be") -> dict[str, np.ndarray]:
     """Vectorized post-scan recovery of per-step element currents
-    (simulateTRAN.ts:173-219)."""
+    (simulateTRAN.ts:173-219). The C/L companion recurrences unroll into
+    (alternating-sign) cumulative sums over the stacked solutions, so no
+    per-step work happens inside the compiled scan."""
     xs_pad = np.concatenate([xs, np.zeros((xs.shape[0], 1))], axis=1)
     dt_c = max(dt, EPS)
     out: dict[str, np.ndarray] = {}
@@ -198,12 +263,29 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
     if tensors.n_c:
         vd = vdrop(tensors.c_idx)
         prev = np.concatenate([np.zeros((1, tensors.n_c)), vd[:-1]], axis=0)
-        i_c = tensors.c_vals[None, :] * (vd - prev) / dt_c
+        if integration == "trap":
+            # step 0 is BE (i_0 = (C/dt) v_0); k>=1 follows the trap
+            # recurrence i_k = (2C/dt)(v_k - v_{k-1}) - i_{k-1}, which
+            # telescopes to an alternating cumulative sum
+            a = 2.0 * tensors.c_vals[None, :] * (vd - prev) / dt_c
+            a[0] = tensors.c_vals * vd[0] / dt_c
+            sign = (-1.0) ** np.arange(a.shape[0])[:, None]
+            i_c = sign * np.cumsum(sign * a, axis=0)
+        else:
+            i_c = tensors.c_vals[None, :] * (vd - prev) / dt_c
         for k, name in enumerate(tensors.c_names):
             out[name] = i_c[:, k]
     if tensors.n_l:
-        g_l = dt_c / tensors.l_vals[None, :]
-        i_l = np.cumsum(g_l * vdrop(tensors.l_idx), axis=0)
+        vd = vdrop(tensors.l_idx)
+        if integration == "trap":
+            prev = np.concatenate([np.zeros((1, tensors.n_l)), vd[:-1]],
+                                  axis=0)
+            inc = (prev + vd) * dt_c / (2.0 * tensors.l_vals[None, :])
+            inc[0] = vd[0] * dt_c / tensors.l_vals  # BE first step
+            i_l = np.cumsum(inc, axis=0)
+        else:
+            g_l = dt_c / tensors.l_vals[None, :]
+            i_l = np.cumsum(g_l * vd, axis=0)
         for k, name in enumerate(tensors.l_names):
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
@@ -228,9 +310,19 @@ def simulate_tran(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
     method: str = "gj",
+    integration: str = "be",
+    nr: str = "spicey",
+    nr_tol: float = 1e-9,
+    max_nr: int | None = None,
 ) -> TranResult | None:
+    """Transient analysis. Defaults reproduce the reference; see _tran_core
+    for the `integration`/`nr` improvement toggles."""
     if ckt.tran is None:
         return None
+    if integration not in ("be", "trap"):
+        raise ValueError("integration must be 'be' or 'trap'")
+    if nr not in ("spicey", "converged"):
+        raise ValueError("nr must be 'spicey' or 'converged'")
     if tensors is None:
         tensors = build_tensors(ckt)
 
@@ -249,7 +341,8 @@ def simulate_tran(
         jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-        nvar=tensors.nvar, method=method,
+        nvar=tensors.nvar, method=method, integration=integration,
+        nr=nr, nr_tol=nr_tol, max_nr=max_nr,
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)
@@ -259,7 +352,8 @@ def simulate_tran(
     node_voltages = {
         name: xs[:, i] for i, name in enumerate(tensors.node_names)
     }
-    element_currents = _element_currents(tensors, xs, sw_states, dt)
+    element_currents = _element_currents(tensors, xs, sw_states, dt,
+                                         integration=integration)
 
     # probe filter (simulateTRAN.ts:240-249): keep canonical-casing keys
     if ckt.tran_probes:

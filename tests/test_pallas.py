@@ -1,0 +1,100 @@
+"""Pallas batch-major Gauss-Jordan kernel tests (interpret mode on CPU; the
+compiled path targets the TPU and is exercised by bench/production runs).
+
+Contract being replaced: lib/math/solveReal.ts / solveComplex.ts — same
+pivot-threshold semantics (|pivot| >= EPS), flagged per system instead of
+thrown."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spicey_tpu.ops.pallas_gj import (
+    pallas_gj_solve_complex,
+    pallas_gj_solve_real,
+)
+
+
+def _rand_systems(B, N, seed=0, complex_=False):
+    rng = np.random.default_rng(seed)
+    if complex_:
+        return (rng.normal(size=(B, N, N)), rng.normal(size=(B, N, N)),
+                rng.normal(size=(B, N)), rng.normal(size=(B, N)))
+    return rng.normal(size=(B, N, N)), rng.normal(size=(B, N))
+
+
+@pytest.mark.parametrize("N", [3, 6, 13])
+def test_real_refined_accuracy(N):
+    A, b = _rand_systems(200, N)
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True)
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    # relative to solution magnitude: refinement reaches ~f64 for
+    # well-conditioned systems; allow slack for random outliers
+    denom = np.abs(ref).max(axis=-1, keepdims=True)
+    rel = (np.abs(np.asarray(x) - ref) / denom).max()
+    assert rel < 1e-9
+    assert bool(np.asarray(valid).all())
+
+
+def test_real_f32_only_is_coarser():
+    A, b = _rand_systems(100, 6, seed=1)
+    x0, _ = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b), refine=0,
+                                 interpret=True)
+    x2, _ = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b), refine=2,
+                                 interpret=True)
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    err0 = np.abs(np.asarray(x0) - ref).max()
+    err2 = np.abs(np.asarray(x2) - ref).max()
+    assert err2 < err0 / 100
+
+
+def test_complex_refined_accuracy():
+    Ar, Ai, br, bi = _rand_systems(200, 6, seed=2, complex_=True)
+    xr, xi, valid = pallas_gj_solve_complex(
+        *map(jnp.asarray, (Ar, Ai, br, bi)), interpret=True
+    )
+    ref = np.linalg.solve(Ar + 1j * Ai, (br + 1j * bi)[..., None])[..., 0]
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    denom = np.abs(ref).max(axis=-1, keepdims=True)
+    assert (np.abs(got - ref) / denom).max() < 1e-9
+    assert bool(np.asarray(valid).all())
+
+
+def test_singular_systems_flagged():
+    A, b = _rand_systems(4, 3, seed=3)
+    A[1] = 0.0
+    A[3, :, 0] = A[3, :, 1]  # linearly dependent columns
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True)
+    v = np.asarray(valid)
+    assert v[0] and v[2]
+    assert not v[1]
+
+
+def test_zero_diagonal_mna_structure():
+    """Voltage-source branch rows have zero diagonals — pivoting must
+    reorder (the no-pivot failure mode of naive GE)."""
+    A = np.array([[[1 / 30, -1 / 30, 1.0],
+                   [-1 / 30, 1 / 30 + 1e-3, 0.0],
+                   [1.0, 0.0, 0.0]]])
+    b = np.array([[0.0, 0.0, 1.0]])
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True)
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-10)
+    assert bool(np.asarray(valid).all())
+
+
+def test_vmap_composes():
+    A, b = _rand_systems(120, 5, seed=4)
+    A = A.reshape(4, 30, 5, 5)
+    b = b.reshape(4, 30, 5)
+    f = jax.vmap(lambda A, b: pallas_gj_solve_real(A, b, interpret=True))
+    x, v = f(jnp.asarray(A), jnp.asarray(b))
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    denom = np.abs(ref).max(axis=-1, keepdims=True)
+    assert (np.abs(np.asarray(x) - ref) / denom).max() < 1e-8
+    assert x.shape == (4, 30, 5)

@@ -1,0 +1,124 @@
+"""Tests for the transient improvement toggles (integration="trap",
+nr="converged") — features the reference lacks (SURVEY §7 step 8); defaults
+must stay reference-exact (covered by tests/test_tran.py's oracle suite)."""
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate_tran
+from spicey_tpu.constants import VT_300K
+from tests.fixtures import netlists
+
+RC_DC = "The t\nV1 1 0 DC 5\nR1 1 2 1k\nC1 2 0 1u\n.tran 20u 5m\n.end\n"
+
+
+def test_trap_is_second_order_on_rc():
+    """Trap error vs the exact exponential must be far below BE error.
+
+    Both traces inherit the reference's t=0 semantics (the step-0 record is
+    already one full step from rest, simulateTRAN.ts:147-149), so the
+    physical solution at record k is exact((k+1)*dt); compare against that.
+    """
+    ckt = parse_netlist(RC_DC)
+    be = simulate_tran(ckt)
+    trap = simulate_tran(ckt, integration="trap")
+    t = np.asarray(be.times)
+    dt = t[1] - t[0]
+    exact = 5.0 * (1.0 - np.exp(-(t + dt) / 1e-3))
+    err_be = np.abs(np.asarray(be.node_voltages["2"]) - exact)[3:].max()
+    err_trap = np.abs(np.asarray(trap.node_voltages["2"]) - exact)[3:].max()
+    assert err_trap < err_be / 15
+    assert err_trap < 1e-3
+
+
+def test_trap_rlc_energy_behavior():
+    """Series RLC: trapezoidal is A-stable and non-dissipative; the ringing
+    amplitude must decay no faster than the analytic envelope (BE
+    overdamps)."""
+    net = ("The t\nV1 in 0 DC 1\nR1 in n1 10\nL1 n1 n2 10m\nC1 n2 0 1u\n"
+           ".tran 5u 5m\n.end\n")
+    ckt = parse_netlist(net)
+    be = simulate_tran(ckt)
+    trap = simulate_tran(ckt, integration="trap")
+    t = np.asarray(be.times)
+    dt = t[1] - t[0]
+    ts = t + dt  # reference t=0 record semantics (see RC test above)
+    # analytic underdamped response: alpha = R/2L = 500, w0^2 = 1/LC = 1e8
+    alpha, w0 = 500.0, 1e4
+    wd = np.sqrt(w0**2 - alpha**2)
+    exact = 1.0 - np.exp(-alpha * ts) * (
+        np.cos(wd * ts) + alpha / wd * np.sin(wd * ts)
+    )
+    err_be = np.abs(np.asarray(be.node_voltages["n2"]) - exact)[5:].max()
+    err_trap = np.abs(np.asarray(trap.node_voltages["n2"]) - exact)[5:].max()
+    assert err_trap < err_be / 5
+
+
+def test_trap_element_current_recurrence():
+    """Trap C/L currents recovered post-scan must satisfy KCL: in the RC
+    series loop i_R == i_C at every step."""
+    ckt = parse_netlist(RC_DC)
+    trap = simulate_tran(ckt, integration="trap")
+    i_r = np.asarray(trap.element_currents["R1"])
+    i_c = np.asarray(trap.element_currents["C1"])
+    np.testing.assert_allclose(i_r[1:], i_c[1:], rtol=1e-6, atol=1e-12)
+
+
+def test_converged_nr_diode_satisfies_kcl():
+    """With nr='converged' the diode node must satisfy nonlinear KCL to the
+    tolerance (the reference's single Newton step leaves a residual)."""
+    net = (
+        "The t\n.model dm d\n"
+        "V1 in 0 PULSE(0 5 0 1u 1u 48u 100u)\n"
+        "D1 in out dm\nR1 out 0 1k\n"
+        ".tran 1u 100u\n.end\n"
+    )
+    ckt = parse_netlist(net)
+
+    def kcl_residual(res):
+        v_in = np.asarray(res.node_voltages["in"])
+        v_out = np.asarray(res.node_voltages["out"])
+        vd = v_in - v_out
+        i_d = 1e-14 * (np.exp(np.clip(vd, -np.inf, 0.9) / VT_300K) - 1.0)
+        i_r = v_out / 1e3
+        return np.abs(i_d - i_r).max()
+
+    spicey_mode = simulate_tran(ckt)
+    converged = simulate_tran(ckt, nr="converged", nr_tol=1e-12)
+    assert kcl_residual(converged) < 1e-9
+    assert kcl_residual(converged) < kcl_residual(spicey_mode) / 10
+
+
+def test_converged_nr_still_handles_switches():
+    ckt = parse_netlist(netlists.VSWITCH_PWL)
+    res = simulate_tran(ckt, nr="converged")
+    times = np.asarray(res.times)
+    v_out = np.asarray(res.node_voltages["OUT"])
+
+    def sample(target):
+        return v_out[np.abs(times - target).argmin()]
+
+    assert abs(sample(0.0005)) < 0.02  # switch ON shorts the output
+    assert sample(0.0035) > 2          # OFF -> recharges
+
+
+def test_trap_plus_converged_compose():
+    net = (
+        "The t\n.model dm d\n"
+        "V1 in 0 PULSE(0 5 0 1u 1u 48u 100u)\n"
+        "D1 in out dm\nR1 out 0 1k\nC1 out 0 100n\n"
+        ".tran 1u 200u\n.end\n"
+    )
+    ckt = parse_netlist(net)
+    res = simulate_tran(ckt, integration="trap", nr="converged")
+    v_out = np.asarray(res.node_voltages["out"])
+    assert np.isfinite(v_out).all()
+    assert v_out.max() > 3.0 and v_out.min() > -0.6
+
+
+def test_invalid_toggles_rejected():
+    ckt = parse_netlist(RC_DC)
+    with pytest.raises(ValueError, match="integration"):
+        simulate_tran(ckt, integration="euler")
+    with pytest.raises(ValueError, match="nr"):
+        simulate_tran(ckt, nr="newton")
