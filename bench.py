@@ -67,11 +67,11 @@ def main() -> None:
     baseline_vps = K / (time.perf_counter() - t0)
     ckt.R[0].R, ckt.C[0].C = 30.0, 100e-6
 
-    # --- headline: one fused batched solve + on-device reduction ---
+    # --- f64 fidelity tier: fused batched solve + on-device reduction ---
     mc_ac_stats(ckt, overrides, node="2", tensors=tensors)  # warm up
     t0 = time.perf_counter()
     stats = mc_ac_stats(ckt, overrides, node="2", tensors=tensors)
-    batched_elapsed = time.perf_counter() - t0
+    f64_elapsed = time.perf_counter() - t0
     assert stats.n_valid == B
 
     # correctness: compare device stats against the analytic ensemble
@@ -80,12 +80,24 @@ def main() -> None:
     np.testing.assert_allclose(stats.mean, h.mean(axis=0), rtol=1e-9)
     np.testing.assert_allclose(stats.max, h.max(axis=0), rtol=1e-9)
 
-    batched_vps = B / batched_elapsed
+    # --- headline: fast tier — f32 assembly + batch-major Pallas kernel ---
+    fast = dict(node="2", tensors=tensors, precision="f32", method="pallas")
+    mc_ac_stats(ckt, overrides, **fast)  # warm up
+    t0 = time.perf_counter()
+    stats32 = mc_ac_stats(ckt, overrides, **fast)
+    f32_elapsed = time.perf_counter() - t0
+    assert stats32.n_valid == B
+    np.testing.assert_allclose(stats32.mean, h.mean(axis=0), rtol=2e-4)
+    np.testing.assert_allclose(stats32.max, h.max(axis=0), rtol=2e-4)
+
+    batched_vps = B / f32_elapsed
     print(json.dumps({
         "metric": "mc_ac_yield_variants_per_sec",
         "value": round(batched_vps, 1),
-        "unit": "variants/s (201-pt AC sweep + on-device stats)",
+        "unit": "variants/s (201-pt AC sweep + on-device stats, f32 Pallas tier)",
         "vs_baseline": round(batched_vps / baseline_vps, 1),
+        "f64_tier_variants_per_sec": round(B / f64_elapsed, 1),
+        "f64_tier_vs_baseline": round(B / f64_elapsed / baseline_vps, 1),
     }))
 
 

@@ -36,8 +36,13 @@ import numpy as np
 
 from ..constants import EPS
 from ..ir.circuit import CircuitTensors, build_tensors
-from ..ops.linsolve import solve_complex_blocks
-from ..ops.stamps import pad_solution, stamp_admittance, stamp_voltage_source
+from ..ops.linsolve import solve_planes
+from ..ops.stamps import (
+    pad_solution,
+    stamp_admittance,
+    stamp_current,
+    stamp_voltage_source,
+)
 from ..parsing.netlist import ParsedCircuit
 from ..utils.logspace import linear_grid, logspace
 from .results import ACResult
@@ -57,7 +62,7 @@ def _inductor_susceptance(f, l_vals):
 
 
 def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-                  v_re, v_im, nvar):
+                  v_re, v_im, nvar, i_idx=None, i_re=None, i_im=None):
     """Build (A_re, A_im, b_re, b_im) for one frequency; pure scatter-adds."""
     dtype = r_vals.dtype
     A_re = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
@@ -70,23 +75,38 @@ def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
     A_im = stamp_admittance(A_im, l_idx, _inductor_susceptance(f, l_vals))
     A_re, b_re = stamp_voltage_source(A_re, b_re, v_idx, v_re)
     b_im = b_im.at[v_idx[:, 2]].add(v_im)
+    if i_idx is not None:
+        # extended-dialect current sources: RHS phasor injection
+        b_re = stamp_current(b_re, i_idx, i_re)
+        b_im = stamp_current(b_im, i_idx, i_im)
     return (A_re[:nvar, :nvar], A_im[:nvar, :nvar],
             b_re[:nvar], b_im[:nvar])
 
 
-@partial(jax.jit, static_argnames=("nvar", "method"))
-def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
-                   v_idx, v_re, v_im, nvar: int, method: str = "gj"):
-    """vmapped assemble + one batched block solve over the whole grid."""
+def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+                   v_idx, v_re, v_im, nvar, i_idx=None, i_re=None,
+                   i_im=None):
+    """Assembly vmapped over the frequency grid -> (F, N, N) planes."""
     assemble = jax.vmap(
         lambda f: _assemble_one(
             f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-            v_re, v_im, nvar,
+            v_re, v_im, nvar, i_idx=i_idx, i_re=i_re, i_im=i_im,
         )
     )
-    A_re, A_im, b_re, b_im = assemble(freqs)
-    x_re, x_im, valid = solve_complex_blocks(A_re, A_im, b_re, b_im,
-                                             method=method)
+    return assemble(freqs)
+
+
+@partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
+def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+                   v_idx, v_re, v_im, nvar: int, method: str = "gj",
+                   interpret: bool = False, i_idx=None, i_re=None, i_im=None):
+    """vmapped assemble + one batched solve over the whole grid."""
+    A_re, A_im, b_re, b_im = _assemble_grid(
+        freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+        v_re, v_im, nvar, i_idx=i_idx, i_re=i_re, i_im=i_im,
+    )
+    x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
+                                     method=method, interpret=interpret)
     return x_re, x_im, valid
 
 
@@ -120,6 +140,11 @@ def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
         out[name] = x[:, tensors.v_idx[k, 2]]
+    if tensors.n_i:
+        iph = tensors.i_ac_phase_deg * np.pi / 180.0
+        i_ph = tensors.i_ac_mag * np.exp(1j * iph)
+        for k, name in enumerate(tensors.i_names):
+            out[name] = np.full(x.shape[0], i_ph[k], dtype=np.complex128)
     return out
 
 
@@ -127,6 +152,7 @@ def simulate_ac(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
     method: str = "gj",
+    interpret: bool = False,
 ) -> ACResult | None:
     if ckt.ac is None:
         return None
@@ -142,6 +168,9 @@ def simulate_ac(
     ph = tensors.v_ac_phase_deg * math.pi / 180.0
     v_re = tensors.v_ac_mag * np.cos(ph)
     v_im = tensors.v_ac_mag * np.sin(ph)
+    iph = tensors.i_ac_phase_deg * math.pi / 180.0
+    i_re = tensors.i_ac_mag * np.cos(iph)
+    i_im = tensors.i_ac_mag * np.sin(iph)
 
     x_re, x_im, valid = _ac_sweep_core(
         jnp.asarray(freqs),
@@ -149,7 +178,9 @@ def simulate_ac(
         jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
         jnp.asarray(tensors.v_idx), jnp.asarray(v_re), jnp.asarray(v_im),
-        nvar=tensors.nvar, method=method,
+        nvar=tensors.nvar, method=method, interpret=interpret,
+        i_idx=jnp.asarray(tensors.i_idx),
+        i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
     )
     if not bool(np.all(np.asarray(valid))):
         raise ValueError("Singular matrix in AC solve")

@@ -121,7 +121,7 @@ def simulate_ac_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names], overrides)
+               tensors.v_names, tensors.i_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
@@ -146,6 +146,9 @@ def simulate_ac_batch(
         for key in ("r_vals", "c_vals", "l_vals", "v_re", "v_im"):
             arrays[key] = device_put(arrays[key], ("batch", None))
 
+    iph = tensors.i_ac_phase_deg * math.pi / 180.0
+    i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph))
+    i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph))
     core = jax.vmap(
         lambda rv, cv, lv, vre, vim: _ac_sweep_core(
             arrays["freqs"],
@@ -154,6 +157,7 @@ def simulate_ac_batch(
             jnp.asarray(tensors.l_idx), lv,
             jnp.asarray(tensors.v_idx), vre, vim,
             nvar=tensors.nvar, method=method,
+            i_idx=jnp.asarray(tensors.i_idx), i_re=i_re, i_im=i_im,
         )
     )
     x_re, x_im, valid = core(
@@ -182,7 +186,7 @@ def simulate_tran_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names], overrides)
+               tensors.v_names, tensors.i_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
@@ -193,16 +197,22 @@ def simulate_tran_batch(
     vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
 
     # DC overrides on waveform-less sources batch the source grid
-    v_lower = {n.lower(): i for i, n in enumerate(tensors.v_names)}
-    v_over = {k: v for k, v in overrides.items() if k.lower() in v_lower}
+    # (V columns first, then extended-dialect I columns; ir/circuit.py)
+    src_lower = {n.lower(): i for i, n in enumerate(tensors.v_names)}
+    src_lower.update({
+        n.lower(): tensors.n_v + i for i, n in enumerate(tensors.i_names)
+    })
+    has_wave = np.concatenate([tensors.v_has_waveform,
+                               tensors.i_has_waveform])
+    v_over = {k: v for k, v in overrides.items() if k.lower() in src_lower}
     vs_batched = None
     if v_over:
         vs_batched = np.broadcast_to(
             vs_grid, (B,) + vs_grid.shape
-        ).copy()  # (B, S+1, nV)
+        ).copy()  # (B, S+1, nV+nI)
         for key, vals in v_over.items():
-            i = v_lower[key.lower()]
-            if tensors.v_has_waveform[i]:
+            i = src_lower[key.lower()]
+            if has_wave[i]:
                 raise ValueError(
                     f"cannot override waveform-driven source {key!r}"
                 )
@@ -233,6 +243,7 @@ def simulate_tran_batch(
             jnp.asarray(tensors.d_idx),
             jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
             nvar=tensors.nvar, method=method,
+            i_idx=jnp.asarray(tensors.i_idx),
         ),
         in_axes=(vs_axis, 0, 0, 0),
     )

@@ -33,7 +33,7 @@ from ..ir.circuit import (
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
-from .ac import _ac_sweep_core, build_frequency_array
+from .ac import _assemble_grid, build_frequency_array
 from .batch import _batch_size, _batch_values, _consumed, _resolve
 from .tran import _tran_core
 
@@ -76,15 +76,24 @@ def _stats_of(resp, valid, qs):
     return out
 
 
-@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs"))
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
+                                   "interpret"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, nvar: int, node_idx: int,
-                      method: str, qs: tuple):
-    def one(rv, cv, lv, vre, vim):
-        return _ac_sweep_core(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
-                              v_idx, vre, vim, nvar=nvar, method=method)
+                      method: str, qs: tuple, interpret: bool = False):
+    from ..ops.linsolve import solve_planes
 
-    x_re, x_im, valid = jax.vmap(one)(r_vals, c_vals, l_vals, v_re, v_im)
+    def one(rv, cv, lv, vre, vim):
+        return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
+                              v_idx, vre, vim, nvar)
+
+    # assemble over (B, F); solve ONCE over the flattened batch so the
+    # Pallas kernel sees a single lane-dense grid instead of B tiny,
+    # mostly-padding calls under vmap
+    A_re, A_im, b_re, b_im = jax.vmap(one)(r_vals, c_vals, l_vals,
+                                           v_re, v_im)
+    x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
+                                     method=method, interpret=interpret)
     mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
     stats = _stats_of(mag, valid, qs)
     n_valid = jnp.sum(jnp.all(valid, axis=-1))
@@ -98,8 +107,17 @@ def mc_ac_stats(
     quantiles: tuple[float, ...] = (5.0, 50.0, 95.0),
     tensors=None,
     method: str = "gj",
+    precision: str = "f64",
+    interpret: bool = False,
 ) -> MCStats:
-    """Distribution of |V(node)| per frequency across parameter variants."""
+    """Distribution of |V(node)| per frequency across parameter variants.
+
+    precision="f32" runs the whole pipeline (assembly + solve + reduction)
+    in float32 — pair it with method="pallas" for the batch-major TPU kernel
+    (~40x the f64 solver throughput). Yield statistics under percent-level
+    parameter spreads lose nothing at f32; the 6-sig-fig golden contract
+    requires the default f64 tier.
+    """
     ckt = _resolve(circuit)
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
@@ -120,14 +138,18 @@ def mc_ac_stats(
     v_im = np.broadcast_to(tensors.v_ac_mag * np.sin(ph), (B, tensors.n_v))
 
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
+    if precision not in ("f64", "f32"):
+        raise ValueError("precision must be 'f64' or 'f32'")
+    fdt = jnp.float32 if precision == "f32" else jnp.float64
     stats, n_valid = _mc_ac_stats_core(
-        jnp.asarray(freqs),
-        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals),
-        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals),
-        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals),
-        jnp.asarray(tensors.v_idx), jnp.asarray(v_re), jnp.asarray(v_im),
+        jnp.asarray(freqs, fdt),
+        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
+        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals, fdt),
+        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals, fdt),
+        jnp.asarray(tensors.v_idx), jnp.asarray(v_re, fdt),
+        jnp.asarray(v_im, fdt),
         nvar=tensors.nvar, node_idx=node_idx, method=method,
-        qs=tuple(float(q) for q in quantiles),
+        qs=tuple(float(q) for q in quantiles), interpret=interpret,
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(freqs)))
     return MCStats(
@@ -147,11 +169,12 @@ def mc_ac_stats(
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, nvar: int, node_idx: int,
-                        method: str, qs: tuple, vs_batched: bool):
+                        method: str, qs: tuple, vs_batched: bool,
+                        i_idx=None):
     def one(vsg, rv, cv, lv):
         return _tran_core(vsg, dt, r_idx, rv, c_idx, cv, l_idx, lv, v_idx,
                           s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is,
-                          d_n, nvar=nvar, method=method)
+                          d_n, nvar=nvar, method=method, i_idx=i_idx)
 
     xs, _sw, valid = jax.vmap(
         one, in_axes=(0 if vs_batched else None, 0, 0, 0)
@@ -214,6 +237,7 @@ def mc_tran_stats(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), vs_batched=vs_batched,
+        i_idx=jnp.asarray(tensors.i_idx),
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))
     return MCStats(

@@ -73,7 +73,8 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   i_prev_l, v_prev_l, vd_prev_d, sw_on,
                   integration: str = "be", is_first=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-     s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n) = tensors_arrays
+     s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
+     i_idx) = tensors_arrays
     dtype = x.dtype
     A = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
     b = jnp.zeros((nvar + 1,), dtype=dtype)
@@ -108,7 +109,10 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     g_sw = 1.0 / jnp.maximum(jnp.abs(r_sw), EPS)
     A = stamp_admittance(A, s_idx[:, :2], g_sw)
     # V sources
-    A, b = stamp_voltage_source(A, b, v_idx, vs_t)
+    n_v = v_idx.shape[0]
+    A, b = stamp_voltage_source(A, b, v_idx, vs_t[:n_v])
+    # extended-dialect current sources: direct RHS injection
+    b = stamp_current(b, i_idx, vs_t[n_v:])
     # Diode Shockley companions
     x_pad = pad_solution(x, nvar)
     vd_iter = _vdrop(x_pad, d_idx)
@@ -136,7 +140,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
-               max_nr: int | None = None):
+               max_nr: int | None = None, i_idx=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -146,8 +150,11 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                           gives diodes a single Newton step per pass,
                           simulateTRAN.ts:159-161).
     """
+    if i_idx is None:
+        i_idx = jnp.zeros((0, 2), jnp.int32)
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-                      s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n)
+                      s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
+                      i_idx)
     dtype = vs_grid.dtype
     n_c = c_idx.shape[0]
     n_l = l_idx.shape[0]
@@ -244,7 +251,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
 
 def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
-                      integration: str = "be") -> dict[str, np.ndarray]:
+                      integration: str = "be",
+                      src_grid=None) -> dict[str, np.ndarray]:
     """Vectorized post-scan recovery of per-step element currents
     (simulateTRAN.ts:173-219). The C/L companion recurrences unroll into
     (alternating-sign) cumulative sums over the stacked solutions, so no
@@ -290,6 +298,9 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
         out[name] = xs[:, tensors.v_idx[k, 2]]
+    if tensors.n_i and src_grid is not None:
+        for k, name in enumerate(tensors.i_names):
+            out[name] = np.asarray(src_grid[:, tensors.n_v + k])
     if tensors.n_s:
         r_sw = np.where(sw_states, tensors.s_ron[None, :],
                         tensors.s_roff[None, :])
@@ -343,6 +354,7 @@ def simulate_tran(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
+        i_idx=jnp.asarray(tensors.i_idx),
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)
@@ -353,7 +365,8 @@ def simulate_tran(
         name: xs[:, i] for i, name in enumerate(tensors.node_names)
     }
     element_currents = _element_currents(tensors, xs, sw_states, dt,
-                                         integration=integration)
+                                         integration=integration,
+                                         src_grid=vs_grid)
 
     # probe filter (simulateTRAN.ts:240-249): keep canonical-casing keys
     if ckt.tran_probes:

@@ -73,6 +73,14 @@ class CircuitTensors:
     d_n: np.ndarray
     d_names: tuple[str, ...]
 
+    # current sources (extended dialect): (nI, 2) = [i1, i2] dump-mapped
+    i_idx: np.ndarray
+    i_dc: np.ndarray
+    i_ac_mag: np.ndarray
+    i_ac_phase_deg: np.ndarray
+    i_has_waveform: np.ndarray
+    i_names: tuple[str, ...]
+
     @property
     def n_r(self) -> int:
         return self.r_idx.shape[0]
@@ -96,6 +104,10 @@ class CircuitTensors:
     @property
     def n_d(self) -> int:
         return self.d_idx.shape[0]
+
+    @property
+    def n_i(self) -> int:
+        return self.i_idx.shape[0]
 
 
 def _or0(x: float) -> float:
@@ -149,6 +161,17 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     d_n = np.asarray([d.model.N for d in ckt.D], dtype=np.float64)
     d_names = tuple(d.name for d in ckt.D)
 
+    i_idx = np.asarray(
+        [[midx(s.n1), midx(s.n2)] for s in ckt.I], dtype=np.int32
+    ).reshape(-1, 2)
+    i_dc = np.asarray([s.dc for s in ckt.I], dtype=np.float64)
+    i_ac_mag = np.asarray([_or0(s.ac_mag) for s in ckt.I], dtype=np.float64)
+    i_ac_phase = np.asarray(
+        [_or0(s.ac_phase_deg) for s in ckt.I], dtype=np.float64
+    )
+    i_has_wave = np.asarray([s.waveform is not None for s in ckt.I], dtype=bool)
+    i_names = tuple(s.name for s in ckt.I)
+
     return CircuitTensors(
         nvar=nvar,
         n_node_vars=n_node_vars,
@@ -161,23 +184,26 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         s_idx=s_idx, s_ron=s_ron, s_roff=s_roff, s_von=s_von, s_voff=s_voff,
         s_names=s_names,
         d_idx=d_idx, d_is=d_is, d_n=d_n, d_names=d_names,
+        i_idx=i_idx, i_dc=i_dc, i_ac_mag=i_ac_mag,
+        i_ac_phase_deg=i_ac_phase, i_has_waveform=i_has_wave, i_names=i_names,
     )
 
 
 def sample_source_values(ckt: ParsedCircuit, times: np.ndarray) -> np.ndarray:
-    """Precompute every V-source value over the whole time grid.
+    """Precompute every independent-source value over the whole time grid.
 
     Mirrors ``vs.waveform ? vs.waveform(t) : vs.dc || 0``
     (/root/reference/lib/analysis/simulateTRAN.ts:66-69), vectorized so the
-    compiled scan indexes a (steps+1, nV) array instead of calling Python.
+    compiled scan indexes a (steps+1, nV+nI) array instead of calling
+    Python. Columns are V sources first, then extended-dialect I sources.
     """
     times = np.asarray(times, dtype=np.float64)
     cols = []
-    for vs in ckt.V:
-        if vs.waveform is not None:
-            cols.append(vs.waveform.sample(times))
+    for src in list(ckt.V) + list(ckt.I):
+        if src.waveform is not None:
+            cols.append(src.waveform.sample(times))
         else:
-            dc = vs.dc
+            dc = src.dc
             dc = 0.0 if (dc != dc or dc == 0.0) else dc
             cols.append(np.full(times.shape, dc, dtype=np.float64))
     if not cols:

@@ -91,6 +91,35 @@ def solve(A, b, method: str = "gj", eps: float = EPS):
     return fn(A, b, eps)
 
 
+def solve_planes(A_re, A_im, b_re, b_im, method: str = "gj",
+                 eps: float = EPS, interpret: bool = False):
+    """Complex solve on (re, im) planes with method dispatch.
+
+    method:
+      - "gj" / "lax": 2N real block embedding (float64 fidelity tier);
+      - "pallas": batch-major Pallas kernel on the planes directly (fast
+        tier; f32 inputs run the raw kernel, f64 inputs get mixed-precision
+        refinement). Leading batch dims are flattened for the kernel.
+    Shapes: A_*: (..., N, N); b_*: (..., N). Returns (x_re, x_im, valid).
+    """
+    if method != "pallas":
+        return solve_complex_blocks(A_re, A_im, b_re, b_im, method=method,
+                                    eps=eps)
+    from .pallas_gj import pallas_gj_solve_complex
+
+    lead = A_re.shape[:-2]
+    n = A_re.shape[-1]
+    flat_m = lambda a: a.reshape((-1, n, n))
+    flat_v = lambda a: a.reshape((-1, n))
+    refine = 0 if A_re.dtype == jnp.float32 else 2
+    xr, xi, valid = pallas_gj_solve_complex(
+        flat_m(A_re), flat_m(A_im), flat_v(b_re), flat_v(b_im),
+        eps=eps, refine=refine, interpret=interpret,
+    )
+    return (xr.reshape(lead + (n,)), xi.reshape(lead + (n,)),
+            valid.reshape(lead))
+
+
 def solve_complex_blocks(A_re, A_im, b_re, b_im, method: str = "gj",
                          eps: float = EPS):
     """Solve (A_re + j*A_im) x = (b_re + j*b_im) without complex dtypes.

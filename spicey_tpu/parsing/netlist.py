@@ -89,6 +89,25 @@ class VoltageSource:
 
 
 @dataclass
+class CurrentSource:
+    """Extended-dialect independent current source (I element).
+
+    NOT in the reference dialect — parseNetlist.ts:444-446 drops I lines
+    into `skipped`. Enabled via parse_netlist(..., dialect="extended").
+    Convention: a positive value drives current from n1 through the source
+    to n2 (i.e. out of node n1's KCL, into n2's).
+    """
+
+    name: str
+    n1: int
+    n2: int
+    dc: float = 0.0
+    ac_mag: float = 0.0
+    ac_phase_deg: float = 0.0
+    waveform: Waveform | None = None
+
+
+@dataclass
 class VSwitchModel:
     name: str
     Ron: float = 1.0
@@ -147,6 +166,7 @@ class ParsedCircuit:
     V: list[VoltageSource] = field(default_factory=list)
     S: list[Switch] = field(default_factory=list)
     D: list[Diode] = field(default_factory=list)
+    I: list[CurrentSource] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     tran_probes: list[str] = field(default_factory=list)
@@ -275,11 +295,9 @@ def js_parse_int(s: str) -> int:
     return int(m.group(1))
 
 
-def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
-    """V element with dc/ac/PULSE/PWL keyword scanning (parseNetlist.ts:328-399)."""
-    n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Voltage source missing node"))
-    n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Voltage source missing node"))
-    vs = VoltageSource(name=name, n1=n1, n2=n2)
+def _scan_source_spec(vs, tokens: list[str]) -> None:
+    """Shared dc/ac/PULSE/PWL keyword scanner (parseNetlist.ts:344-389),
+    applied to VoltageSource and (extended dialect) CurrentSource."""
     i = 3
     if i < len(tokens) and not re.match(r"^[a-zA-Z]", tokens[i]):
         vs.dc = parse_number_with_units(tokens[i])
@@ -319,10 +337,36 @@ def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> N
             # stray parenthesized groups and unknown keywords are skipped
             # one token at a time (parseNetlist.ts:384-388)
             i += 1
+
+
+def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
+    """V element with dc/ac/PULSE/PWL keyword scanning (parseNetlist.ts:328-399)."""
+    n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Voltage source missing node"))
+    n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Voltage source missing node"))
+    vs = VoltageSource(name=name, n1=n1, n2=n2)
+    _scan_source_spec(vs, tokens)
     ckt.V.append(vs)
 
 
-def parse_netlist(text: str) -> ParsedCircuit:
+def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
+    """Extended-dialect I element; same spec grammar as V."""
+    n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Current source missing node"))
+    n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Current source missing node"))
+    cs = CurrentSource(name=name, n1=n1, n2=n2)
+    _scan_source_spec(cs, tokens)
+    ckt.I.append(cs)
+
+
+def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
+    """Parse a netlist.
+
+    dialect="spicey" (default) reproduces the reference exactly (I/G/E/...
+    elements land in `skipped`, parseNetlist.ts:444-446);
+    dialect="extended" additionally supports independent current sources
+    (I elements) with the same dc/ac/PULSE/PWL grammar as V.
+    """
+    if dialect not in ("spicey", "extended"):
+        raise ValueError("dialect must be 'spicey' or 'extended'")
     ckt = ParsedCircuit()
     seen_title = False
 
@@ -377,6 +421,8 @@ def parse_netlist(text: str) -> ParsedCircuit:
                 ckt.L.append(Inductor(name=name, n1=n1, n2=n2, L=val))
             elif type_char == "v":
                 _parse_voltage_source(ckt, name, tokens)
+            elif type_char == "i" and dialect == "extended":
+                _parse_current_source(ckt, name, tokens)
             elif type_char == "s":
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Switch missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Switch missing node"))

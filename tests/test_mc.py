@@ -54,6 +54,34 @@ def test_mc_tran_stats_matches_raw_batch():
     assert stats.n_valid == B
 
 
+def test_mc_ac_f32_pallas_tier_close_to_f64():
+    """Fast tier (f32 assembly + batch-major Pallas kernel, interpret mode
+    on CPU) must agree with the f64 tier to f32-appropriate accuracy."""
+    B = 32
+    rng = np.random.default_rng(5)
+    overrides = {
+        "r1": 30.0 * (1 + 0.2 * rng.random(B)),
+        "c1": 100e-6 * (1 + 0.2 * rng.random(B)),
+    }
+    f64 = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2")
+    f32 = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2",
+                      precision="f32", method="pallas", interpret=True)
+    np.testing.assert_allclose(f32.mean, f64.mean, rtol=2e-5)
+    np.testing.assert_allclose(f32.max, f64.max, rtol=2e-5)
+    np.testing.assert_allclose(f32.std, f64.std, rtol=5e-3, atol=1e-7)
+    assert f32.n_valid == B
+
+
+def test_mc_ac_pallas_f64_refined():
+    B = 8
+    rng = np.random.default_rng(6)
+    overrides = {"r1": 30.0 * (1 + 0.1 * rng.random(B))}
+    f64 = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2")
+    pal = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2",
+                      method="pallas", interpret=True)
+    np.testing.assert_allclose(pal.mean, f64.mean, rtol=1e-10)
+
+
 def test_mc_requires_analysis():
     with pytest.raises(ValueError, match="no .ac analysis"):
         mc_ac_stats(netlists.RC_PULSE, {"R1": np.ones(2)}, node="2")
