@@ -30,6 +30,7 @@ from .analysis.simulate import simulate
 from .analysis.tran import simulate_tran
 from .constants import EPS, VT_300K
 from .formatting.compare import compare_voltage_levels
+from .formatting.svg import convert_simulation_graphs_to_svg
 from .formatting.jsnum import to_precision
 from .formatting.text import format_ac_result, format_tran_result
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
@@ -76,6 +77,7 @@ __all__ = [
     "VT_300K",
     "build_tensors",
     "compare_voltage_levels",
+    "convert_simulation_graphs_to_svg",
     "eec_engine_tran_to_vgraphs",
     "format_ac_result",
     "format_tran_result",
