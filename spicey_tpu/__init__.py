@@ -43,6 +43,7 @@ from .analysis.batch import (
     simulate_tran_batch,
 )
 from .analysis.mc import MCStats, mc_ac_stats, mc_tran_stats
+from .analysis.op import OPResult, simulate_op
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units
@@ -94,6 +95,8 @@ __all__ = [
     "sharder",
     "simulate",
     "simulate_ac",
+    "simulate_op",
+    "OPResult",
     "simulate_ac_batch",
     "simulate_tran",
     "simulate_tran_batch",

@@ -53,3 +53,4 @@ class SimulationResult:
     circuit: object
     ac: ACResult | None
     tran: TranResult | None
+    op: object | None = None  # OPResult when the extended .op directive ran

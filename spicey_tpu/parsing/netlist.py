@@ -169,6 +169,7 @@ class ParsedCircuit:
     I: list[CurrentSource] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
+    op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
@@ -213,9 +214,12 @@ def _parse_model_params(params_str: str) -> dict[str, float]:
     return out
 
 
-def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str) -> None:
+def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
+                     dialect: str = "spicey") -> None:
     dir_name = tokens[0].lower()
-    if dir_name == ".ac":
+    if dir_name == ".op" and dialect == "extended":
+        ckt.op = True
+    elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         if mode not in ("dec", "lin"):
             raise ValueError(".ac supports 'dec' or 'lin'")
@@ -398,7 +402,7 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
             continue
 
         if first.startswith("."):
-            _parse_directive(ckt, tokens, line)
+            _parse_directive(ckt, tokens, line, dialect=dialect)
             continue
 
         type_char = first[0].lower()

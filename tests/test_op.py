@@ -1,0 +1,99 @@
+"""DC operating-point (.op) tests — extension feature (the reference has no
+.op at all; SURVEY §2.9)."""
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist
+from spicey_tpu.analysis.op import simulate_op
+from spicey_tpu.constants import VT_300K
+
+
+def test_resistive_divider():
+    ckt = parse_netlist("The t\nV1 1 0 DC 10\nR1 1 2 1k\nR2 2 0 3k\n")
+    op = simulate_op(ckt)
+    assert op.node_voltages["1"] == pytest.approx(10.0)
+    assert op.node_voltages["2"] == pytest.approx(7.5)
+    assert op.element_currents["R1"] == pytest.approx(2.5e-3)
+    assert op.element_currents["V1"] == pytest.approx(-2.5e-3)
+
+
+def test_capacitor_open_at_dc():
+    ckt = parse_netlist("The t\nV1 1 0 DC 5\nR1 1 2 1k\nC1 2 0 1u\nR2 2 0 1k\n")
+    op = simulate_op(ckt)
+    assert op.node_voltages["2"] == pytest.approx(2.5)
+    assert op.element_currents["C1"] == 0.0
+
+
+def test_inductor_short_at_dc():
+    """L shorts node 2 to node 3; current flows through it."""
+    ckt = parse_netlist(
+        "The t\nV1 1 0 DC 6\nR1 1 2 1k\nL1 2 3 10m\nR2 3 0 2k\n"
+    )
+    op = simulate_op(ckt)
+    assert op.node_voltages["2"] == pytest.approx(op.node_voltages["3"])
+    assert op.node_voltages["3"] == pytest.approx(4.0)
+    assert op.element_currents["L1"] == pytest.approx(2e-3)
+
+
+def test_diode_forward_op():
+    """Converged diode OP must satisfy nonlinear KCL exactly."""
+    ckt = parse_netlist("The t\n.model dm d\nV1 1 0 DC 5\nR1 1 2 1k\nD1 2 0 dm\n")
+    op = simulate_op(ckt)
+    vd = op.node_voltages["2"]
+    i_r = (5.0 - vd) / 1e3
+    i_d = 1e-14 * (np.exp(vd / VT_300K) - 1.0)
+    assert i_r == pytest.approx(i_d, rel=1e-9)
+    assert 0.5 < vd < 0.8  # silicon-ish forward drop
+    assert op.element_currents["D1"] == pytest.approx(i_r, rel=1e-6)
+
+
+def test_diode_reverse_op():
+    ckt = parse_netlist("The t\n.model dm d\nV1 1 0 DC -5\nR1 1 2 1k\nD1 2 0 dm\n")
+    op = simulate_op(ckt)
+    # reverse-biased: only the tiny saturation current flows
+    assert abs(op.element_currents["D1"]) < 1e-11
+    assert op.node_voltages["2"] == pytest.approx(-5.0, rel=1e-6)
+
+
+def test_switch_op_states():
+    ckt_on = parse_netlist(
+        "The t\n.model sm sw(ron=1 roff=1e9 von=2 voff=1)\n"
+        "V1 1 0 DC 5\nVc c 0 DC 5\nR1 1 2 1k\nS1 2 0 c 0 sm\n"
+    )
+    op = simulate_op(ckt_on)
+    assert abs(op.node_voltages["2"]) < 0.01  # switch ON pulls node down
+    ckt_off = parse_netlist(
+        "The t\n.model sm sw(ron=1 roff=1e9 von=2 voff=1)\n"
+        "V1 1 0 DC 5\nVc c 0 DC 0\nR1 1 2 1k\nS1 2 0 c 0 sm\n"
+    )
+    op2 = simulate_op(ckt_off)
+    assert op2.node_voltages["2"] == pytest.approx(5.0, rel=1e-3)
+
+
+def test_current_source_op():
+    ckt = parse_netlist("The t\nI1 0 out dc 2m\nR1 out 0 1k\n",
+                        dialect="extended")
+    op = simulate_op(ckt)
+    assert op.node_voltages["out"] == pytest.approx(2.0)
+    assert op.element_currents["I1"] == pytest.approx(2e-3)
+
+
+def test_nonconvergent_raises():
+    # two parallel ideal V sources with different values -> singular
+    ckt = parse_netlist("The t\nV1 1 0 DC 5\nV2 1 0 DC 3\nR1 1 0 1k\n")
+    with pytest.raises(ValueError):
+        simulate_op(ckt)
+
+
+def test_op_directive_extended_dialect():
+    from spicey_tpu import simulate
+
+    net = "The t\nV1 1 0 DC 10\nR1 1 2 1k\nR2 2 0 1k\n.op\n"
+    res = simulate(net, dialect="extended")
+    assert res.op is not None
+    assert res.op.node_voltages["2"] == pytest.approx(5.0)
+    # default dialect: .op is skipped, no OP result (reference behavior)
+    res2 = simulate(net)
+    assert res2.op is None
+    assert any(".op" in s for s in res2.circuit.skipped)
