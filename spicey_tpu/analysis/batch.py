@@ -218,7 +218,15 @@ def simulate_tran_batch(
                 )
             vs_batched[:, :, i] = np.asarray(vals, dtype=np.float64)[:, None]
 
-    vs_in = jnp.asarray(vs_batched if vs_batched is not None else vs_grid)
+    # batch-native core: the scan carries a (B, ...) lane axis so each
+    # per-step solve is one (B, N, N) batched call — the layout the
+    # batch-major Pallas kernel tiles across VPU lanes (vmap over the scan
+    # could not hand the kernel the whole variant batch at once). Sources
+    # are scanned over axis 0, so the batched grid is laid out (S+1, B, nSrc).
+    if vs_batched is not None:
+        vs_in = jnp.asarray(np.moveaxis(vs_batched, 0, 1))
+    else:
+        vs_in = jnp.asarray(vs_grid)
     arrays = dict(
         r_vals=jnp.asarray(r_vals), c_vals=jnp.asarray(c_vals),
         l_vals=jnp.asarray(l_vals), vs=vs_in,
@@ -227,31 +235,25 @@ def simulate_tran_batch(
         for key in ("r_vals", "c_vals", "l_vals"):
             arrays[key] = device_put(arrays[key], ("batch", None))
         if vs_batched is not None:
-            arrays["vs"] = device_put(arrays["vs"], ("batch", None, None))
+            arrays["vs"] = device_put(arrays["vs"], (None, "batch", None))
 
-    vs_axis = 0 if vs_batched is not None else None
-    core = jax.vmap(
-        lambda vsg, rv, cv, lv: _tran_core(
-            vsg, jnp.asarray(dt, jnp.float64),
-            jnp.asarray(tensors.r_idx), rv,
-            jnp.asarray(tensors.c_idx), cv,
-            jnp.asarray(tensors.l_idx), lv,
-            jnp.asarray(tensors.v_idx),
-            jnp.asarray(tensors.s_idx),
-            jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
-            jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
-            jnp.asarray(tensors.d_idx),
-            jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-            nvar=tensors.nvar, method=method,
-            i_idx=jnp.asarray(tensors.i_idx),
-        ),
-        in_axes=(vs_axis, 0, 0, 0),
-    )
-    xs, sw_states, valid = core(
-        arrays["vs"], arrays["r_vals"], arrays["c_vals"], arrays["l_vals"]
+    xs, sw_states, valid = _tran_core(
+        arrays["vs"], jnp.asarray(dt, jnp.float64),
+        jnp.asarray(tensors.r_idx), arrays["r_vals"],
+        jnp.asarray(tensors.c_idx), arrays["c_vals"],
+        jnp.asarray(tensors.l_idx), arrays["l_vals"],
+        jnp.asarray(tensors.v_idx),
+        jnp.asarray(tensors.s_idx),
+        jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+        jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+        jnp.asarray(tensors.d_idx),
+        jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+        nvar=tensors.nvar, method=method,
+        i_idx=jnp.asarray(tensors.i_idx), batch=B,
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,
-        xs=np.asarray(xs), sw_states=np.asarray(sw_states),
+        xs=np.moveaxis(np.asarray(xs), 0, 1),
+        sw_states=np.moveaxis(np.asarray(sw_states), 0, 1),
         valid=np.asarray(valid),
     )

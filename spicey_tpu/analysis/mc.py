@@ -164,22 +164,19 @@ def mc_ac_stats(
     )
 
 
-@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "vs_batched"))
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, nvar: int, node_idx: int,
-                        method: str, qs: tuple, vs_batched: bool,
-                        i_idx=None):
-    def one(vsg, rv, cv, lv):
-        return _tran_core(vsg, dt, r_idx, rv, c_idx, cv, l_idx, lv, v_idx,
-                          s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is,
-                          d_n, nvar=nvar, method=method, i_idx=i_idx)
-
-    xs, _sw, valid = jax.vmap(
-        one, in_axes=(0 if vs_batched else None, 0, 0, 0)
-    )(vs_grid, r_vals, c_vals, l_vals)
-    v_node = xs[..., node_idx]  # (B, S+1)
+                        method: str, qs: tuple, i_idx=None):
+    # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
+    # a batched source grid arrives time-major as (S+1, B, nSrc)
+    xs, _sw, valid = _tran_core(
+        vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+        s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
+        nvar=nvar, method=method, i_idx=i_idx, batch=r_vals.shape[0],
+    )
+    v_node = jnp.moveaxis(xs[..., node_idx], 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
     return stats, jnp.sum(valid)
 
@@ -213,12 +210,15 @@ def mc_tran_stats(
     v_over = {k: v for k, v in overrides.items() if k.lower() in v_lower}
     vs_batched = bool(v_over)
     if vs_batched:
-        vs_full = np.broadcast_to(vs_grid, (B,) + vs_grid.shape).copy()
+        # time-major (S+1, B, nV): the scan consumes axis 0
+        vs_full = np.broadcast_to(
+            vs_grid[:, None, :], vs_grid.shape[:1] + (B,) + vs_grid.shape[1:]
+        ).copy()
         for key, vals in v_over.items():
             i = v_lower[key.lower()]
             if tensors.v_has_waveform[i]:
                 raise ValueError(f"cannot override waveform-driven source {key!r}")
-            vs_full[:, :, i] = np.asarray(vals, dtype=np.float64)[:, None]
+            vs_full[:, :, i] = np.asarray(vals, dtype=np.float64)[None, :]
         vs_in = jnp.asarray(vs_full)
     else:
         vs_in = jnp.asarray(vs_grid)
@@ -236,7 +236,7 @@ def mc_tran_stats(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, node_idx=node_idx, method=method,
-        qs=tuple(float(q) for q in quantiles), vs_batched=vs_batched,
+        qs=tuple(float(q) for q in quantiles),
         i_idx=jnp.asarray(tensors.i_idx),
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))

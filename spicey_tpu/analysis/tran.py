@@ -76,8 +76,9 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      i_idx) = tensors_arrays
     dtype = x.dtype
-    A = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
-    b = jnp.zeros((nvar + 1,), dtype=dtype)
+    lead = x.shape[:-1]  # native batch dims (Monte-Carlo variants)
+    A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
+    b = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
     dt_c = jnp.maximum(dt, EPS)
 
     # R
@@ -110,9 +111,9 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     A = stamp_admittance(A, s_idx[:, :2], g_sw)
     # V sources
     n_v = v_idx.shape[0]
-    A, b = stamp_voltage_source(A, b, v_idx, vs_t[:n_v])
+    A, b = stamp_voltage_source(A, b, v_idx, vs_t[..., :n_v])
     # extended-dialect current sources: direct RHS injection
-    b = stamp_current(b, i_idx, vs_t[n_v:])
+    b = stamp_current(b, i_idx, vs_t[..., n_v:])
     # Diode Shockley companions
     x_pad = pad_solution(x, nvar)
     vd_iter = _vdrop(x_pad, d_idx)
@@ -125,7 +126,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     ieq = i_d - g_d * vd_lim
     A = stamp_admittance(A, d_idx, g_d)
     b = stamp_current(b, d_idx, ieq)
-    return A[:nvar, :nvar], b[:nvar]
+    return A[..., :nvar, :nvar], b[..., :nvar]
 
 
 def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
@@ -135,12 +136,13 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
-                                   "nr_tol", "max_nr"))
+                                   "nr_tol", "max_nr", "batch"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
-               max_nr: int | None = None, i_idx=None):
+               max_nr: int | None = None, i_idx=None,
+               batch: int | None = None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -149,6 +151,14 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                           of the reference's break-on-switch-stability (which
                           gives diodes a single Newton step per pass,
                           simulateTRAN.ts:159-161).
+
+    ``batch=B`` runs B Monte-Carlo variants natively inside one scan: value
+    arrays are (B, nE), vs_grid optionally (S+1, B, nSrc), and the per-step
+    solve sees one (B, N, N) system — the layout the batch-major Pallas
+    kernel (ops/pallas_gj.py) tiles across lanes, which ``vmap`` over this
+    core could not express. Per-variant Newton/switch settling is handled
+    with a per-lane ``done`` mask (a lane freezes once stable, exactly the
+    reference's per-circuit break at simulateTRAN.ts:159-161).
     """
     if i_idx is None:
         i_idx = jnp.zeros((0, 2), jnp.int32)
@@ -156,6 +166,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                       i_idx)
     dtype = vs_grid.dtype
+    lead = () if batch is None else (batch,)
     n_c = c_idx.shape[0]
     n_l = l_idx.shape[0]
     n_s = s_idx.shape[0]
@@ -182,25 +193,28 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             x_new, solve_ok = solve(A, b, method=method)
             x_pad_new = pad_solution(x_new, nvar)
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
-            switched = jnp.any(new_on != sw)
+            switched = jnp.any(new_on != sw, axis=-1)  # per-lane
             if nr == "converged":
-                delta = jnp.max(jnp.abs(x_new - x)) if nvar else 0.0
-                scale = 1.0 + jnp.max(jnp.abs(x_new)) if nvar else 1.0
+                delta = jnp.max(jnp.abs(x_new - x), axis=-1) if nvar else 0.0
+                scale = (1.0 + jnp.max(jnp.abs(x_new), axis=-1)
+                         if nvar else 1.0)
                 settled = jnp.logical_and(~switched, delta <= nr_tol * scale)
             else:
                 settled = ~switched
-            # masked commit: once done, the lane is frozen (vmap-safe)
-            x = jnp.where(done, x, x_new)
-            sw_out = jnp.where(done, sw, new_on)
+            # masked commit: once done, the lane is frozen
+            mask = done[..., None]
+            x = jnp.where(mask, x, x_new)
+            sw_out = jnp.where(mask, sw, new_on)
             ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
-            it = it + jnp.where(done, 0, 1)
+            it = it + 1
             done = jnp.logical_or(done, settled)
             return x, sw_out, it, done, ok
 
-        x0 = jnp.zeros((nvar,), dtype=dtype)
+        x0 = jnp.zeros(lead + (nvar,), dtype=dtype)
         x, sw_on, _it, _done, step_ok = jax.lax.while_loop(
             cond, body,
-            (x0, sw_on, jnp.asarray(0), jnp.asarray(False), jnp.asarray(True)),
+            (x0, sw_on, jnp.asarray(0), jnp.zeros(lead, jnp.bool_),
+             jnp.ones(lead, jnp.bool_)),
         )
         x_pad = pad_solution(x, nvar)
         # state commit (simulateTRAN.ts:221-237; trap adds the companion
@@ -234,13 +248,13 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         return carry, (x, sw_on)
 
     init = (
-        jnp.zeros((n_c,), dtype=dtype),
-        jnp.zeros((n_c,), dtype=dtype),
-        jnp.zeros((n_l,), dtype=dtype),
-        jnp.zeros((n_l,), dtype=dtype),
-        jnp.zeros((n_d,), dtype=dtype),
-        jnp.zeros((n_s,), jnp.bool_),
-        jnp.asarray(True),
+        jnp.zeros(lead + (n_c,), dtype=dtype),
+        jnp.zeros(lead + (n_c,), dtype=dtype),
+        jnp.zeros(lead + (n_l,), dtype=dtype),
+        jnp.zeros(lead + (n_l,), dtype=dtype),
+        jnp.zeros(lead + (n_d,), dtype=dtype),
+        jnp.zeros(lead + (n_s,), jnp.bool_),
+        jnp.ones(lead, jnp.bool_),
     )
     n_steps = vs_grid.shape[0]
     first_flags = jnp.arange(n_steps) == 0

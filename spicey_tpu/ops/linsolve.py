@@ -76,7 +76,8 @@ def gj_solve(A, b, eps: float = EPS):
     return x, valid
 
 
-def solve(A, b, method: str = "gj", eps: float = EPS):
+def solve(A, b, method: str = "gj", eps: float = EPS,
+          interpret: bool = False):
     """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid)."""
     if method == "lax":
         x = jnp.linalg.solve(A, b[..., None])[..., 0]
@@ -84,6 +85,17 @@ def solve(A, b, method: str = "gj", eps: float = EPS):
             jnp.isfinite(x.real) & jnp.isfinite(x.imag), axis=-1
         )
         return x, valid
+    if method == "pallas":
+        from .pallas_gj import pallas_gj_solve_real
+
+        lead = A.shape[:-2]
+        n = A.shape[-1]
+        x, valid = pallas_gj_solve_real(
+            A.reshape((-1, n, n)), b.reshape((-1, n)),
+            eps=eps, refine=0 if A.dtype == jnp.float32 else 2,
+            interpret=interpret,
+        )
+        return x.reshape(lead + (n,)), valid.reshape(lead)
     fn = gj_solve
     batch_dims = A.ndim - 2
     for _ in range(batch_dims):

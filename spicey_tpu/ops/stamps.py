@@ -20,37 +20,40 @@ import jax.numpy as jnp
 
 
 def stamp_admittance(A_pad, idx, y):
-    """Scatter ±y for each 2-terminal element. idx: (nE,2); y: (nE,)."""
+    """Scatter ±y for each 2-terminal element.
+
+    idx: (nE,2); y: (..., nE) broadcasting over any leading batch dims of
+    A_pad (..., n+1, n+1).
+    """
     i1 = idx[:, 0]
     i2 = idx[:, 1]
-    A_pad = A_pad.at[i1, i1].add(y)
-    A_pad = A_pad.at[i2, i2].add(y)
-    A_pad = A_pad.at[i1, i2].add(-y)
-    A_pad = A_pad.at[i2, i1].add(-y)
+    A_pad = A_pad.at[..., i1, i1].add(y)
+    A_pad = A_pad.at[..., i2, i2].add(y)
+    A_pad = A_pad.at[..., i1, i2].add(-y)
+    A_pad = A_pad.at[..., i2, i1].add(-y)
     return A_pad
 
 
 def stamp_current(b_pad, idx, current):
-    """RHS injection: b[i1] -= I, b[i2] += I."""
-    b_pad = b_pad.at[idx[:, 0]].add(-current)
-    b_pad = b_pad.at[idx[:, 1]].add(current)
+    """RHS injection: b[i1] -= I, b[i2] += I. Batch dims broadcast."""
+    b_pad = b_pad.at[..., idx[:, 0]].add(-current)
+    b_pad = b_pad.at[..., idx[:, 1]].add(current)
     return b_pad
 
 
 def stamp_voltage_source(A_pad, b_pad, v_idx, volts):
     """±1 node/branch couplings and branch-row RHS voltage.
 
-    v_idx: (nV,3) = [i1, i2, branch]; volts: (nV,) real or complex.
+    v_idx: (nV,3) = [i1, i2, branch]; volts: (..., nV) real or complex.
     """
     i1 = v_idx[:, 0]
     i2 = v_idx[:, 1]
     j = v_idx[:, 2]
-    one = jnp.ones(i1.shape, dtype=A_pad.dtype)
-    A_pad = A_pad.at[i1, j].add(one)
-    A_pad = A_pad.at[j, i1].add(one)
-    A_pad = A_pad.at[i2, j].add(-one)
-    A_pad = A_pad.at[j, i2].add(-one)
-    b_pad = b_pad.at[j].add(volts)
+    A_pad = A_pad.at[..., i1, j].add(1.0)
+    A_pad = A_pad.at[..., j, i1].add(1.0)
+    A_pad = A_pad.at[..., i2, j].add(-1.0)
+    A_pad = A_pad.at[..., j, i2].add(-1.0)
+    b_pad = b_pad.at[..., j].add(volts)
     return A_pad, b_pad
 
 
