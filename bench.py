@@ -91,6 +91,42 @@ def main() -> None:
     np.testing.assert_allclose(stats32.max, h.max(axis=0), rtol=2e-4)
 
     batched_vps = B / f32_elapsed
+
+    # --- transient MC: 201-step RC pulse, 10k variants in one scan ---
+    tran_net = (
+        "TRAN bench\n"
+        "V1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+        "R1 1 2 1k\n"
+        "C1 2 0 1u\n"
+        ".tran 0.1u 20u\n"
+        ".end\n"
+    )
+    from spicey_tpu import simulate_tran
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    tckt = parse_netlist(tran_net)
+    ttens = build_tensors(tckt)
+    t_over = {"R1": 1e3 * (1 + 0.2 * rng.random(B)),
+              "C1": 1e-6 * (1 + 0.2 * rng.random(B))}
+    simulate_tran(tckt, tensors=ttens)  # warm up
+    t0 = time.perf_counter()
+    for k in range(K):
+        tckt.R[0].R = float(t_over["R1"][k])
+        tckt.C[0].C = float(t_over["C1"][k])
+        simulate_tran(tckt, tensors=build_tensors(tckt))
+    tran_baseline_vps = K / (time.perf_counter() - t0)
+    tckt.R[0].R, tckt.C[0].C = 1e3, 1e-6
+
+    tfast = dict(node="2", tensors=ttens, precision="f32", method="pallas")
+    mc_tran_stats(tckt, t_over, **tfast)  # warm up
+    t0 = time.perf_counter()
+    tstats = mc_tran_stats(tckt, t_over, **tfast)
+    tran_vps = B / (time.perf_counter() - t0)
+    assert tstats.n_valid == B
+    # correctness vs the analytic BE recurrence is covered by tests; here a
+    # sanity window on the settled mean (pulse plateau ~5 V * duty response)
+    assert 0.0 < float(tstats.mean[-1]) < 5.0
+
     print(json.dumps({
         "metric": "mc_ac_yield_variants_per_sec",
         "value": round(batched_vps, 1),
@@ -98,6 +134,8 @@ def main() -> None:
         "vs_baseline": round(batched_vps / baseline_vps, 1),
         "f64_tier_variants_per_sec": round(B / f64_elapsed, 1),
         "f64_tier_vs_baseline": round(B / f64_elapsed / baseline_vps, 1),
+        "tran_variants_per_sec": round(tran_vps, 1),
+        "tran_vs_baseline": round(tran_vps / tran_baseline_vps, 1),
     }))
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,7 @@ from ..ir.circuit import (
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
-from .ac import _ac_sweep_core, build_frequency_array
+from .ac import _assemble_grid, build_frequency_array
 from .tran import _tran_core
 
 
@@ -65,6 +66,32 @@ class BatchTranResult:
 
 def _resolve(ckt: ParsedCircuit | str) -> ParsedCircuit:
     return parse_netlist(ckt) if isinstance(ckt, str) else ckt
+
+
+@partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
+def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+                   v_idx, v_re, v_im, i_idx, i_re, i_im,
+                   nvar: int, method: str, interpret: bool = False,
+                   g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+    """Assemble over (B, F), then ONE lane-dense solve over the flat batch.
+
+    Only the assembly is vmapped; the solve sees the whole (B*F, N, N)
+    grid in one call, which is what the batch-major Pallas kernel tiles
+    (a vmapped per-variant solve would hand it B mostly-padding calls).
+    """
+    from ..ops.linsolve import solve_planes
+
+    def one(rv, cv, lv, vre, vim, gg, eg):
+        return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
+                              v_idx, vre, vim, nvar,
+                              i_idx=i_idx, i_re=i_re, i_im=i_im,
+                              g_idx=g_idx, g_gm=gg, e_idx=e_idx,
+                              e_gain=eg)
+
+    A_re, A_im, b_re, b_im = jax.vmap(one)(r_vals, c_vals, l_vals,
+                                           v_re, v_im, g_gm, e_gain)
+    return solve_planes(A_re, A_im, b_re, b_im, method=method,
+                        interpret=interpret)
 
 
 def _batch_values(base: np.ndarray, names: tuple[str, ...],
@@ -108,6 +135,7 @@ def simulate_ac_batch(
     tensors: CircuitTensors | None = None,
     method: str = "gj",
     device_put=None,
+    interpret: bool = False,
 ) -> BatchACResult:
     """One compiled batched AC sweep over all parameter variants.
 
@@ -121,11 +149,14 @@ def simulate_ac_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names, tensors.i_names], overrides)
+               tensors.v_names, tensors.i_names, tensors.g_names,
+               tensors.e_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
+    g_gm = _batch_values(tensors.g_gm, tensors.g_names, overrides, B)
+    e_gain = _batch_values(tensors.e_gain, tensors.e_names, overrides, B)
     if np.any(r_vals <= 0):
         bad = tensors.r_names[int(np.argwhere(r_vals <= 0)[0][1])]
         raise ValueError(f"R {bad} must be > 0")
@@ -149,20 +180,17 @@ def simulate_ac_batch(
     iph = tensors.i_ac_phase_deg * math.pi / 180.0
     i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph))
     i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph))
-    core = jax.vmap(
-        lambda rv, cv, lv, vre, vim: _ac_sweep_core(
-            arrays["freqs"],
-            jnp.asarray(tensors.r_idx), rv,
-            jnp.asarray(tensors.c_idx), cv,
-            jnp.asarray(tensors.l_idx), lv,
-            jnp.asarray(tensors.v_idx), vre, vim,
-            nvar=tensors.nvar, method=method,
-            i_idx=jnp.asarray(tensors.i_idx), i_re=i_re, i_im=i_im,
-        )
-    )
-    x_re, x_im, valid = core(
-        arrays["r_vals"], arrays["c_vals"], arrays["l_vals"],
-        arrays["v_re"], arrays["v_im"],
+    x_re, x_im, valid = _batch_ac_core(
+        arrays["freqs"],
+        jnp.asarray(tensors.r_idx), arrays["r_vals"],
+        jnp.asarray(tensors.c_idx), arrays["c_vals"],
+        jnp.asarray(tensors.l_idx), arrays["l_vals"],
+        jnp.asarray(tensors.v_idx), arrays["v_re"], arrays["v_im"],
+        jnp.asarray(tensors.i_idx), i_re, i_im,
+        nvar=tensors.nvar, method=method, interpret=interpret,
+        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(g_gm),
+        e_idx=jnp.asarray(tensors.e_idx),
+        e_gain=jnp.asarray(e_gain),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -177,6 +205,7 @@ def simulate_tran_batch(
     tensors: CircuitTensors | None = None,
     method: str = "gj",
     device_put=None,
+    interpret: bool = False,
 ) -> BatchTranResult:
     """One compiled batched transient run over all parameter variants."""
     ckt = _resolve(circuit)
@@ -186,11 +215,14 @@ def simulate_tran_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names, tensors.i_names], overrides)
+               tensors.v_names, tensors.i_names, tensors.g_names,
+               tensors.e_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
+    g_gm = _batch_values(tensors.g_gm, tensors.g_names, overrides, B)
+    e_gain = _batch_values(tensors.e_gain, tensors.e_names, overrides, B)
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     times = np.arange(steps + 1, dtype=np.float64) * dt
@@ -249,7 +281,10 @@ def simulate_tran_batch(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method,
-        i_idx=jnp.asarray(tensors.i_idx), batch=B,
+        i_idx=jnp.asarray(tensors.i_idx), batch=B, interpret=interpret,
+        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(g_gm),
+        e_idx=jnp.asarray(tensors.e_idx),
+        e_gain=jnp.asarray(e_gain),
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -80,12 +80,15 @@ def _stats_of(resp, valid, qs):
                                    "interpret"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, nvar: int, node_idx: int,
-                      method: str, qs: tuple, interpret: bool = False):
+                      method: str, qs: tuple, interpret: bool = False,
+                      g_idx=None, g_gm=None, e_idx=None, e_gain=None):
     from ..ops.linsolve import solve_planes
 
     def one(rv, cv, lv, vre, vim):
         return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
-                              v_idx, vre, vim, nvar)
+                              v_idx, vre, vim, nvar,
+                              g_idx=g_idx, g_gm=g_gm, e_idx=e_idx,
+                              e_gain=e_gain)
 
     # assemble over (B, F); solve ONCE over the flattened batch so the
     # Pallas kernel sees a single lane-dense grid instead of B tiny,
@@ -150,6 +153,10 @@ def mc_ac_stats(
         jnp.asarray(v_im, fdt),
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
+        g_idx=jnp.asarray(tensors.g_idx),
+        g_gm=jnp.asarray(tensors.g_gm, fdt),
+        e_idx=jnp.asarray(tensors.e_idx),
+        e_gain=jnp.asarray(tensors.e_gain, fdt),
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(freqs)))
     return MCStats(
@@ -164,17 +171,22 @@ def mc_ac_stats(
     )
 
 
-@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs"))
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
+                                   "interpret"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, nvar: int, node_idx: int,
-                        method: str, qs: tuple, i_idx=None):
+                        method: str, qs: tuple, i_idx=None,
+                        interpret: bool = False,
+                        g_idx=None, g_gm=None, e_idx=None, e_gain=None):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc)
     xs, _sw, valid = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
         nvar=nvar, method=method, i_idx=i_idx, batch=r_vals.shape[0],
+        interpret=interpret,
+        g_idx=g_idx, g_gm=g_gm, e_idx=e_idx, e_gain=e_gain,
     )
     v_node = jnp.moveaxis(xs[..., node_idx], 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
@@ -188,8 +200,16 @@ def mc_tran_stats(
     quantiles: tuple[float, ...] = (5.0, 50.0, 95.0),
     tensors=None,
     method: str = "gj",
+    precision: str = "f64",
+    interpret: bool = False,
 ) -> MCStats:
-    """Distribution of V(node) per timestep across parameter variants."""
+    """Distribution of V(node) per timestep across parameter variants.
+
+    precision="f32" runs the whole scan in float32 — pair with
+    method="pallas" for the batch-major kernel tier. Fine for yield
+    statistics under percent-level spreads; the reference-fidelity contract
+    needs the default f64.
+    """
     ckt = _resolve(circuit)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
@@ -224,20 +244,27 @@ def mc_tran_stats(
         vs_in = jnp.asarray(vs_grid)
 
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
+    if precision not in ("f64", "f32"):
+        raise ValueError("precision must be 'f64' or 'f32'")
+    fdt = jnp.float32 if precision == "f32" else jnp.float64
     stats, n_valid = _mc_tran_stats_core(
-        vs_in, jnp.asarray(dt, jnp.float64),
-        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals),
-        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals),
-        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals),
+        jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
+        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
+        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals, fdt),
+        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals, fdt),
         jnp.asarray(tensors.v_idx),
         jnp.asarray(tensors.s_idx),
-        jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
-        jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+        jnp.asarray(tensors.s_ron, fdt), jnp.asarray(tensors.s_roff, fdt),
+        jnp.asarray(tensors.s_von, fdt), jnp.asarray(tensors.s_voff, fdt),
         jnp.asarray(tensors.d_idx),
-        jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+        jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
-        i_idx=jnp.asarray(tensors.i_idx),
+        i_idx=jnp.asarray(tensors.i_idx), interpret=interpret,
+        g_idx=jnp.asarray(tensors.g_idx),
+        g_gm=jnp.asarray(tensors.g_gm, fdt),
+        e_idx=jnp.asarray(tensors.e_idx),
+        e_gain=jnp.asarray(tensors.e_gain, fdt),
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))
     return MCStats(

@@ -35,7 +35,13 @@ from ..constants import (
 )
 from ..ir.circuit import CircuitTensors, build_tensors
 from ..ops.linsolve import solve
-from ..ops.stamps import stamp_admittance, stamp_current, stamp_voltage_source
+from ..ops.stamps import (
+    stamp_admittance,
+    stamp_current,
+    stamp_vccs,
+    stamp_vcvs,
+    stamp_voltage_source,
+)
 from ..parsing.netlist import ParsedCircuit
 from ..analysis.tran import _switch_update
 
@@ -57,6 +63,7 @@ class OPResult:
 @partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_idx, i_dc,
+             g_idx, g_gm, e_idx, e_gain,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj"):
     """Newton/hysteresis iteration to the DC solution.
@@ -75,6 +82,8 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
                                     jnp.zeros(l_bidx.shape[0], dtype=dtype))
         A, b = stamp_voltage_source(A, b, v_idx, v_dc)
         b = stamp_current(b, i_idx, i_dc)
+        A = stamp_vccs(A, g_idx, g_gm)
+        A = stamp_vcvs(A, e_idx, e_gain)
         r_sw = jnp.where(sw_on, s_ron, s_roff)
         A = stamp_admittance(A, s_idx[:, :2],
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
@@ -133,8 +142,11 @@ def simulate_op(
         tensors = build_tensors(ckt)
     n_node = tensors.n_node_vars
     n_v = tensors.n_v
+    n_e = tensors.n_e
     n_l = tensors.n_l
-    nvar_op = n_node + n_v + n_l
+    # unknown ordering: nodes, V branches, E branches (as in tran/AC), then
+    # the extra 0V-short branches carrying DC inductor currents
+    nvar_op = n_node + n_v + n_e + n_l
     dump = nvar_op
 
     def remap(idx):
@@ -144,10 +156,17 @@ def simulate_op(
     l_bidx = np.concatenate(
         [
             remap(tensors.l_idx),
-            (n_node + n_v + np.arange(n_l, dtype=np.int32))[:, None],
+            (n_node + n_v + n_e + np.arange(n_l, dtype=np.int32))[:, None],
         ],
         axis=1,
     ) if n_l else np.zeros((0, 3), np.int32)
+
+    # e_idx: node/control columns remap to the op dump slot; the branch
+    # column (2) is already a valid op-system index (after V branches)
+    e_idx_op = np.concatenate(
+        [remap(tensors.e_idx[:, :2]), tensors.e_idx[:, 2:3],
+         remap(tensors.e_idx[:, 3:])], axis=1
+    ).astype(np.int32) if n_e else np.zeros((0, 5), np.int32)
 
     x, sw_on, valid = _op_core(
         jnp.asarray(remap(tensors.r_idx)), jnp.asarray(tensors.r_vals),
@@ -162,6 +181,8 @@ def simulate_op(
         jnp.asarray(remap(tensors.d_idx)),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         jnp.asarray(remap(tensors.i_idx)), jnp.asarray(tensors.i_dc),
+        jnp.asarray(remap(tensors.g_idx)), jnp.asarray(tensors.g_gm),
+        jnp.asarray(e_idx_op), jnp.asarray(tensors.e_gain),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
     )
     x = np.asarray(x)
@@ -181,7 +202,7 @@ def simulate_op(
     for name in tensors.c_names:
         currents[name] = 0.0  # open at DC
     for k, name in enumerate(tensors.l_names):
-        currents[name] = float(x[n_node + n_v + k])
+        currents[name] = float(x[n_node + n_v + n_e + k])
     for k, name in enumerate(tensors.v_names):
         currents[name] = float(x[n_node + k])
     sw_np = np.asarray(sw_on)
@@ -198,4 +219,10 @@ def simulate_op(
         currents[name] = float(tensors.d_is[k] * (np.exp(vd / v_th) - 1.0))
     for k, name in enumerate(tensors.i_names):
         currents[name] = float(tensors.i_dc[k])
+    gi = remap(tensors.g_idx)
+    for k, name in enumerate(tensors.g_names):
+        vc = x_pad[gi[k, 2]] - x_pad[gi[k, 3]]
+        currents[name] = float(tensors.g_gm[k] * vc)
+    for k, name in enumerate(tensors.e_names):
+        currents[name] = float(x[tensors.e_idx[k, 2]])
     return OPResult(node_voltages=node_voltages, element_currents=currents)

@@ -59,6 +59,8 @@ from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
     stamp_current,
+    stamp_vccs,
+    stamp_vcvs,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -74,7 +76,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   integration: str = "be", is_first=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
-     i_idx) = tensors_arrays
+     i_idx, g_idx, g_gm, e_idx, e_gain) = tensors_arrays
     dtype = x.dtype
     lead = x.shape[:-1]  # native batch dims (Monte-Carlo variants)
     A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
@@ -114,6 +116,9 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     A, b = stamp_voltage_source(A, b, v_idx, vs_t[..., :n_v])
     # extended-dialect current sources: direct RHS injection
     b = stamp_current(b, i_idx, vs_t[..., n_v:])
+    # extended-dialect controlled sources (linear, time-invariant)
+    A = stamp_vccs(A, g_idx, g_gm)
+    A = stamp_vcvs(A, e_idx, e_gain)
     # Diode Shockley companions
     x_pad = pad_solution(x, nvar)
     vd_iter = _vdrop(x_pad, d_idx)
@@ -136,13 +141,15 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
-                                   "nr_tol", "max_nr", "batch"))
+                                   "nr_tol", "max_nr", "batch",
+                                   "interpret"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
                max_nr: int | None = None, i_idx=None,
-               batch: int | None = None):
+               batch: int | None = None, interpret: bool = False,
+               g_idx=None, g_gm=None, e_idx=None, e_gain=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -162,9 +169,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     """
     if i_idx is None:
         i_idx = jnp.zeros((0, 2), jnp.int32)
+    if g_idx is None:
+        g_idx = jnp.zeros((0, 4), jnp.int32)
+        g_gm = jnp.zeros((0,), vs_grid.dtype)
+    if e_idx is None:
+        e_idx = jnp.zeros((0, 5), jnp.int32)
+        e_gain = jnp.zeros((0,), vs_grid.dtype)
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-                      i_idx)
+                      i_idx, g_idx, g_gm, e_idx, e_gain)
     dtype = vs_grid.dtype
     lead = () if batch is None else (batch,)
     n_c = c_idx.shape[0]
@@ -190,7 +203,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw,
                 integration=integration, is_first=is_first,
             )
-            x_new, solve_ok = solve(A, b, method=method)
+            x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
             switched = jnp.any(new_on != sw, axis=-1)  # per-lane
@@ -312,6 +325,14 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
         out[name] = xs[:, tensors.v_idx[k, 2]]
+    if tensors.n_g:
+        vc = (xs_pad[:, tensors.g_idx[:, 2]]
+              - xs_pad[:, tensors.g_idx[:, 3]])
+        i_g = tensors.g_gm[None, :] * vc
+        for k, name in enumerate(tensors.g_names):
+            out[name] = i_g[:, k]
+    for k, name in enumerate(tensors.e_names):
+        out[name] = xs[:, tensors.e_idx[k, 2]]
     if tensors.n_i and src_grid is not None:
         for k, name in enumerate(tensors.i_names):
             out[name] = np.asarray(src_grid[:, tensors.n_v + k])
@@ -339,6 +360,7 @@ def simulate_tran(
     nr: str = "spicey",
     nr_tol: float = 1e-9,
     max_nr: int | None = None,
+    interpret: bool = False,
 ) -> TranResult | None:
     """Transient analysis. Defaults reproduce the reference; see _tran_core
     for the `integration`/`nr` improvement toggles."""
@@ -368,7 +390,10 @@ def simulate_tran(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
-        i_idx=jnp.asarray(tensors.i_idx),
+        i_idx=jnp.asarray(tensors.i_idx), interpret=interpret,
+        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(tensors.g_gm),
+        e_idx=jnp.asarray(tensors.e_idx),
+        e_gain=jnp.asarray(tensors.e_gain),
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)

@@ -81,6 +81,17 @@ class CircuitTensors:
     i_has_waveform: np.ndarray
     i_names: tuple[str, ...]
 
+    # VCCS (extended dialect): (nG, 4) = [i1, i2, ic_pos, ic_neg] dump-mapped
+    g_idx: np.ndarray
+    g_gm: np.ndarray
+    g_names: tuple[str, ...]
+
+    # VCVS (extended dialect): (nE, 5) = [i1, i2, branch, ic_pos, ic_neg];
+    # branch indices follow the V-source branches (parser post-pass)
+    e_idx: np.ndarray
+    e_gain: np.ndarray
+    e_names: tuple[str, ...]
+
     @property
     def n_r(self) -> int:
         return self.r_idx.shape[0]
@@ -108,6 +119,14 @@ class CircuitTensors:
     @property
     def n_i(self) -> int:
         return self.i_idx.shape[0]
+
+    @property
+    def n_g(self) -> int:
+        return self.g_idx.shape[0]
+
+    @property
+    def n_e(self) -> int:
+        return self.e_idx.shape[0]
 
 
 def _or0(x: float) -> float:
@@ -172,6 +191,20 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     i_has_wave = np.asarray([s.waveform is not None for s in ckt.I], dtype=bool)
     i_names = tuple(s.name for s in ckt.I)
 
+    g_idx = np.asarray(
+        [[midx(g.n1), midx(g.n2), midx(g.nc_pos), midx(g.nc_neg)]
+         for g in ckt.G], dtype=np.int32
+    ).reshape(-1, 4)
+    g_gm = np.asarray([g.gm for g in ckt.G], dtype=np.float64)
+    g_names = tuple(g.name for g in ckt.G)
+
+    e_idx = np.asarray(
+        [[midx(e.n1), midx(e.n2), e.index, midx(e.nc_pos), midx(e.nc_neg)]
+         for e in ckt.E], dtype=np.int32
+    ).reshape(-1, 5)
+    e_gain = np.asarray([e.gain for e in ckt.E], dtype=np.float64)
+    e_names = tuple(e.name for e in ckt.E)
+
     return CircuitTensors(
         nvar=nvar,
         n_node_vars=n_node_vars,
@@ -186,6 +219,8 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         d_idx=d_idx, d_is=d_is, d_n=d_n, d_names=d_names,
         i_idx=i_idx, i_dc=i_dc, i_ac_mag=i_ac_mag,
         i_ac_phase_deg=i_ac_phase, i_has_waveform=i_has_wave, i_names=i_names,
+        g_idx=g_idx, g_gm=g_gm, g_names=g_names,
+        e_idx=e_idx, e_gain=e_gain, e_names=e_names,
     )
 
 

@@ -61,3 +61,37 @@ def pad_solution(x, nvar):
     """Append the ground slot (0) so dump-mapped indices read 0 volts."""
     zero_shape = x.shape[:-1] + (1,)
     return jnp.concatenate([x, jnp.zeros(zero_shape, dtype=x.dtype)], axis=-1)
+
+
+def stamp_vccs(A_pad, idx, gm):
+    """Voltage-controlled current source (extended dialect, no reference
+    analog — parseNetlist.ts:444-446 skips G lines).
+
+    idx: (nG, 4) = [i1, i2, ic_pos, ic_neg]; gm: (..., nG). Injects
+    gm*(v(ic+)-v(ic-)) out of i1's KCL row into i2's: the classic 4-point
+    transconductance pattern across (current rows x control columns).
+    """
+    i1, i2, icp, icn = idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]
+    A_pad = A_pad.at[..., i1, icp].add(gm)
+    A_pad = A_pad.at[..., i1, icn].add(-gm)
+    A_pad = A_pad.at[..., i2, icp].add(-gm)
+    A_pad = A_pad.at[..., i2, icn].add(gm)
+    return A_pad
+
+
+def stamp_vcvs(A_pad, idx, gain):
+    """Voltage-controlled voltage source (extended dialect).
+
+    idx: (nE, 5) = [i1, i2, branch, ic_pos, ic_neg]; gain: (..., nE).
+    Branch current enters the node KCL rows (±1 in the branch column) and
+    the branch row enforces v(i1) - v(i2) - gain*(v(ic+) - v(ic-)) = 0.
+    """
+    i1, i2, j = idx[:, 0], idx[:, 1], idx[:, 2]
+    icp, icn = idx[:, 3], idx[:, 4]
+    A_pad = A_pad.at[..., i1, j].add(1.0)
+    A_pad = A_pad.at[..., i2, j].add(-1.0)
+    A_pad = A_pad.at[..., j, i1].add(1.0)
+    A_pad = A_pad.at[..., j, i2].add(-1.0)
+    A_pad = A_pad.at[..., j, icp].add(-gain)
+    A_pad = A_pad.at[..., j, icn].add(gain)
+    return A_pad

@@ -36,6 +36,9 @@ from .waveforms import (
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
 _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
+# extended dialect adds E (VCVS) lines, which the reference title rule
+# does not know about (parseNetlist.ts:158-161 regex lacks "e")
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqde]\w*$", re.IGNORECASE)
 _END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
 _PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
 _PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
@@ -108,6 +111,41 @@ class CurrentSource:
 
 
 @dataclass
+class VCCS:
+    """Extended-dialect voltage-controlled current source (G element).
+
+    NOT in the reference dialect — parseNetlist.ts:444-446 drops G lines
+    into `skipped`. ``G name n+ n- nc+ nc- gm``: drives gm*(v(nc+)-v(nc-))
+    amps out of n+'s KCL into n-'s.
+    """
+
+    name: str
+    n1: int
+    n2: int
+    nc_pos: int
+    nc_neg: int
+    gm: float
+
+
+@dataclass
+class VCVS:
+    """Extended-dialect voltage-controlled voltage source (E element).
+
+    ``E name n+ n- nc+ nc- gain``: enforces
+    v(n+) - v(n-) = gain * (v(nc+) - v(nc-)) via an extra MNA branch
+    unknown (its current), allocated after the V-source branches.
+    """
+
+    name: str
+    n1: int
+    n2: int
+    nc_pos: int
+    nc_neg: int
+    gain: float
+    index: int = -1  # MNA branch-unknown index, assigned in post-pass
+
+
+@dataclass
 class VSwitchModel:
     name: str
     Ron: float = 1.0
@@ -167,6 +205,8 @@ class ParsedCircuit:
     S: list[Switch] = field(default_factory=list)
     D: list[Diode] = field(default_factory=list)
     I: list[CurrentSource] = field(default_factory=list)  # extended dialect
+    G: list[VCCS] = field(default_factory=list)  # extended dialect
+    E: list[VCVS] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     op: bool = False  # extended dialect .op directive
@@ -182,7 +222,7 @@ class ParsedCircuit:
 
     @property
     def n_vars(self) -> int:
-        return self.n_node_vars + len(self.V)
+        return self.n_node_vars + len(self.V) + len(self.E)
 
     # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
     @property
@@ -392,9 +432,11 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
         if not first:
             continue
 
+        elem_re = (_ELEMENT_OR_TITLE_EXT_RE if dialect == "extended"
+                   else _ELEMENT_OR_TITLE_RE)
         if (
             not seen_title
-            and not _ELEMENT_OR_TITLE_RE.match(first)
+            and not elem_re.match(first)
             and not first.startswith(".")
         ):
             seen_title = True
@@ -427,6 +469,23 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 _parse_voltage_source(ckt, name, tokens)
             elif type_char == "i" and dialect == "extended":
                 _parse_current_source(ckt, name, tokens)
+            elif type_char in ("g", "e") and dialect == "extended":
+                n1 = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "Controlled source missing node"))
+                n2 = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "Controlled source missing node"))
+                ncp = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "Controlled source missing control node"))
+                ncn = ckt.nodes.get_or_create(
+                    _require(tokens, 4, "Controlled source missing control node"))
+                val = parse_number_with_units(
+                    _require(tokens, 5, "Controlled source missing value"))
+                if type_char == "g":
+                    ckt.G.append(VCCS(name=name, n1=n1, n2=n2,
+                                      nc_pos=ncp, nc_neg=ncn, gm=val))
+                else:
+                    ckt.E.append(VCVS(name=name, n1=n1, n2=n2,
+                                      nc_pos=ncp, nc_neg=ncn, gain=val))
             elif type_char == "s":
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Switch missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Switch missing node"))
@@ -465,6 +524,8 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
     n_nodes = ckt.nodes.count() - 1
     for i, vs in enumerate(ckt.V):
         vs.index = n_nodes + i
+    for j, e in enumerate(ckt.E):
+        e.index = n_nodes + len(ckt.V) + j
 
     for sw in ckt.S:
         model = ckt.vswitch_models.get(sw.model_name)

@@ -141,3 +141,33 @@ def test_tran_batch_sharded_over_cpu_mesh():
     np.testing.assert_allclose(
         res_sharded.xs, res_local.xs, rtol=1e-12, atol=1e-15
     )
+
+
+def test_tran_batch_nonlinear_matches_single_runs():
+    """Batch-native scan (per-lane Newton/switch masking) must be bit-exact
+    against independent single-circuit runs on the diode+switch converter."""
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    B = 6
+    rng = np.random.default_rng(9)
+    r = 1e3 * (1 + 0.3 * rng.random(B))
+    res = simulate_tran_batch(netlists.BOOST_CONVERTER, {"RR1": r})
+    for k in (0, 3, 5):
+        ckt = parse_netlist(netlists.BOOST_CONVERTER)
+        for e in ckt.R:
+            if e.name.upper() == "RR1":
+                e.R = float(r[k])
+        single = simulate_tran(ckt)
+        np.testing.assert_array_equal(
+            res.node_voltage("N3")[k], single.node_voltages["N3"]
+        )
+
+
+def test_ac_batch_pallas_interpret_close_to_gj():
+    B = 8
+    rng = np.random.default_rng(10)
+    overrides = {"r1": 30.0 * (1 + 0.2 * rng.random(B))}
+    ref = simulate_ac_batch(netlists.BASICS01_AC, overrides)
+    pal = simulate_ac_batch(netlists.BASICS01_AC, overrides,
+                            method="pallas", interpret=True)
+    np.testing.assert_allclose(pal.x, ref.x, rtol=1e-9)

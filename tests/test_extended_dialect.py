@@ -95,3 +95,127 @@ def test_rc_with_current_source_matches_analytic():
 def test_invalid_dialect():
     with pytest.raises(ValueError, match="dialect"):
         parse_netlist("The t\n", dialect="ngspice")
+
+
+# --- controlled sources (G = VCCS, E = VCVS), extended dialect ---
+
+VCCS_AMP = """amp built from controlled sources
+v1 1 0 dc 1 ac 1
+g1 2 0 1 0 2m
+r2 2 0 5k
+e1 3 0 2 0 -2
+r3 3 0 1k
+"""
+
+
+def test_default_dialect_skips_controlled_sources():
+    ckt = parse_netlist(VCCS_AMP + ".tran 1u 10u\n")
+    assert not ckt.G and not ckt.E
+    assert any(s.startswith("g1") for s in ckt.skipped)
+    assert any(s.startswith("e1") for s in ckt.skipped)
+
+
+def test_vccs_vcvs_op():
+    """gm=2mS into 5k from a 1V control: v(2) = -gm*R*v(1) = -10 V; the
+    VCVS doubles and inverts: v(3) = -2 * v(2) = +20 V."""
+    from spicey_tpu.analysis.op import simulate_op
+
+    ckt = parse_netlist(VCCS_AMP + ".op\n", dialect="extended")
+    op = simulate_op(ckt)
+    assert op.node_voltages["2"] == pytest.approx(-10.0, rel=1e-12)
+    assert op.node_voltages["3"] == pytest.approx(20.0, rel=1e-12)
+    # VCCS current = gm * v(1); VCVS branch current = -v(3)/r3
+    assert op.element_currents["g1"] == pytest.approx(2e-3, rel=1e-12)
+    assert op.element_currents["e1"] == pytest.approx(-20.0 / 1e3, rel=1e-12)
+
+
+def test_vccs_vcvs_ac():
+    """Resistive amp: flat frequency response, 180-degree phase flips."""
+    ckt = parse_netlist(VCCS_AMP + ".ac lin 5 10 1000\n", dialect="extended")
+    ac = simulate_ac(ckt)
+    v2 = ac.node_voltages["2"]
+    v3 = ac.node_voltages["3"]
+    np.testing.assert_allclose(np.abs(v2), 10.0, rtol=1e-12)
+    np.testing.assert_allclose(np.real(v2), -10.0, rtol=1e-12)
+    np.testing.assert_allclose(np.abs(v3), 20.0, rtol=1e-12)
+    np.testing.assert_allclose(np.real(v3), 20.0, rtol=1e-12)
+    np.testing.assert_allclose(ac.element_currents["g1"], 2e-3, rtol=1e-12)
+
+
+def test_vcvs_tran_matches_scaled_source():
+    """An E-buffered RC must trace the same waveform as directly driving
+    the RC with a pulse of gain-scaled amplitude."""
+    buffered = parse_netlist(
+        "buffered\nV1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\ne1 2 0 1 0 2\n"
+        "r1 2 3 1k\nc1 3 0 1u\n.tran 0.1u 20u\n",
+        dialect="extended",
+    )
+    direct = parse_netlist(
+        "plain rc\nV1 2 0 PULSE(0 10 0 1n 1n 5u 10u)\n"
+        "r1 2 3 1k\nc1 3 0 1u\n.tran 0.1u 20u\n"
+    )
+    tb = simulate_tran(buffered)
+    td = simulate_tran(direct)
+    np.testing.assert_allclose(
+        tb.node_voltages["3"], td.node_voltages["3"], rtol=1e-12, atol=1e-12
+    )
+    # the E branch current follows the V-source branch convention, so it
+    # matches the direct drive's V1 current exactly
+    np.testing.assert_allclose(
+        tb.element_currents["e1"], td.element_currents["V1"],
+        rtol=1e-9, atol=1e-15,
+    )
+
+
+def test_vccs_tran_dc():
+    ckt = parse_netlist(
+        "t\nv1 1 0 dc 2\ng1 2 0 1 0 1m\nr2 2 0 1k\n.tran 1u 5u\n",
+        dialect="extended",
+    )
+    tran = simulate_tran(ckt)
+    np.testing.assert_allclose(tran.node_voltages["2"], -2.0, rtol=1e-12)
+    np.testing.assert_allclose(tran.element_currents["g1"], 2e-3, rtol=1e-12)
+
+
+def test_controlled_sources_batch():
+    """Batched R sweep through a VCCS amp: v(2) = -gm*R*v(1) per variant."""
+    B = 8
+    r = 5e3 * (1 + 0.2 * np.arange(B) / B)
+    res = simulate_tran_batch(
+        parse_netlist(
+            "t\nv1 1 0 dc 1\ng1 2 0 1 0 2m\nr2 2 0 5k\n.tran 1u 5u\n",
+            dialect="extended",
+        ),
+        {"r2": r},
+    )
+    expect = -2e-3 * r
+    np.testing.assert_allclose(
+        res.node_voltage("2")[:, -1], expect, rtol=1e-12
+    )
+
+
+def test_gm_batch_override():
+    """Sweeping the VCCS transconductance across the batch: v(2) = -gm*R."""
+    from spicey_tpu.analysis.batch import simulate_ac_batch
+
+    B = 8
+    gm = 2e-3 * (1 + 0.5 * np.arange(B) / B)
+    ckt = parse_netlist(
+        "t\nv1 1 0 dc 0 ac 1\ng1 2 0 1 0 2m\nr2 2 0 5k\n.ac lin 3 10 100\n",
+        dialect="extended",
+    )
+    res = simulate_ac_batch(ckt, {"g1": gm})
+    np.testing.assert_allclose(
+        np.abs(res.node_voltage("2")),
+        np.broadcast_to((gm * 5e3)[:, None], (B, 3)), rtol=1e-12,
+    )
+    tr = simulate_tran_batch(
+        parse_netlist(
+            "t\nv1 1 0 dc 1\ng1 2 0 1 0 2m\nr2 2 0 5k\n.tran 1u 5u\n",
+            dialect="extended",
+        ),
+        {"g1": gm},
+    )
+    np.testing.assert_allclose(
+        tr.node_voltage("2")[:, -1], -(gm * 5e3), rtol=1e-12
+    )

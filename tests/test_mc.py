@@ -87,3 +87,32 @@ def test_mc_requires_analysis():
         mc_ac_stats(netlists.RC_PULSE, {"R1": np.ones(2)}, node="2")
     with pytest.raises(ValueError, match="no .tran analysis"):
         mc_tran_stats(netlists.BASICS01_AC, {"r1": np.ones(2)}, node="2")
+
+
+def test_mc_tran_f32_tier_close_to_f64():
+    """f32 transient scan tier must track the f64 tier to single-precision
+    accuracy on the RC pulse fixture."""
+    B = 32
+    rng = np.random.default_rng(7)
+    overrides = {"R1": 1e3 * (1 + 0.2 * rng.random(B))}
+    f64 = mc_tran_stats(netlists.RC_PULSE, overrides, node="2")
+    f32 = mc_tran_stats(netlists.RC_PULSE, overrides, node="2",
+                        precision="f32")
+    scale = np.max(np.abs(f64.mean))
+    assert np.max(np.abs(f32.mean - f64.mean)) < 1e-5 * scale
+    assert np.max(np.abs(f32.max - f64.max)) < 1e-5 * scale
+    assert f32.n_valid == B
+
+
+def test_mc_tran_pallas_tier_interpret():
+    """Batch-major Pallas kernel inside the transient scan (interpret mode
+    on CPU): f32 tier vs the f64 gj reference path."""
+    B = 16
+    rng = np.random.default_rng(8)
+    overrides = {"R1": 1e3 * (1 + 0.2 * rng.random(B))}
+    f64 = mc_tran_stats(netlists.RC_PULSE, overrides, node="2")
+    pal = mc_tran_stats(netlists.RC_PULSE, overrides, node="2",
+                        precision="f32", method="pallas", interpret=True)
+    scale = np.max(np.abs(f64.mean))
+    assert np.max(np.abs(pal.mean - f64.mean)) < 1e-5 * scale
+    assert pal.n_valid == B
