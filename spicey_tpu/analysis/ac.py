@@ -35,14 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import EPS
-from ..ir.circuit import CircuitTensors, build_tensors
+from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
 from ..ops.linsolve import solve_planes
 from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
     stamp_current,
-    stamp_vccs,
-    stamp_vcvs,
+    stamp_extended,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -64,8 +63,7 @@ def _inductor_susceptance(f, l_vals):
 
 
 def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-                  v_re, v_im, nvar, i_idx=None, i_re=None, i_im=None,
-                  g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+                  v_re, v_im, nvar, ext=None, i_re=None, i_im=None):
     """Build (A_re, A_im, b_re, b_im) for one frequency; pure scatter-adds."""
     dtype = r_vals.dtype
     A_re = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
@@ -78,29 +76,24 @@ def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
     A_im = stamp_admittance(A_im, l_idx, _inductor_susceptance(f, l_vals))
     A_re, b_re = stamp_voltage_source(A_re, b_re, v_idx, v_re)
     b_im = b_im.at[v_idx[:, 2]].add(v_im)
-    if i_idx is not None:
+    if ext is not None:
         # extended-dialect current sources: RHS phasor injection
-        b_re = stamp_current(b_re, i_idx, i_re)
-        b_im = stamp_current(b_im, i_idx, i_im)
-    # extended-dialect controlled sources (real, frequency-independent)
-    if g_idx is not None:
-        A_re = stamp_vccs(A_re, g_idx, g_gm)
-    if e_idx is not None:
-        A_re = stamp_vcvs(A_re, e_idx, e_gain)
+        b_re = stamp_current(b_re, ext["i_idx"], i_re)
+        b_im = stamp_current(b_im, ext["i_idx"], i_im)
+        # controlled sources: real, frequency-independent stamps
+        A_re = stamp_extended(A_re, ext)
     return (A_re[:nvar, :nvar], A_im[:nvar, :nvar],
             b_re[:nvar], b_im[:nvar])
 
 
 def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
-                   v_idx, v_re, v_im, nvar, i_idx=None, i_re=None,
-                   i_im=None, g_idx=None, g_gm=None, e_idx=None,
-                   e_gain=None):
+                   v_idx, v_re, v_im, nvar, ext=None, i_re=None,
+                   i_im=None):
     """Assembly vmapped over the frequency grid -> (F, N, N) planes."""
     assemble = jax.vmap(
         lambda f: _assemble_one(
             f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-            v_re, v_im, nvar, i_idx=i_idx, i_re=i_re, i_im=i_im,
-            g_idx=g_idx, g_gm=g_gm, e_idx=e_idx, e_gain=e_gain,
+            v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im,
         )
     )
     return assemble(freqs)
@@ -109,13 +102,11 @@ def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
 def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar: int, method: str = "gj",
-                   interpret: bool = False, i_idx=None, i_re=None, i_im=None,
-                   g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+                   interpret: bool = False, ext=None, i_re=None, i_im=None):
     """vmapped assemble + one batched solve over the whole grid."""
     A_re, A_im, b_re, b_im = _assemble_grid(
         freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-        v_re, v_im, nvar, i_idx=i_idx, i_re=i_re, i_im=i_im,
-        g_idx=g_idx, g_gm=g_gm, e_idx=e_idx, e_gain=e_gain,
+        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im,
     )
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                      method=method, interpret=interpret)
@@ -160,6 +151,10 @@ def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray
             out[name] = i_g[:, k]
     for k, name in enumerate(tensors.e_names):
         out[name] = x[:, tensors.e_idx[k, 2]]
+    for k, name in enumerate(tensors.f_names):
+        out[name] = tensors.f_gain[k] * x[:, tensors.f_idx[k, 2]]
+    for k, name in enumerate(tensors.h_names):
+        out[name] = x[:, tensors.h_idx[k, 2]]
     if tensors.n_i:
         iph = tensors.i_ac_phase_deg * np.pi / 180.0
         i_ph = tensors.i_ac_mag * np.exp(1j * iph)
@@ -199,11 +194,8 @@ def simulate_ac(
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
         jnp.asarray(tensors.v_idx), jnp.asarray(v_re), jnp.asarray(v_im),
         nvar=tensors.nvar, method=method, interpret=interpret,
-        i_idx=jnp.asarray(tensors.i_idx),
+        ext=ext_arrays(tensors),
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
-        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(tensors.g_gm),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(tensors.e_gain),
     )
     if not bool(np.all(np.asarray(valid))):
         raise ValueError("Singular matrix in AC solve")

@@ -32,6 +32,7 @@ from ..ir.circuit import (
     CircuitTensors,
     build_tensors,
     effective_time_step,
+    ext_arrays,
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
@@ -70,26 +71,27 @@ def _resolve(ckt: ParsedCircuit | str) -> ParsedCircuit:
 
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
 def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
-                   v_idx, v_re, v_im, i_idx, i_re, i_im,
-                   nvar: int, method: str, interpret: bool = False,
-                   g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+                   v_idx, v_re, v_im, i_re, i_im, ext,
+                   nvar: int, method: str, interpret: bool = False):
     """Assemble over (B, F), then ONE lane-dense solve over the flat batch.
 
     Only the assembly is vmapped; the solve sees the whole (B*F, N, N)
     grid in one call, which is what the batch-major Pallas kernel tiles
     (a vmapped per-variant solve would hand it B mostly-padding calls).
+    ``ext`` value arrays arrive batched (B, nX); index arrays replicated.
     """
     from ..ops.linsolve import solve_planes
 
-    def one(rv, cv, lv, vre, vim, gg, eg):
+    ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
+
+    def one(rv, cv, lv, vre, vim, ext_b):
         return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                               v_idx, vre, vim, nvar,
-                              i_idx=i_idx, i_re=i_re, i_im=i_im,
-                              g_idx=g_idx, g_gm=gg, e_idx=e_idx,
-                              e_gain=eg)
+                              ext=ext_b, i_re=i_re, i_im=i_im)
 
-    A_re, A_im, b_re, b_im = jax.vmap(one)(r_vals, c_vals, l_vals,
-                                           v_re, v_im, g_gm, e_gain)
+    A_re, A_im, b_re, b_im = jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, ext_axes)
+    )(r_vals, c_vals, l_vals, v_re, v_im, ext)
     return solve_planes(A_re, A_im, b_re, b_im, method=method,
                         interpret=interpret)
 
@@ -110,6 +112,19 @@ def _batch_values(base: np.ndarray, names: tuple[str, ...],
             )
         out[:, idx] = vals
     return out
+
+
+def _batched_ext(tensors: CircuitTensors, overrides, B: int) -> dict:
+    """ext pytree with value arrays tiled to (B, nX) + overrides applied."""
+    ext = ext_arrays(tensors)
+    for key, names in (("g_gm", tensors.g_names),
+                       ("e_gain", tensors.e_names),
+                       ("f_gain", tensors.f_names),
+                       ("h_r", tensors.h_names)):
+        ext[key] = jnp.asarray(
+            _batch_values(np.asarray(ext[key]), names, overrides, B)
+        )
+    return ext
 
 
 def _batch_size(overrides: dict[str, np.ndarray]) -> int:
@@ -150,13 +165,12 @@ def simulate_ac_batch(
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
-               tensors.e_names], overrides)
+               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
-    g_gm = _batch_values(tensors.g_gm, tensors.g_names, overrides, B)
-    e_gain = _batch_values(tensors.e_gain, tensors.e_names, overrides, B)
+    ext = _batched_ext(tensors, overrides, B)
     if np.any(r_vals <= 0):
         bad = tensors.r_names[int(np.argwhere(r_vals <= 0)[0][1])]
         raise ValueError(f"R {bad} must be > 0")
@@ -186,11 +200,8 @@ def simulate_ac_batch(
         jnp.asarray(tensors.c_idx), arrays["c_vals"],
         jnp.asarray(tensors.l_idx), arrays["l_vals"],
         jnp.asarray(tensors.v_idx), arrays["v_re"], arrays["v_im"],
-        jnp.asarray(tensors.i_idx), i_re, i_im,
+        i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
-        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(g_gm),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(e_gain),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -216,13 +227,12 @@ def simulate_tran_batch(
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
-               tensors.e_names], overrides)
+               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
-    g_gm = _batch_values(tensors.g_gm, tensors.g_names, overrides, B)
-    e_gain = _batch_values(tensors.e_gain, tensors.e_names, overrides, B)
+    ext = _batched_ext(tensors, overrides, B)
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     times = np.arange(steps + 1, dtype=np.float64) * dt
@@ -281,10 +291,7 @@ def simulate_tran_batch(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method,
-        i_idx=jnp.asarray(tensors.i_idx), batch=B, interpret=interpret,
-        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(g_gm),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(e_gain),
+        ext=ext, batch=B, interpret=interpret,
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -30,11 +30,18 @@ import numpy as np
 from ..ir.circuit import (
     build_tensors,
     effective_time_step,
+    ext_arrays,
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
 from .ac import _assemble_grid, build_frequency_array
-from .batch import _batch_size, _batch_values, _consumed, _resolve
+from .batch import (
+    _batch_size,
+    _batch_values,
+    _batched_ext,
+    _consumed,
+    _resolve,
+)
 from .tran import _tran_core
 
 
@@ -79,22 +86,24 @@ def _stats_of(resp, valid, qs):
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "interpret"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
-                      v_idx, v_re, v_im, nvar: int, node_idx: int,
-                      method: str, qs: tuple, interpret: bool = False,
-                      g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+                      v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
+                      node_idx: int, method: str, qs: tuple,
+                      interpret: bool = False):
     from ..ops.linsolve import solve_planes
 
-    def one(rv, cv, lv, vre, vim):
+    ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
+
+    def one(rv, cv, lv, vre, vim, ext_b):
         return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                               v_idx, vre, vim, nvar,
-                              g_idx=g_idx, g_gm=g_gm, e_idx=e_idx,
-                              e_gain=e_gain)
+                              ext=ext_b, i_re=i_re, i_im=i_im)
 
     # assemble over (B, F); solve ONCE over the flattened batch so the
     # Pallas kernel sees a single lane-dense grid instead of B tiny,
     # mostly-padding calls under vmap
-    A_re, A_im, b_re, b_im = jax.vmap(one)(r_vals, c_vals, l_vals,
-                                           v_re, v_im)
+    A_re, A_im, b_re, b_im = jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, ext_axes)
+    )(r_vals, c_vals, l_vals, v_re, v_im, ext)
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                      method=method, interpret=interpret)
     mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
@@ -128,7 +137,8 @@ def mc_ac_stats(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names], overrides)
+               tensors.v_names, tensors.i_names, tensors.g_names,
+               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
@@ -144,19 +154,20 @@ def mc_ac_stats(
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
+    ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+           for k, v in _batched_ext(tensors, overrides, B).items()}
+    iph = tensors.i_ac_phase_deg * math.pi / 180.0
+    i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph), fdt)
+    i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph), fdt)
     stats, n_valid = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
         jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
         jnp.asarray(tensors.c_idx), jnp.asarray(c_vals, fdt),
         jnp.asarray(tensors.l_idx), jnp.asarray(l_vals, fdt),
         jnp.asarray(tensors.v_idx), jnp.asarray(v_re, fdt),
-        jnp.asarray(v_im, fdt),
+        jnp.asarray(v_im, fdt), ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
-        g_idx=jnp.asarray(tensors.g_idx),
-        g_gm=jnp.asarray(tensors.g_gm, fdt),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(tensors.e_gain, fdt),
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(freqs)))
     return MCStats(
@@ -175,18 +186,15 @@ def mc_ac_stats(
                                    "interpret"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
-                        d_idx, d_is, d_n, nvar: int, node_idx: int,
-                        method: str, qs: tuple, i_idx=None,
-                        interpret: bool = False,
-                        g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+                        d_idx, d_is, d_n, ext, nvar: int, node_idx: int,
+                        method: str, qs: tuple, interpret: bool = False):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc)
     xs, _sw, valid = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-        nvar=nvar, method=method, i_idx=i_idx, batch=r_vals.shape[0],
+        nvar=nvar, method=method, ext=ext, batch=r_vals.shape[0],
         interpret=interpret,
-        g_idx=g_idx, g_gm=g_gm, e_idx=e_idx, e_gain=e_gain,
     )
     v_node = jnp.moveaxis(xs[..., node_idx], 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
@@ -217,7 +225,8 @@ def mc_tran_stats(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.v_names], overrides)
+               tensors.v_names, tensors.i_names, tensors.g_names,
+               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
@@ -247,6 +256,8 @@ def mc_tran_stats(
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
+    ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+           for k, v in _batched_ext(tensors, overrides, B).items()}
     stats, n_valid = _mc_tran_stats_core(
         jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
         jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
@@ -258,13 +269,9 @@ def mc_tran_stats(
         jnp.asarray(tensors.s_von, fdt), jnp.asarray(tensors.s_voff, fdt),
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
+        ext,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
-        qs=tuple(float(q) for q in quantiles),
-        i_idx=jnp.asarray(tensors.i_idx), interpret=interpret,
-        g_idx=jnp.asarray(tensors.g_idx),
-        g_gm=jnp.asarray(tensors.g_gm, fdt),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(tensors.e_gain, fdt),
+        qs=tuple(float(q) for q in quantiles), interpret=interpret,
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))
     return MCStats(

@@ -33,13 +33,12 @@ from ..constants import (
     GMIN,
     VT_300K,
 )
-from ..ir.circuit import CircuitTensors, build_tensors
+from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
 from ..ops.linsolve import solve
 from ..ops.stamps import (
     stamp_admittance,
     stamp_current,
-    stamp_vccs,
-    stamp_vcvs,
+    stamp_extended,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -62,8 +61,7 @@ class OPResult:
 
 @partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
-             s_von, s_voff, d_idx, d_is, d_n, i_idx, i_dc,
-             g_idx, g_gm, e_idx, e_gain,
+             s_von, s_voff, d_idx, d_is, d_n, i_dc, ext,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj"):
     """Newton/hysteresis iteration to the DC solution.
@@ -81,9 +79,8 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         A, b = stamp_voltage_source(A, b, l_bidx,
                                     jnp.zeros(l_bidx.shape[0], dtype=dtype))
         A, b = stamp_voltage_source(A, b, v_idx, v_dc)
-        b = stamp_current(b, i_idx, i_dc)
-        A = stamp_vccs(A, g_idx, g_gm)
-        A = stamp_vcvs(A, e_idx, e_gain)
+        b = stamp_current(b, ext["i_idx"], i_dc)
+        A = stamp_extended(A, ext)
         r_sw = jnp.where(sw_on, s_ron, s_roff)
         A = stamp_admittance(A, s_idx[:, :2],
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
@@ -143,10 +140,12 @@ def simulate_op(
     n_node = tensors.n_node_vars
     n_v = tensors.n_v
     n_e = tensors.n_e
+    n_h = tensors.n_h
     n_l = tensors.n_l
-    # unknown ordering: nodes, V branches, E branches (as in tran/AC), then
-    # the extra 0V-short branches carrying DC inductor currents
-    nvar_op = n_node + n_v + n_e + n_l
+    # unknown ordering: nodes, then V/E/H branches (identical to the tran/AC
+    # ordering, i.e. the first tensors.nvar unknowns), then the extra
+    # 0V-short branches carrying DC inductor currents
+    nvar_op = n_node + n_v + n_e + n_h + n_l
     dump = nvar_op
 
     def remap(idx):
@@ -156,17 +155,12 @@ def simulate_op(
     l_bidx = np.concatenate(
         [
             remap(tensors.l_idx),
-            (n_node + n_v + n_e + np.arange(n_l, dtype=np.int32))[:, None],
+            (tensors.nvar + np.arange(n_l, dtype=np.int32))[:, None],
         ],
         axis=1,
     ) if n_l else np.zeros((0, 3), np.int32)
 
-    # e_idx: node/control columns remap to the op dump slot; the branch
-    # column (2) is already a valid op-system index (after V branches)
-    e_idx_op = np.concatenate(
-        [remap(tensors.e_idx[:, :2]), tensors.e_idx[:, 2:3],
-         remap(tensors.e_idx[:, 3:])], axis=1
-    ).astype(np.int32) if n_e else np.zeros((0, 5), np.int32)
+
 
     x, sw_on, valid = _op_core(
         jnp.asarray(remap(tensors.r_idx)), jnp.asarray(tensors.r_vals),
@@ -180,9 +174,7 @@ def simulate_op(
         jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
         jnp.asarray(remap(tensors.d_idx)),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-        jnp.asarray(remap(tensors.i_idx)), jnp.asarray(tensors.i_dc),
-        jnp.asarray(remap(tensors.g_idx)), jnp.asarray(tensors.g_gm),
-        jnp.asarray(e_idx_op), jnp.asarray(tensors.e_gain),
+        jnp.asarray(tensors.i_dc), ext_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
     )
     x = np.asarray(x)
@@ -202,7 +194,7 @@ def simulate_op(
     for name in tensors.c_names:
         currents[name] = 0.0  # open at DC
     for k, name in enumerate(tensors.l_names):
-        currents[name] = float(x[n_node + n_v + n_e + k])
+        currents[name] = float(x[tensors.nvar + k])
     for k, name in enumerate(tensors.v_names):
         currents[name] = float(x[n_node + k])
     sw_np = np.asarray(sw_on)
@@ -225,4 +217,8 @@ def simulate_op(
         currents[name] = float(tensors.g_gm[k] * vc)
     for k, name in enumerate(tensors.e_names):
         currents[name] = float(x[tensors.e_idx[k, 2]])
+    for k, name in enumerate(tensors.f_names):
+        currents[name] = float(tensors.f_gain[k] * x[tensors.f_idx[k, 2]])
+    for k, name in enumerate(tensors.h_names):
+        currents[name] = float(x[tensors.h_idx[k, 2]])
     return OPResult(node_voltages=node_voltages, element_currents=currents)

@@ -52,6 +52,8 @@ from ..ir.circuit import (
     CircuitTensors,
     build_tensors,
     effective_time_step,
+    empty_ext,
+    ext_arrays,
     sample_source_values,
 )
 from ..ops.linsolve import solve
@@ -59,8 +61,7 @@ from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
     stamp_current,
-    stamp_vccs,
-    stamp_vcvs,
+    stamp_extended,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -76,7 +77,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   integration: str = "be", is_first=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
-     i_idx, g_idx, g_gm, e_idx, e_gain) = tensors_arrays
+     ext) = tensors_arrays
     dtype = x.dtype
     lead = x.shape[:-1]  # native batch dims (Monte-Carlo variants)
     A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
@@ -115,10 +116,9 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     n_v = v_idx.shape[0]
     A, b = stamp_voltage_source(A, b, v_idx, vs_t[..., :n_v])
     # extended-dialect current sources: direct RHS injection
-    b = stamp_current(b, i_idx, vs_t[..., n_v:])
+    b = stamp_current(b, ext["i_idx"], vs_t[..., n_v:])
     # extended-dialect controlled sources (linear, time-invariant)
-    A = stamp_vccs(A, g_idx, g_gm)
-    A = stamp_vcvs(A, e_idx, e_gain)
+    A = stamp_extended(A, ext)
     # Diode Shockley companions
     x_pad = pad_solution(x, nvar)
     vd_iter = _vdrop(x_pad, d_idx)
@@ -147,9 +147,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
-               max_nr: int | None = None, i_idx=None,
-               batch: int | None = None, interpret: bool = False,
-               g_idx=None, g_gm=None, e_idx=None, e_gain=None):
+               max_nr: int | None = None, ext=None,
+               batch: int | None = None, interpret: bool = False):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -167,17 +166,11 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     with a per-lane ``done`` mask (a lane freezes once stable, exactly the
     reference's per-circuit break at simulateTRAN.ts:159-161).
     """
-    if i_idx is None:
-        i_idx = jnp.zeros((0, 2), jnp.int32)
-    if g_idx is None:
-        g_idx = jnp.zeros((0, 4), jnp.int32)
-        g_gm = jnp.zeros((0,), vs_grid.dtype)
-    if e_idx is None:
-        e_idx = jnp.zeros((0, 5), jnp.int32)
-        e_gain = jnp.zeros((0,), vs_grid.dtype)
+    if ext is None:
+        ext = empty_ext(vs_grid.dtype)
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-                      i_idx, g_idx, g_gm, e_idx, e_gain)
+                      ext)
     dtype = vs_grid.dtype
     lead = () if batch is None else (batch,)
     n_c = c_idx.shape[0]
@@ -333,6 +326,10 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             out[name] = i_g[:, k]
     for k, name in enumerate(tensors.e_names):
         out[name] = xs[:, tensors.e_idx[k, 2]]
+    for k, name in enumerate(tensors.f_names):
+        out[name] = tensors.f_gain[k] * xs[:, tensors.f_idx[k, 2]]
+    for k, name in enumerate(tensors.h_names):
+        out[name] = xs[:, tensors.h_idx[k, 2]]
     if tensors.n_i and src_grid is not None:
         for k, name in enumerate(tensors.i_names):
             out[name] = np.asarray(src_grid[:, tensors.n_v + k])
@@ -390,10 +387,7 @@ def simulate_tran(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
-        i_idx=jnp.asarray(tensors.i_idx), interpret=interpret,
-        g_idx=jnp.asarray(tensors.g_idx), g_gm=jnp.asarray(tensors.g_gm),
-        e_idx=jnp.asarray(tensors.e_idx),
-        e_gain=jnp.asarray(tensors.e_gain),
+        ext=ext_arrays(tensors), interpret=interpret,
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)

@@ -92,6 +92,16 @@ class CircuitTensors:
     e_gain: np.ndarray
     e_names: tuple[str, ...]
 
+    # CCCS (extended dialect): (nF, 3) = [i1, i2, ctrl_branch]
+    f_idx: np.ndarray
+    f_gain: np.ndarray
+    f_names: tuple[str, ...]
+
+    # CCVS (extended dialect): (nH, 4) = [i1, i2, branch, ctrl_branch]
+    h_idx: np.ndarray
+    h_r: np.ndarray
+    h_names: tuple[str, ...]
+
     @property
     def n_r(self) -> int:
         return self.r_idx.shape[0]
@@ -127,6 +137,14 @@ class CircuitTensors:
     @property
     def n_e(self) -> int:
         return self.e_idx.shape[0]
+
+    @property
+    def n_f(self) -> int:
+        return self.f_idx.shape[0]
+
+    @property
+    def n_h(self) -> int:
+        return self.h_idx.shape[0]
 
 
 def _or0(x: float) -> float:
@@ -205,6 +223,20 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     e_gain = np.asarray([e.gain for e in ckt.E], dtype=np.float64)
     e_names = tuple(e.name for e in ckt.E)
 
+    f_idx = np.asarray(
+        [[midx(f.n1), midx(f.n2), f.ctrl_index] for f in ckt.F],
+        dtype=np.int32,
+    ).reshape(-1, 3)
+    f_gain = np.asarray([f.gain for f in ckt.F], dtype=np.float64)
+    f_names = tuple(f.name for f in ckt.F)
+
+    h_idx = np.asarray(
+        [[midx(h.n1), midx(h.n2), h.index, h.ctrl_index] for h in ckt.H],
+        dtype=np.int32,
+    ).reshape(-1, 4)
+    h_r = np.asarray([h.r for h in ckt.H], dtype=np.float64)
+    h_names = tuple(h.name for h in ckt.H)
+
     return CircuitTensors(
         nvar=nvar,
         n_node_vars=n_node_vars,
@@ -221,7 +253,53 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         i_ac_phase_deg=i_ac_phase, i_has_waveform=i_has_wave, i_names=i_names,
         g_idx=g_idx, g_gm=g_gm, g_names=g_names,
         e_idx=e_idx, e_gain=e_gain, e_names=e_names,
+        f_idx=f_idx, f_gain=f_gain, f_names=f_names,
+        h_idx=h_idx, h_r=h_r, h_names=h_names,
     )
+
+
+def ext_arrays(tensors: CircuitTensors, dtype=None,
+               dump: int | None = None) -> dict:
+    """Extended-dialect element arrays as one jit-friendly pytree.
+
+    ``dump`` re-targets the ground dump slot for systems sized differently
+    from the tran/AC ordering (the .op system appends inductor branches);
+    branch-index columns are never the dump slot, so a blanket remap is safe.
+    Value arrays are cast to ``dtype`` (default float64) so precision tiers
+    propagate.
+    """
+    import jax.numpy as jnp
+
+    dt = jnp.float64 if dtype is None else dtype
+
+    def idx(a):
+        if dump is not None:
+            a = np.where(a == tensors.nvar, dump, a)
+        return jnp.asarray(np.asarray(a, np.int32))
+
+    return {
+        "i_idx": idx(tensors.i_idx),
+        "g_idx": idx(tensors.g_idx), "g_gm": jnp.asarray(tensors.g_gm, dt),
+        "e_idx": idx(tensors.e_idx), "e_gain": jnp.asarray(tensors.e_gain, dt),
+        "f_idx": idx(tensors.f_idx), "f_gain": jnp.asarray(tensors.f_gain, dt),
+        "h_idx": idx(tensors.h_idx), "h_r": jnp.asarray(tensors.h_r, dt),
+    }
+
+
+def empty_ext(dtype=None) -> dict:
+    """An ext pytree with no extended elements (reference-dialect runs)."""
+    import jax.numpy as jnp
+
+    dt = jnp.float64 if dtype is None else dtype
+    z = lambda n: jnp.zeros((0, n), jnp.int32)
+    v = jnp.zeros((0,), dt)
+    return {
+        "i_idx": z(2),
+        "g_idx": z(4), "g_gm": v,
+        "e_idx": z(5), "e_gain": v,
+        "f_idx": z(3), "f_gain": v,
+        "h_idx": z(4), "h_r": v,
+    }
 
 
 def sample_source_values(ckt: ParsedCircuit, times: np.ndarray) -> np.ndarray:

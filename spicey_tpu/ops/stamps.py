@@ -95,3 +95,42 @@ def stamp_vcvs(A_pad, idx, gain):
     A_pad = A_pad.at[..., j, icp].add(-gain)
     A_pad = A_pad.at[..., j, icn].add(gain)
     return A_pad
+
+
+def stamp_cccs(A_pad, idx, gain):
+    """Current-controlled current source (extended dialect).
+
+    idx: (nF, 3) = [i1, i2, ctrl_branch]; gain: (..., nF). Couples the
+    controlling V-source branch current into the node KCL rows:
+    i(F) = gain * x[ctrl_branch], flowing i1 -> i2 through the source.
+    """
+    i1, i2, jv = idx[:, 0], idx[:, 1], idx[:, 2]
+    A_pad = A_pad.at[..., i1, jv].add(gain)
+    A_pad = A_pad.at[..., i2, jv].add(-gain)
+    return A_pad
+
+
+def stamp_ccvs(A_pad, idx, r):
+    """Current-controlled voltage source (extended dialect).
+
+    idx: (nH, 4) = [i1, i2, branch, ctrl_branch]; r: (..., nH).
+    Branch row enforces v(i1) - v(i2) - r * x[ctrl_branch] = 0.
+    """
+    i1, i2, j, jv = idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]
+    A_pad = A_pad.at[..., i1, j].add(1.0)
+    A_pad = A_pad.at[..., i2, j].add(-1.0)
+    A_pad = A_pad.at[..., j, i1].add(1.0)
+    A_pad = A_pad.at[..., j, i2].add(-1.0)
+    A_pad = A_pad.at[..., j, jv].add(-r)
+    return A_pad
+
+
+def stamp_extended(A_pad, ext):
+    """All linear extended-dialect controlled sources from an ext pytree
+    (ir.circuit.ext_arrays): G/E/F/H. Independent I sources are RHS-only
+    and handled by the callers."""
+    A_pad = stamp_vccs(A_pad, ext["g_idx"], ext["g_gm"])
+    A_pad = stamp_vcvs(A_pad, ext["e_idx"], ext["e_gain"])
+    A_pad = stamp_cccs(A_pad, ext["f_idx"], ext["f_gain"])
+    A_pad = stamp_ccvs(A_pad, ext["h_idx"], ext["h_r"])
+    return A_pad

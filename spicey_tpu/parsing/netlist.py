@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
 _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # extended dialect adds E (VCVS) lines, which the reference title rule
 # does not know about (parseNetlist.ts:158-161 regex lacks "e")
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqde]\w*$", re.IGNORECASE)
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefh]\w*$", re.IGNORECASE)
 _END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
 _PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
 _PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
@@ -146,6 +146,40 @@ class VCVS:
 
 
 @dataclass
+class CCCS:
+    """Extended-dialect current-controlled current source (F element).
+
+    ``F name n+ n- vname gain``: drives gain * i(vname) from n+ through the
+    source to n-, where vname is a V source whose branch current is already
+    an MNA unknown.
+    """
+
+    name: str
+    n1: int
+    n2: int
+    ctrl_name: str
+    gain: float
+    ctrl_index: int = -1  # controlling V branch index, post-pass
+
+
+@dataclass
+class CCVS:
+    """Extended-dialect current-controlled voltage source (H element).
+
+    ``H name n+ n- vname r``: enforces v(n+) - v(n-) = r * i(vname) via an
+    extra MNA branch unknown (allocated after the E-source branches).
+    """
+
+    name: str
+    n1: int
+    n2: int
+    ctrl_name: str
+    r: float
+    ctrl_index: int = -1
+    index: int = -1
+
+
+@dataclass
 class VSwitchModel:
     name: str
     Ron: float = 1.0
@@ -207,6 +241,8 @@ class ParsedCircuit:
     I: list[CurrentSource] = field(default_factory=list)  # extended dialect
     G: list[VCCS] = field(default_factory=list)  # extended dialect
     E: list[VCVS] = field(default_factory=list)  # extended dialect
+    F: list[CCCS] = field(default_factory=list)  # extended dialect
+    H: list[CCVS] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     op: bool = False  # extended dialect .op directive
@@ -222,7 +258,8 @@ class ParsedCircuit:
 
     @property
     def n_vars(self) -> int:
-        return self.n_node_vars + len(self.V) + len(self.E)
+        # branch-unknown ordering: V sources, then E (VCVS), then H (CCVS)
+        return self.n_node_vars + len(self.V) + len(self.E) + len(self.H)
 
     # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
     @property
@@ -469,6 +506,21 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 _parse_voltage_source(ckt, name, tokens)
             elif type_char == "i" and dialect == "extended":
                 _parse_current_source(ckt, name, tokens)
+            elif type_char in ("f", "h") and dialect == "extended":
+                n1 = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "Controlled source missing node"))
+                n2 = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "Controlled source missing node"))
+                ctrl = _require(tokens, 3,
+                                "Controlled source missing control source")
+                val = parse_number_with_units(
+                    _require(tokens, 4, "Controlled source missing value"))
+                if type_char == "f":
+                    ckt.F.append(CCCS(name=name, n1=n1, n2=n2,
+                                      ctrl_name=ctrl, gain=val))
+                else:
+                    ckt.H.append(CCVS(name=name, n1=n1, n2=n2,
+                                      ctrl_name=ctrl, r=val))
             elif type_char in ("g", "e") and dialect == "extended":
                 n1 = ckt.nodes.get_or_create(
                     _require(tokens, 1, "Controlled source missing node"))
@@ -526,6 +578,17 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
         vs.index = n_nodes + i
     for j, e in enumerate(ckt.E):
         e.index = n_nodes + len(ckt.V) + j
+    for j, h in enumerate(ckt.H):
+        h.index = n_nodes + len(ckt.V) + len(ckt.E) + j
+    v_by_name = {v.name.upper(): v for v in ckt.V}
+    for cs in list(ckt.F) + list(ckt.H):
+        ctrl = v_by_name.get(cs.ctrl_name.upper())
+        if ctrl is None:
+            raise ValueError(
+                f"Unknown controlling source {cs.ctrl_name} "
+                f"referenced by {cs.name}"
+            )
+        cs.ctrl_index = ctrl.index
 
     for sw in ckt.S:
         model = ckt.vswitch_models.get(sw.model_name)

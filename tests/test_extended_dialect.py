@@ -219,3 +219,68 @@ def test_gm_batch_override():
     np.testing.assert_allclose(
         tr.node_voltage("2")[:, -1], -(gm * 5e3), rtol=1e-12
     )
+
+
+CCCS_NET = """amp built from current-controlled sources
+v1 1 0 dc 1
+r1 1 0 100
+f1 0 2 v1 10
+r2 2 0 50
+h1 3 0 v1 -200
+r3 3 0 1k
+"""
+
+
+def test_cccs_ccvs_op():
+    """Branch convention: x[j] is the current entering v1's + terminal, so
+    i(v1) = -v1/r1 = -10 mA. F mirrors 10x with the same n1->n2 direction
+    convention as I sources: gain*i = -0.1 A flows 2 -> 0, so
+    v(2) = -5 V. H gives v(3) = -200 * i(v1) = +2 V."""
+    from spicey_tpu.analysis.op import simulate_op
+
+    ckt = parse_netlist(CCCS_NET + ".op\n", dialect="extended")
+    op = simulate_op(ckt)
+    assert op.node_voltages["2"] == pytest.approx(-5.0, rel=1e-12)
+    assert op.node_voltages["3"] == pytest.approx(2.0, rel=1e-12)
+    assert op.element_currents["f1"] == pytest.approx(-0.1, rel=1e-12)
+    assert op.element_currents["v1"] == pytest.approx(-0.01, rel=1e-12)
+
+
+def test_cccs_ccvs_tran_and_ac():
+    ckt = parse_netlist(CCCS_NET + ".tran 1u 5u\n", dialect="extended")
+    tran = simulate_tran(ckt)
+    np.testing.assert_allclose(tran.node_voltages["2"], -5.0, rtol=1e-12)
+    np.testing.assert_allclose(tran.node_voltages["3"], 2.0, rtol=1e-12)
+    ac_ckt = parse_netlist(
+        "t\nv1 1 0 dc 0 ac 1\nr1 1 0 100\nf1 0 2 v1 10\nr2 2 0 50\n"
+        ".ac lin 3 10 100\n",
+        dialect="extended",
+    )
+    ac = simulate_ac(ac_ckt)
+    np.testing.assert_allclose(np.real(ac.node_voltages["2"]), -5.0,
+                               rtol=1e-12)
+    np.testing.assert_allclose(ac.element_currents["f1"], -0.1, rtol=1e-12)
+
+
+def test_ccvs_batch_override():
+    from spicey_tpu.analysis.batch import simulate_ac_batch
+
+    B = 4
+    rr = -200.0 * (1 + 0.5 * np.arange(B) / B)
+    ckt = parse_netlist(
+        "t\nv1 1 0 dc 0 ac 1\nr1 1 0 100\nh1 3 0 v1 -200\nr3 3 0 1k\n"
+        ".ac lin 2 10 100\n",
+        dialect="extended",
+    )
+    res = simulate_ac_batch(ckt, {"h1": rr})
+    # i(v1) = -1/100 A -> v(3) = rr * i(v1)
+    np.testing.assert_allclose(
+        np.real(res.node_voltage("3")),
+        np.broadcast_to((rr * -0.01)[:, None], (B, 2)), rtol=1e-12,
+    )
+
+
+def test_unknown_control_source_raises():
+    with pytest.raises(ValueError, match="Unknown controlling source"):
+        parse_netlist("t\nf1 0 2 vmissing 10\nr2 2 0 50\n",
+                      dialect="extended")
