@@ -33,6 +33,7 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     ext_arrays,
+    nl_arrays,
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
@@ -65,8 +66,9 @@ class BatchTranResult:
         return self.xs[..., i]
 
 
-def _resolve(ckt: ParsedCircuit | str) -> ParsedCircuit:
-    return parse_netlist(ckt) if isinstance(ckt, str) else ckt
+def _resolve(ckt: ParsedCircuit | str,
+             dialect: str = "spicey") -> ParsedCircuit:
+    return parse_netlist(ckt, dialect=dialect) if isinstance(ckt, str) else ckt
 
 
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
@@ -127,6 +129,18 @@ def _batched_ext(tensors: CircuitTensors, overrides, B: int) -> dict:
     return ext
 
 
+def _batched_nl(tensors: CircuitTensors, overrides, B: int) -> dict:
+    """nl pytree with per-device betas/Is tiled to (B, nX); overriding an
+    M element name sweeps its beta, a Q element name its Is."""
+    nl = nl_arrays(tensors)
+    nl["m_beta"] = jnp.asarray(
+        _batch_values(np.asarray(nl["m_beta"]), tensors.m_names,
+                      overrides, B))
+    nl["q_is"] = jnp.asarray(
+        _batch_values(np.asarray(nl["q_is"]), tensors.q_names, overrides, B))
+    return nl
+
+
 def _batch_size(overrides: dict[str, np.ndarray]) -> int:
     sizes = {np.asarray(v).shape[0] for v in overrides.values()}
     if len(sizes) != 1:
@@ -151,13 +165,14 @@ def simulate_ac_batch(
     method: str = "gj",
     device_put=None,
     interpret: bool = False,
+    dialect: str = "spicey",
 ) -> BatchACResult:
     """One compiled batched AC sweep over all parameter variants.
 
     ``device_put``: optional callable mapping (array, axes) -> placed array,
     used by spicey_tpu.parallel to shard the batch/freq axes over a mesh.
     """
-    ckt = _resolve(circuit)
+    ckt = _resolve(circuit, dialect=dialect)
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -217,9 +232,10 @@ def simulate_tran_batch(
     method: str = "gj",
     device_put=None,
     interpret: bool = False,
+    dialect: str = "spicey",
 ) -> BatchTranResult:
     """One compiled batched transient run over all parameter variants."""
-    ckt = _resolve(circuit)
+    ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:
@@ -227,12 +243,16 @@ def simulate_tran_batch(
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
-               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
+               tensors.e_names, tensors.f_names, tensors.h_names,
+               tensors.m_names, tensors.q_names], overrides)
 
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
     ext = _batched_ext(tensors, overrides, B)
+    nl = _batched_nl(tensors, overrides, B)
+    # MOSFET/BJT Newton needs convergence iterations (see tran.simulate_tran)
+    nr = "converged" if (tensors.n_m or tensors.n_q) else "spicey"
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     times = np.arange(steps + 1, dtype=np.float64) * dt
@@ -290,8 +310,8 @@ def simulate_tran_batch(
         jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-        nvar=tensors.nvar, method=method,
-        ext=ext, batch=B, interpret=interpret,
+        nvar=tensors.nvar, method=method, nr=nr,
+        ext=ext, nl=nl, batch=B, interpret=interpret,
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -39,6 +39,7 @@ from .batch import (
     _batch_size,
     _batch_values,
     _batched_ext,
+    _batched_nl,
     _consumed,
     _resolve,
 )
@@ -121,6 +122,7 @@ def mc_ac_stats(
     method: str = "gj",
     precision: str = "f64",
     interpret: bool = False,
+    dialect: str = "spicey",
 ) -> MCStats:
     """Distribution of |V(node)| per frequency across parameter variants.
 
@@ -130,7 +132,7 @@ def mc_ac_stats(
     parameter spreads lose nothing at f32; the 6-sig-fig golden contract
     requires the default f64 tier.
     """
-    ckt = _resolve(circuit)
+    ckt = _resolve(circuit, dialect=dialect)
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -183,18 +185,19 @@ def mc_ac_stats(
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "interpret"))
+                                   "nr", "interpret"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
-                        d_idx, d_is, d_n, ext, nvar: int, node_idx: int,
-                        method: str, qs: tuple, interpret: bool = False):
+                        d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
+                        method: str, qs: tuple, nr: str = "spicey",
+                        interpret: bool = False):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc)
     xs, _sw, valid = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-        nvar=nvar, method=method, ext=ext, batch=r_vals.shape[0],
-        interpret=interpret,
+        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl,
+        batch=r_vals.shape[0], interpret=interpret,
     )
     v_node = jnp.moveaxis(xs[..., node_idx], 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
@@ -210,6 +213,7 @@ def mc_tran_stats(
     method: str = "gj",
     precision: str = "f64",
     interpret: bool = False,
+    dialect: str = "spicey",
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
 
@@ -218,7 +222,7 @@ def mc_tran_stats(
     statistics under percent-level spreads; the reference-fidelity contract
     needs the default f64.
     """
-    ckt = _resolve(circuit)
+    ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:
@@ -226,7 +230,8 @@ def mc_tran_stats(
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
-               tensors.e_names, tensors.f_names, tensors.h_names], overrides)
+               tensors.e_names, tensors.f_names, tensors.h_names,
+               tensors.m_names, tensors.q_names], overrides)
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
     c_vals = _batch_values(tensors.c_vals, tensors.c_names, overrides, B)
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
@@ -258,6 +263,9 @@ def mc_tran_stats(
     fdt = jnp.float32 if precision == "f32" else jnp.float64
     ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
            for k, v in _batched_ext(tensors, overrides, B).items()}
+    nl = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+          for k, v in _batched_nl(tensors, overrides, B).items()}
+    nr = "converged" if (tensors.n_m or tensors.n_q) else "spicey"
     stats, n_valid = _mc_tran_stats_core(
         jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
         jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
@@ -269,9 +277,9 @@ def mc_tran_stats(
         jnp.asarray(tensors.s_von, fdt), jnp.asarray(tensors.s_voff, fdt),
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
-        ext,
+        ext, nl,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
-        qs=tuple(float(q) for q in quantiles), interpret=interpret,
+        qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))
     return MCStats(

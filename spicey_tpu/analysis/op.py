@@ -33,7 +33,7 @@ from ..constants import (
     GMIN,
     VT_300K,
 )
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
+from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays, nl_arrays
 from ..ops.linsolve import solve
 from ..ops.stamps import (
     stamp_admittance,
@@ -42,7 +42,8 @@ from ..ops.stamps import (
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
-from ..analysis.tran import _switch_update
+from ..analysis.tran import _stamp_nonlinear, _switch_update
+from ..models.devices import bjt_ebers_moll, mos_level1
 
 
 @dataclass
@@ -61,7 +62,7 @@ class OPResult:
 
 @partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
-             s_von, s_voff, d_idx, d_is, d_n, i_dc, ext,
+             s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj"):
     """Newton/hysteresis iteration to the DC solution.
@@ -93,6 +94,9 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         g_d = jnp.maximum((d_is / v_th) * ev, GMIN)
         A = stamp_admittance(A, d_idx, g_d)
         b = stamp_current(b, d_idx, i_d - g_d * vd_lim)
+        # MOSFET/BJT Newton companions, seeded from the current iterate
+        # (it=1 bypasses the transient engine's prev-timestep seeding)
+        A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None)
         return A[:nvar_op, :nvar_op], b[:nvar_op]
 
     def cond(st):
@@ -175,6 +179,7 @@ def simulate_op(
         jnp.asarray(remap(tensors.d_idx)),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         jnp.asarray(tensors.i_dc), ext_arrays(tensors, dump=dump),
+        nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
     )
     x = np.asarray(x)
@@ -221,4 +226,20 @@ def simulate_op(
         currents[name] = float(tensors.f_gain[k] * x[tensors.f_idx[k, 2]])
     for k, name in enumerate(tensors.h_names):
         currents[name] = float(x[tensors.h_idx[k, 2]])
+    if tensors.n_m:
+        mi = remap(tensors.m_idx)
+        vgs = x_pad[mi[:, 1]] - x_pad[mi[:, 2]]
+        vds = x_pad[mi[:, 0]] - x_pad[mi[:, 2]]
+        _, _, _, i_m = mos_level1(vgs, vds, tensors.m_beta, tensors.m_vto,
+                                  tensors.m_lambda, tensors.m_polarity)
+        for k, name in enumerate(tensors.m_names):
+            currents[name] = float(i_m[k])
+    if tensors.n_q:
+        qi = remap(tensors.q_idx)
+        vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
+        vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
+        *_, i_c, _i_b = bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
+                                       tensors.q_br, tensors.q_polarity)
+        for k, name in enumerate(tensors.q_names):
+            currents[name] = float(i_c[k])
     return OPResult(node_voltages=node_voltages, element_currents=currents)

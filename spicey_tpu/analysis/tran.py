@@ -53,15 +53,19 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     empty_ext,
+    empty_nl,
     ext_arrays,
+    nl_arrays,
     sample_source_values,
 )
+from ..models.devices import bjt_ebers_moll, mos_level1
 from ..ops.linsolve import solve
 from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
     stamp_current,
     stamp_extended,
+    stamp_vccs,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -72,9 +76,55 @@ def _vdrop(x_pad, idx):
     return x_pad[..., idx[:, 0]] - x_pad[..., idx[:, 1]]
 
 
+def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
+    """MOSFET/BJT Newton companions (models/devices.py). Seeds follow the
+    diode convention: previous-timestep junction voltages on iteration 0,
+    else the current iterate."""
+    m_idx = nl["m_idx"]
+    q_idx = nl["q_idx"]
+    if m_idx.shape[0]:
+        vgs_it = x_pad[..., m_idx[:, 1]] - x_pad[..., m_idx[:, 2]]
+        vds_it = x_pad[..., m_idx[:, 0]] - x_pad[..., m_idx[:, 2]]
+        if vm_prev is None:  # .op path: always the current iterate
+            vgs, vds = vgs_it, vds_it
+        else:
+            vgs = jnp.where(it == 0, vm_prev[..., 0], vgs_it)
+            vds = jnp.where(it == 0, vm_prev[..., 1], vds_it)
+        gm, gds, i_eq, _ = mos_level1(
+            vgs, vds, nl["m_beta"], nl["m_vto"], nl["m_lambda"], nl["m_pol"]
+        )
+        ds = m_idx[:, jnp.asarray([0, 2])]
+        A = stamp_admittance(A, ds, gds)
+        A = stamp_vccs(A, m_idx[:, jnp.asarray([0, 2, 1, 2])], gm)
+        b = stamp_current(b, ds, i_eq)
+    if q_idx.shape[0]:
+        vbe_it = x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]]
+        vbc_it = x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]]
+        if vq_prev is None:
+            vbe, vbc = vbe_it, vbc_it
+        else:
+            vbe = jnp.where(it == 0, vq_prev[..., 0], vbe_it)
+            vbc = jnp.where(it == 0, vq_prev[..., 1], vbc_it)
+        gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, _, _ = bjt_ebers_moll(
+            vbe, vbc, nl["q_is"], nl["q_bf"], nl["q_br"], nl["q_pol"]
+        )
+        be = q_idx[:, jnp.asarray([1, 2])]
+        bc = q_idx[:, jnp.asarray([1, 0])]
+        ce = q_idx[:, jnp.asarray([0, 2])]
+        A = stamp_admittance(A, be, gbe)
+        A = stamp_admittance(A, bc, gbc)
+        A = stamp_vccs(A, q_idx[:, jnp.asarray([0, 2, 1, 2])], gmf)
+        A = stamp_vccs(A, q_idx[:, jnp.asarray([0, 2, 1, 0])], -gmr)
+        b = stamp_current(b, be, ibe_eq)
+        b = stamp_current(b, bc, ibc_eq)
+        b = stamp_current(b, ce, ict_eq)
+    return A, b
+
+
 def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   i_prev_l, v_prev_l, vd_prev_d, sw_on,
-                  integration: str = "be", is_first=None):
+                  integration: str = "be", is_first=None,
+                  nl=None, vm_prev=None, vq_prev=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext) = tensors_arrays
@@ -131,6 +181,8 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     ieq = i_d - g_d * vd_lim
     A = stamp_admittance(A, d_idx, g_d)
     b = stamp_current(b, d_idx, ieq)
+    if nl is not None:
+        A, b = _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev)
     return A[..., :nvar, :nvar], b[..., :nvar]
 
 
@@ -147,7 +199,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
-               max_nr: int | None = None, ext=None,
+               max_nr: int | None = None, ext=None, nl=None,
                batch: int | None = None, interpret: bool = False):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
@@ -168,6 +220,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     """
     if ext is None:
         ext = empty_ext(vs_grid.dtype)
+    if nl is None:
+        nl = empty_nl(vs_grid.dtype)
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                       ext)
@@ -177,13 +231,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     n_l = l_idx.shape[0]
     n_s = s_idx.shape[0]
     n_d = d_idx.shape[0]
+    n_m = nl["m_idx"].shape[0]
+    n_q = nl["q_idx"].shape[0]
     if max_nr is None:
         max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
     def step_fn(carry, inputs):
         vs_t, is_first = inputs
-        (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw_on,
-         valid_all) = carry
+        (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
+         vq_prev, sw_on, valid_all) = carry
 
         def cond(st):
             _x, _sw, it, done, _ok = st
@@ -195,6 +251,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 tensors_arrays, nvar, dt, vs_t, x, it,
                 v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw,
                 integration=integration, is_first=is_first,
+                nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -248,9 +305,23 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             else:
                 i_prev_l = i_prev_l + (dt_c / l_vals) * vd_l
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
+        if n_m:
+            m_idx = nl["m_idx"]
+            vm_prev = jnp.stack(
+                [x_pad[..., m_idx[:, 1]] - x_pad[..., m_idx[:, 2]],
+                 x_pad[..., m_idx[:, 0]] - x_pad[..., m_idx[:, 2]]],
+                axis=-1,
+            )
+        if n_q:
+            q_idx = nl["q_idx"]
+            vq_prev = jnp.stack(
+                [x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]],
+                 x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]]],
+                axis=-1,
+            )
         valid_all = jnp.logical_and(valid_all, step_ok)
-        carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw_on,
-                 valid_all)
+        carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
+                 vq_prev, sw_on, valid_all)
         return carry, (x, sw_on)
 
     init = (
@@ -259,6 +330,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         jnp.zeros(lead + (n_l,), dtype=dtype),
         jnp.zeros(lead + (n_l,), dtype=dtype),
         jnp.zeros(lead + (n_d,), dtype=dtype),
+        jnp.zeros(lead + (n_m, 2), dtype=dtype),
+        jnp.zeros(lead + (n_q, 2), dtype=dtype),
         jnp.zeros(lead + (n_s,), jnp.bool_),
         jnp.ones(lead, jnp.bool_),
     )
@@ -346,6 +419,26 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             i_d = tensors.d_is[None, :] * (np.exp(vd / v_th) - 1.0)
         for k, name in enumerate(tensors.d_names):
             out[name] = i_d[:, k]
+    if tensors.n_m:
+        vgs = xs_pad[:, tensors.m_idx[:, 1]] - xs_pad[:, tensors.m_idx[:, 2]]
+        vds = xs_pad[:, tensors.m_idx[:, 0]] - xs_pad[:, tensors.m_idx[:, 2]]
+        _, _, _, i_m = mos_level1(
+            vgs, vds, tensors.m_beta[None, :], tensors.m_vto[None, :],
+            tensors.m_lambda[None, :], tensors.m_polarity[None, :],
+        )
+        i_m = np.asarray(i_m)
+        for k, name in enumerate(tensors.m_names):
+            out[name] = i_m[:, k]
+    if tensors.n_q:
+        vbe = xs_pad[:, tensors.q_idx[:, 1]] - xs_pad[:, tensors.q_idx[:, 2]]
+        vbc = xs_pad[:, tensors.q_idx[:, 1]] - xs_pad[:, tensors.q_idx[:, 0]]
+        *_, i_c, _i_b = bjt_ebers_moll(
+            vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
+            tensors.q_br[None, :], tensors.q_polarity[None, :],
+        )
+        i_c = np.asarray(i_c)
+        for k, name in enumerate(tensors.q_names):
+            out[name] = i_c[:, k]
     return out
 
 
@@ -369,6 +462,11 @@ def simulate_tran(
         raise ValueError("nr must be 'spicey' or 'converged'")
     if tensors is None:
         tensors = build_tensors(ckt)
+    # MOSFET/BJT devices are extended-dialect (no reference-parity contract)
+    # and genuinely need Newton iteration; auto-upgrade from the reference's
+    # break-on-switch-stability semantics
+    if (tensors.n_m or tensors.n_q) and nr == "spicey":
+        nr = "converged"
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     times = np.arange(steps + 1, dtype=np.float64) * dt
@@ -387,7 +485,8 @@ def simulate_tran(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
-        ext=ext_arrays(tensors), interpret=interpret,
+        ext=ext_arrays(tensors), nl=nl_arrays(tensors),
+        interpret=interpret,
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)

@@ -102,6 +102,22 @@ class CircuitTensors:
     h_r: np.ndarray
     h_names: tuple[str, ...]
 
+    # MOSFETs (extended dialect): (nM, 3) = [d, g, s] dump-mapped
+    m_idx: np.ndarray
+    m_beta: np.ndarray       # Kp * W / L
+    m_vto: np.ndarray
+    m_lambda: np.ndarray
+    m_polarity: np.ndarray   # +1 nmos, -1 pmos
+    m_names: tuple[str, ...]
+
+    # BJTs (extended dialect): (nQ, 3) = [c, b, e] dump-mapped
+    q_idx: np.ndarray
+    q_is: np.ndarray
+    q_bf: np.ndarray
+    q_br: np.ndarray
+    q_polarity: np.ndarray   # +1 npn, -1 pnp
+    q_names: tuple[str, ...]
+
     @property
     def n_r(self) -> int:
         return self.r_idx.shape[0]
@@ -145,6 +161,14 @@ class CircuitTensors:
     @property
     def n_h(self) -> int:
         return self.h_idx.shape[0]
+
+    @property
+    def n_m(self) -> int:
+        return self.m_idx.shape[0]
+
+    @property
+    def n_q(self) -> int:
+        return self.q_idx.shape[0]
 
 
 def _or0(x: float) -> float:
@@ -237,6 +261,29 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     h_r = np.asarray([h.r for h in ckt.H], dtype=np.float64)
     h_names = tuple(h.name for h in ckt.H)
 
+    m_idx = np.asarray(
+        [[midx(m.nd), midx(m.ng), midx(m.ns)] for m in ckt.M],
+        dtype=np.int32,
+    ).reshape(-1, 3)
+    m_beta = np.asarray(
+        [m.model.Kp * m.W / m.L for m in ckt.M], dtype=np.float64)
+    m_vto = np.asarray([m.model.Vto for m in ckt.M], dtype=np.float64)
+    m_lambda = np.asarray([m.model.Lambda for m in ckt.M], dtype=np.float64)
+    m_polarity = np.asarray(
+        [m.model.polarity for m in ckt.M], dtype=np.float64)
+    m_names = tuple(m.name for m in ckt.M)
+
+    q_idx = np.asarray(
+        [[midx(q.nc), midx(q.nb), midx(q.ne)] for q in ckt.Q],
+        dtype=np.int32,
+    ).reshape(-1, 3)
+    q_is = np.asarray([q.model.Is for q in ckt.Q], dtype=np.float64)
+    q_bf = np.asarray([q.model.Bf for q in ckt.Q], dtype=np.float64)
+    q_br = np.asarray([q.model.Br for q in ckt.Q], dtype=np.float64)
+    q_polarity = np.asarray(
+        [q.model.polarity for q in ckt.Q], dtype=np.float64)
+    q_names = tuple(q.name for q in ckt.Q)
+
     return CircuitTensors(
         nvar=nvar,
         n_node_vars=n_node_vars,
@@ -255,6 +302,10 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         e_idx=e_idx, e_gain=e_gain, e_names=e_names,
         f_idx=f_idx, f_gain=f_gain, f_names=f_names,
         h_idx=h_idx, h_r=h_r, h_names=h_names,
+        m_idx=m_idx, m_beta=m_beta, m_vto=m_vto, m_lambda=m_lambda,
+        m_polarity=m_polarity, m_names=m_names,
+        q_idx=q_idx, q_is=q_is, q_bf=q_bf, q_br=q_br,
+        q_polarity=q_polarity, q_names=q_names,
     )
 
 
@@ -283,6 +334,45 @@ def ext_arrays(tensors: CircuitTensors, dtype=None,
         "e_idx": idx(tensors.e_idx), "e_gain": jnp.asarray(tensors.e_gain, dt),
         "f_idx": idx(tensors.f_idx), "f_gain": jnp.asarray(tensors.f_gain, dt),
         "h_idx": idx(tensors.h_idx), "h_r": jnp.asarray(tensors.h_r, dt),
+    }
+
+
+def nl_arrays(tensors: CircuitTensors, dtype=None,
+              dump: int | None = None) -> dict:
+    """Nonlinear extended-device arrays (MOSFET/BJT) as one pytree."""
+    import jax.numpy as jnp
+
+    dt = jnp.float64 if dtype is None else dtype
+
+    def idx(a):
+        if dump is not None:
+            a = np.where(a == tensors.nvar, dump, a)
+        return jnp.asarray(np.asarray(a, np.int32))
+
+    return {
+        "m_idx": idx(tensors.m_idx),
+        "m_beta": jnp.asarray(tensors.m_beta, dt),
+        "m_vto": jnp.asarray(tensors.m_vto, dt),
+        "m_lambda": jnp.asarray(tensors.m_lambda, dt),
+        "m_pol": jnp.asarray(tensors.m_polarity, dt),
+        "q_idx": idx(tensors.q_idx),
+        "q_is": jnp.asarray(tensors.q_is, dt),
+        "q_bf": jnp.asarray(tensors.q_bf, dt),
+        "q_br": jnp.asarray(tensors.q_br, dt),
+        "q_pol": jnp.asarray(tensors.q_polarity, dt),
+    }
+
+
+def empty_nl(dtype=None) -> dict:
+    """An nl pytree with no MOSFETs/BJTs."""
+    import jax.numpy as jnp
+
+    dt = jnp.float64 if dtype is None else dtype
+    z3 = jnp.zeros((0, 3), jnp.int32)
+    v = jnp.zeros((0,), dt)
+    return {
+        "m_idx": z3, "m_beta": v, "m_vto": v, "m_lambda": v, "m_pol": v,
+        "q_idx": z3, "q_is": v, "q_bf": v, "q_br": v, "q_pol": v,
     }
 
 

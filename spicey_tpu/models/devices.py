@@ -1,0 +1,121 @@
+"""Nonlinear device linearizations: MOSFET level-1 and BJT (Ebers-Moll).
+
+Extended-dialect device families the reference does not implement (M and Q
+lines land in `skipped`, /root/reference/lib/parsing/parseNetlist.ts:444-446;
+BASELINE.json lists CMOS/BJT stamps as the stretch config). These are the
+Newton companion models consumed by the transient scan and the .op solve:
+each function maps junction/terminal voltages to (conductances, equivalent
+currents) for branch-free vectorized stamping — pure jnp, batch-dim agnostic,
+so one call linearizes every device across all Monte-Carlo lanes at once.
+
+Conventions:
+  - device polarity is a ±1 "type" array (NMOS/NPN = +1, PMOS/PNP = -1);
+    equations run in the reflected (+1) frame and currents map back by the
+    type sign, so no boolean branching enters the compiled program;
+  - conductances get a GMIN floor (same 1e-12 the diode companion uses,
+    simulateTRAN.ts:95) so cutoff devices never produce singular systems;
+  - BJT junctions use the diode's voltage clamp [-1.0, +0.8] V
+    (simulateTRAN.ts:89-91) to bound exp() during Newton; the MOSFET square
+    law is polynomial and needs no limiting.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, VT_300K
+
+
+def mos_level1(vgs, vds, beta, vto, lam, mtype):
+    """MOSFET level-1 (Shichman-Hodges) linearization.
+
+    vgs, vds: (..., nM) terminal voltages (gate-source, drain-source);
+    beta = Kp*W/L; vto threshold; lam channel-length modulation; mtype ±1.
+
+    Returns (gm, gds, i_eq, i_d):
+      i_d(vgs, vds) ≈ gm*vgs + gds*vds + i_eq  (drain->source current)
+    with source/drain swap symmetry for vds < 0.
+    """
+    s = mtype
+    vgs_r = s * vgs
+    vds_r = s * vds
+    # symmetric operation: for vds_r < 0 exchange drain and source
+    swap = vds_r < 0
+    vgs_e = jnp.where(swap, vgs_r - vds_r, vgs_r)  # = vgd when swapped
+    vds_e = jnp.abs(vds_r)
+
+    # the threshold reflects with the device polarity: an enhancement PMOS
+    # carries Vto < 0 (SPICE convention) and conducts when s*vgs > s*vto
+    vov = vgs_e - s * vto
+    cutoff = vov <= 0.0
+    sat = vds_e >= vov
+    one_lam = 1.0 + lam * vds_e
+
+    id_sat = 0.5 * beta * vov * vov * one_lam
+    id_tri = beta * (vov - 0.5 * vds_e) * vds_e * one_lam
+    i_fwd = jnp.where(cutoff, 0.0, jnp.where(sat, id_sat, id_tri))
+
+    gm_sat = beta * vov * one_lam
+    gm_tri = beta * vds_e * one_lam
+    gm_e = jnp.where(cutoff, 0.0, jnp.where(sat, gm_sat, gm_tri))
+
+    gds_sat = 0.5 * beta * vov * vov * lam
+    gds_tri = (beta * (vov - vds_e) * one_lam
+               + beta * (vov - 0.5 * vds_e) * vds_e * lam)
+    gds_e = jnp.where(cutoff, 0.0, jnp.where(sat, gds_sat, gds_tri))
+
+    # map the swapped frame back: i_d = -i_fwd; with vgs_e = vgs_r - vds_r,
+    # vds_e = -vds_r the chain rule gives
+    #   gm  = d i_d / d vgs_r = -gm_e
+    #   gds = d i_d / d vds_r = gm_e + gds_e
+    i_r = jnp.where(swap, -i_fwd, i_fwd)
+    gm_r = jnp.where(swap, -gm_e, gm_e)
+    gds_r = jnp.where(swap, gm_e + gds_e, gds_e)
+    gds_r = jnp.maximum(gds_r, GMIN)
+
+    # reflect to the physical frame: i_d = s * i_r(s*vgs, s*vds), so the
+    # conductances are sign-invariant and only the equivalent source flips
+    i_d = s * i_r
+    i_eq = i_d - gm_r * vgs - gds_r * vds
+    return gm_r, gds_r, i_eq, i_d
+
+
+def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype):
+    """BJT Ebers-Moll (transport form) linearization.
+
+    vbe, vbc: (..., nQ) junction voltages; i_s saturation current;
+    bf/br forward/reverse beta; qtype ±1 (NPN/PNP).
+
+    Returns (gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, i_c, i_b) where
+      base-emitter diode:  i = gbe*vbe + ibe_eq
+      base-collector diode: i = gbc*vbc + ibc_eq
+      transport source c->e: i = gmf*vbe - gmr*vbc + ict_eq
+    and i_c/i_b are the full nonlinear collector/base terminal currents
+    (for result recording).
+    """
+    s = qtype
+    vt = VT_300K
+    vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN, DIODE_VD_MAX)
+    vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN, DIODE_VD_MAX)
+
+    ebe = jnp.exp(vbe_l / vt)
+    ebc = jnp.exp(vbc_l / vt)
+
+    ibe = (i_s / bf) * (ebe - 1.0)
+    ibc = (i_s / br) * (ebc - 1.0)
+    ict = i_s * (ebe - ebc)
+
+    gbe = jnp.maximum((i_s / bf) / vt * ebe, GMIN)
+    gbc = jnp.maximum((i_s / br) / vt * ebc, GMIN)
+    gmf = jnp.maximum(i_s / vt * ebe, GMIN)
+    gmr = jnp.maximum(i_s / vt * ebc, GMIN)
+
+    # equivalent sources in the reflected frame, then flip by the type sign
+    # (conductances are invariant: i and v flip together)
+    ibe_eq = s * (ibe - gbe * vbe_l)
+    ibc_eq = s * (ibc - gbc * vbc_l)
+    ict_eq = s * (ict - gmf * vbe_l + gmr * vbc_l)
+
+    i_c = s * (ict - ibc)
+    i_b = s * (ibe + ibc)
+    return gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, i_c, i_b

@@ -196,6 +196,64 @@ class DiodeModel:
 
 
 @dataclass
+class MOSModel:
+    """Extended-dialect level-1 MOSFET model (.model <name> nmos|pmos).
+
+    SPICE level-1 defaults: Vto=0, Kp=2e-5 A/V^2, Lambda=0.
+    """
+
+    name: str
+    polarity: float = 1.0  # +1 nmos, -1 pmos
+    Vto: float = 0.0
+    Kp: float = 2e-5
+    Lambda: float = 0.0
+
+
+@dataclass
+class BJTModel:
+    """Extended-dialect Ebers-Moll BJT model (.model <name> npn|pnp).
+
+    SPICE defaults: Is=1e-16 A, Bf=100, Br=1.
+    """
+
+    name: str
+    polarity: float = 1.0  # +1 npn, -1 pnp
+    Is: float = 1e-16
+    Bf: float = 100.0
+    Br: float = 1.0
+
+
+@dataclass
+class MOSFET:
+    """Extended-dialect M element: ``M name nd ng ns [nb] model [w=] [l=]``.
+
+    The bulk node, when present, is parsed but ignored (no body effect at
+    level 1 without it). beta = Kp * W / L with W = L = 100 um defaults.
+    """
+
+    name: str
+    nd: int
+    ng: int
+    ns: int
+    model_name: str
+    W: float = 100e-6
+    L: float = 100e-6
+    model: MOSModel | None = None
+
+
+@dataclass
+class BJT:
+    """Extended-dialect Q element: ``Q name nc nb ne model``."""
+
+    name: str
+    nc: int
+    nb: int
+    ne: int
+    model_name: str
+    model: BJTModel | None = None
+
+
+@dataclass
 class Switch:
     name: str
     n1: int
@@ -243,6 +301,8 @@ class ParsedCircuit:
     E: list[VCVS] = field(default_factory=list)  # extended dialect
     F: list[CCCS] = field(default_factory=list)  # extended dialect
     H: list[CCVS] = field(default_factory=list)  # extended dialect
+    M: list[MOSFET] = field(default_factory=list)  # extended dialect
+    Q: list[BJT] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     op: bool = False  # extended dialect .op directive
@@ -250,6 +310,8 @@ class ParsedCircuit:
     skipped: list[str] = field(default_factory=list)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
+    mos_models: dict[str, MOSModel] = field(default_factory=dict)
+    bjt_models: dict[str, BJTModel] = field(default_factory=dict)
     title: str | None = None
 
     @property
@@ -362,6 +424,28 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "n" in params:
                 model.N = params["n"]
             ckt.diode_models[name_token.lower()] = model
+        elif type_lower in ("nmos", "pmos") and dialect == "extended":
+            model = MOSModel(name=name_token,
+                             polarity=1.0 if type_lower == "nmos" else -1.0)
+            params = _parse_model_params(params_str)
+            if "vto" in params:
+                model.Vto = params["vto"]
+            if "kp" in params:
+                model.Kp = params["kp"]
+            if "lambda" in params:
+                model.Lambda = params["lambda"]
+            ckt.mos_models[name_token.lower()] = model
+        elif type_lower in ("npn", "pnp") and dialect == "extended":
+            model = BJTModel(name=name_token,
+                             polarity=1.0 if type_lower == "npn" else -1.0)
+            params = _parse_model_params(params_str)
+            if "is" in params:
+                model.Is = params["is"]
+            if "bf" in params:
+                model.Bf = params["bf"]
+            if "br" in params:
+                model.Br = params["br"]
+            ckt.bjt_models[name_token.lower()] = model
         else:
             ckt.skipped.append(line)
     else:
@@ -506,6 +590,45 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 _parse_voltage_source(ckt, name, tokens)
             elif type_char == "i" and dialect == "extended":
                 _parse_current_source(ckt, name, tokens)
+            elif type_char == "m" and dialect == "extended":
+                nd = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "MOSFET missing drain node"))
+                ng = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "MOSFET missing gate node"))
+                ns = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "MOSFET missing source node"))
+                rest = tokens[4:]
+                if not rest:
+                    raise ValueError("MOSFET missing model")
+                # optional bulk node: present when a second bare token
+                # precedes the model name (``d g s b model``)
+                kv = [t for t in rest if "=" in t]
+                bare = [t for t in rest if "=" not in t]
+                if len(bare) == 2:
+                    ckt.nodes.get_or_create(bare[0])  # bulk: parsed, unused
+                    model_name = bare[1]
+                elif len(bare) == 1:
+                    model_name = bare[0]
+                else:
+                    raise ValueError("MOSFET missing model")
+                mos = MOSFET(name=name, nd=nd, ng=ng, ns=ns,
+                             model_name=model_name.lower())
+                params = _parse_model_params(" ".join(kv))
+                if "w" in params:
+                    mos.W = params["w"]
+                if "l" in params:
+                    mos.L = params["l"]
+                ckt.M.append(mos)
+            elif type_char == "q" and dialect == "extended":
+                nc = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "BJT missing collector node"))
+                nb = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "BJT missing base node"))
+                ne = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "BJT missing emitter node"))
+                model_name = _require(tokens, 4, "BJT missing model")
+                ckt.Q.append(BJT(name=name, nc=nc, nb=nb, ne=ne,
+                                 model_name=model_name.lower()))
             elif type_char in ("f", "h") and dialect == "extended":
                 n1 = ckt.nodes.get_or_create(
                     _require(tokens, 1, "Controlled source missing node"))
@@ -605,5 +728,21 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 f"Unknown .model {d.model_name} referenced by diode {d.name}"
             )
         d.model = model
+
+    for m in ckt.M:
+        model = ckt.mos_models.get(m.model_name)
+        if model is None:
+            raise ValueError(
+                f"Unknown .model {m.model_name} referenced by MOSFET {m.name}"
+            )
+        m.model = model
+
+    for q in ckt.Q:
+        model = ckt.bjt_models.get(q.model_name)
+        if model is None:
+            raise ValueError(
+                f"Unknown .model {q.model_name} referenced by BJT {q.name}"
+            )
+        q.model = model
 
     return ckt
