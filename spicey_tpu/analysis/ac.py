@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import EPS
+from ..constants import (
+    DIODE_VD_MAX,
+    DIODE_VD_MIN,
+    EPS,
+    GMIN,
+    VT_300K,
+)
 from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
 from ..ops.linsolve import solve_planes
 from ..ops.stamps import (
@@ -163,12 +169,85 @@ def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray
     return out
 
 
+def _op_voltage_pad(tensors: CircuitTensors, op) -> np.ndarray:
+    """Node voltages of an OPResult laid out as a padded tran/AC-ordering
+    solution vector (ground dump slot = 0 V)."""
+    x_pad = np.zeros(tensors.nvar + 1)
+    for i, name in enumerate(tensors.node_names):
+        x_pad[i] = op.node_voltages[name]
+    return x_pad
+
+
+def small_signal_rows(tensors: CircuitTensors, op):
+    """Small-signal conductances of every nonlinear device at the DC
+    operating point, expressed as VCCS rows ((n,4) idx, (n,) gm).
+
+    An admittance g between (a, b) is the self-controlled VCCS
+    [a, b, a, b]; the MOSFET gm is [d, s, g, s]; the BJT transport terms
+    are [c, e, b, e] (+gmf) and [c, e, b, c] (-gmr). This is the extension
+    the reference lacks entirely — its AC ignores D/S devices because no
+    operating point exists (SURVEY §2.9).
+    """
+    from ..models.devices import bjt_ebers_moll, mos_level1
+
+    x_pad = _op_voltage_pad(tensors, op)
+    rows: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+
+    def adm(idx2, g):
+        rows.append(np.concatenate([idx2, idx2], axis=1))
+        vals.append(np.asarray(g, np.float64))
+
+    if tensors.n_d:
+        vd = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
+        vd_lim = np.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+        v_th = tensors.d_n * VT_300K
+        g_d = np.maximum(tensors.d_is / v_th * np.exp(vd_lim / v_th), GMIN)
+        adm(tensors.d_idx, g_d)
+    if tensors.n_s:
+        on = np.asarray([op.switch_states[n] for n in tensors.s_names])
+        r_sw = np.where(on, tensors.s_ron, tensors.s_roff)
+        adm(tensors.s_idx[:, :2], 1.0 / np.maximum(np.abs(r_sw), EPS))
+    if tensors.n_m:
+        mi = tensors.m_idx
+        vgs = x_pad[mi[:, 1]] - x_pad[mi[:, 2]]
+        vds = x_pad[mi[:, 0]] - x_pad[mi[:, 2]]
+        gm, gds, _, _ = mos_level1(vgs, vds, tensors.m_beta, tensors.m_vto,
+                                   tensors.m_lambda, tensors.m_polarity)
+        rows.append(mi[:, [0, 2, 1, 2]])
+        vals.append(np.asarray(gm, np.float64))
+        adm(mi[:, [0, 2]], np.asarray(gds))
+    if tensors.n_q:
+        qi = tensors.q_idx
+        vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
+        vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
+        gbe, gbc, gmf, gmr, *_ = bjt_ebers_moll(
+            vbe, vbc, tensors.q_is, tensors.q_bf, tensors.q_br,
+            tensors.q_polarity)
+        adm(qi[:, [1, 2]], np.asarray(gbe))
+        adm(qi[:, [1, 0]], np.asarray(gbc))
+        rows.append(qi[:, [0, 2, 1, 2]])
+        vals.append(np.asarray(gmf, np.float64))
+        rows.append(qi[:, [0, 2, 1, 0]])
+        vals.append(-np.asarray(gmr, np.float64))
+    if not rows:
+        return np.zeros((0, 4), np.int32), np.zeros((0,), np.float64)
+    return (np.concatenate(rows, axis=0).astype(np.int32),
+            np.concatenate(vals, axis=0))
+
+
 def simulate_ac(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
     method: str = "gj",
     interpret: bool = False,
+    linearize: str | None = None,
 ) -> ACResult | None:
+    """AC sweep. ``linearize=None`` (default) keeps reference parity:
+    nonlinear devices are NOT stamped (simulateAC.ts:24-60). With
+    ``linearize="op"`` the circuit's DC operating point is solved first and
+    every diode/switch/MOSFET/BJT contributes its small-signal conductances
+    — proper amplifier AC analysis the reference cannot do."""
     if ckt.ac is None:
         return None
     for r in ckt.R:
@@ -177,6 +256,8 @@ def simulate_ac(
 
     if tensors is None:
         tensors = build_tensors(ckt)
+    if linearize not in (None, "op"):
+        raise ValueError("linearize must be None or 'op'")
     freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
 
     # V phasors: fromPolar(acMag, acPhaseDeg) (Complex.ts:16-19)
@@ -187,6 +268,17 @@ def simulate_ac(
     i_re = tensors.i_ac_mag * np.cos(iph)
     i_im = tensors.i_ac_mag * np.sin(iph)
 
+    ext = ext_arrays(tensors)
+    if linearize == "op":
+        from .op import simulate_op
+
+        op = simulate_op(ckt, tensors=tensors, method=method)
+        ss_idx, ss_g = small_signal_rows(tensors, op)
+        ext["g_idx"] = jnp.concatenate(
+            [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
+        ext["g_gm"] = jnp.concatenate(
+            [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
+
     x_re, x_im, valid = _ac_sweep_core(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
@@ -194,7 +286,7 @@ def simulate_ac(
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
         jnp.asarray(tensors.v_idx), jnp.asarray(v_re), jnp.asarray(v_im),
         nvar=tensors.nvar, method=method, interpret=interpret,
-        ext=ext_arrays(tensors),
+        ext=ext,
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
     )
     if not bool(np.all(np.asarray(valid))):

@@ -50,6 +50,7 @@ from ..models.devices import bjt_ebers_moll, mos_level1
 class OPResult:
     node_voltages: dict[str, float]
     element_currents: dict[str, float]
+    switch_states: dict[str, bool] = None  # converged hysteresis states
 
     @property
     def nodeVoltages(self):
@@ -216,6 +217,9 @@ def simulate_op(
         currents[name] = float(tensors.d_is[k] * (np.exp(vd / v_th) - 1.0))
     for k, name in enumerate(tensors.i_names):
         currents[name] = float(tensors.i_dc[k])
+    switch_states = {
+        name: bool(sw_np[k]) for k, name in enumerate(tensors.s_names)
+    }
     gi = remap(tensors.g_idx)
     for k, name in enumerate(tensors.g_names):
         vc = x_pad[gi[k, 2]] - x_pad[gi[k, 3]]
@@ -242,4 +246,5 @@ def simulate_op(
                                        tensors.q_br, tensors.q_polarity)
         for k, name in enumerate(tensors.q_names):
             currents[name] = float(i_c[k])
-    return OPResult(node_voltages=node_voltages, element_currents=currents)
+    return OPResult(node_voltages=node_voltages, element_currents=currents,
+                    switch_states=switch_states)

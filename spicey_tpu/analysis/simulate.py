@@ -15,11 +15,18 @@ from .tran import simulate_tran
 
 
 def simulate(netlist_text: str, method: str = "gj",
-             dialect: str = "spicey") -> SimulationResult:
+             dialect: str = "spicey",
+             ac_linearize: str | None = None) -> SimulationResult:
+    """Parse and run every requested analysis.
+
+    ``ac_linearize="op"`` makes the AC sweep linearize nonlinear devices
+    around the DC operating point (analysis/ac.py); the default keeps the
+    reference behavior of not stamping them."""
     circuit = parse_netlist(netlist_text, dialect=dialect)
     tensors = build_tensors(circuit)
     op = simulate_op(circuit, tensors=tensors, method=method) \
         if circuit.op else None
-    ac = simulate_ac(circuit, tensors=tensors, method=method)
+    ac = simulate_ac(circuit, tensors=tensors, method=method,
+                     linearize=ac_linearize)
     tran = simulate_tran(circuit, tensors=tensors, method=method)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op)

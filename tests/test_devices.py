@@ -191,3 +191,67 @@ def test_ring_mc_stats():
     # every lane oscillates: the late-time min/max envelope spans the rails
     assert float(st.max[-200:].max()) > 4.0
     assert float(st.min[-200:].min()) < 1.0
+
+
+def test_small_signal_ac_mosfet_gain():
+    """linearize="op": common-source gain = -gm*Rd = -2 exactly
+    (lambda=0); the default (reference-parity) AC leaves the device open."""
+    from spicey_tpu.analysis.ac import simulate_ac
+
+    net = """t
+.model mn nmos(vto=1 kp=2m)
+vdd vdd 0 5
+vg gt 0 dc 2 ac 1
+rd vdd d 1k
+m1 d gt 0 mn
+.ac lin 3 10 1000
+"""
+    ckt = parse_netlist(net, dialect="extended")
+    ac = simulate_ac(ckt, linearize="op")
+    np.testing.assert_allclose(np.real(ac.node_voltages["d"]), -2.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.imag(ac.node_voltages["d"]), 0.0,
+                               atol=1e-12)
+    ac0 = simulate_ac(ckt)
+    np.testing.assert_allclose(ac0.node_voltages["d"], 0.0, atol=1e-15)
+
+
+def test_small_signal_ac_bjt_gain():
+    """1 uA AC base drive through the current gain: |v(c)| = Bf*Rc*1u."""
+    from spicey_tpu.analysis.ac import simulate_ac
+
+    net = """t
+.model qn npn(is=1e-16 bf=100)
+vcc vcc 0 5
+ib 0 bs dc 10u ac 1u
+rc vcc c 1k
+q1 c bs 0 qn
+.ac lin 3 10 1000
+"""
+    ac = simulate_ac(parse_netlist(net, dialect="extended"), linearize="op")
+    np.testing.assert_allclose(np.real(ac.node_voltages["c"]), -0.1,
+                               rtol=1e-4)
+
+
+def test_small_signal_ac_diode():
+    """A diode biased at Id has small-signal conductance gd = Id'/(N*Vt);
+    check the divider against the host-computed gd."""
+    from spicey_tpu.analysis.ac import simulate_ac
+    from spicey_tpu.analysis.op import simulate_op
+    from spicey_tpu.constants import VT_300K
+
+    net = """t
+.model dm d(is=1e-14)
+v1 a 0 dc 5 ac 1
+r1 a k 10k
+d1 k 0 dm
+.ac lin 2 10 100
+"""
+    ckt = parse_netlist(net, dialect="extended")
+    op = simulate_op(ckt)
+    vd0 = op.node_voltages["k"]
+    gd = 1e-14 / VT_300K * np.exp(vd0 / VT_300K)
+    expect = (1.0 / 1e4) / (1.0 / 1e4 + gd)  # divider ac gain
+    ac = simulate_ac(ckt, linearize="op")
+    np.testing.assert_allclose(np.real(ac.node_voltages["k"]), expect,
+                               rtol=1e-9)
