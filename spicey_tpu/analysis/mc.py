@@ -85,11 +85,12 @@ def _stats_of(resp, valid, qs):
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "interpret"))
+                                   "interpret", "chunk", "n_real"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
-                      interpret: bool = False):
+                      interpret: bool = False, chunk: int | None = None,
+                      n_real: int | None = None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -99,15 +100,50 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                               v_idx, vre, vim, nvar,
                               ext=ext_b, i_re=i_re, i_im=i_im)
 
-    # assemble over (B, F); solve ONCE over the flattened batch so the
-    # Pallas kernel sees a single lane-dense grid instead of B tiny,
-    # mostly-padding calls under vmap
-    A_re, A_im, b_re, b_im = jax.vmap(
-        one, in_axes=(0, 0, 0, 0, 0, ext_axes)
-    )(r_vals, c_vals, l_vals, v_re, v_im, ext)
-    x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
-                                     method=method, interpret=interpret)
-    mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
+    def solve_block(rv, cv, lv, vre, vim, ext_b):
+        # assemble over (b, F); solve ONCE over the flattened block so the
+        # Pallas kernel sees a single lane-dense grid instead of b tiny,
+        # mostly-padding calls under vmap
+        A_re, A_im, b_re, b_im = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, ext_axes)
+        )(rv, cv, lv, vre, vim, ext_b)
+        x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
+                                         method=method, interpret=interpret)
+        mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
+        return mag, valid
+
+    B = r_vals.shape[0]
+    if chunk is None or chunk >= B:
+        mag, valid = solve_block(r_vals, c_vals, l_vals, v_re, v_im, ext)
+    else:
+        # constant-memory tier for huge sweeps: only (chunk, F, 2N, 2N)
+        # solve buffers are live at once; the (B, F) response is all that
+        # accumulates. B must divide by chunk (callers pad).
+        C = B // chunk
+
+        def resh(a):
+            return a.reshape((C, chunk) + a.shape[1:])
+
+        ext_fixed = {k: v for k, v in ext.items() if k.endswith("idx")}
+        ext_vals = {k: resh(v) for k, v in ext.items()
+                    if not k.endswith("idx")}
+
+        def body(args):
+            rv, cv, lv, vre, vim, ev = args
+            return solve_block(rv, cv, lv, vre, vim, {**ext_fixed, **ev})
+
+        mag, valid = jax.lax.map(
+            body,
+            (resh(r_vals), resh(c_vals), resh(l_vals), resh(v_re),
+             resh(v_im), ext_vals),
+        )
+        mag = mag.reshape((B,) + mag.shape[2:])
+        valid = valid.reshape((B,) + valid.shape[2:])
+    if n_real is not None and n_real < B:
+        # chunk padding: drop the duplicated pad lanes from the statistics
+        valid = jnp.logical_and(
+            valid, (jnp.arange(B) < n_real)[:, None]
+        )
     stats = _stats_of(mag, valid, qs)
     n_valid = jnp.sum(jnp.all(valid, axis=-1))
     return stats, n_valid
@@ -123,8 +159,14 @@ def mc_ac_stats(
     precision: str = "f64",
     interpret: bool = False,
     dialect: str = "spicey",
+    chunk: int | None = None,
 ) -> MCStats:
     """Distribution of |V(node)| per frequency across parameter variants.
+
+    ``chunk``: process the batch in blocks of this size (lax.map), bounding
+    device memory for huge sweeps / large circuits — only the (B, F) node
+    response stays resident across blocks. The batch is padded to a
+    multiple of ``chunk``; padded lanes are excluded from the statistics.
 
     precision="f32" runs the whole pipeline (assembly + solve + reduction)
     in float32 — pair it with method="pallas" for the batch-major TPU kernel
@@ -161,6 +203,17 @@ def mc_ac_stats(
     iph = tensors.i_ac_phase_deg * math.pi / 180.0
     i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph), fdt)
     i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph), fdt)
+    n_pad = 0
+    if chunk is not None and chunk < B:
+        n_pad = (-B) % chunk
+
+        def pad(a):
+            return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], axis=0)                 if n_pad else a
+
+        r_vals, c_vals, l_vals = pad(r_vals), pad(c_vals), pad(l_vals)
+        v_re, v_im = pad(v_re), pad(v_im)
+        ext = {k: (v if k.endswith("idx") else jnp.asarray(pad(np.asarray(v))))
+               for k, v in ext.items()}
     stats, n_valid = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
         jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
@@ -170,6 +223,7 @@ def mc_ac_stats(
         jnp.asarray(v_im, fdt), ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
+        chunk=chunk, n_real=B if n_pad else None,
     )
     q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(freqs)))
     return MCStats(

@@ -65,14 +65,18 @@ def gj_solve(A, b, eps: float = EPS):
         Ab = Ab - factor[:, None] * pivot_row[None, :]
         Ab = jnp.where(onehot[:, None], pivot_row[None, :], Ab)
         used = jnp.logical_or(used, onehot)
-        P = P + jnp.outer(
-            onehot.astype(dtype), (rows == k).astype(dtype)
-        )
+        # broadcast multiply, not jnp.outer: outer lowers to an f64 dot,
+        # which XLA:TPU cannot place on the (f32-only) MXU
+        P = P + (onehot.astype(dtype)[:, None]
+                 * (rows == k).astype(dtype)[None, :])
         return Ab, used, P, valid
 
     Ab, used, P, valid = lax.fori_loop(0, N, body, (Ab, used, P, valid))
     # After full elimination each pivot row r carries x[k] in its RHS entry.
-    x = P.T @ Ab[:, N]
+    # Written as multiply+reduce, NOT a dot: XLA:TPU lowers f64 dots onto
+    # the MXU, which has no f64 path (compile failure at N >~ 32); the
+    # reduce form stays on the VPU's emulated-f64 path.
+    x = jnp.sum(P * Ab[:, N][:, None], axis=0)
     return x, valid
 
 

@@ -241,7 +241,8 @@ def pallas_gj_solve_real(A, b, eps: float = EPS, refine: int = 2,
     x = x32.astype(in_dtype)
     if in_dtype != jnp.float32:
         for _ in range(refine):
-            r = b - jnp.einsum("bij,bj->bi", A, x)
+            # multiply+reduce, not einsum: f64 dots cannot lower to the MXU
+            r = b - jnp.sum(A * x[:, None, :], axis=-1)
             dx, _ = _solve_real_f32(A32, r.astype(jnp.float32), eps, interpret)
             x = x + dx.astype(in_dtype)
     return x, valid
@@ -307,11 +308,11 @@ def pallas_gj_solve_complex(Ar, Ai, br, bi, eps: float = EPS,
     xi = xi32.astype(in_dtype)
     if in_dtype != jnp.float32:
         for _ in range(refine):
-            # complex residual r = b - A x on (re, im) planes in f64
-            ax_r = (jnp.einsum("bij,bj->bi", Ar, xr)
-                    - jnp.einsum("bij,bj->bi", Ai, xi))
-            ax_i = (jnp.einsum("bij,bj->bi", Ar, xi)
-                    + jnp.einsum("bij,bj->bi", Ai, xr))
+            # complex residual r = b - A x on (re, im) planes in f64,
+            # multiply+reduce (f64 dots cannot lower to the MXU)
+            mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
+            ax_r = mv(Ar, xr) - mv(Ai, xi)
+            ax_i = mv(Ar, xi) + mv(Ai, xr)
             rr = br - ax_r
             ri = bi - ax_i
             dxr, dxi, _ = _solve_complex_f32(

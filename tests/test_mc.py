@@ -116,3 +116,43 @@ def test_mc_tran_pallas_tier_interpret():
     scale = np.max(np.abs(f64.mean))
     assert np.max(np.abs(pal.mean - f64.mean)) < 1e-5 * scale
     assert pal.n_valid == B
+
+
+def test_mc_ac_chunked_matches_unchunked():
+    """chunk= bounds device memory via lax.map over batch blocks; results
+    (incl. pad-lane exclusion when B % chunk != 0) must be identical."""
+    B = 37  # deliberately not a multiple of the chunk size
+    rng = np.random.default_rng(11)
+    overrides = {
+        "r1": 30.0 * (1 + 0.2 * rng.random(B)),
+        "c1": 100e-6 * (1 + 0.2 * rng.random(B)),
+    }
+    a = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2")
+    b = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2", chunk=8)
+    np.testing.assert_allclose(b.mean, a.mean, rtol=1e-13)
+    np.testing.assert_allclose(b.std, a.std, rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(b.min, a.min, rtol=1e-13)
+    np.testing.assert_allclose(b.max, a.max, rtol=1e-13)
+    np.testing.assert_allclose(b.quantiles[50.0], a.quantiles[50.0],
+                               rtol=1e-10)
+    assert b.n_valid == B and b.n_total == B
+
+
+def test_mc_ac_larger_circuit_ladder():
+    """20-stage RC ladder (Nvar=22): larger dense systems through the full
+    MC pipeline."""
+    rng = np.random.default_rng(12)
+    lines = ["a 20-stage rc ladder", "v1 n0 0 dc 0 ac 1"]
+    for i in range(20):
+        lines.append(f"r{i} n{i} n{i+1} 100")
+        lines.append(f"c{i} n{i+1} 0 1u")
+    lines.append(".ac dec 5 1 1k")
+    from spicey_tpu import parse_netlist
+
+    lad = parse_netlist("\n".join(lines))
+    B = 16
+    st = mc_ac_stats(lad, {"r0": 100 * (1 + 0.1 * rng.random(B))},
+                     node="n20", chunk=8)
+    assert st.n_valid == B
+    # low-frequency limit: near-unity transfer through the ladder
+    np.testing.assert_allclose(st.mean[0], 1.0, rtol=1e-2)
