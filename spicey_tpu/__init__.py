@@ -43,7 +43,14 @@ from .analysis.batch import (
     simulate_tran_batch,
 )
 from .analysis.mc import MCStats, mc_ac_stats, mc_tran_stats
-from .analysis.op import OPResult, simulate_op
+from .analysis.op import (
+    BatchOPResult,
+    DCResult,
+    OPResult,
+    op_batch,
+    simulate_dc,
+    simulate_op,
+)
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units

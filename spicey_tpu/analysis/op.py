@@ -36,6 +36,7 @@ from ..constants import (
 from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays, nl_arrays
 from ..ops.linsolve import solve
 from ..ops.stamps import (
+    pad_solution,
     stamp_admittance,
     stamp_current,
     stamp_extended,
@@ -61,21 +62,26 @@ class OPResult:
         return self.element_currents
 
 
-@partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method"))
+@partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method",
+                                   "batch"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
-             method: str = "gj"):
+             method: str = "gj", batch: int | None = None):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
+    ``batch=B`` solves B corners natively: value arrays may carry a (B,)
+    lead dim and each Newton pass performs one (B, N, N) solve, with
+    per-lane done masking (same structure as tran._tran_core).
     """
     dtype = r_vals.dtype
     n_s = s_idx.shape[0]
+    lead = () if batch is None else (batch,)
 
     def assemble(x, sw_on, it):
-        A = jnp.zeros((nvar_op + 1, nvar_op + 1), dtype=dtype)
-        b = jnp.zeros((nvar_op + 1,), dtype=dtype)
+        A = jnp.zeros(lead + (nvar_op + 1, nvar_op + 1), dtype=dtype)
+        b = jnp.zeros(lead + (nvar_op + 1,), dtype=dtype)
         A = stamp_admittance(A, r_idx, 1.0 / r_vals)
         # L shorts: voltage-source pattern with 0 V
         A, b = stamp_voltage_source(A, b, l_bidx,
@@ -86,8 +92,8 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         r_sw = jnp.where(sw_on, s_ron, s_roff)
         A = stamp_admittance(A, s_idx[:, :2],
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
-        x_pad = jnp.concatenate([x, jnp.zeros((1,), dtype=dtype)])
-        vd = x_pad[d_idx[:, 0]] - x_pad[d_idx[:, 1]]
+        x_pad = pad_solution(x, nvar_op)
+        vd = x_pad[..., d_idx[:, 0]] - x_pad[..., d_idx[:, 1]]
         vd_lim = jnp.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
         v_th = d_n * VT_300K
         ev = jnp.exp(vd_lim / v_th)
@@ -98,7 +104,7 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         # MOSFET/BJT Newton companions, seeded from the current iterate
         # (it=1 bypasses the transient engine's prev-timestep seeding)
         A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None)
-        return A[:nvar_op, :nvar_op], b[:nvar_op]
+        return A[..., :nvar_op, :nvar_op], b[..., :nvar_op]
 
     def cond(st):
         _x, _sw, it, done, _ok = st
@@ -108,49 +114,38 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         x, sw, it, done, ok = st
         A, b = assemble(x, sw, it)
         x_new, solve_ok = solve(A, b, method=method)
-        x_pad = jnp.concatenate(
-            [x_new, jnp.zeros((1,), dtype=dtype)]
-        )
+        x_pad = pad_solution(x_new, nvar_op)
         new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad)
-        switched = jnp.any(new_on != sw) if n_s else jnp.asarray(False)
-        delta = jnp.max(jnp.abs(x_new - x)) if nvar_op else jnp.asarray(0.0)
-        scale = 1.0 + (jnp.max(jnp.abs(x_new)) if nvar_op else 0.0)
+        switched = (jnp.any(new_on != sw, axis=-1) if n_s
+                    else jnp.zeros(lead, jnp.bool_))
+        delta = (jnp.max(jnp.abs(x_new - x), axis=-1) if nvar_op
+                 else jnp.zeros(lead))
+        scale = 1.0 + (jnp.max(jnp.abs(x_new), axis=-1) if nvar_op else 0.0)
         settled = jnp.logical_and(~switched, delta <= tol * scale)
-        x = jnp.where(done, x, x_new)
-        sw = jnp.where(done, sw, new_on)
+        mask = done[..., None]
+        x = jnp.where(mask, x, x_new)
+        sw = jnp.where(mask, sw, new_on)
         ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
-        it = it + jnp.where(done, 0, 1)
+        it = it + 1
         done = jnp.logical_or(done, settled)
         return x, sw, it, done, ok
 
-    x0 = jnp.zeros((nvar_op,), dtype=dtype)
+    x0 = jnp.zeros(lead + (nvar_op,), dtype=dtype)
     x, sw_on, _it, done, ok = jax.lax.while_loop(
         cond, body,
-        (x0, jnp.zeros((n_s,), jnp.bool_), jnp.asarray(0),
-         jnp.asarray(False), jnp.asarray(True)),
+        (x0, jnp.zeros(lead + (n_s,), jnp.bool_), jnp.asarray(0),
+         jnp.zeros(lead, jnp.bool_), jnp.ones(lead, jnp.bool_)),
     )
     return x, sw_on, jnp.logical_and(ok, done)
 
 
-def simulate_op(
-    ckt: ParsedCircuit,
-    tensors: CircuitTensors | None = None,
-    method: str = "gj",
-    max_iters: int = 100,
-    tol: float = 1e-12,
-) -> OPResult:
-    """Solve the DC operating point."""
-    if tensors is None:
-        tensors = build_tensors(ckt)
-    n_node = tensors.n_node_vars
-    n_v = tensors.n_v
-    n_e = tensors.n_e
-    n_h = tensors.n_h
+def _op_indices(tensors: CircuitTensors):
+    """Index marshaling for the op system: unknown ordering is nodes,
+    then V/E/H branches (identical to the first tensors.nvar tran/AC
+    unknowns), then extra 0V-short branches carrying DC inductor currents.
+    Returns (nvar_op, remap, l_bidx, v_idx_op)."""
     n_l = tensors.n_l
-    # unknown ordering: nodes, then V/E/H branches (identical to the tran/AC
-    # ordering, i.e. the first tensors.nvar unknowns), then the extra
-    # 0V-short branches carrying DC inductor currents
-    nvar_op = n_node + n_v + n_e + n_h + n_l
+    nvar_op = tensors.nvar + n_l
     dump = nvar_op
 
     def remap(idx):
@@ -164,24 +159,50 @@ def simulate_op(
         ],
         axis=1,
     ) if n_l else np.zeros((0, 3), np.int32)
+    v_idx_op = np.concatenate(
+        [remap(tensors.v_idx[:, :2]), tensors.v_idx[:, 2:]], axis=1
+    ).astype(np.int32) if tensors.n_v else np.zeros((0, 3), np.int32)
+    return nvar_op, remap, l_bidx, v_idx_op
 
 
-
-    x, sw_on, valid = _op_core(
-        jnp.asarray(remap(tensors.r_idx)), jnp.asarray(tensors.r_vals),
-        jnp.asarray(l_bidx),
-        jnp.asarray(np.concatenate(
-            [remap(tensors.v_idx[:, :2]), tensors.v_idx[:, 2:]], axis=1
-        ).astype(np.int32) if n_v else np.zeros((0, 3), np.int32)),
-        jnp.asarray(tensors.v_dc),
+def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
+                 r_vals, max_iters, tol, method, ext=None, nl=None,
+                 batch=None):
+    dump = nvar_op
+    return _op_core(
+        jnp.asarray(remap(tensors.r_idx)), r_vals,
+        jnp.asarray(l_bidx), jnp.asarray(v_idx_op), v_dc,
         jnp.asarray(remap(tensors.s_idx)),
         jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
         jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
         jnp.asarray(remap(tensors.d_idx)),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-        jnp.asarray(tensors.i_dc), ext_arrays(tensors, dump=dump),
-        nl_arrays(tensors, dump=dump),
+        i_dc,
+        ext if ext is not None else ext_arrays(tensors, dump=dump),
+        nl if nl is not None else nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
+        batch=batch,
+    )
+
+
+def simulate_op(
+    ckt: ParsedCircuit,
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+    max_iters: int = 100,
+    tol: float = 1e-12,
+) -> OPResult:
+    """Solve the DC operating point."""
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
+    n_node = tensors.n_node_vars
+
+    x, sw_on, valid = _run_op_core(
+        tensors, remap, l_bidx, v_idx_op, nvar_op,
+        jnp.asarray(tensors.v_dc), jnp.asarray(tensors.i_dc),
+        jnp.asarray(tensors.r_vals),
+        max_iters=max_iters, tol=tol, method=method,
     )
     x = np.asarray(x)
     if not bool(np.asarray(valid)):
@@ -248,3 +269,158 @@ def simulate_op(
             currents[name] = float(i_c[k])
     return OPResult(node_voltages=node_voltages, element_currents=currents,
                     switch_states=switch_states)
+
+
+@dataclass
+class DCResult:
+    """DC sweep result: per-sweep-point node voltages (extended dialect)."""
+
+    sweep: np.ndarray                       # (B,) swept source values
+    node_voltages: dict[str, np.ndarray]    # name -> (B,)
+    element_currents: dict[str, np.ndarray]
+    valid: np.ndarray                       # (B,) convergence per point
+
+
+def simulate_dc(
+    ckt: ParsedCircuit,
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+    max_iters: int = 100,
+    tol: float = 1e-12,
+) -> DCResult | None:
+    """.dc sweep (extended dialect): every sweep point is one lane of a
+    single batched Newton solve — the whole transfer curve is ONE compiled
+    call, not a host loop (the TPU-native answer to SPICE's serial .dc).
+    """
+    if ckt.dc is None:
+        return None
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    spec = ckt.dc
+    n_steps = int(np.floor((spec.stop - spec.start) / spec.step + 0.5)) + 1
+    sweep = spec.start + spec.step * np.arange(n_steps)
+
+    v_names = [n.upper() for n in tensors.v_names]
+    i_names = [n.upper() for n in tensors.i_names]
+    key = spec.src.upper()
+    B = n_steps
+    v_dc = np.broadcast_to(tensors.v_dc, (B, tensors.n_v)).copy()
+    i_dc = np.broadcast_to(tensors.i_dc, (B, tensors.n_i)).copy()
+    if key in v_names:
+        v_dc[:, v_names.index(key)] = sweep
+    elif key in i_names:
+        i_dc[:, i_names.index(key)] = sweep
+    else:
+        raise ValueError(f"Unknown .dc source {spec.src}")
+
+    nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
+    x, sw_on, valid = _run_op_core(
+        tensors, remap, l_bidx, v_idx_op, nvar_op,
+        jnp.asarray(v_dc), jnp.asarray(i_dc),
+        jnp.asarray(tensors.r_vals),
+        max_iters=max_iters, tol=tol, method=method, batch=B,
+    )
+    x = np.asarray(x)          # (B, nvar_op)
+    valid = np.asarray(valid)  # (B,)
+    x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
+
+    node_voltages = {
+        name: x[:, i] for i, name in enumerate(tensors.node_names)
+    }
+    currents: dict[str, np.ndarray] = {}
+    ri = remap(tensors.r_idx)
+    for k, name in enumerate(tensors.r_names):
+        currents[name] = (x_pad[:, ri[k, 0]] - x_pad[:, ri[k, 1]]) \
+            / tensors.r_vals[k]
+    for k, name in enumerate(tensors.v_names):
+        currents[name] = x[:, tensors.n_node_vars + k]
+    for k, name in enumerate(tensors.i_names):
+        currents[name] = i_dc[:, k]
+    if tensors.n_m:
+        mi = remap(tensors.m_idx)
+        vgs = x_pad[:, mi[:, 1]] - x_pad[:, mi[:, 2]]
+        vds = x_pad[:, mi[:, 0]] - x_pad[:, mi[:, 2]]
+        _, _, _, i_m = mos_level1(
+            vgs, vds, tensors.m_beta[None, :], tensors.m_vto[None, :],
+            tensors.m_lambda[None, :], tensors.m_polarity[None, :])
+        i_m = np.asarray(i_m)
+        for k, name in enumerate(tensors.m_names):
+            currents[name] = i_m[:, k]
+    if tensors.n_q:
+        qi = remap(tensors.q_idx)
+        vbe = x_pad[:, qi[:, 1]] - x_pad[:, qi[:, 2]]
+        vbc = x_pad[:, qi[:, 1]] - x_pad[:, qi[:, 0]]
+        *_, i_c, _ = bjt_ebers_moll(
+            vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
+            tensors.q_br[None, :], tensors.q_polarity[None, :])
+        i_c = np.asarray(i_c)
+        for k, name in enumerate(tensors.q_names):
+            currents[name] = i_c[:, k]
+    return DCResult(sweep=sweep, node_voltages=node_voltages,
+                    element_currents=currents, valid=valid)
+
+
+@dataclass
+class BatchOPResult:
+    node_names: tuple[str, ...]
+    x: np.ndarray      # (B, nvar_op)
+    valid: np.ndarray  # (B,)
+
+    def node_voltage(self, name: str) -> np.ndarray:
+        i = [n.upper() for n in self.node_names].index(name.upper())
+        return self.x[..., i]
+
+
+def op_batch(
+    circuit: ParsedCircuit | str,
+    overrides: dict[str, np.ndarray],
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+    max_iters: int = 100,
+    tol: float = 1e-12,
+    dialect: str = "spicey",
+) -> BatchOPResult:
+    """Batched DC corners: one Newton solve over all parameter variants.
+
+    overrides sweep element values by name (R resistance, V/I DC level,
+    controlled-source gains, M beta, Q Is), exactly like the other batch
+    APIs."""
+    from .batch import (
+        _batch_size,
+        _batch_values,
+        _batched_ext,
+        _batched_nl,
+        _consumed,
+        _resolve,
+    )
+
+    ckt = _resolve(circuit, dialect=dialect)
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    B = _batch_size(overrides)
+    _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               tensors.v_names, tensors.i_names, tensors.g_names,
+               tensors.e_names, tensors.f_names, tensors.h_names,
+               tensors.m_names, tensors.q_names], overrides)
+    r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
+    v_dc = _batch_values(tensors.v_dc, tensors.v_names, overrides, B)
+    i_dc = _batch_values(tensors.i_dc, tensors.i_names, overrides, B)
+
+    nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
+    dump = nvar_op
+    ext = {k: (jnp.asarray(np.where(np.asarray(v) == tensors.nvar, dump,
+                                    np.asarray(v)).astype(np.int32))
+               if k.endswith("idx") else v)
+           for k, v in _batched_ext(tensors, overrides, B).items()}
+    nl = {k: (jnp.asarray(np.where(np.asarray(v) == tensors.nvar, dump,
+                                   np.asarray(v)).astype(np.int32))
+              if k.endswith("idx") else v)
+          for k, v in _batched_nl(tensors, overrides, B).items()}
+    x, _sw, valid = _run_op_core(
+        tensors, remap, l_bidx, v_idx_op, nvar_op,
+        jnp.asarray(v_dc), jnp.asarray(i_dc), jnp.asarray(r_vals),
+        max_iters=max_iters, tol=tol, method=method,
+        ext=ext, nl=nl, batch=B,
+    )
+    return BatchOPResult(node_names=tensors.node_names, x=np.asarray(x),
+                         valid=np.asarray(valid))

@@ -54,3 +54,4 @@ class SimulationResult:
     ac: ACResult | None
     tran: TranResult | None
     op: object | None = None  # OPResult when the extended .op directive ran
+    dc: object | None = None  # DCResult when the extended .dc directive ran

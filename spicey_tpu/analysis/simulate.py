@@ -9,7 +9,7 @@ from __future__ import annotations
 from ..ir.circuit import build_tensors
 from ..parsing.netlist import ParsedCircuit, parse_netlist
 from .ac import simulate_ac
-from .op import simulate_op
+from .op import simulate_dc, simulate_op
 from .results import SimulationResult
 from .tran import simulate_tran
 
@@ -26,7 +26,8 @@ def simulate(netlist_text: str, method: str = "gj",
     tensors = build_tensors(circuit)
     op = simulate_op(circuit, tensors=tensors, method=method) \
         if circuit.op else None
+    dc = simulate_dc(circuit, tensors=tensors, method=method)
     ac = simulate_ac(circuit, tensors=tensors, method=method,
                      linearize=ac_linearize)
     tran = simulate_tran(circuit, tensors=tensors, method=method)
-    return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op)
+    return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc)

@@ -288,6 +288,16 @@ class TranAnalysis:
 
 
 @dataclass
+class DCAnalysis:
+    """Extended-dialect .dc sweep: ``.dc <src> <start> <stop> <step>``."""
+
+    src: str
+    start: float
+    stop: float
+    step: float
+
+
+@dataclass
 class ParsedCircuit:
     nodes: NodeIndex = field(default_factory=NodeIndex)
     R: list[Resistor] = field(default_factory=list)
@@ -305,6 +315,7 @@ class ParsedCircuit:
     Q: list[BJT] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
+    dc: DCAnalysis | None = None  # extended dialect
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
@@ -358,6 +369,12 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     dir_name = tokens[0].lower()
     if dir_name == ".op" and dialect == "extended":
         ckt.op = True
+    elif dir_name == ".dc" and dialect == "extended":
+        src = _require(tokens, 1, ".dc missing source name")
+        start = parse_number_with_units(_require(tokens, 2, ".dc missing start"))
+        stop = parse_number_with_units(_require(tokens, 3, ".dc missing stop"))
+        step = parse_number_with_units(_require(tokens, 4, ".dc missing step"))
+        ckt.dc = DCAnalysis(src=src, start=start, stop=stop, step=step)
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         if mode not in ("dec", "lin"):

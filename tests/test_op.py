@@ -97,3 +97,80 @@ def test_op_directive_extended_dialect():
     res2 = simulate(net)
     assert res2.op is None
     assert any(".op" in s for s in res2.circuit.skipped)
+
+
+# --- .dc sweep + op_batch (extended dialect) ---
+
+def test_dc_sweep_resistive_divider():
+    from spicey_tpu import simulate
+
+    res = simulate(
+        "t\nv1 1 0 dc 1\nr1 1 2 1k\nr2 2 0 1k\n.dc v1 0 5 0.5\n",
+        dialect="extended",
+    )
+    dc = res.dc
+    np.testing.assert_allclose(dc.sweep, np.arange(0, 5.01, 0.5))
+    np.testing.assert_allclose(dc.node_voltages["2"], dc.sweep / 2,
+                               rtol=1e-12, atol=1e-15)
+    assert dc.valid.all()
+
+
+def test_dc_sweep_mosfet_transfer():
+    """NMOS common-source transfer curve in one batched Newton solve:
+    cutoff at vg<=vto, the square law in saturation."""
+    from spicey_tpu import simulate
+
+    res = simulate("""t
+.model mn nmos(vto=1 kp=2m)
+vdd vdd 0 5
+vg gt 0 1
+rd vdd d 1k
+m1 d gt 0 mn
+.dc vg 0 3 0.25
+""", dialect="extended")
+    dc = res.dc
+    vd = dc.node_voltages["d"]
+    np.testing.assert_allclose(vd[dc.sweep <= 1.0], 5.0, atol=1e-9)
+    sat = (dc.sweep > 1) & (5 - (dc.sweep - 1) ** 2 > dc.sweep - 1)
+    expect = 5.0 - 1e3 * 1e-3 * (dc.sweep - 1) ** 2
+    np.testing.assert_allclose(vd[sat], expect[sat], rtol=1e-9)
+    # drain current recorded per sweep point
+    np.testing.assert_allclose(dc.element_currents["m1"][sat],
+                               1e-3 * (dc.sweep[sat] - 1) ** 2, rtol=1e-9)
+
+
+def test_dc_sweep_current_source():
+    from spicey_tpu import simulate
+
+    res = simulate(
+        "t\ni1 0 out 1m\nr1 out 0 1k\n.dc i1 0 5m 1m\n",
+        dialect="extended",
+    )
+    np.testing.assert_allclose(res.dc.node_voltages["out"],
+                               res.dc.sweep * 1e3, rtol=1e-12, atol=1e-15)
+
+
+def test_dc_unknown_source_raises():
+    from spicey_tpu import simulate
+
+    with pytest.raises(ValueError, match="Unknown .dc source"):
+        simulate("t\nv1 1 0 dc 1\nr1 1 0 1k\n.dc vmissing 0 1 0.1\n",
+                 dialect="extended")
+
+
+def test_op_batch_matches_dc_sweep():
+    from spicey_tpu import op_batch, parse_netlist, simulate
+
+    net = """t
+.model qn npn(is=1e-16 bf=100)
+vcc vcc 0 5
+ib 0 bs 10u
+rc vcc c 1k
+q1 c bs 0 qn
+"""
+    ckt = parse_netlist(net + ".dc ib 2u 20u 2u\n", dialect="extended")
+    res = simulate(net + ".dc ib 2u 20u 2u\n", dialect="extended")
+    ob = op_batch(ckt, {"ib": res.dc.sweep})
+    np.testing.assert_allclose(ob.node_voltage("c"),
+                               res.dc.node_voltages["c"], rtol=1e-12)
+    assert ob.valid.all()
