@@ -246,14 +246,16 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         method: str, qs: tuple, nr: str = "spicey",
                         interpret: bool = False):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
-    # a batched source grid arrives time-major as (S+1, B, nSrc)
+    # a batched source grid arrives time-major as (S+1, B, nSrc).
+    # record=node_idx keeps only the probed node per step, so the full
+    # (S+1, B, nvar) trajectory never materializes in HBM.
     xs, _sw, valid = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
         nvar=nvar, method=method, nr=nr, ext=ext, nl=nl,
-        batch=r_vals.shape[0], interpret=interpret,
+        batch=r_vals.shape[0], interpret=interpret, record=node_idx,
     )
-    v_node = jnp.moveaxis(xs[..., node_idx], 0, 1)  # (B, S+1)
+    v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
     return stats, jnp.sum(valid)
 

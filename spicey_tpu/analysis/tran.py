@@ -194,13 +194,14 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
                                    "nr_tol", "max_nr", "batch",
-                                   "interpret"))
+                                   "interpret", "record"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
                max_nr: int | None = None, ext=None, nl=None,
-               batch: int | None = None, interpret: bool = False):
+               batch: int | None = None, interpret: bool = False,
+               record: int | None = None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -217,6 +218,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     core could not express. Per-variant Newton/switch settling is handled
     with a per-lane ``done`` mask (a lane freezes once stable, exactly the
     reference's per-circuit break at simulateTRAN.ts:159-161).
+
+    ``record=i`` stacks only unknown column i per step instead of the full
+    solution — (S+1, [B]) instead of (S+1, [B], nvar) — so huge Monte-Carlo
+    stats runs never materialize the full trajectory in HBM.
     """
     if ext is None:
         ext = empty_ext(vs_grid.dtype)
@@ -322,7 +327,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         valid_all = jnp.logical_and(valid_all, step_ok)
         carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
                  vq_prev, sw_on, valid_all)
-        return carry, (x, sw_on)
+        out = x if record is None else x[..., record]
+        return carry, (out, sw_on)
 
     init = (
         jnp.zeros(lead + (n_c,), dtype=dtype),
