@@ -299,7 +299,7 @@ def simulate_tran_batch(
         if vs_batched is not None:
             arrays["vs"] = device_put(arrays["vs"], (None, "batch", None))
 
-    xs, sw_states, valid = _tran_core(
+    xs, sw_states, valid, _state = _tran_core(
         arrays["vs"], jnp.asarray(dt, jnp.float64),
         jnp.asarray(tensors.r_idx), arrays["r_vals"],
         jnp.asarray(tensors.c_idx), arrays["c_vals"],

@@ -160,8 +160,14 @@ def mc_ac_stats(
     interpret: bool = False,
     dialect: str = "spicey",
     chunk: int | None = None,
+    device_put=None,
 ) -> MCStats:
     """Distribution of |V(node)| per frequency across parameter variants.
+
+    ``device_put``: optional (array, axes) -> placed-array callable from
+    spicey_tpu.parallel.sharder(mesh) — shards the variants axis over the
+    mesh; the fused solve+reduction then runs SPMD with XLA inserting the
+    final cross-chip reductions over ICI.
 
     ``chunk``: process the batch in blocks of this size (lax.map), bounding
     device memory for huge sweeps / large circuits — only the (B, F) node
@@ -214,13 +220,25 @@ def mc_ac_stats(
         v_re, v_im = pad(v_re), pad(v_im)
         ext = {k: (v if k.endswith("idx") else jnp.asarray(pad(np.asarray(v))))
                for k, v in ext.items()}
+    r_vals = jnp.asarray(r_vals, fdt)
+    c_vals = jnp.asarray(c_vals, fdt)
+    l_vals = jnp.asarray(l_vals, fdt)
+    v_re = jnp.asarray(v_re, fdt)
+    v_im = jnp.asarray(v_im, fdt)
+    if device_put is not None:
+        # shard only (B, nX) arrays; rank-1 per-device params replicate
+        put = lambda a: (device_put(a, ("batch", None))
+                         if a.ndim == 2 else a)
+        r_vals, c_vals, l_vals = put(r_vals), put(c_vals), put(l_vals)
+        v_re, v_im = put(v_re), put(v_im)
+        ext = {k: (v if k.endswith("idx") else put(v))
+               for k, v in ext.items()}
     stats, n_valid = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
-        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
-        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals, fdt),
-        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals, fdt),
-        jnp.asarray(tensors.v_idx), jnp.asarray(v_re, fdt),
-        jnp.asarray(v_im, fdt), ext, i_re, i_im,
+        jnp.asarray(tensors.r_idx), r_vals,
+        jnp.asarray(tensors.c_idx), c_vals,
+        jnp.asarray(tensors.l_idx), l_vals,
+        jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None,
@@ -249,7 +267,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
     # (S+1, B, nvar) trajectory never materializes in HBM.
-    xs, _sw, valid = _tran_core(
+    xs, _sw, valid, _state = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
         nvar=nvar, method=method, nr=nr, ext=ext, nl=nl,
@@ -270,8 +288,12 @@ def mc_tran_stats(
     precision: str = "f64",
     interpret: bool = False,
     dialect: str = "spicey",
+    device_put=None,
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
+
+    ``device_put``: optional sharder(mesh) callable placing the variants
+    axis over a device mesh (see mc_ac_stats).
 
     precision="f32" runs the whole scan in float32 — pair with
     method="pallas" for the batch-major kernel tier. Fine for yield
@@ -322,11 +344,26 @@ def mc_tran_stats(
     nl = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
           for k, v in _batched_nl(tensors, overrides, B).items()}
     nr = "converged" if (tensors.n_m or tensors.n_q) else "spicey"
+    r_vals = jnp.asarray(r_vals, fdt)
+    c_vals = jnp.asarray(c_vals, fdt)
+    l_vals = jnp.asarray(l_vals, fdt)
+    if device_put is not None:
+        # shard only (B, nX) arrays; rank-1 per-device params replicate
+        put = lambda a: (device_put(a, ("batch", None))
+                         if a.ndim == 2 else a)
+        r_vals, c_vals, l_vals = put(r_vals), put(c_vals), put(l_vals)
+        ext = {k: (v if k.endswith("idx") else put(v))
+               for k, v in ext.items()}
+        nl = {k: (v if k.endswith("idx") else put(v))
+              for k, v in nl.items()}
+        if vs_batched:
+            vs_in = device_put(jnp.asarray(vs_in, fdt),
+                               (None, "batch", None))
     stats, n_valid = _mc_tran_stats_core(
         jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
-        jnp.asarray(tensors.r_idx), jnp.asarray(r_vals, fdt),
-        jnp.asarray(tensors.c_idx), jnp.asarray(c_vals, fdt),
-        jnp.asarray(tensors.l_idx), jnp.asarray(l_vals, fdt),
+        jnp.asarray(tensors.r_idx), r_vals,
+        jnp.asarray(tensors.c_idx), c_vals,
+        jnp.asarray(tensors.l_idx), l_vals,
         jnp.asarray(tensors.v_idx),
         jnp.asarray(tensors.s_idx),
         jnp.asarray(tensors.s_ron, fdt), jnp.asarray(tensors.s_roff, fdt),

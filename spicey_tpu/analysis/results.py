@@ -38,6 +38,7 @@ class TranResult:
     times: np.ndarray  # (S+1,) float64
     node_voltages: dict[str, np.ndarray]  # name -> (S+1,) float64
     element_currents: dict[str, np.ndarray] = field(default_factory=dict)
+    state: object | None = None  # TranState checkpoint (return_state=True)
 
     @property
     def nodeVoltages(self):

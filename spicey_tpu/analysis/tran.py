@@ -34,6 +34,7 @@ vctrl > Von.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -70,6 +71,23 @@ from ..ops.stamps import (
 )
 from ..parsing.netlist import ParsedCircuit
 from .results import TranResult
+
+
+@dataclass
+class TranState:
+    """Checkpoint of a transient run: the scan carry + the end time.
+
+    The reference has no checkpoint/resume at all (SURVEY §5 — transient
+    state is discarded after the run). Here long horizons run in segments:
+    ``simulate_tran(..., return_state=True)`` hands back this object and
+    ``simulate_tran(..., state=...)`` continues exactly where it stopped
+    (same netlist/tensors; each segment's .tran spec gives the segment
+    length). Arrays are host NumPy, so checkpoints are trivially
+    serializable."""
+
+    carry: tuple
+    t: float
+    dt: float
 
 
 def _vdrop(x_pad, idx):
@@ -194,14 +212,15 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
                                    "nr_tol", "max_nr", "batch",
-                                   "interpret", "record"))
+                                   "interpret", "record", "resume"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
                max_nr: int | None = None, ext=None, nl=None,
                batch: int | None = None, interpret: bool = False,
-               record: int | None = None):
+               record: int | None = None, init_state=None,
+               resume: bool = False):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -222,6 +241,12 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     ``record=i`` stacks only unknown column i per step instead of the full
     solution — (S+1, [B]) instead of (S+1, [B], nvar) — so huge Monte-Carlo
     stats runs never materialize the full trajectory in HBM.
+
+    Checkpoint/resume: the returned 4th element is the final scan carry
+    (companion/Newton/switch state). Passing it back as ``init_state`` with
+    ``resume=True`` continues a run across segments — no step is re-marked
+    as the t=0 quasi-DC bootstrap (simulateTRAN.ts:149 semantics apply only
+    to a fresh run).
     """
     if ext is None:
         ext = empty_ext(vs_grid.dtype)
@@ -330,35 +355,47 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         out = x if record is None else x[..., record]
         return carry, (out, sw_on)
 
-    init = (
-        jnp.zeros(lead + (n_c,), dtype=dtype),
-        jnp.zeros(lead + (n_c,), dtype=dtype),
-        jnp.zeros(lead + (n_l,), dtype=dtype),
-        jnp.zeros(lead + (n_l,), dtype=dtype),
-        jnp.zeros(lead + (n_d,), dtype=dtype),
-        jnp.zeros(lead + (n_m, 2), dtype=dtype),
-        jnp.zeros(lead + (n_q, 2), dtype=dtype),
-        jnp.zeros(lead + (n_s,), jnp.bool_),
-        jnp.ones(lead, jnp.bool_),
-    )
+    if init_state is None:
+        init = (
+            jnp.zeros(lead + (n_c,), dtype=dtype),
+            jnp.zeros(lead + (n_c,), dtype=dtype),
+            jnp.zeros(lead + (n_l,), dtype=dtype),
+            jnp.zeros(lead + (n_l,), dtype=dtype),
+            jnp.zeros(lead + (n_d,), dtype=dtype),
+            jnp.zeros(lead + (n_m, 2), dtype=dtype),
+            jnp.zeros(lead + (n_q, 2), dtype=dtype),
+            jnp.zeros(lead + (n_s,), jnp.bool_),
+            jnp.ones(lead, jnp.bool_),
+        )
+    else:
+        init = tuple(init_state) + (jnp.ones(lead, jnp.bool_),)
     n_steps = vs_grid.shape[0]
-    first_flags = jnp.arange(n_steps) == 0
+    first_flags = (jnp.zeros(n_steps, jnp.bool_) if resume
+                   else jnp.arange(n_steps) == 0)
     carry, (xs, sw_states) = jax.lax.scan(
         step_fn, init, (vs_grid, first_flags)
     )
-    return xs, sw_states, carry[-1]
+    return xs, sw_states, carry[-1], carry[:-1]
 
 
 def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
                       integration: str = "be",
-                      src_grid=None) -> dict[str, np.ndarray]:
+                      src_grid=None, state0=None) -> dict[str, np.ndarray]:
     """Vectorized post-scan recovery of per-step element currents
     (simulateTRAN.ts:173-219). The C/L companion recurrences unroll into
     (alternating-sign) cumulative sums over the stacked solutions, so no
-    per-step work happens inside the compiled scan."""
+    per-step work happens inside the compiled scan.
+
+    ``state0``: the scan carry a resumed segment started from — supplies
+    the initial companion voltages/currents the recurrences need."""
     xs_pad = np.concatenate([xs, np.zeros((xs.shape[0], 1))], axis=1)
     dt_c = max(dt, EPS)
     out: dict[str, np.ndarray] = {}
+    resumed = state0 is not None
+    v_prev_c0 = np.asarray(state0[0]) if resumed else np.zeros(tensors.n_c)
+    i_prev_c0 = np.asarray(state0[1]) if resumed else np.zeros(tensors.n_c)
+    i_prev_l0 = np.asarray(state0[2]) if resumed else np.zeros(tensors.n_l)
+    v_prev_l0 = np.asarray(state0[3]) if resumed else np.zeros(tensors.n_l)
 
     def vdrop(idx):
         return xs_pad[:, idx[:, 0]] - xs_pad[:, idx[:, 1]]  # (S+1, nE)
@@ -369,15 +406,19 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             out[name] = i_r[:, k]
     if tensors.n_c:
         vd = vdrop(tensors.c_idx)
-        prev = np.concatenate([np.zeros((1, tensors.n_c)), vd[:-1]], axis=0)
+        prev = np.concatenate([v_prev_c0[None, :], vd[:-1]], axis=0)
         if integration == "trap":
-            # step 0 is BE (i_0 = (C/dt) v_0); k>=1 follows the trap
-            # recurrence i_k = (2C/dt)(v_k - v_{k-1}) - i_{k-1}, which
-            # telescopes to an alternating cumulative sum
+            # fresh run: step 0 is BE (i_0 = (C/dt) v_0); k>=1 follows the
+            # trap recurrence i_k = (2C/dt)(v_k - v_{k-1}) - i_{k-1}, which
+            # telescopes to an alternating cumulative sum (plus the carried
+            # initial companion current when resuming)
             a = 2.0 * tensors.c_vals[None, :] * (vd - prev) / dt_c
-            a[0] = tensors.c_vals * vd[0] / dt_c
+            if not resumed:
+                a[0] = tensors.c_vals * vd[0] / dt_c
             sign = (-1.0) ** np.arange(a.shape[0])[:, None]
             i_c = sign * np.cumsum(sign * a, axis=0)
+            if resumed:
+                i_c = i_c - sign * i_prev_c0[None, :]
         else:
             i_c = tensors.c_vals[None, :] * (vd - prev) / dt_c
         for k, name in enumerate(tensors.c_names):
@@ -385,14 +426,14 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
     if tensors.n_l:
         vd = vdrop(tensors.l_idx)
         if integration == "trap":
-            prev = np.concatenate([np.zeros((1, tensors.n_l)), vd[:-1]],
-                                  axis=0)
+            prev = np.concatenate([v_prev_l0[None, :], vd[:-1]], axis=0)
             inc = (prev + vd) * dt_c / (2.0 * tensors.l_vals[None, :])
-            inc[0] = vd[0] * dt_c / tensors.l_vals  # BE first step
-            i_l = np.cumsum(inc, axis=0)
+            if not resumed:
+                inc[0] = vd[0] * dt_c / tensors.l_vals  # BE first step
+            i_l = i_prev_l0[None, :] + np.cumsum(inc, axis=0)
         else:
             g_l = dt_c / tensors.l_vals[None, :]
-            i_l = np.cumsum(g_l * vd, axis=0)
+            i_l = i_prev_l0[None, :] + np.cumsum(g_l * vd, axis=0)
         for k, name in enumerate(tensors.l_names):
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
@@ -457,9 +498,17 @@ def simulate_tran(
     nr_tol: float = 1e-9,
     max_nr: int | None = None,
     interpret: bool = False,
+    state: TranState | None = None,
+    return_state: bool = False,
 ) -> TranResult | None:
     """Transient analysis. Defaults reproduce the reference; see _tran_core
-    for the `integration`/`nr` improvement toggles."""
+    for the `integration`/`nr` improvement toggles.
+
+    Checkpoint/resume: ``return_state=True`` attaches the final companion/
+    Newton/switch state to the result (``result.state``); passing it back
+    via ``state=`` runs the netlist's .tran spec as the NEXT segment of the
+    same run — times continue from the checkpoint, sources are sampled at
+    absolute time, and no quasi-DC bootstrap step is repeated."""
     if ckt.tran is None:
         return None
     if integration not in ("be", "trap"):
@@ -475,10 +524,20 @@ def simulate_tran(
         nr = "converged"
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
-    times = np.arange(steps + 1, dtype=np.float64) * dt
+    if state is None:
+        times = np.arange(steps + 1, dtype=np.float64) * dt
+    else:
+        if abs(state.dt - dt) > EPS:
+            raise ValueError(
+                f"resume dt {dt} differs from checkpoint dt {state.dt}")
+        # rebuild the absolute grid from the integer step count: computing
+        # state.t + k*dt accumulates fp error that can move a sample across
+        # a nanosecond PULSE edge and flip switch trajectories
+        step0 = round(state.t / dt)
+        times = (step0 + np.arange(1, steps + 1, dtype=np.float64)) * dt
     vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
 
-    xs, sw_states, valid = _tran_core(
+    xs, sw_states, valid, fin_state = _tran_core(
         jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
         jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
@@ -493,6 +552,9 @@ def simulate_tran(
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
         ext=ext_arrays(tensors), nl=nl_arrays(tensors),
         interpret=interpret,
+        init_state=(None if state is None
+                    else tuple(jnp.asarray(a) for a in state.carry)),
+        resume=state is not None,
     )
     xs = np.asarray(xs)
     sw_states = np.asarray(sw_states)
@@ -502,9 +564,11 @@ def simulate_tran(
     node_voltages = {
         name: xs[:, i] for i, name in enumerate(tensors.node_names)
     }
-    element_currents = _element_currents(tensors, xs, sw_states, dt,
-                                         integration=integration,
-                                         src_grid=vs_grid)
+    element_currents = _element_currents(
+        tensors, xs, sw_states, dt, integration=integration,
+        src_grid=vs_grid,
+        state0=state.carry if state is not None else None,
+    )
 
     # probe filter (simulateTRAN.ts:240-249): keep canonical-casing keys
     if ckt.tran_probes:
@@ -514,8 +578,14 @@ def simulate_tran(
             if name.upper() in upper
         }
 
-    return TranResult(
+    result = TranResult(
         times=times,
         node_voltages=node_voltages,
         element_currents=element_currents,
     )
+    if return_state:
+        result.state = TranState(
+            carry=tuple(np.asarray(a) for a in fin_state),
+            t=float(times[-1]), dt=dt,
+        )
+    return result

@@ -156,3 +156,28 @@ def test_mc_ac_larger_circuit_ladder():
     assert st.n_valid == B
     # low-frequency limit: near-unity transfer through the ladder
     np.testing.assert_allclose(st.mean[0], 1.0, rtol=1e-2)
+
+
+def test_mc_stats_sharded_over_cpu_mesh():
+    """The fused solve+reduction runs SPMD when the variants axis is
+    sharded; results must equal the single-device run exactly."""
+    import jax
+
+    from spicey_tpu.parallel.mesh import make_mesh, sharder
+
+    mesh = make_mesh({"batch": 8}, devices=jax.devices("cpu"))
+    B = 32
+    rng = np.random.default_rng(13)
+    overrides = {"r1": 30.0 * (1 + 0.2 * rng.random(B))}
+    a = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2")
+    b = mc_ac_stats(netlists.BASICS01_AC, overrides, node="2",
+                    device_put=sharder(mesh))
+    np.testing.assert_allclose(b.mean, a.mean, rtol=1e-13)
+    np.testing.assert_allclose(b.quantiles[95.0], a.quantiles[95.0],
+                               rtol=1e-10)
+    ovt = {"R1": 1e3 * (1 + 0.2 * rng.random(B))}
+    at = mc_tran_stats(netlists.RC_PULSE, ovt, node="2")
+    bt = mc_tran_stats(netlists.RC_PULSE, ovt, node="2",
+                       device_put=sharder(mesh))
+    np.testing.assert_allclose(bt.mean, at.mean, rtol=1e-13)
+    assert bt.n_valid == B

@@ -122,3 +122,74 @@ def test_invalid_toggles_rejected():
         simulate_tran(ckt, integration="euler")
     with pytest.raises(ValueError, match="nr"):
         simulate_tran(ckt, nr="newton")
+
+
+# --- checkpoint / resume (segmented long horizons) ---
+
+def _segment_netlist(tstop):
+    return (f"t\nV1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\nR1 1 2 1k\nC1 2 0 1u\n"
+            f"L1 2 3 1m\nR2 3 0 100\n.tran 0.1u {tstop}\n")
+
+
+def test_tran_segments_match_single_run():
+    """Two resumed 10us segments must reproduce a single 20us run exactly
+    (node voltages AND companion-recovered element currents)."""
+    from spicey_tpu import parse_netlist, simulate_tran
+
+    full = simulate_tran(parse_netlist(_segment_netlist("20u")))
+    seg_ckt = parse_netlist(_segment_netlist("10u"))
+    a = simulate_tran(seg_ckt, return_state=True)
+    b = simulate_tran(seg_ckt, state=a.state)
+    times = np.concatenate([a.times, b.times])
+    np.testing.assert_allclose(times, full.times, rtol=1e-12, atol=1e-18)
+    for node in ("2", "3"):
+        joined = np.concatenate([a.node_voltages[node],
+                                 b.node_voltages[node]])
+        np.testing.assert_allclose(joined, full.node_voltages[node],
+                                   rtol=1e-12, atol=1e-15)
+    for el in ("R1", "C1", "L1"):
+        joined = np.concatenate([a.element_currents[el],
+                                 b.element_currents[el]])
+        np.testing.assert_allclose(joined, full.element_currents[el],
+                                   rtol=1e-9, atol=1e-18)
+
+
+def test_tran_segments_trap_and_nonlinear():
+    """Resume composes with trapezoidal integration and diode state."""
+    from spicey_tpu import parse_netlist, simulate_tran
+    from tests.fixtures import netlists
+
+    net = netlists.BOOST_CONVERTER.replace(".tran 0.001 0.1 uic",
+                                           ".tran 0.001 0.1")
+    full = simulate_tran(parse_netlist(net))
+    seg = net.replace(".tran 0.001 0.1", ".tran 0.001 0.05")
+    ckt = parse_netlist(seg)
+    a = simulate_tran(ckt, return_state=True)
+    b = simulate_tran(ckt, state=a.state)
+    joined = np.concatenate([a.node_voltages["N3"], b.node_voltages["N3"]])
+    np.testing.assert_allclose(joined, full.node_voltages["N3"],
+                               rtol=1e-12, atol=1e-15)
+    # trap toggle on the linear RLC segments
+    fullt = simulate_tran(parse_netlist(_segment_netlist("20u")),
+                          integration="trap")
+    ckt2 = parse_netlist(_segment_netlist("10u"))
+    at = simulate_tran(ckt2, integration="trap", return_state=True)
+    bt = simulate_tran(ckt2, integration="trap", state=at.state)
+    joined = np.concatenate([at.node_voltages["2"], bt.node_voltages["2"]])
+    np.testing.assert_allclose(joined, fullt.node_voltages["2"],
+                               rtol=1e-12, atol=1e-15)
+    jl = np.concatenate([at.element_currents["L1"], bt.element_currents["L1"]])
+    np.testing.assert_allclose(jl, fullt.element_currents["L1"],
+                               rtol=1e-9, atol=1e-18)
+
+
+def test_tran_resume_dt_mismatch_raises():
+    from spicey_tpu import parse_netlist, simulate_tran
+    import pytest
+
+    ckt = parse_netlist(_segment_netlist("10u"))
+    a = simulate_tran(ckt, return_state=True)
+    other = parse_netlist("t\nV1 1 0 dc 1\nR1 1 2 1k\nC1 2 0 1u\n"
+                          "L1 2 3 1m\nR2 3 0 100\n.tran 0.2u 10u\n")
+    with pytest.raises(ValueError, match="resume dt"):
+        simulate_tran(other, state=a.state)
