@@ -32,7 +32,12 @@ from .constants import EPS, VT_300K
 from .formatting.compare import compare_voltage_levels
 from .formatting.svg import convert_simulation_graphs_to_svg
 from .formatting.jsnum import to_precision
-from .formatting.text import format_ac_result, format_tran_result
+from .formatting.text import (
+    format_ac_result,
+    format_dc_result,
+    format_op_result,
+    format_tran_result,
+)
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
 from .ir.circuit import CircuitTensors, build_tensors
 from .math_complex import Complex
@@ -54,6 +59,7 @@ from .analysis.op import (
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units
+from .utils.profiling import count, profiled, report, span
 from .parsing.waveforms import (
     PulseSpec,
     parse_pulse_args,

@@ -11,6 +11,7 @@ from ..parsing.netlist import ParsedCircuit, parse_netlist
 from .ac import simulate_ac
 from .op import simulate_dc, simulate_op
 from .results import SimulationResult
+from ..utils.profiling import span
 from .tran import simulate_tran
 
 
@@ -22,12 +23,17 @@ def simulate(netlist_text: str, method: str = "gj",
     ``ac_linearize="op"`` makes the AC sweep linearize nonlinear devices
     around the DC operating point (analysis/ac.py); the default keeps the
     reference behavior of not stamping them."""
-    circuit = parse_netlist(netlist_text, dialect=dialect)
-    tensors = build_tensors(circuit)
-    op = simulate_op(circuit, tensors=tensors, method=method) \
-        if circuit.op else None
-    dc = simulate_dc(circuit, tensors=tensors, method=method)
-    ac = simulate_ac(circuit, tensors=tensors, method=method,
-                     linearize=ac_linearize)
-    tran = simulate_tran(circuit, tensors=tensors, method=method)
+    with span("parse"):
+        circuit = parse_netlist(netlist_text, dialect=dialect)
+        tensors = build_tensors(circuit)
+    with span("op"):
+        op = simulate_op(circuit, tensors=tensors, method=method) \
+            if circuit.op else None
+    with span("dc"):
+        dc = simulate_dc(circuit, tensors=tensors, method=method)
+    with span("ac"):
+        ac = simulate_ac(circuit, tensors=tensors, method=method,
+                         linearize=ac_linearize)
+    with span("tran"):
+        tran = simulate_tran(circuit, tensors=tensors, method=method)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc)

@@ -53,3 +53,34 @@ def format_tran_result(tran) -> str:
             row.append(to_precision(float(tran.node_voltages[n][k]), 6))
         lines.append(", ".join(row))
     return "\n".join(lines)
+
+
+def format_dc_result(dc) -> str:
+    """Text table for the extended-dialect .dc sweep (no reference analog;
+    mirrors format_tran_result's 6-sig-fig layout with the swept value as
+    the first column)."""
+    if dc is None:
+        return "No DC analysis.\n"
+    nodes = list(dc.node_voltages.keys())
+    header = ", ".join(["sweep"] + [f"{n}:V" for n in nodes])
+    lines = [header]
+    sweep = np.asarray(dc.sweep)
+    for k in range(len(sweep)):
+        row = [to_precision(float(sweep[k]), 6)]
+        for n in nodes:
+            row.append(to_precision(float(dc.node_voltages[n][k]), 6))
+        lines.append(", ".join(row))
+    return "\n".join(lines)
+
+
+def format_op_result(op) -> str:
+    """Text table for the extended-dialect .op operating point."""
+    if op is None:
+        return "No OP analysis.\n"
+    lines = ["node, V"]
+    for name, v in op.node_voltages.items():
+        lines.append(f"{name}, {to_precision(float(v), 6)}")
+    lines.append("element, I")
+    for name, i in op.element_currents.items():
+        lines.append(f"{name}, {to_precision(float(i), 6)}")
+    return "\n".join(lines)

@@ -57,3 +57,42 @@ def test_to_fixed():
     assert to_fixed(0.0, 6) == "0.000000"
     assert to_fixed(-1.5e-7, 6) == "-0.000000"
     assert to_fixed(44.2543849999, 6) == "44.254385"
+
+
+def test_format_dc_and_op_results():
+    import jax
+
+    from spicey_tpu import (
+        format_dc_result,
+        format_op_result,
+        simulate,
+    )
+
+    r = simulate(
+        "t\nv1 1 0 dc 1\nr1 1 2 1k\nr2 2 0 1k\n.dc v1 0 2 0.5\n.op\n",
+        dialect="extended",
+    )
+    txt = format_dc_result(r.dc)
+    assert txt.splitlines()[0] == "sweep, 1:V, 2:V"
+    assert txt.splitlines()[2] == "0.500000, 0.500000, 0.250000"
+    op_txt = format_op_result(r.op)
+    assert "node, V" in op_txt and "element, I" in op_txt
+    assert format_dc_result(None) == "No DC analysis.\n"
+
+
+def test_profiling_spans_and_counters():
+    from spicey_tpu import count, profiled, report, simulate, span
+
+    with profiled():
+        simulate("t\nv1 1 0 dc 1\nr1 1 0 1k\n.tran 1u 5u\n")
+        with span("custom"):
+            count("things", 3)
+    txt = report()
+    assert "parse, 1" in txt
+    assert "tran, 1" in txt
+    assert "custom, 1" in txt
+    assert "things, 3" in txt
+    # disabled outside profiled(): spans are no-ops
+    with span("ignored"):
+        pass
+    assert "ignored" not in report()
