@@ -31,6 +31,16 @@ import time
 import numpy as np
 
 
+def best_of(fn, reps: int = 3) -> float:
+    """Min wall time over reps — damps remote-tunnel/dispatch jitter."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     from spicey_tpu import parse_netlist, simulate_ac
     from spicey_tpu.analysis.mc import mc_ac_stats
@@ -68,10 +78,9 @@ def main() -> None:
     ckt.R[0].R, ckt.C[0].C = 30.0, 100e-6
 
     # --- f64 fidelity tier: fused batched solve + on-device reduction ---
-    mc_ac_stats(ckt, overrides, node="2", tensors=tensors)  # warm up
-    t0 = time.perf_counter()
-    stats = mc_ac_stats(ckt, overrides, node="2", tensors=tensors)
-    f64_elapsed = time.perf_counter() - t0
+    stats = mc_ac_stats(ckt, overrides, node="2", tensors=tensors)  # warm up
+    f64_elapsed = best_of(
+        lambda: mc_ac_stats(ckt, overrides, node="2", tensors=tensors))
     assert stats.n_valid == B
 
     # correctness: compare device stats against the analytic ensemble
@@ -82,10 +91,8 @@ def main() -> None:
 
     # --- headline: fast tier — f32 assembly + batch-major Pallas kernel ---
     fast = dict(node="2", tensors=tensors, precision="f32", method="pallas")
-    mc_ac_stats(ckt, overrides, **fast)  # warm up
-    t0 = time.perf_counter()
-    stats32 = mc_ac_stats(ckt, overrides, **fast)
-    f32_elapsed = time.perf_counter() - t0
+    stats32 = mc_ac_stats(ckt, overrides, **fast)  # warm up
+    f32_elapsed = best_of(lambda: mc_ac_stats(ckt, overrides, **fast))
     assert stats32.n_valid == B
     np.testing.assert_allclose(stats32.mean, h.mean(axis=0), rtol=2e-4)
     np.testing.assert_allclose(stats32.max, h.max(axis=0), rtol=2e-4)
@@ -118,10 +125,8 @@ def main() -> None:
     tckt.R[0].R, tckt.C[0].C = 1e3, 1e-6
 
     tfast = dict(node="2", tensors=ttens, precision="f32", method="pallas")
-    mc_tran_stats(tckt, t_over, **tfast)  # warm up
-    t0 = time.perf_counter()
-    tstats = mc_tran_stats(tckt, t_over, **tfast)
-    tran_vps = B / (time.perf_counter() - t0)
+    tstats = mc_tran_stats(tckt, t_over, **tfast)  # warm up
+    tran_vps = B / best_of(lambda: mc_tran_stats(tckt, t_over, **tfast))
     assert tstats.n_valid == B
     # correctness vs the analytic BE recurrence is covered by tests; here a
     # sanity window on the settled mean (pulse plateau ~5 V * duty response)
