@@ -141,8 +141,9 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
 
 def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   i_prev_l, v_prev_l, vd_prev_d, sw_on,
-                  integration: str = "be", is_first=None,
-                  nl=None, vm_prev=None, vq_prev=None):
+                  integration: str = "be", is_first=None, is_second=None,
+                  nl=None, vm_prev=None, vq_prev=None,
+                  v_prev2_c=None, i_prev2_l=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext) = tensors_arrays
@@ -167,6 +168,30 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
         g_l = jnp.where(is_first, dt_c / l_vals, dt_c / (2.0 * l_vals))
         A = stamp_admittance(A, l_idx, g_l)
         b = stamp_current(b, l_idx, i_prev_l + g_l * v_prev_l)
+    elif integration == "gear2":
+        # BDF2 companions (A-stable, 2nd-order, numerically damping —
+        # unlike trap it does not ring on stiff switching circuits):
+        #   C: i = (C/dt)(1.5 v_{n+1} - 2 v_n + 0.5 v_{n-1})
+        #   L: v = (L/dt)(1.5 i_{n+1} - 2 i_n + 0.5 i_{n-1})
+        # Startup: steps 0 and 1 are backward Euler (two history points are
+        # needed before the 2-step formula applies).
+        startup = jnp.logical_or(is_first, is_second)
+        g_c = jnp.where(startup, c_vals / dt_c, 1.5 * c_vals / dt_c)
+        ieq_c = jnp.where(
+            startup,
+            -(c_vals / dt_c) * v_prev_c,
+            -(c_vals / dt_c) * (2.0 * v_prev_c - 0.5 * v_prev2_c),
+        )
+        A = stamp_admittance(A, c_idx, g_c)
+        b = stamp_current(b, c_idx, ieq_c)
+        g_l = jnp.where(startup, dt_c / l_vals, dt_c / (1.5 * l_vals))
+        isrc_l = jnp.where(
+            startup,
+            i_prev_l,
+            (2.0 * i_prev_l - 0.5 * i_prev2_l) / 1.5,
+        )
+        A = stamp_admittance(A, l_idx, g_l)
+        b = stamp_current(b, l_idx, isrc_l)
     else:
         # backward-Euler companions (reference semantics,
         # simulateTRAN.ts:41-53)
@@ -225,6 +250,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
     Defaults reproduce the reference exactly. Improvement toggles:
       integration="trap"  second-order trapezoidal companions;
+      integration="gear2" second-order BDF2 companions (A-stable AND
+                          numerically damping — the stiff-circuit choice);
       nr="converged"      iterate Newton until |dx| < nr_tol*(1+|x|) instead
                           of the reference's break-on-switch-stability (which
                           gives diodes a single Newton step per pass,
@@ -267,9 +294,9 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
     def step_fn(carry, inputs):
-        vs_t, is_first = inputs
+        vs_t, is_first, is_second = inputs
         (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-         vq_prev, sw_on, valid_all) = carry
+         vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all) = carry
 
         def cond(st):
             _x, _sw, it, done, _ok = st
@@ -281,7 +308,9 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 tensors_arrays, nvar, dt, vs_t, x, it,
                 v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, sw,
                 integration=integration, is_first=is_first,
+                is_second=is_second,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
+                v_prev2_c=v_prev2_c, i_prev2_l=i_prev2_l,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -311,7 +340,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         )
         x_pad = pad_solution(x, nvar)
         # state commit (simulateTRAN.ts:221-237; trap adds the companion
-        # current/voltage states its formulas carry)
+        # current/voltage states its formulas carry; gear2 keeps two-step
+        # voltage/current history)
         dt_c = jnp.maximum(dt, EPS)
         if n_c:
             vd_c = _vdrop(x_pad, c_idx)
@@ -322,9 +352,11 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                     (c_vals / dt_c) * (vd_c - v_prev_c),
                     (2.0 * c_vals / dt_c) * (vd_c - v_prev_c) - i_prev_c,
                 )
+            v_prev2_c = v_prev_c
             v_prev_c = vd_c
         if n_l:
             vd_l = _vdrop(x_pad, l_idx)
+            i_prev2_l_new = i_prev_l
             if integration == "trap":
                 i_prev_l = i_prev_l + jnp.where(
                     is_first,
@@ -332,8 +364,17 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                     (dt_c / (2.0 * l_vals)) * (v_prev_l + vd_l),
                 )
                 v_prev_l = vd_l
+            elif integration == "gear2":
+                startup = jnp.logical_or(is_first, is_second)
+                i_prev_l = jnp.where(
+                    startup,
+                    i_prev_l + (dt_c / l_vals) * vd_l,
+                    (dt_c / (1.5 * l_vals)) * vd_l
+                    + (2.0 * i_prev_l - 0.5 * i_prev2_l) / 1.5,
+                )
             else:
                 i_prev_l = i_prev_l + (dt_c / l_vals) * vd_l
+            i_prev2_l = i_prev2_l_new
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
         if n_m:
             m_idx = nl["m_idx"]
@@ -351,7 +392,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             )
         valid_all = jnp.logical_and(valid_all, step_ok)
         carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-                 vq_prev, sw_on, valid_all)
+                 vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all)
         out = x if record is None else x[..., record]
         return carry, (out, sw_on)
 
@@ -365,6 +406,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             jnp.zeros(lead + (n_m, 2), dtype=dtype),
             jnp.zeros(lead + (n_q, 2), dtype=dtype),
             jnp.zeros(lead + (n_s,), jnp.bool_),
+            jnp.zeros(lead + (n_c,), dtype=dtype),
+            jnp.zeros(lead + (n_l,), dtype=dtype),
             jnp.ones(lead, jnp.bool_),
         )
     else:
@@ -372,8 +415,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     n_steps = vs_grid.shape[0]
     first_flags = (jnp.zeros(n_steps, jnp.bool_) if resume
                    else jnp.arange(n_steps) == 0)
+    second_flags = (jnp.zeros(n_steps, jnp.bool_) if resume
+                    else jnp.arange(n_steps) == 1)
     carry, (xs, sw_states) = jax.lax.scan(
-        step_fn, init, (vs_grid, first_flags)
+        step_fn, init, (vs_grid, first_flags, second_flags)
     )
     return xs, sw_states, carry[-1], carry[:-1]
 
@@ -396,6 +441,8 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
     i_prev_c0 = np.asarray(state0[1]) if resumed else np.zeros(tensors.n_c)
     i_prev_l0 = np.asarray(state0[2]) if resumed else np.zeros(tensors.n_l)
     v_prev_l0 = np.asarray(state0[3]) if resumed else np.zeros(tensors.n_l)
+    v_prev2_c0 = np.asarray(state0[8]) if resumed else np.zeros(tensors.n_c)
+    i_prev2_l0 = np.asarray(state0[9]) if resumed else np.zeros(tensors.n_l)
 
     def vdrop(idx):
         return xs_pad[:, idx[:, 0]] - xs_pad[:, idx[:, 1]]  # (S+1, nE)
@@ -419,6 +466,17 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             i_c = sign * np.cumsum(sign * a, axis=0)
             if resumed:
                 i_c = i_c - sign * i_prev_c0[None, :]
+        elif integration == "gear2":
+            # direct BDF2 difference; first two rows of a fresh run are the
+            # BE startup steps
+            prev2 = np.concatenate(
+                [v_prev2_c0[None, :], prev[:-1]], axis=0)
+            i_c = (tensors.c_vals[None, :] / dt_c) * (
+                1.5 * vd - 2.0 * prev + 0.5 * prev2)
+            if not resumed:
+                i_c[0] = tensors.c_vals * vd[0] / dt_c
+                if vd.shape[0] > 1:
+                    i_c[1] = tensors.c_vals * (vd[1] - vd[0]) / dt_c
         else:
             i_c = tensors.c_vals[None, :] * (vd - prev) / dt_c
         for k, name in enumerate(tensors.c_names):
@@ -431,6 +489,20 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             if not resumed:
                 inc[0] = vd[0] * dt_c / tensors.l_vals  # BE first step
             i_l = i_prev_l0[None, :] + np.cumsum(inc, axis=0)
+        elif integration == "gear2":
+            # two-step recurrence: i_k = (dt/1.5L) v_k + (2 i_{k-1} -
+            # 0.5 i_{k-2}) / 1.5, BE for the fresh-run startup rows
+            i_l = np.zeros_like(vd)
+            im1, im2 = i_prev_l0, i_prev2_l0
+            g_be = dt_c / tensors.l_vals
+            g_g2 = dt_c / (1.5 * tensors.l_vals)
+            for k in range(vd.shape[0]):
+                if not resumed and k < 2:
+                    ik = im1 + g_be * vd[k]
+                else:
+                    ik = g_g2 * vd[k] + (2.0 * im1 - 0.5 * im2) / 1.5
+                i_l[k] = ik
+                im2, im1 = im1, ik
         else:
             g_l = dt_c / tensors.l_vals[None, :]
             i_l = i_prev_l0[None, :] + np.cumsum(g_l * vd, axis=0)
@@ -511,8 +583,8 @@ def simulate_tran(
     absolute time, and no quasi-DC bootstrap step is repeated."""
     if ckt.tran is None:
         return None
-    if integration not in ("be", "trap"):
-        raise ValueError("integration must be 'be' or 'trap'")
+    if integration not in ("be", "trap", "gear2"):
+        raise ValueError("integration must be 'be', 'trap', or 'gear2'")
     if nr not in ("spicey", "converged"):
         raise ValueError("nr must be 'spicey' or 'converged'")
     if tensors is None:

@@ -193,3 +193,50 @@ def test_tran_resume_dt_mismatch_raises():
                           "L1 2 3 1m\nR2 3 0 100\n.tran 0.2u 10u\n")
     with pytest.raises(ValueError, match="resume dt"):
         simulate_tran(other, state=a.state)
+
+
+# --- gear2 (BDF2) integration toggle ---
+
+def test_gear2_is_second_order_on_rc():
+    """BDF2 error must be far below BE on the RC exponential (same record
+    semantics note as the trap test)."""
+    ckt = parse_netlist(RC_DC)
+    be = simulate_tran(ckt)
+    g2 = simulate_tran(ckt, integration="gear2")
+    t = np.asarray(be.times)
+    dt = t[1] - t[0]
+    exact = 5.0 * (1.0 - np.exp(-(t + dt) / 1e-3))
+    err_be = np.abs(np.asarray(be.node_voltages["2"]) - exact)[3:].max()
+    err_g2 = np.abs(np.asarray(g2.node_voltages["2"]) - exact)[3:].max()
+    assert err_g2 < err_be / 5
+    assert err_g2 < 5e-3
+
+
+def test_gear2_damps_rlc():
+    """BDF2 is numerically damping: the under-damped RLC envelope must
+    decay at least as fast as the physical solution (no trap-style
+    sustained numerical ringing)."""
+    net = ("t\nV1 1 0 dc 5\nR1 1 2 10\nL1 2 3 1m\nC1 3 0 1u\n"
+           ".tran 5u 5m\n")
+    tr = simulate_tran(parse_netlist(net), integration="gear2")
+    v = np.asarray(tr.node_voltages["3"])
+    # physical damping: alpha = R/2L = 5000 -> envelope e^{-alpha t}
+    late = np.abs(v[-200:] - 5.0)
+    assert late.max() < 0.05  # fully settled, no residual oscillation
+
+
+def test_gear2_segments_match_full_run():
+    from spicey_tpu import parse_netlist as pn
+
+    full = simulate_tran(pn(_segment_netlist("20u")), integration="gear2")
+    ckt = pn(_segment_netlist("10u"))
+    a = simulate_tran(ckt, integration="gear2", return_state=True)
+    b = simulate_tran(ckt, integration="gear2", state=a.state)
+    for key in ("2", "3"):
+        j = np.concatenate([a.node_voltages[key], b.node_voltages[key]])
+        np.testing.assert_allclose(j, full.node_voltages[key],
+                                   rtol=1e-12, atol=1e-15)
+    for el in ("C1", "L1"):
+        j = np.concatenate([a.element_currents[el], b.element_currents[el]])
+        np.testing.assert_allclose(j, full.element_currents[el],
+                                   rtol=1e-9, atol=1e-18)
