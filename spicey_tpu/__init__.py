@@ -48,6 +48,7 @@ from .analysis.batch import (
     simulate_tran_batch,
 )
 from .analysis.mc import MCStats, mc_ac_stats, mc_tran_stats
+from .analysis.sensitivity import sensitivity_ac, sensitivity_tran
 from .analysis.op import (
     BatchOPResult,
     DCResult,
