@@ -117,15 +117,17 @@ def _batch_values(base: np.ndarray, names: tuple[str, ...],
 
 
 def _batched_ext(tensors: CircuitTensors, overrides, B: int) -> dict:
-    """ext pytree with value arrays tiled to (B, nX) + overrides applied."""
+    """ext pytree with value arrays tiled to (B, nX) + overrides applied.
+
+    Built from the host NumPy tensors directly — converting freshly created
+    device arrays back with np.asarray costs a full device round-trip per
+    array on remote-tunnel TPU setups (~30 ms each)."""
     ext = ext_arrays(tensors)
-    for key, names in (("g_gm", tensors.g_names),
-                       ("e_gain", tensors.e_names),
-                       ("f_gain", tensors.f_names),
-                       ("h_r", tensors.h_names)):
-        ext[key] = jnp.asarray(
-            _batch_values(np.asarray(ext[key]), names, overrides, B)
-        )
+    for key, base, names in (("g_gm", tensors.g_gm, tensors.g_names),
+                             ("e_gain", tensors.e_gain, tensors.e_names),
+                             ("f_gain", tensors.f_gain, tensors.f_names),
+                             ("h_r", tensors.h_r, tensors.h_names)):
+        ext[key] = jnp.asarray(_batch_values(base, names, overrides, B))
     return ext
 
 
@@ -134,10 +136,9 @@ def _batched_nl(tensors: CircuitTensors, overrides, B: int) -> dict:
     M element name sweeps its beta, a Q element name its Is."""
     nl = nl_arrays(tensors)
     nl["m_beta"] = jnp.asarray(
-        _batch_values(np.asarray(nl["m_beta"]), tensors.m_names,
-                      overrides, B))
+        _batch_values(tensors.m_beta, tensors.m_names, overrides, B))
     nl["q_is"] = jnp.asarray(
-        _batch_values(np.asarray(nl["q_is"]), tensors.q_names, overrides, B))
+        _batch_values(tensors.q_is, tensors.q_names, overrides, B))
     return nl
 
 

@@ -84,6 +84,29 @@ def _stats_of(resp, valid, qs):
     return out
 
 
+def _pack_stats(stats, n_valid):
+    """Stack every statistic + the valid count into ONE device array so the
+    host pays a single device->host transfer (each round-trip costs ~30 ms
+    on remote-tunnel TPU setups)."""
+    rows = jnp.stack([stats["mean"], stats["std"], stats["min"],
+                      stats["max"]])
+    if "q" in stats:
+        rows = jnp.concatenate([rows, stats["q"]], axis=0)
+    nv = jnp.full((1, rows.shape[1]), n_valid, rows.dtype)
+    return jnp.concatenate([rows, nv], axis=0)
+
+
+def _unpack_stats(packed: np.ndarray, quantiles, grid) -> "MCStats":
+    nq = len(quantiles)
+    return MCStats(
+        grid=grid,
+        mean=packed[0], std=packed[1], min=packed[2], max=packed[3],
+        quantiles={q: packed[4 + i] for i, q in enumerate(quantiles)},
+        n_valid=int(packed[-1, 0]),
+        n_total=-1,  # caller fills
+    )
+
+
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "interpret", "chunk", "n_real"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
@@ -146,7 +169,7 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         )
     stats = _stats_of(mag, valid, qs)
     n_valid = jnp.sum(jnp.all(valid, axis=-1))
-    return stats, n_valid
+    return _pack_stats(stats, n_valid)
 
 
 def mc_ac_stats(
@@ -233,7 +256,7 @@ def mc_ac_stats(
         v_re, v_im = put(v_re), put(v_im)
         ext = {k: (v if k.endswith("idx") else put(v))
                for k, v in ext.items()}
-    stats, n_valid = _mc_ac_stats_core(
+    packed = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
         jnp.asarray(tensors.r_idx), r_vals,
         jnp.asarray(tensors.c_idx), c_vals,
@@ -243,17 +266,9 @@ def mc_ac_stats(
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None,
     )
-    q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(freqs)))
-    return MCStats(
-        grid=freqs,
-        mean=np.asarray(stats["mean"]),
-        std=np.asarray(stats["std"]),
-        min=np.asarray(stats["min"]),
-        max=np.asarray(stats["max"]),
-        quantiles={q: q_arr[i] for i, q in enumerate(quantiles)},
-        n_valid=int(n_valid),
-        n_total=B,
-    )
+    res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
+    res.n_total = B
+    return res
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
@@ -275,7 +290,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
     )
     v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
-    return stats, jnp.sum(valid)
+    return _pack_stats(stats, jnp.sum(valid))
 
 
 def mc_tran_stats(
@@ -359,7 +374,7 @@ def mc_tran_stats(
         if vs_batched:
             vs_in = device_put(jnp.asarray(vs_in, fdt),
                                (None, "batch", None))
-    stats, n_valid = _mc_tran_stats_core(
+    packed = _mc_tran_stats_core(
         jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
         jnp.asarray(tensors.r_idx), r_vals,
         jnp.asarray(tensors.c_idx), c_vals,
@@ -374,14 +389,6 @@ def mc_tran_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
     )
-    q_arr = np.asarray(stats["q"]) if quantiles else np.zeros((0, len(times)))
-    return MCStats(
-        grid=times,
-        mean=np.asarray(stats["mean"]),
-        std=np.asarray(stats["std"]),
-        min=np.asarray(stats["min"]),
-        max=np.asarray(stats["max"]),
-        quantiles={q: q_arr[i] for i, q in enumerate(quantiles)},
-        n_valid=int(n_valid),
-        n_total=B,
-    )
+    res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+    res.n_total = B
+    return res

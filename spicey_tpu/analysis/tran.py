@@ -293,6 +293,63 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     if max_nr is None:
         max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
+    linear = (n_s == 0 and n_d == 0 and n_m == 0 and n_q == 0
+              and nr == "spicey")
+    if linear:
+        # Linear circuit: A is time-invariant (per integration phase), so
+        # factor ONCE outside the scan — each step is then a multiply by
+        # the precomputed inverse plus one iterative-refinement pass,
+        # instead of a full Gauss-Jordan elimination. This is the
+        # factorization reuse the reference never does (it re-eliminates
+        # from scratch every timestep, solveReal.ts per simulateTRAN.ts:152).
+        dt_cf = jnp.maximum(dt, EPS)
+
+        def assemble_A(first, second):
+            A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
+            A = stamp_admittance(A, r_idx, 1.0 / r_vals)
+            if integration == "trap":
+                g_c = jnp.where(first, c_vals / dt_cf, 2.0 * c_vals / dt_cf)
+                g_l = jnp.where(first, dt_cf / l_vals,
+                                dt_cf / (2.0 * l_vals))
+            elif integration == "gear2":
+                st = jnp.logical_or(first, second)
+                g_c = jnp.where(st, c_vals / dt_cf, 1.5 * c_vals / dt_cf)
+                g_l = jnp.where(st, dt_cf / l_vals, dt_cf / (1.5 * l_vals))
+            else:
+                g_c = c_vals / dt_cf
+                g_l = dt_cf / l_vals
+            A = stamp_admittance(A, c_idx, g_c)
+            A = stamp_admittance(A, l_idx, g_l)
+            b_dummy = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
+            A, _ = stamp_voltage_source(
+                A, b_dummy, v_idx,
+                jnp.zeros(v_idx.shape[:1], dtype=dtype))
+            A = stamp_extended(A, ext)
+            return A[..., :nvar, :nvar]
+
+        def inv_of(A):
+            def col(e):
+                return solve(A, jnp.broadcast_to(e, A.shape[:-1]),
+                             method="gj")
+
+            X, oks = jax.vmap(col, out_axes=(-1, 0))(
+                jnp.eye(nvar, dtype=dtype))
+            return X, jnp.all(oks, axis=0)
+
+        A_main = assemble_A(jnp.asarray(False), jnp.asarray(False))
+        Ainv_main, ok_main = inv_of(A_main)
+        if integration in ("trap", "gear2"):
+            A_start = assemble_A(jnp.asarray(True), jnp.asarray(False))
+            Ainv_start, ok_start = inv_of(A_start)
+            factor_ok = jnp.logical_and(ok_main, ok_start)
+        else:
+            A_start, Ainv_start = A_main, Ainv_main
+            factor_ok = ok_main
+
+        def mv(M, v):
+            # multiply+reduce, not dot: f64 dots cannot lower onto the MXU
+            return jnp.sum(M * v[..., None, :], axis=-1)
+
     def step_fn(carry, inputs):
         vs_t, is_first, is_second = inputs
         (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
@@ -333,11 +390,56 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             return x, sw_out, it, done, ok
 
         x0 = jnp.zeros(lead + (nvar,), dtype=dtype)
-        x, sw_on, _it, _done, step_ok = jax.lax.while_loop(
-            cond, body,
-            (x0, sw_on, jnp.asarray(0), jnp.zeros(lead, jnp.bool_),
-             jnp.ones(lead, jnp.bool_)),
-        )
+        if linear:
+            # RHS-only assembly + apply the precomputed inverse, with one
+            # refinement pass (error ~ (cond*eps)^2 — indistinguishable
+            # from a fresh elimination)
+            dt_c = jnp.maximum(dt, EPS)
+            b = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
+            if integration == "trap":
+                g_c = jnp.where(is_first, c_vals / dt_c,
+                                2.0 * c_vals / dt_c)
+                b = stamp_current(b, c_idx, -(g_c * v_prev_c + i_prev_c))
+                g_l = jnp.where(is_first, dt_c / l_vals,
+                                dt_c / (2.0 * l_vals))
+                b = stamp_current(b, l_idx, i_prev_l + g_l * v_prev_l)
+            elif integration == "gear2":
+                startup = jnp.logical_or(is_first, is_second)
+                ieq_c = jnp.where(
+                    startup,
+                    -(c_vals / dt_c) * v_prev_c,
+                    -(c_vals / dt_c) * (2.0 * v_prev_c - 0.5 * v_prev2_c),
+                )
+                b = stamp_current(b, c_idx, ieq_c)
+                isrc_l = jnp.where(
+                    startup,
+                    i_prev_l,
+                    (2.0 * i_prev_l - 0.5 * i_prev2_l) / 1.5,
+                )
+                b = stamp_current(b, l_idx, isrc_l)
+            else:
+                b = stamp_current(b, c_idx, -(c_vals / dt_c) * v_prev_c)
+                b = stamp_current(b, l_idx, i_prev_l)
+            n_v = v_idx.shape[0]
+            b = b.at[..., v_idx[:, 2]].add(vs_t[..., :n_v])
+            b = stamp_current(b, ext["i_idx"], vs_t[..., n_v:])
+            b = b[..., :nvar]
+            if integration in ("trap", "gear2"):
+                sel = (is_first if integration == "trap"
+                       else jnp.logical_or(is_first, is_second))
+                Ainv = jnp.where(sel, Ainv_start, Ainv_main)
+                A_t = jnp.where(sel, A_start, A_main)
+            else:
+                Ainv, A_t = Ainv_main, A_main
+            x = mv(Ainv, b)
+            x = x + mv(Ainv, b - mv(A_t, x))
+            step_ok = factor_ok
+        else:
+            x, sw_on, _it, _done, step_ok = jax.lax.while_loop(
+                cond, body,
+                (x0, sw_on, jnp.asarray(0), jnp.zeros(lead, jnp.bool_),
+                 jnp.ones(lead, jnp.bool_)),
+            )
         x_pad = pad_solution(x, nvar)
         # state commit (simulateTRAN.ts:221-237; trap adds the companion
         # current/voltage states its formulas carry; gear2 keeps two-step
