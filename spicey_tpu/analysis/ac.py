@@ -289,9 +289,14 @@ def simulate_ac(
         ext=ext,
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
     )
-    if not bool(np.all(np.asarray(valid))):
+    # one packed device->host transfer (round-trips cost ~30 ms each on
+    # remote-tunnel TPU setups)
+    packed = np.asarray(jnp.concatenate(
+        [x_re, x_im, valid[:, None].astype(x_re.dtype)], axis=1))
+    nv = tensors.nvar
+    if not bool(np.all(packed[:, -1] > 0.5)):
         raise ValueError("Singular matrix in AC solve")
-    x = np.asarray(x_re) + 1j * np.asarray(x_im)  # (F, nvar) complex128
+    x = packed[:, :nv] + 1j * packed[:, nv:2 * nv]  # (F, nvar) complex128
 
     node_voltages = {
         name: x[:, i] for i, name in enumerate(tensors.node_names)

@@ -204,8 +204,13 @@ def simulate_op(
         jnp.asarray(tensors.r_vals),
         max_iters=max_iters, tol=tol, method=method,
     )
-    x = np.asarray(x)
-    if not bool(np.asarray(valid)):
+    # one packed device->host transfer (x | switch states | validity)
+    packed = np.asarray(jnp.concatenate(
+        [x, sw_on.astype(x.dtype),
+         jnp.full((1,), valid, x.dtype)]))
+    x = packed[:nvar_op]
+    sw_on = packed[nvar_op:nvar_op + tensors.n_s] > 0.5
+    if not bool(packed[-1] > 0.5):
         raise ValueError("DC operating point did not converge")
 
     x_pad = np.concatenate([x, [0.0]])
@@ -320,8 +325,10 @@ def simulate_dc(
         jnp.asarray(tensors.r_vals),
         max_iters=max_iters, tol=tol, method=method, batch=B,
     )
-    x = np.asarray(x)          # (B, nvar_op)
-    valid = np.asarray(valid)  # (B,)
+    packed = np.asarray(jnp.concatenate(
+        [x, valid[:, None].astype(x.dtype)], axis=1))
+    x = packed[:, :nvar_op]    # (B, nvar_op)
+    valid = packed[:, -1] > 0.5  # (B,)
     x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
 
     node_voltages = {

@@ -730,9 +730,15 @@ def simulate_tran(
                     else tuple(jnp.asarray(a) for a in state.carry)),
         resume=state is not None,
     )
-    xs = np.asarray(xs)
-    sw_states = np.asarray(sw_states)
-    if not bool(np.asarray(valid)):
+    # one packed device->host transfer for the solution, switch states,
+    # and the validity flag (round-trips are ~30 ms each over the tunnel)
+    n_sw = tensors.n_s
+    packed = np.asarray(jnp.concatenate(
+        [xs, sw_states.astype(xs.dtype),
+         jnp.full((xs.shape[0], 1), valid, xs.dtype)], axis=1))
+    xs = packed[:, :tensors.nvar]
+    sw_states = packed[:, tensors.nvar:tensors.nvar + n_sw] > 0.5
+    if not bool(packed[0, -1] > 0.5):
         raise ValueError("Singular matrix in TRAN solve")
 
     node_voltages = {
