@@ -27,11 +27,15 @@ from dataclasses import dataclass, field
 from .node_index import NodeIndex
 from .numbers import parse_number_with_units
 from .waveforms import (
+    ExpWaveform,
     PulseWaveform,
     PwlWaveform,
+    SinWaveform,
     Waveform,
+    parse_exp_args,
     parse_pulse_args,
     parse_pwl_args,
+    parse_sin_args,
 )
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
@@ -477,9 +481,13 @@ def js_parse_int(s: str) -> int:
     return int(m.group(1))
 
 
-def _scan_source_spec(vs, tokens: list[str]) -> None:
+def _scan_source_spec(vs, tokens: list[str],
+                      dialect: str = "spicey") -> None:
     """Shared dc/ac/PULSE/PWL keyword scanner (parseNetlist.ts:344-389),
-    applied to VoltageSource and (extended dialect) CurrentSource."""
+    applied to VoltageSource and (extended dialect) CurrentSource. The
+    extended dialect additionally understands SIN(...) and EXP(...)
+    waveforms; under the reference dialect those tokens are skipped one at
+    a time, exactly like any unknown keyword (parseNetlist.ts:384-388)."""
     i = 3
     if i < len(tokens) and not re.match(r"^[a-zA-Z]", tokens[i]):
         vs.dc = parse_number_with_units(tokens[i])
@@ -515,27 +523,45 @@ def _scan_source_spec(vs, tokens: list[str]) -> None:
                 raise ValueError("Malformed PWL() specification")
             vs.waveform = PwlWaveform(parse_pwl_args(arg_token))
             i += 1 if "(" in key else 2
+        elif key.startswith("sin") and dialect == "extended":
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "SIN() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed SIN() specification")
+            vs.waveform = SinWaveform(parse_sin_args(arg_token))
+            i += 1 if "(" in key else 2
+        elif key.startswith("exp") and dialect == "extended":
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "EXP() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed EXP() specification")
+            vs.waveform = ExpWaveform(parse_exp_args(arg_token))
+            i += 1 if "(" in key else 2
         else:
             # stray parenthesized groups and unknown keywords are skipped
             # one token at a time (parseNetlist.ts:384-388)
             i += 1
 
 
-def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
+def _parse_voltage_source(ckt: ParsedCircuit, name: str, tokens: list[str],
+                          dialect: str = "spicey") -> None:
     """V element with dc/ac/PULSE/PWL keyword scanning (parseNetlist.ts:328-399)."""
     n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Voltage source missing node"))
     n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Voltage source missing node"))
     vs = VoltageSource(name=name, n1=n1, n2=n2)
-    _scan_source_spec(vs, tokens)
+    _scan_source_spec(vs, tokens, dialect=dialect)
     ckt.V.append(vs)
 
 
-def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str]) -> None:
+def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str],
+                          dialect: str = "spicey") -> None:
     """Extended-dialect I element; same spec grammar as V."""
     n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Current source missing node"))
     n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Current source missing node"))
     cs = CurrentSource(name=name, n1=n1, n2=n2)
-    _scan_source_spec(cs, tokens)
+    _scan_source_spec(cs, tokens, dialect=dialect)
     ckt.I.append(cs)
 
 
@@ -604,9 +630,9 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 val = parse_number_with_units(_require(tokens, 3, "Inductor missing value"))
                 ckt.L.append(Inductor(name=name, n1=n1, n2=n2, L=val))
             elif type_char == "v":
-                _parse_voltage_source(ckt, name, tokens)
+                _parse_voltage_source(ckt, name, tokens, dialect=dialect)
             elif type_char == "i" and dialect == "extended":
-                _parse_current_source(ckt, name, tokens)
+                _parse_current_source(ckt, name, tokens, dialect=dialect)
             elif type_char == "m" and dialect == "extended":
                 nd = ckt.nodes.get_or_create(
                     _require(tokens, 1, "MOSFET missing drain node"))

@@ -176,3 +176,96 @@ class PwlWaveform(Waveform):
         out = np.where(t <= ts[0], vs[0], out)
         out = np.where(t > ts[-1], vs[-1], out)
         return out
+
+
+# --- extended-dialect waveforms (no reference analog: the reference's
+# source scanner skips unknown keywords, parseNetlist.ts:384-388) ---
+
+_SIN_HEAD_RE = re.compile(r"^sin\s*\(", re.IGNORECASE)
+_EXP_HEAD_RE = re.compile(r"^exp\s*\(", re.IGNORECASE)
+
+
+@dataclass(frozen=True)
+class SinSpec:
+    """SIN(VO VA FREQ [TD [THETA [PHASE]]]) — ngspice semantics:
+    v(t) = VO for t < TD, else
+    VO + VA * e^{-(t-TD)*THETA} * sin(2*pi*(FREQ*(t-TD) + PHASE/360))."""
+
+    vo: float
+    va: float
+    freq: float
+    td: float = 0.0
+    theta: float = 0.0
+    phase_deg: float = 0.0
+
+
+def parse_sin_args(token: str) -> SinSpec:
+    parts = [p for p in _SPLIT_RE.split(_strip_call(token, _SIN_HEAD_RE)) if p]
+    if len(parts) < 3 or len(parts) > 6:
+        raise ValueError("SIN() requires 3 to 6 arguments")
+    vals = [parse_number_with_units(p) for p in parts]
+    vals += [0.0] * (6 - len(vals))
+    return SinSpec(*vals)
+
+
+@dataclass(frozen=True)
+class ExpSpec:
+    """EXP(V1 V2 TD1 TAU1 TD2 TAU2) — rise toward V2 after TD1 with time
+    constant TAU1, fall back toward V1 after TD2 with TAU2 (ngspice)."""
+
+    v1: float
+    v2: float
+    td1: float = 0.0
+    tau1: float = 1e-9
+    td2: float = 1e-9
+    tau2: float = 1e-9
+
+
+def parse_exp_args(token: str) -> ExpSpec:
+    parts = [p for p in _SPLIT_RE.split(_strip_call(token, _EXP_HEAD_RE)) if p]
+    if len(parts) < 2 or len(parts) > 6:
+        raise ValueError("EXP() requires 2 to 6 arguments")
+    vals = [parse_number_with_units(p) for p in parts]
+    defaults = [None, None, 0.0, 1e-9, None, 1e-9]
+    out = list(vals) + defaults[len(vals):]
+    if out[4] is None:
+        out[4] = out[2] + out[3]  # default TD2 = TD1 + TAU1
+    return ExpSpec(*out)
+
+
+class SinWaveform(Waveform):
+    def __init__(self, spec: SinSpec):
+        self.spec = spec
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        s = self.spec
+        t = np.asarray(t, dtype=np.float64)
+        dt = t - s.td
+        active = dt >= 0.0
+        damp = np.exp(-np.where(active, dt, 0.0) * s.theta)
+        wave = s.vo + s.va * damp * np.sin(
+            2.0 * math.pi * (s.freq * dt + s.phase_deg / 360.0))
+        return np.where(active, wave, s.vo)
+
+    def __call__(self, t: float) -> float:
+        return float(self.sample(np.asarray([t]))[0])
+
+
+class ExpWaveform(Waveform):
+    def __init__(self, spec: ExpSpec):
+        self.spec = spec
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        s = self.spec
+        t = np.asarray(t, dtype=np.float64)
+        tau1 = max(s.tau1, EPS)
+        tau2 = max(s.tau2, EPS)
+        d1 = np.maximum(t - s.td1, 0.0)
+        d2 = np.maximum(t - s.td2, 0.0)
+        rise = (s.v2 - s.v1) * (1.0 - np.exp(-d1 / tau1))
+        fall = (s.v1 - s.v2) * (1.0 - np.exp(-d2 / tau2))
+        return s.v1 + np.where(t >= s.td1, rise, 0.0) \
+            + np.where(t >= s.td2, fall, 0.0)
+
+    def __call__(self, t: float) -> float:
+        return float(self.sample(np.asarray([t]))[0])

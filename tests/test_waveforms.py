@@ -96,3 +96,59 @@ def test_pwl_duplicate_knots_use_scalar_path():
     t = np.array([0.5e-3, 1e-3, 1.5e-3])
     ref = np.array([pwl_value(pairs, float(x)) for x in t])
     np.testing.assert_allclose(wf.sample(t), ref)
+
+
+# --- extended-dialect SIN/EXP sources ---
+
+def test_sin_waveform_sampling():
+    from spicey_tpu.parsing.waveforms import SinWaveform, parse_sin_args
+
+    w = SinWaveform(parse_sin_args("SIN(1 2 1k 0 0 90)"))
+    assert w(0.0) == pytest.approx(3.0)            # phase 90 -> peak
+    assert w(1e-3) == pytest.approx(3.0)           # full cycle later
+    assert w(0.5e-3) == pytest.approx(-1.0)        # half cycle: trough
+    assert w(0.25e-3) == pytest.approx(1.0, abs=1e-12)
+    # delay: flat at VO before TD
+    wd = SinWaveform(parse_sin_args("SIN(0 1 1k 1m)"))
+    assert wd(0.5e-3) == 0.0
+    # damping decays the envelope
+    wt = SinWaveform(parse_sin_args("SIN(0 1 1k 0 500)"))
+    quarter = 0.25e-3
+    assert abs(wt(quarter + 1e-3)) < abs(wt(quarter))
+
+
+def test_exp_waveform_sampling():
+    from spicey_tpu.parsing.waveforms import ExpWaveform, parse_exp_args
+
+    w = ExpWaveform(parse_exp_args("EXP(0 5 1u 2u 10u 2u)"))
+    assert w(0.0) == 0.0
+    assert w(1e-6) == 0.0                         # rise starts at TD1
+    assert w(5e-6) == pytest.approx(5 * (1 - np.exp(-2.0)), rel=1e-12)
+    assert w(1.0) == pytest.approx(0.0, abs=1e-9)  # returns to V1
+
+
+def test_sin_source_transient_end_to_end():
+    from spicey_tpu import parse_netlist, simulate_tran
+
+    net = "t\nv1 1 0 SIN(0 1 10k)\nr1 1 2 1k\nr2 2 0 1k\n.tran 2.5u 200u\n"
+    tr = simulate_tran(parse_netlist(net, dialect="extended"))
+    t = np.asarray(tr.times)
+    expect = 0.5 * np.sin(2 * np.pi * 1e4 * t)
+    np.testing.assert_allclose(tr.node_voltages["2"], expect,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sin_exp_skipped_in_reference_dialect():
+    from spicey_tpu import parse_netlist
+
+    c = parse_netlist("t\nv1 1 0 SIN(0 1 1k)\nr1 1 0 1k\n")
+    assert c.V[0].waveform is None  # unknown keyword skipped (parity)
+    c = parse_netlist("t\nv1 1 0 EXP(0 5 1u 1u)\nr1 1 0 1k\n")
+    assert c.V[0].waveform is None
+
+
+def test_malformed_sin_raises():
+    from spicey_tpu import parse_netlist
+
+    with pytest.raises(ValueError, match="SIN"):
+        parse_netlist("t\nv1 1 0 SIN(1)\nr1 1 0 1k\n", dialect="extended")
