@@ -33,7 +33,7 @@ from ..ir.circuit import (
     ext_arrays,
     sample_source_values,
 )
-from ..parsing.netlist import ParsedCircuit, parse_netlist
+from ..parsing.netlist import ParsedCircuit
 from .ac import _assemble_grid, build_frequency_array
 from .batch import (
     _batch_size,

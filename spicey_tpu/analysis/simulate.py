@@ -7,7 +7,7 @@ extended-dialect extension; the reference has no DC analysis).
 from __future__ import annotations
 
 from ..ir.circuit import build_tensors
-from ..parsing.netlist import ParsedCircuit, parse_netlist
+from ..parsing.netlist import parse_netlist
 from .ac import simulate_ac
 from .op import simulate_dc, simulate_op
 from .results import SimulationResult

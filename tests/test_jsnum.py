@@ -60,8 +60,6 @@ def test_to_fixed():
 
 
 def test_format_dc_and_op_results():
-    import jax
-
     from spicey_tpu import (
         format_dc_result,
         format_op_result,

@@ -2,7 +2,6 @@
 /root/reference/lib/formatting/formatToVGraph.ts and
 tests/fixtures/compare-voltage-levels.ts)."""
 
-import numpy as np
 import pytest
 
 from spicey_tpu import simulate, spicey_tran_to_vgraphs, eec_engine_tran_to_vgraphs
