@@ -278,12 +278,19 @@ def simulate_op(
 
 @dataclass
 class DCResult:
-    """DC sweep result: per-sweep-point node voltages (extended dialect)."""
+    """DC sweep result: per-sweep-point node voltages (extended dialect).
+
+    For a 2D sweep (two sources), every array keeps the flattened (B1*B2,)
+    layout with the SECOND source as the slow (outer) axis, ngspice-style;
+    ``sweep2`` holds the outer source's value per point and ``shape2d``
+    gives (B2, B1) for reshaping."""
 
     sweep: np.ndarray                       # (B,) swept source values
     node_voltages: dict[str, np.ndarray]    # name -> (B,)
     element_currents: dict[str, np.ndarray]
     valid: np.ndarray                       # (B,) convergence per point
+    sweep2: np.ndarray | None = None        # (B,) outer source values (2D)
+    shape2d: tuple[int, int] | None = None  # (B2, B1) when 2D
 
 
 def simulate_dc(
@@ -302,21 +309,38 @@ def simulate_dc(
     if tensors is None:
         tensors = build_tensors(ckt)
     spec = ckt.dc
-    n_steps = int(np.floor((spec.stop - spec.start) / spec.step + 0.5)) + 1
-    sweep = spec.start + spec.step * np.arange(n_steps)
+    n1 = int(np.floor((spec.stop - spec.start) / spec.step + 0.5)) + 1
+    grid1 = spec.start + spec.step * np.arange(n1)
 
     v_names = [n.upper() for n in tensors.v_names]
     i_names = [n.upper() for n in tensors.i_names]
-    key = spec.src.upper()
-    B = n_steps
+
+    def place(col, key, label):
+        if key in v_names:
+            v_dc[:, v_names.index(key)] = col
+        elif key in i_names:
+            i_dc[:, i_names.index(key)] = col
+        else:
+            raise ValueError(f"Unknown .dc source {label}")
+
+    sweep2 = shape2d = None
+    if spec.src2 is not None:
+        # 2D nested sweep: source 2 is the slow (outer) axis; all
+        # (B2 x B1) corners solve in ONE batched Newton call
+        n2 = int(np.floor((spec.stop2 - spec.start2) / spec.step2 + 0.5)) + 1
+        grid2 = spec.start2 + spec.step2 * np.arange(n2)
+        sweep = np.tile(grid1, n2)
+        sweep2 = np.repeat(grid2, n1)
+        shape2d = (n2, n1)
+        B = n1 * n2
+    else:
+        sweep = grid1
+        B = n1
     v_dc = np.broadcast_to(tensors.v_dc, (B, tensors.n_v)).copy()
     i_dc = np.broadcast_to(tensors.i_dc, (B, tensors.n_i)).copy()
-    if key in v_names:
-        v_dc[:, v_names.index(key)] = sweep
-    elif key in i_names:
-        i_dc[:, i_names.index(key)] = sweep
-    else:
-        raise ValueError(f"Unknown .dc source {spec.src}")
+    place(sweep, spec.src.upper(), spec.src)
+    if spec.src2 is not None:
+        place(sweep2, spec.src2.upper(), spec.src2)
 
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
     x, sw_on, valid = _run_op_core(
@@ -364,7 +388,8 @@ def simulate_dc(
         for k, name in enumerate(tensors.q_names):
             currents[name] = i_c[:, k]
     return DCResult(sweep=sweep, node_voltages=node_voltages,
-                    element_currents=currents, valid=valid)
+                    element_currents=currents, valid=valid,
+                    sweep2=sweep2, shape2d=shape2d)
 
 
 @dataclass

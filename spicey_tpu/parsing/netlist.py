@@ -293,12 +293,18 @@ class TranAnalysis:
 
 @dataclass
 class DCAnalysis:
-    """Extended-dialect .dc sweep: ``.dc <src> <start> <stop> <step>``."""
+    """Extended-dialect .dc sweep: ``.dc <src> <start> <stop> <step>
+    [<src2> <start2> <stop2> <step2>]`` (second source = ngspice-style
+    nested outer sweep)."""
 
     src: str
     start: float
     stop: float
     step: float
+    src2: str | None = None
+    start2: float = 0.0
+    stop2: float = 0.0
+    step2: float = 0.0
 
 
 @dataclass
@@ -378,7 +384,13 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         start = parse_number_with_units(_require(tokens, 2, ".dc missing start"))
         stop = parse_number_with_units(_require(tokens, 3, ".dc missing stop"))
         step = parse_number_with_units(_require(tokens, 4, ".dc missing step"))
-        ckt.dc = DCAnalysis(src=src, start=start, stop=stop, step=step)
+        dc = DCAnalysis(src=src, start=start, stop=stop, step=step)
+        if len(tokens) >= 9:
+            dc.src2 = tokens[5]
+            dc.start2 = parse_number_with_units(tokens[6])
+            dc.stop2 = parse_number_with_units(tokens[7])
+            dc.step2 = parse_number_with_units(tokens[8])
+        ckt.dc = dc
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         if mode not in ("dec", "lin"):

@@ -174,3 +174,38 @@ q1 c bs 0 qn
     np.testing.assert_allclose(ob.node_voltage("c"),
                                res.dc.node_voltages["c"], rtol=1e-12)
     assert ob.valid.all()
+
+
+def test_dc_2d_sweep_mosfet_output_characteristics():
+    """Nested .dc (vds inner, vgs outer): the classic curve-trace family,
+    all corners in one batched Newton call, exact vs the square law."""
+    from spicey_tpu import simulate
+
+    res = simulate("""t
+.model mn nmos(vto=1 kp=2m lambda=0.02)
+vds d 0 1
+vgs gt 0 1
+m1 d gt 0 mn
+.dc vds 0 5 0.5 vgs 1 3 1
+""", dialect="extended")
+    dc = res.dc
+    assert dc.shape2d == (3, 11)
+    assert dc.valid.all()
+    i_d = dc.element_currents["m1"].reshape(dc.shape2d)
+    # vgs = 3 V, vds = 5 V is saturation: id = kp/2*(vgs-vto)^2*(1+lam*vds)
+    assert i_d[-1, -1] == pytest.approx(1e-3 * 4 * 1.1, rel=1e-9)
+    # vgs = 1 V row: cutoff
+    np.testing.assert_allclose(i_d[0], 0.0, atol=1e-11)
+    # outer axis values repeat per inner row
+    np.testing.assert_allclose(dc.sweep2.reshape(dc.shape2d)[:, 0],
+                               [1.0, 2.0, 3.0])
+
+
+def test_dc_1d_sweep_has_no_2d_fields():
+    from spicey_tpu import simulate
+
+    res = simulate(
+        "t\nv1 1 0 dc 1\nr1 1 2 1k\nr2 2 0 1k\n.dc v1 0 2 1\n",
+        dialect="extended",
+    )
+    assert res.dc.sweep2 is None and res.dc.shape2d is None
