@@ -50,6 +50,7 @@ from .analysis.batch import (
 from .analysis.mc import MCStats, mc_ac_stats, mc_tran_stats
 from .analysis.sensitivity import sensitivity_ac, sensitivity_tran
 from .analysis.fit import FitResult, fit_ac, fit_tran
+from .analysis.adaptive import AdaptiveTranResult, simulate_tran_adaptive
 from .analysis.op import (
     BatchOPResult,
     DCResult,

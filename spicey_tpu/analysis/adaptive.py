@@ -1,0 +1,267 @@
+"""Adaptive-timestep transient analysis with local-truncation-error control.
+
+The reference is strictly fixed-step ("no adaptive timestep, no LTE
+control" — SURVEY §2.10 / simulateTRAN.ts:14-19). This engine chooses its
+own step sizes by step-doubling error estimation:
+
+  - every iteration takes one backward-Euler step of size dt AND two of
+    size dt/2 from the same state; their difference estimates the local
+    truncation error;
+  - the step is accepted when ``max |x_h - x_f| / (atol + rtol*|x_h|) <= 1``
+    (or dt already at dt_min), advancing with the more accurate half-step
+    state; otherwise it is rejected and retried smaller;
+  - dt then scales by the standard order-1 controller
+    ``clip(0.9/err, 0.2, 2.0)``, clamped to [dt_min, dt_max] and to the
+    remaining horizon.
+
+XLA cannot grow arrays, so the engine scans over a fixed ``max_steps``
+attempt budget with per-iteration accept masks; accepted points are
+filtered host-side. Sources evaluate ON DEVICE at the adaptive time points
+(ir/sources.py) — precomputed grids cannot serve steps whose times the
+compiled program itself chooses.
+
+Newton always runs to convergence here (the reference's one-step-diode
+quirk makes no sense under error control), reusing the same stamps,
+companions, and switch hysteresis as the fixed-step engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPS
+from ..ir.circuit import (
+    CircuitTensors,
+    build_tensors,
+    empty_ext,
+    empty_nl,
+    ext_arrays,
+    nl_arrays,
+)
+from ..ir.sources import build_source_program, eval_sources
+from ..ops.linsolve import solve
+from ..ops.stamps import pad_solution
+from ..parsing.netlist import ParsedCircuit
+from .tran import _stamp_system, _switch_update, _vdrop
+
+
+@dataclass
+class AdaptiveTranResult:
+    times: np.ndarray                      # (nAccepted+1,) incl. t=0 record
+    node_voltages: dict[str, np.ndarray]
+    n_accepted: int
+    n_rejected: int
+    n_attempts: int
+    exhausted: bool                        # budget ran out before tstop
+
+
+@partial(jax.jit, static_argnames=("nvar", "method", "max_steps", "max_nr",
+                                   "nr_tol"))
+def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
+                   r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+                   v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
+                   d_idx, d_is, d_n, ext, nl,
+                   nvar: int, method: str, max_steps: int,
+                   max_nr: int = 50, nr_tol: float = 1e-9):
+    dtype = jnp.float64
+    tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+                      s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
+                      ext)
+    n_c = c_idx.shape[0]
+    n_l = l_idx.shape[0]
+    n_s = s_idx.shape[0]
+    n_d = d_idx.shape[0]
+    n_m = nl["m_idx"].shape[0]
+    n_q = nl["q_idx"].shape[0]
+
+    def newton(state, dt_step, t_eval, is_first):
+        """One BE step of size dt_step evaluated at absolute time t_eval.
+        Returns (x, new_state, ok)."""
+        (v_prev_c, i_prev_l, vd_prev_d, vm_prev, vq_prev, sw_on) = state
+        vs_t = eval_sources(prog, t_eval)
+        zc = jnp.zeros((n_c,), dtype)
+        zl = jnp.zeros((n_l,), dtype)
+
+        def cond(st):
+            _x, _sw, it, done, _ok = st
+            return jnp.logical_and(it < max_nr, ~done)
+
+        def body(st):
+            x, sw, it, done, ok = st
+            A, b = _stamp_system(
+                tensors_arrays, nvar, dt_step, vs_t, x, it,
+                v_prev_c, zc, i_prev_l, zl, vd_prev_d, sw,
+                integration="be", is_first=is_first,
+                nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
+            )
+            x_new, solve_ok = solve(A, b, method=method)
+            x_pad = pad_solution(x_new, nvar)
+            new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad)
+            switched = jnp.any(new_on != sw)
+            delta = jnp.max(jnp.abs(x_new - x)) if nvar else 0.0
+            scale = 1.0 + (jnp.max(jnp.abs(x_new)) if nvar else 0.0)
+            settled = jnp.logical_and(~switched, delta <= nr_tol * scale)
+            ok = jnp.logical_and(ok, solve_ok)
+            return x_new, new_on, it + 1, settled, ok
+
+        x0 = jnp.zeros((nvar,), dtype)
+        x, sw_new, _it, _done, ok = jax.lax.while_loop(
+            cond, body,
+            (x0, sw_on, jnp.asarray(0), jnp.asarray(False),
+             jnp.asarray(True)),
+        )
+        x_pad = pad_solution(x, nvar)
+        dt_c = jnp.maximum(dt_step, EPS)
+        new_state = (
+            _vdrop(x_pad, c_idx) if n_c else v_prev_c,
+            (i_prev_l + (dt_c / l_vals) * _vdrop(x_pad, l_idx))
+            if n_l else i_prev_l,
+            _vdrop(x_pad, d_idx) if n_d else vd_prev_d,
+            jnp.stack(
+                [x_pad[..., nl["m_idx"][:, 1]] - x_pad[..., nl["m_idx"][:, 2]],
+                 x_pad[..., nl["m_idx"][:, 0]] - x_pad[..., nl["m_idx"][:, 2]]],
+                axis=-1) if n_m else vm_prev,
+            jnp.stack(
+                [x_pad[..., nl["q_idx"][:, 1]] - x_pad[..., nl["q_idx"][:, 2]],
+                 x_pad[..., nl["q_idx"][:, 1]] - x_pad[..., nl["q_idx"][:, 0]]],
+                axis=-1) if n_q else vq_prev,
+            sw_new,
+        )
+        return x, new_state, ok
+
+    def select(pred, a, b):
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+    # t = 0 record: the TRUE rest state — the dt->0 limit of the BE
+    # bootstrap pins capacitors at their zero initial voltage (Gc -> inf)
+    # and opens inductors (Gl -> 0, i = 0). The fixed-step engines instead
+    # keep the reference's one-dt0-step-from-rest quirk; error-controlled
+    # integration starts from the honest initial condition.
+    state0 = (
+        jnp.zeros((n_c,), dtype), jnp.zeros((n_l,), dtype),
+        jnp.zeros((n_d,), dtype), jnp.zeros((n_m, 2), dtype),
+        jnp.zeros((n_q, 2), dtype), jnp.zeros((n_s,), jnp.bool_),
+    )
+    dt_ic = tstop * 1e-12
+    x0, state, ok0 = newton(state0, dt_ic, jnp.asarray(0.0),
+                            jnp.asarray(True))
+
+    def step(carry, _):
+        t, dt, st, done, ok = carry
+        dt_eff = jnp.clip(jnp.minimum(dt, tstop - t), dt_min, dt_max)
+        t_new = t + dt_eff
+        nf = jnp.asarray(False)
+        x_f, st_f, ok_f = newton(st, dt_eff, t_new, nf)
+        x_h1, st_h, ok_h1 = newton(st, dt_eff / 2, t + dt_eff / 2, nf)
+        x_h, st_h2, ok_h2 = newton(st_h, dt_eff / 2, t_new, nf)
+        err = jnp.max(jnp.abs(x_h - x_f) / (atol + rtol * jnp.abs(x_h))) \
+            if nvar else jnp.asarray(0.0)
+        # Richardson extrapolation: 2*half - full cancels BE's O(dt) term,
+        # making the advanced trajectory (and the recorded point) globally
+        # second-order while the error estimate still bounds the raw BE LTE
+        x_rec = 2.0 * x_h - x_f
+        st_adv = jax.tree.map(
+            lambda h, f: (2.0 * h - f
+                          if jnp.issubdtype(h.dtype, jnp.floating) else h),
+            st_h2, st_f,
+        )
+        at_floor = dt_eff <= dt_min * 1.0000001
+        accept = jnp.logical_and(
+            jnp.logical_or(err <= 1.0, at_floor), ~done)
+        fac = jnp.clip(0.9 / jnp.maximum(err, 1e-12), 0.2, 2.0)
+        dt_next = jnp.clip(dt_eff * fac, dt_min, dt_max)
+        t_out = jnp.where(accept, t_new, t)
+        st_out = select(accept, st_adv, st)
+        step_ok = jnp.logical_and(ok_h1, ok_h2)
+        ok = jnp.logical_and(ok, jnp.logical_or(~accept, step_ok))
+        finished = t_out >= tstop * (1.0 - 1e-12)
+        done_out = jnp.logical_or(done, finished)
+        rejected = jnp.logical_and(~accept, ~done)
+        return ((t_out, dt_next, st_out, done_out, ok),
+                (t_out, x_rec, accept, rejected))
+
+    init = (jnp.asarray(0.0), jnp.asarray(dt0, dtype), state,
+            jnp.asarray(False), ok0)
+    carry, (ts, xs, acc, rej) = jax.lax.scan(step, init, None,
+                                             length=max_steps)
+    t_end, _dt, _st, done, ok = carry
+    return x0, ts, xs, acc, rej, done, ok
+
+
+def simulate_tran_adaptive(
+    ckt: ParsedCircuit,
+    tensors: CircuitTensors | None = None,
+    rtol: float = 1e-4,
+    atol: float = 1e-9,
+    dt_min: float | None = None,
+    dt_max: float | None = None,
+    max_steps: int = 4096,
+    method: str = "gj",
+    max_nr: int = 50,
+    nr_tol: float = 1e-9,
+) -> AdaptiveTranResult | None:
+    """LTE-controlled transient: the .tran spec supplies the initial step
+    (``dt``) and the horizon (``tstop``); the engine then picks its own
+    steps. Raises if the attempt budget is exhausted before tstop."""
+    if ckt.tran is None:
+        return None
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    tstop = ckt.tran.tstop
+    dt0 = ckt.tran.dt if ckt.tran.dt > EPS else tstop / 1000.0
+    if dt_min is None:
+        dt_min = tstop * 1e-9
+    if dt_max is None:
+        dt_max = tstop / 10.0
+    prog = {k: jnp.asarray(v) for k, v in build_source_program(ckt).items()}
+
+    x0, ts, xs, acc, rej, done, ok = _adaptive_core(
+        prog, jnp.asarray(tstop), jnp.asarray(dt0), jnp.asarray(dt_min),
+        jnp.asarray(dt_max), jnp.asarray(rtol), jnp.asarray(atol),
+        jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+        jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+        jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+        jnp.asarray(tensors.v_idx),
+        jnp.asarray(tensors.s_idx),
+        jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+        jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+        jnp.asarray(tensors.d_idx),
+        jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+        ext_arrays(tensors), nl_arrays(tensors),
+        nvar=tensors.nvar, method=method, max_steps=max_steps,
+        max_nr=max_nr, nr_tol=nr_tol,
+    )
+    packed = np.asarray(jnp.concatenate(
+        [ts[:, None], xs, acc[:, None].astype(xs.dtype),
+         rej[:, None].astype(xs.dtype)], axis=1))
+    x0 = np.asarray(jnp.concatenate([jnp.asarray([0.0]), x0,
+                                     jnp.asarray([1.0, 0.0])]))
+    done_ok = np.asarray(jnp.stack([done, ok]))
+    if not bool(done_ok[1] > 0.5):
+        raise ValueError("Singular matrix in adaptive TRAN solve")
+    nvar = tensors.nvar
+    mask = packed[:, nvar + 1] > 0.5
+    times = np.concatenate([[0.0], packed[mask, 0]])
+    sols = np.concatenate([x0[None, 1:nvar + 1], packed[mask, 1:nvar + 1]])
+    node_voltages = {
+        name: sols[:, i] for i, name in enumerate(tensors.node_names)
+    }
+    if ckt.tran_probes:
+        upper = {p.upper() for p in ckt.tran_probes}
+        node_voltages = {
+            name: series for name, series in node_voltages.items()
+            if name.upper() in upper
+        }
+    return AdaptiveTranResult(
+        times=times,
+        node_voltages=node_voltages,
+        n_accepted=int(mask.sum()),
+        n_rejected=int((packed[:, nvar + 2] > 0.5).sum()),
+        n_attempts=int(len(mask)),
+        exhausted=not bool(done_ok[0] > 0.5),
+    )
