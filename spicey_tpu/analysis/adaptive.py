@@ -38,8 +38,6 @@ from ..constants import EPS
 from ..ir.circuit import (
     CircuitTensors,
     build_tensors,
-    empty_ext,
-    empty_nl,
     ext_arrays,
     nl_arrays,
 )
