@@ -27,7 +27,7 @@ _jax.config.update("jax_enable_x64", True)
 from .analysis.ac import simulate_ac
 from .analysis.results import ACResult, SimulationResult, TranResult
 from .analysis.simulate import simulate
-from .analysis.tran import simulate_tran
+from .analysis.tran import TranState, simulate_tran
 from .constants import EPS, VT_300K
 from .formatting.compare import compare_voltage_levels
 from .formatting.svg import convert_simulation_graphs_to_svg
