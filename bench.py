@@ -99,6 +99,18 @@ def main() -> None:
 
     batched_vps = B / f32_elapsed
 
+    # --- headline at production scale: 1M variants, parameters drawn on
+    # device (no host-side parameter arrays), chunked to bound memory ---
+    from spicey_tpu.analysis.mc import mc_ac_sampled
+
+    BIG = 1_000_000
+    big_kw = dict(spreads={"r1": 0.2, "c1": 0.2}, B=BIG, node="2",
+                  tensors=tensors, precision="f32", method="pallas",
+                  chunk=100_000)
+    big = mc_ac_sampled(ckt, **big_kw)  # warm up
+    assert big.n_valid == BIG
+    big_vps = BIG / best_of(lambda: mc_ac_sampled(ckt, **big_kw))
+
     # --- transient MC: 201-step RC pulse, 10k variants in one scan ---
     tran_net = (
         "TRAN bench\n"
@@ -134,9 +146,11 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "mc_ac_yield_variants_per_sec",
-        "value": round(batched_vps, 1),
-        "unit": "variants/s (201-pt AC sweep + on-device stats, f32 Pallas tier)",
-        "vs_baseline": round(batched_vps / baseline_vps, 1),
+        "value": round(big_vps, 1),
+        "unit": "variants/s (1M-variant 201-pt AC yield analysis, on-device "
+                "sampling + stats, f32 Pallas tier, chunked)",
+        "vs_baseline": round(big_vps / baseline_vps, 1),
+        "b10k_variants_per_sec": round(batched_vps, 1),
         "f64_tier_variants_per_sec": round(B / f64_elapsed, 1),
         "f64_tier_vs_baseline": round(B / f64_elapsed / baseline_vps, 1),
         "tran_variants_per_sec": round(tran_vps, 1),

@@ -392,3 +392,107 @@ def mc_tran_stats(
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
     return res
+
+
+def _sampled_values(tensors, spreads, B, key, dist):
+    """Device-side lognormal/normal parameter draws around the netlist
+    values. Returns jnp (B, nE) arrays for r/c/l plus the raw draws."""
+    import jax
+
+    groups = {
+        "r": (tensors.r_vals, [n.upper() for n in tensors.r_names]),
+        "c": (tensors.c_vals, [n.upper() for n in tensors.c_names]),
+        "l": (tensors.l_vals, [n.upper() for n in tensors.l_names]),
+    }
+    targets = []
+    for name, sigma in spreads.items():
+        for g, (_base, names) in groups.items():
+            if name.upper() in names:
+                targets.append((g, names.index(name.upper()), float(sigma)))
+                break
+        else:
+            raise ValueError(f"unknown sampled element {name!r}")
+    z = jax.random.normal(jax.random.PRNGKey(key), (B, len(targets)))
+    vals = {g: jnp.broadcast_to(jnp.asarray(base), (B,) + base.shape)
+            for g, (base, _names) in groups.items()}
+    for j, (g, i, sigma) in enumerate(targets):
+        col = vals[g][:, i]
+        if dist == "lognormal":
+            col = col * jnp.exp(sigma * z[:, j])
+        elif dist == "normal":
+            col = col * (1.0 + sigma * z[:, j])
+        else:
+            raise ValueError("dist must be 'lognormal' or 'normal'")
+        vals[g] = vals[g].at[:, i].set(col)
+    return vals
+
+
+def mc_ac_sampled(
+    circuit: ParsedCircuit | str,
+    spreads: dict[str, float],
+    B: int,
+    node: str,
+    key: int = 0,
+    dist: str = "lognormal",
+    quantiles: tuple[float, ...] = (5.0, 50.0, 95.0),
+    tensors=None,
+    method: str = "gj",
+    precision: str = "f64",
+    chunk: int | None = None,
+    dialect: str = "spicey",
+) -> MCStats:
+    """Yield analysis with ON-DEVICE parameter sampling: ``spreads`` maps
+    R/C/L element names to relative sigmas; B variants are drawn from a
+    lognormal (or relative-normal) distribution around the netlist values
+    by the device PRNG — no (B, nE) host arrays ever exist, so B can be
+    millions. Everything else matches mc_ac_stats (pair with ``chunk`` to
+    bound memory)."""
+    ckt = _resolve(circuit, dialect=dialect)
+    if ckt.ac is None:
+        raise ValueError("netlist has no .ac analysis")
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    if precision not in ("f64", "f32"):
+        raise ValueError("precision must be 'f64' or 'f32'")
+    fdt = jnp.float32 if precision == "f32" else jnp.float64
+    vals = _sampled_values(tensors, spreads, B, key, dist)
+
+    freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
+    ph = tensors.v_ac_phase_deg * math.pi / 180.0
+    v_re = jnp.broadcast_to(
+        jnp.asarray(tensors.v_ac_mag * np.cos(ph), fdt), (B, tensors.n_v))
+    v_im = jnp.broadcast_to(
+        jnp.asarray(tensors.v_ac_mag * np.sin(ph), fdt), (B, tensors.n_v))
+    iph = tensors.i_ac_phase_deg * math.pi / 180.0
+    i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph), fdt)
+    i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph), fdt)
+    ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+           for k, v in _batched_ext(tensors, {}, B).items()}
+    node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
+
+    n_pad = 0
+    if chunk is not None and chunk < B:
+        n_pad = (-B) % chunk
+
+        def pad(a):
+            return jnp.concatenate([a, jnp.repeat(a[-1:], n_pad, 0)],
+                                   axis=0) if n_pad else a
+
+        vals = {g: pad(v) for g, v in vals.items()}
+        v_re, v_im = pad(v_re), pad(v_im)
+        ext = {k: (v if k.endswith("idx") else pad(v))
+               for k, v in ext.items()}
+
+    packed = _mc_ac_stats_core(
+        jnp.asarray(freqs, fdt),
+        jnp.asarray(tensors.r_idx), jnp.asarray(vals["r"], fdt),
+        jnp.asarray(tensors.c_idx), jnp.asarray(vals["c"], fdt),
+        jnp.asarray(tensors.l_idx), jnp.asarray(vals["l"], fdt),
+        jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
+        nvar=tensors.nvar, node_idx=node_idx, method=method,
+        qs=tuple(float(q) for q in quantiles),
+        chunk=chunk, n_real=B if n_pad else None,
+    )
+    res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
+    res.n_total = B
+    return res

@@ -181,3 +181,35 @@ def test_mc_stats_sharded_over_cpu_mesh():
                        device_put=sharder(mesh))
     np.testing.assert_allclose(bt.mean, at.mean, rtol=1e-13)
     assert bt.n_valid == B
+
+
+def test_mc_ac_sampled_matches_host_draws():
+    """On-device sampled MC must equal host-side stats computed from the
+    identical PRNG draws."""
+    import jax
+
+    from spicey_tpu.analysis.mc import mc_ac_sampled
+
+    B = 512
+    st = mc_ac_sampled(netlists.BASICS01_AC, {"r1": 0.1, "c1": 0.1}, B, "2",
+                       key=3)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (B, 2)))
+    rv = 30.0 * np.exp(0.1 * z[:, 0])
+    cv = 100e-6 * np.exp(0.1 * z[:, 1])
+    ref = mc_ac_stats(netlists.BASICS01_AC, {"r1": rv, "c1": cv}, node="2")
+    np.testing.assert_allclose(st.mean, ref.mean, rtol=1e-12)
+    np.testing.assert_allclose(st.quantiles[95.0], ref.quantiles[95.0],
+                               rtol=1e-10)
+    assert st.n_valid == B and st.n_total == B
+    # chunked path identical too (non-multiple B exercises pad masking)
+    st_c = mc_ac_sampled(netlists.BASICS01_AC, {"r1": 0.1, "c1": 0.1}, B,
+                         "2", key=3, chunk=100)
+    np.testing.assert_allclose(st_c.mean, st.mean, rtol=1e-13)
+    assert st_c.n_valid == B
+
+
+def test_mc_ac_sampled_unknown_element_raises():
+    from spicey_tpu.analysis.mc import mc_ac_sampled
+
+    with pytest.raises(ValueError, match="unknown sampled element"):
+        mc_ac_sampled(netlists.BASICS01_AC, {"nope": 0.1}, 8, "2")
