@@ -711,6 +711,27 @@ def simulate_tran(
         times = (step0 + np.arange(1, steps + 1, dtype=np.float64)) * dt
     vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
 
+    init_state = None
+    if state is not None:
+        init_state = tuple(jnp.asarray(a) for a in state.carry)
+    elif ckt.initial_conditions:
+        # extended .ic: capacitor companion state starts at the specified
+        # node voltages (unspecified nodes at 0), so the t=0 bootstrap pins
+        # each capacitor near its initial condition. The reference has no
+        # .ic/uic support at all (simulateTRAN.ts:149 starts from rest).
+        ic = {k.upper(): v for k, v in ckt.initial_conditions.items()}
+        node_v = np.zeros(tensors.nvar + 1)
+        for i, name in enumerate(tensors.node_names):
+            node_v[i] = ic.get(name.upper(), 0.0)
+        v_ic = (node_v[tensors.c_idx[:, 0]]
+                - node_v[tensors.c_idx[:, 1]])
+        z = np.zeros
+        init_state = tuple(jnp.asarray(a) for a in (
+            v_ic, z(tensors.n_c), z(tensors.n_l), z(tensors.n_l),
+            z(tensors.n_d), z((tensors.n_m, 2)), z((tensors.n_q, 2)),
+            np.zeros(tensors.n_s, bool), v_ic.copy(), z(tensors.n_l),
+        ))
+
     xs, sw_states, valid, fin_state = _tran_core(
         jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
@@ -726,8 +747,7 @@ def simulate_tran(
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
         ext=ext_arrays(tensors), nl=nl_arrays(tensors),
         interpret=interpret,
-        init_state=(None if state is None
-                    else tuple(jnp.asarray(a) for a in state.carry)),
+        init_state=init_state,
         resume=state is not None,
     )
     # one packed device->host transfer for the solution, switch states,

@@ -328,6 +328,7 @@ class ParsedCircuit:
     dc: DCAnalysis | None = None  # extended dialect
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
+    initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
     skipped: list[str] = field(default_factory=list)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
@@ -379,6 +380,18 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     dir_name = tokens[0].lower()
     if dir_name == ".op" and dialect == "extended":
         ckt.op = True
+    elif dir_name == ".ic" and dialect == "extended":
+        # .ic v(node)=value ... — transient initial node voltages. Parsed
+        # from the raw line: the tokenizer splits "v(2)=3" at the paren.
+        body = line.strip()[3:].strip()
+        entries = re.findall(r"v\(([^)]+)\)\s*=\s*(\S+)", body,
+                             re.IGNORECASE)
+        leftover = re.sub(r"v\(([^)]+)\)\s*=\s*(\S+)", "", body,
+                          flags=re.IGNORECASE).strip()
+        if not entries or leftover:
+            raise ValueError(f"malformed .ic directive: {line!r}")
+        for node, val in entries:
+            ckt.initial_conditions[node] = parse_number_with_units(val)
     elif dir_name == ".dc" and dialect == "extended":
         src = _require(tokens, 1, ".dc missing source name")
         start = parse_number_with_units(_require(tokens, 2, ".dc missing start"))

@@ -284,3 +284,38 @@ def test_unknown_control_source_raises():
     with pytest.raises(ValueError, match="Unknown controlling source"):
         parse_netlist("t\nf1 0 2 vmissing 10\nr2 2 0 50\n",
                       dialect="extended")
+
+
+# --- .ic initial conditions (extended dialect) ---
+
+def test_ic_parsing():
+    ckt = parse_netlist(
+        "t\nv1 1 0 dc 5\nr1 1 2 1k\nc1 2 0 1u\n.ic v(2)=3 v(1)=5\n"
+        ".tran 1u 1m\n", dialect="extended")
+    assert ckt.initial_conditions == {"2": 3.0, "1": 5.0}
+    strict = parse_netlist(
+        "t\nv1 1 0 dc 5\nr1 1 2 1k\nc1 2 0 1u\n.ic v(2)=3\n.tran 1u 1m\n")
+    assert strict.initial_conditions == {}
+    assert any(s.startswith(".ic") for s in strict.skipped)
+    with pytest.raises(ValueError, match="malformed .ic"):
+        parse_netlist("t\nr1 1 0 1k\n.ic bogus\n", dialect="extended")
+
+
+def test_ic_rc_discharge_analytic():
+    """Capacitor starts at 3 V and discharges: v = 3*e^{-t/RC} (with the
+    engine's step-k = (k+1)dt record convention)."""
+    net = ("t\nv1 1 0 dc 0\nr1 1 2 1k\nc1 2 0 1u\n.ic v(2)=3\n"
+           ".tran 10u 5m\n")
+    tr = simulate_tran(parse_netlist(net, dialect="extended"))
+    t = np.asarray(tr.times)
+    exact = 3.0 * np.exp(-(t + t[1]) / 1e-3)
+    assert np.max(np.abs(np.asarray(tr.node_voltages["2"]) - exact)) < 2e-2
+    assert tr.node_voltages["2"][0] == pytest.approx(3.0, rel=2e-2)
+
+
+def test_ic_default_rest_unchanged():
+    """Without .ic, extended-dialect transients keep the from-rest start."""
+    net = "t\nv1 1 0 dc 5\nr1 1 2 1k\nc1 2 0 1u\n.tran 10u 1m\n"
+    a = simulate_tran(parse_netlist(net, dialect="extended"))
+    b = simulate_tran(parse_netlist(net))
+    np.testing.assert_array_equal(a.node_voltages["2"], b.node_voltages["2"])
