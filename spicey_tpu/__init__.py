@@ -20,9 +20,18 @@ JS doubles), so importing this package enables JAX x64 mode.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# opt-in persistent compile cache: first TPU compiles go through a remote
+# tunnel and can take 30-120 s; a cache directory makes repeat sessions warm
+_cache_dir = _os.environ.get("SPICEY_TPU_COMPILE_CACHE")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .analysis.ac import simulate_ac
 from .analysis.results import ACResult, SimulationResult, TranResult
