@@ -40,10 +40,16 @@ from .waveforms import (
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
 _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
-# extended dialect adds E (VCVS) lines, which the reference title rule
-# does not know about (parseNetlist.ts:158-161 regex lacks "e")
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefh]\w*$", re.IGNORECASE)
+# extended dialect adds E (VCVS) and X (subcircuit instance) lines, which
+# the reference title rule does not know about
+# (parseNetlist.ts:158-161 regex lacks "e"/"x")
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhx]\w*$", re.IGNORECASE)
+# \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
+# a .subckt block)
 _END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
+_SUBCKT_RE = re.compile(r"^\.subckt\b", re.IGNORECASE)
+_ENDS_RE = re.compile(r"^\.ends\b", re.IGNORECASE)
+_X_NAME_RE = re.compile(r"^x\w*$", re.IGNORECASE)
 _PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
 _PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
 _ASSIGN_SPLIT_RE = re.compile(r"[\s,]+")
@@ -590,16 +596,193 @@ def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str],
     ckt.I.append(cs)
 
 
+# nodes-per-element for subcircuit flattening: how many tokens after the
+# name are node references that must be remapped into the instance scope
+_ELEMENT_NODE_COUNT = {
+    "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
+    "q": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2,
+}
+
+_MAX_SUBCKT_DEPTH = 20
+
+
+def _collect_subckt_defs(text: str) -> tuple[dict, list[str]]:
+    """Split netlist text into `.subckt` definitions and the main body.
+
+    Returns ({lower_name: (ports, body_lines)}, main_lines). Definitions are
+    top-level only; nested `.subckt` definitions raise. Everything after a
+    top-level `.end` passes through untouched (the parser ignores it anyway).
+    """
+    defs: dict[str, tuple[list[str], list[str]]] = {}
+    main: list[str] = []
+    cur_name: str | None = None
+    cur_ports: list[str] = []
+    cur_body: list[str] = []
+    ended = False
+    for raw in re.split(r"\r?\n", text):
+        line = raw.strip()
+        if ended:
+            main.append(raw)
+            continue
+        if _END_RE.match(line):
+            main.append(raw)
+            ended = True
+            continue
+        if _SUBCKT_RE.match(line):
+            if cur_name is not None:
+                raise ValueError(
+                    f'nested .subckt definitions are not supported: "{line}"')
+            toks = line.split()
+            if len(toks) < 3:
+                raise ValueError(f'malformed .subckt directive: "{line}"')
+            cur_name, cur_ports, cur_body = toks[1].lower(), toks[2:], []
+            continue
+        if _ENDS_RE.match(line):
+            if cur_name is None:
+                raise ValueError(f'.ends without matching .subckt: "{line}"')
+            defs[cur_name] = (cur_ports, cur_body)
+            cur_name = None
+            continue
+        (cur_body if cur_name is not None else main).append(raw)
+    if cur_name is not None:
+        raise ValueError(f".subckt {cur_name} is missing its .ends")
+    return defs, main
+
+
+def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
+                     depth: int) -> list[str]:
+    """Expand one X line into flattened element lines.
+
+    ngspice-style scoping: ports bind to the instance's outer nodes, every
+    other node `n` inside the body becomes `n.<instance-path>`, ground "0"
+    stays global, and element names are suffixed `.<instance-path>` (so the
+    leading type character is preserved for dispatch). `.model` cards inside
+    a body are hoisted to the global model namespace.
+    """
+    if depth > _MAX_SUBCKT_DEPTH:
+        raise ValueError(
+            f"subcircuit nesting deeper than {_MAX_SUBCKT_DEPTH} while "
+            f"expanding {inst_name} (recursive .subckt definition?)")
+    if len(tokens) < 2:
+        raise ValueError(f"subcircuit instance {inst_name} missing subcircuit name")
+    sub_name = tokens[-1].lower()
+    if sub_name not in defs:
+        raise ValueError(
+            f"Unknown .subckt {tokens[-1]} referenced by {inst_name}")
+    ports, body = defs[sub_name]
+    outer = tokens[1:-1]
+    if len(outer) != len(ports):
+        raise ValueError(
+            f"{inst_name} connects {len(outer)} nodes but .subckt "
+            f"{tokens[-1]} declares {len(ports)} ports")
+    node_map = {p.upper(): o for p, o in zip(ports, outer)}
+
+    def map_node(n: str) -> str:
+        if n == "0":
+            return n
+        return node_map.get(n.upper(), f"{n}.{inst_name}")
+
+    def rename(el: str) -> str:
+        return f"{el}.{inst_name}"
+
+    out: list[str] = []
+    for raw in body:
+        line = raw.strip()
+        if not line or line.startswith("*"):
+            continue
+        line = re.sub(r"//.*$", "", line)
+        line = re.sub(r";.*$", "", line)
+        toks = smart_tokens(line)
+        if not toks or not toks[0]:
+            continue
+        first = toks[0]
+        if first.startswith("."):
+            if first.lower() == ".model":
+                out.append(line)  # models are global; hoist unchanged
+                continue
+            raise ValueError(
+                f'directive not allowed inside .subckt {sub_name}: "{line}"')
+        tc = first[0].lower()
+        if tc == "x" and _X_NAME_RE.match(first):
+            inner = ([rename(first)] + [map_node(t) for t in toks[1:-1]]
+                     + [toks[-1]])
+            out.extend(_expand_instance(rename(first), inner, defs, depth + 1))
+            continue
+        if tc == "m":
+            # M d g s [bulk] model [k=v...]: bare tokens after the nodes are
+            # [bulk, model] or [model]; k=v params pass through untouched
+            nodes = [map_node(t) for t in toks[1:4]]
+            rest = toks[4:]
+            bare_left = sum(1 for t in rest if "=" not in t) - 1
+            mapped_rest = []
+            for t in rest:
+                if "=" not in t and bare_left > 0:
+                    mapped_rest.append(map_node(t))
+                    bare_left -= 1
+                else:
+                    mapped_rest.append(t)
+            out.append(" ".join([rename(first)] + nodes + mapped_rest))
+            continue
+        nn = _ELEMENT_NODE_COUNT.get(tc)
+        if nn is None:
+            out.append(line)  # unknown element: passes through to `skipped`
+            continue
+        new = [rename(first)] + [map_node(t) for t in toks[1:1 + nn]]
+        rest = toks[1 + nn:]
+        if tc in ("f", "h") and rest:
+            # controlling V source lives in the same scope; rename with it
+            rest = [rename(rest[0])] + rest[1:]
+        out.append(" ".join(new + rest))
+    return out
+
+
+def _flatten_subcircuits(text: str) -> str:
+    """Flatten `.subckt`/`.ends`/X hierarchy into a flat netlist (extended
+    dialect only — the reference drops X lines into `skipped`,
+    parseNetlist.ts:444-446)."""
+    defs, main = _collect_subckt_defs(text)
+    out: list[str] = []
+    seen_title = False
+    ended = False
+    for raw in main:
+        line = raw.strip()
+        if ended or not line or line.startswith("*"):
+            out.append(raw)
+            continue
+        if _END_RE.match(line):
+            out.append(raw)
+            ended = True
+            continue
+        stripped = re.sub(r";.*$", "", re.sub(r"//.*$", "", line))
+        toks = smart_tokens(stripped)
+        first = toks[0] if toks else ""
+        if (not seen_title and first and not first.startswith(".")
+                and not _ELEMENT_OR_TITLE_EXT_RE.match(first)):
+            seen_title = True
+            out.append(raw)
+            continue
+        if first and _X_NAME_RE.match(first):
+            out.extend(_expand_instance(first, toks, defs, 1))
+        else:
+            out.append(raw)
+    return "\n".join(out)
+
+
 def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
     """Parse a netlist.
 
     dialect="spicey" (default) reproduces the reference exactly (I/G/E/...
     elements land in `skipped`, parseNetlist.ts:444-446);
     dialect="extended" additionally supports independent current sources
-    (I elements) with the same dc/ac/PULSE/PWL grammar as V.
+    (I elements) with the same dc/ac/PULSE/PWL grammar as V, controlled
+    sources, MOSFET/BJT devices, SIN/EXP waveforms, `.op`/`.dc`/`.ic`
+    directives, and `.subckt`/`.ends`/X hierarchical netlists (flattened
+    before parsing).
     """
     if dialect not in ("spicey", "extended"):
         raise ValueError("dialect must be 'spicey' or 'extended'")
+    if dialect == "extended":
+        text = _flatten_subcircuits(text)
     ckt = ParsedCircuit()
     seen_title = False
 
