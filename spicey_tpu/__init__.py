@@ -44,7 +44,9 @@ from .formatting.jsnum import to_precision
 from .formatting.text import (
     format_ac_result,
     format_dc_result,
+    format_four_result,
     format_op_result,
+    format_tf_result,
     format_tran_result,
 )
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
@@ -68,6 +70,8 @@ from .analysis.op import (
     simulate_dc,
     simulate_op,
 )
+from .analysis.four import FourierProbe, FourierResult, simulate_four
+from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
 from .parsing.numbers import parse_number_with_units
@@ -106,6 +110,7 @@ __all__ = [
     "convert_simulation_graphs_to_svg",
     "eec_engine_tran_to_vgraphs",
     "format_ac_result",
+    "format_tf_result",
     "format_tran_result",
     "make_mesh",
     "mc_ac_stats",
@@ -122,6 +127,11 @@ __all__ = [
     "simulate_ac",
     "simulate_op",
     "OPResult",
+    "simulate_tf",
+    "TFResult",
+    "simulate_four",
+    "FourierResult",
+    "format_four_result",
     "simulate_ac_batch",
     "simulate_tran",
     "simulate_tran_batch",

@@ -56,3 +56,5 @@ class SimulationResult:
     tran: TranResult | None
     op: object | None = None  # OPResult when the extended .op directive ran
     dc: object | None = None  # DCResult when the extended .dc directive ran
+    tf: object | None = None  # TFResult when the extended .tf directive ran
+    four: object | None = None  # FourierResult when the extended .four ran

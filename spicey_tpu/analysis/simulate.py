@@ -11,6 +11,8 @@ from ..parsing.netlist import parse_netlist
 from .ac import simulate_ac
 from .op import simulate_dc, simulate_op
 from .results import SimulationResult
+from .four import simulate_four
+from .tf import simulate_tf
 from ..utils.profiling import span
 from .tran import simulate_tran
 
@@ -31,9 +33,14 @@ def simulate(netlist_text: str, method: str = "gj",
             if circuit.op else None
     with span("dc"):
         dc = simulate_dc(circuit, tensors=tensors, method=method)
+    with span("tf"):
+        tf = simulate_tf(circuit, tensors=tensors, method=method)
     with span("ac"):
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)
     with span("tran"):
         tran = simulate_tran(circuit, tensors=tensors, method=method)
-    return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc)
+    with span("four"):
+        four = simulate_four(circuit, tran)
+    return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
+                            tf=tf, four=four)

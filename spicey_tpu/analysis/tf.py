@@ -1,0 +1,146 @@
+"""DC small-signal transfer function (.tf) — an extension.
+
+The reference has no `.tf` (nor any DC analysis; SURVEY §2.9). This mirrors
+ngspice's `.tf v(out[,ref]) <src>`: solve the DC operating point, linearize
+every nonlinear device there, and report
+
+  - ``transfer_function``  dV(out)/d(input)  (V/V for a V-source input,
+    V/A for an I-source input),
+  - ``input_impedance``    resistance seen by the input source,
+  - ``output_impedance``   resistance seen looking into the output port.
+
+The linearized system reuses the `.op` unknown ordering (nodes, V/E/H
+branches, then 0 V inductor-short branches — op.py) and the same stamp
+kernels; both right-hand sides (unit input excitation, unit output current
+probe) solve against one factorization-sized batched call, so the whole
+analysis is two tiny solves on top of the operating point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPS
+from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
+from ..ops.linsolve import solve
+from ..ops.stamps import (
+    stamp_admittance,
+    stamp_extended,
+    stamp_voltage_source,
+)
+from ..parsing.netlist import ParsedCircuit
+from .ac import small_signal_rows
+from .op import _op_indices, simulate_op
+
+
+@dataclass
+class TFResult:
+    transfer_function: float
+    input_impedance: float
+    output_impedance: float
+    out_spec: str
+    src_name: str
+
+
+def _node_matrix_index(ckt: ParsedCircuit, name: str, dump: int) -> int:
+    node_id = ckt.nodes.get(name)
+    if node_id is None:
+        raise ValueError(f"Unknown node {name} in .tf output spec")
+    return dump if node_id == 0 else node_id - 1
+
+
+def simulate_tf(
+    ckt: ParsedCircuit,
+    tensors: CircuitTensors | None = None,
+    method: str = "gj",
+) -> TFResult | None:
+    """Run the `.tf` analysis (None if the netlist has no .tf line)."""
+    if ckt.tf is None:
+        return None
+    if tensors is None:
+        tensors = build_tensors(ckt)
+
+    spec = ckt.tf
+    op = simulate_op(ckt, tensors=tensors, method=method)
+    nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
+    dump = nvar_op
+
+    out_p = _node_matrix_index(ckt, spec.out_pos, dump)
+    out_n = (_node_matrix_index(ckt, spec.out_neg, dump)
+             if spec.out_neg is not None else dump)
+
+    # locate the input source: a V source (branch excitation) or an
+    # extended-dialect I source (nodal injection)
+    src_key = spec.src.upper()
+    v_pos = next((k for k, n in enumerate(tensors.v_names)
+                  if n.upper() == src_key), None)
+    i_pos = next((k for k, n in enumerate(tensors.i_names)
+                  if n.upper() == src_key), None)
+    if v_pos is None and i_pos is None:
+        raise ValueError(
+            f"Unknown source {spec.src} in .tf (must be a V or I element)")
+
+    # linearized DC conductance matrix at the operating point
+    dtype = jnp.float64
+    A = jnp.zeros((nvar_op + 1, nvar_op + 1), dtype=dtype)
+    b0 = jnp.zeros((nvar_op + 1,), dtype=dtype)
+    A = stamp_admittance(A, jnp.asarray(remap(tensors.r_idx)),
+                         jnp.asarray(tensors.r_vals) ** -1)
+    # V sources and L shorts contribute their branch rows with 0 V — all
+    # independent sources are zeroed for small-signal solves
+    A, b0 = stamp_voltage_source(
+        A, b0, jnp.asarray(l_bidx),
+        jnp.zeros(l_bidx.shape[0], dtype=dtype))
+    A, b0 = stamp_voltage_source(
+        A, b0, jnp.asarray(v_idx_op),
+        jnp.zeros(v_idx_op.shape[0], dtype=dtype))
+    A = stamp_extended(A, ext_arrays(tensors, dump=dump))
+    # nonlinear devices (diode/switch/MOSFET/BJT) as small-signal VCCS rows
+    ss_idx, ss_g = small_signal_rows(tensors, op)
+    from ..ops.stamps import stamp_vccs
+
+    A = stamp_vccs(A, jnp.asarray(remap(ss_idx)), jnp.asarray(ss_g))
+    A = A[:nvar_op, :nvar_op]
+
+    # RHS 1: unit input excitation (all other sources stay zeroed)
+    b_in = np.zeros(nvar_op + 1)
+    if v_pos is not None:
+        in_branch = int(tensors.v_idx[v_pos, 2])
+        b_in[in_branch] = 1.0
+    else:
+        i1, i2 = (int(x) for x in remap(tensors.i_idx)[i_pos])
+        b_in[i1] -= 1.0
+        b_in[i2] += 1.0
+    # RHS 2: unit current probe into the output port
+    b_out = np.zeros(nvar_op + 1)
+    b_out[out_p] += 1.0
+    b_out[out_n] -= 1.0
+
+    rhs = jnp.asarray(np.stack([b_in[:nvar_op], b_out[:nvar_op]]))
+    x, ok = solve(jnp.broadcast_to(A, (2,) + A.shape), rhs, method=method)
+    packed = np.asarray(jnp.concatenate(
+        [x, ok[:, None].astype(x.dtype)], axis=1))
+    if not bool(np.all(packed[:, -1] > 0.5)):
+        raise ValueError("Singular matrix in .tf small-signal solve")
+    x_pad = np.concatenate([packed[:, :nvar_op],
+                            np.zeros((2, 1))], axis=1)  # dump slot = 0
+
+    gain = float(x_pad[0, out_p] - x_pad[0, out_n])
+    if v_pos is not None:
+        # recorded branch current flows INTO the + terminal; the circuit
+        # draws -i_branch from a 1 V excitation
+        i_branch = x_pad[0, in_branch]
+        r_in = float("inf") if abs(i_branch) < EPS else float(-1.0 / i_branch)
+    else:
+        i1, i2 = (int(v) for v in remap(tensors.i_idx)[i_pos])
+        r_in = float(x_pad[0, i2] - x_pad[0, i1])
+    r_out = float(x_pad[1, out_p] - x_pad[1, out_n])
+
+    out_spec = (f"v({spec.out_pos})" if spec.out_neg is None
+                else f"v({spec.out_pos},{spec.out_neg})")
+    return TFResult(transfer_function=gain, input_impedance=r_in,
+                    output_impedance=r_out, out_spec=out_spec,
+                    src_name=spec.src)

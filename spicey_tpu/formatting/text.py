@@ -73,6 +73,46 @@ def format_dc_result(dc) -> str:
     return "\n".join(lines)
 
 
+def format_tf_result(tf) -> str:
+    """Text summary for the extended-dialect .tf analysis (ngspice-style
+    three-line report)."""
+    if tf is None:
+        return "No TF analysis.\n"
+    return "\n".join([
+        f"transfer_function({tf.out_spec}/{tf.src_name}) = "
+        f"{to_precision(tf.transfer_function, 6)}",
+        f"input_impedance({tf.src_name}) = "
+        f"{to_precision(tf.input_impedance, 6)}",
+        f"output_impedance({tf.out_spec}) = "
+        f"{to_precision(tf.output_impedance, 6)}",
+    ])
+
+
+def format_four_result(four) -> str:
+    """Text table for the extended-dialect .four Fourier analysis
+    (ngspice-style per-probe harmonic table)."""
+    if four is None:
+        return "No FOUR analysis.\n"
+    blocks = []
+    for name, p in four.probes.items():
+        lines = [
+            f"Fourier analysis for v({name}), fundamental "
+            f"{to_precision(float(four.fundamental), 6)} Hz, "
+            f"THD = {to_precision(float(p.thd_percent), 6)} %",
+            "harmonic, f(Hz), magnitude, phase(deg), normalized",
+        ]
+        for k in range(len(p.freqs)):
+            lines.append(", ".join([
+                str(k),
+                to_precision(float(p.freqs[k]), 6),
+                to_precision(float(p.magnitude[k]), 6),
+                to_precision(float(p.phase_deg[k]), 6),
+                to_precision(float(p.normalized[k]), 6),
+            ]))
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
+
+
 def format_op_result(op) -> str:
     """Text table for the extended-dialect .op operating point."""
     if op is None:

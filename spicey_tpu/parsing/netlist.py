@@ -314,6 +314,25 @@ class DCAnalysis:
 
 
 @dataclass
+class FourAnalysis:
+    """Extended-dialect ``.four <f0> v(node)...``: Fourier decomposition of
+    transient waveforms over the final fundamental period, ngspice-style."""
+
+    f0: float
+    probes: list[str]
+
+
+@dataclass
+class TFAnalysis:
+    """Extended-dialect ``.tf v(out[,ref]) <src>``: DC small-signal transfer
+    function (gain, input impedance, output impedance), ngspice-style."""
+
+    out_pos: str
+    out_neg: str | None
+    src: str
+
+
+@dataclass
 class ParsedCircuit:
     nodes: NodeIndex = field(default_factory=NodeIndex)
     R: list[Resistor] = field(default_factory=list)
@@ -332,6 +351,8 @@ class ParsedCircuit:
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
+    tf: TFAnalysis | None = None  # extended dialect
+    four: FourAnalysis | None = None  # extended dialect
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
@@ -410,6 +431,32 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             dc.stop2 = parse_number_with_units(tokens[7])
             dc.step2 = parse_number_with_units(tokens[8])
         ckt.dc = dc
+    elif dir_name == ".four" and dialect == "extended":
+        f0 = parse_number_with_units(
+            _require(tokens, 1, ".four missing fundamental frequency"))
+        probes: list[str] = []
+        for token in tokens[2:]:
+            m = _PROBE_RE.match(token)
+            if m and m.group(1):
+                if not any(p.upper() == m.group(1).upper() for p in probes):
+                    probes.append(m.group(1))
+        if not probes:
+            raise ValueError(f".four needs at least one v(node) probe: {line!r}")
+        ckt.four = FourAnalysis(f0=f0, probes=probes)
+    elif dir_name == ".tf" and dialect == "extended":
+        out_tok = _require(tokens, 1, ".tf missing output spec")
+        src = _require(tokens, 2, ".tf missing input source name")
+        m = re.match(r"^v\s*\(([^)]+)\)$", out_tok, re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                f".tf output must be v(node) or v(node,ref): {line!r}")
+        parts = [p.strip() for p in m.group(1).split(",")]
+        if len(parts) == 1:
+            ckt.tf = TFAnalysis(out_pos=parts[0], out_neg=None, src=src)
+        elif len(parts) == 2:
+            ckt.tf = TFAnalysis(out_pos=parts[0], out_neg=parts[1], src=src)
+        else:
+            raise ValueError(f"malformed .tf output spec: {line!r}")
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         if mode not in ("dec", "lin"):
