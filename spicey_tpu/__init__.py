@@ -45,6 +45,7 @@ from .formatting.text import (
     format_ac_result,
     format_dc_result,
     format_four_result,
+    format_noise_result,
     format_op_result,
     format_tf_result,
     format_tran_result,
@@ -71,6 +72,7 @@ from .analysis.op import (
     simulate_op,
 )
 from .analysis.four import FourierProbe, FourierResult, simulate_four
+from .analysis.noise import NoiseResult, simulate_noise
 from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
@@ -132,6 +134,9 @@ __all__ = [
     "simulate_four",
     "FourierResult",
     "format_four_result",
+    "simulate_noise",
+    "NoiseResult",
+    "format_noise_result",
     "simulate_ac_batch",
     "simulate_tran",
     "simulate_tran_batch",

@@ -58,3 +58,4 @@ class SimulationResult:
     dc: object | None = None  # DCResult when the extended .dc directive ran
     tf: object | None = None  # TFResult when the extended .tf directive ran
     four: object | None = None  # FourierResult when the extended .four ran
+    noise: object | None = None  # NoiseResult when the extended .noise ran

@@ -12,6 +12,7 @@ from .ac import simulate_ac
 from .op import simulate_dc, simulate_op
 from .results import SimulationResult
 from .four import simulate_four
+from .noise import simulate_noise
 from .tf import simulate_tf
 from ..utils.profiling import span
 from .tran import simulate_tran
@@ -35,6 +36,8 @@ def simulate(netlist_text: str, method: str = "gj",
         dc = simulate_dc(circuit, tensors=tensors, method=method)
     with span("tf"):
         tf = simulate_tf(circuit, tensors=tensors, method=method)
+    with span("noise"):
+        noise = simulate_noise(circuit, tensors=tensors, method=method)
     with span("ac"):
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)
@@ -43,4 +46,4 @@ def simulate(netlist_text: str, method: str = "gj",
     with span("four"):
         four = simulate_four(circuit, tran)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
-                            tf=tf, four=four)
+                            tf=tf, four=four, noise=noise)

@@ -18,3 +18,9 @@ DIODE_VD_MIN = -1.0
 
 MAX_NR_ITERS = 20
 DEFAULT_TRAN_STEPS = 1000
+
+# physical constants for the extended-dialect .noise analysis (the reference
+# has no noise analysis; T chosen so kT/q matches VT_300K = 0.02585 V)
+K_BOLTZMANN = 1.380649e-23   # J/K
+Q_ELECTRON = 1.602176634e-19  # C
+T_NOISE = VT_300K * Q_ELECTRON / K_BOLTZMANN  # ~300 K, consistent with VT

@@ -113,6 +113,29 @@ def format_four_result(four) -> str:
     return "\n\n".join(blocks)
 
 
+def format_noise_result(noise) -> str:
+    """Text table for the extended-dialect .noise analysis."""
+    if noise is None:
+        return "No NOISE analysis.\n"
+    lines = [
+        f"Noise analysis at {noise.out_spec}, input {noise.src_name}, "
+        f"total output noise = "
+        f"{to_precision(float(noise.total_output_rms), 6)} Vrms",
+        "f(Hz), onoise(V/sqrt(Hz)), inoise(V/sqrt(Hz)), |gain|",
+    ]
+    onoise = noise.output_v_per_sqrt_hz
+    inoise = noise.input_v_per_sqrt_hz
+    gain = np.abs(noise.gain)
+    for k in range(len(noise.freqs)):
+        lines.append(", ".join([
+            to_precision(float(noise.freqs[k]), 6),
+            to_precision(float(onoise[k]), 6),
+            to_precision(float(inoise[k]), 6),
+            to_precision(float(gain[k]), 6),
+        ]))
+    return "\n".join(lines)
+
+
 def format_op_result(op) -> str:
     """Text table for the extended-dialect .op operating point."""
     if op is None:

@@ -323,6 +323,20 @@ class FourAnalysis:
 
 
 @dataclass
+class NoiseAnalysis:
+    """Extended-dialect ``.noise v(out[,ref]) <src> <dec|lin> <N> <f1> <f2>``:
+    ngspice-style small-signal noise analysis at the DC operating point."""
+
+    out_pos: str
+    out_neg: str | None
+    src: str
+    mode: str  # "dec" | "lin"
+    N: int
+    f1: float
+    f2: float
+
+
+@dataclass
 class TFAnalysis:
     """Extended-dialect ``.tf v(out[,ref]) <src>``: DC small-signal transfer
     function (gain, input impedance, output impedance), ngspice-style."""
@@ -353,6 +367,7 @@ class ParsedCircuit:
     dc: DCAnalysis | None = None  # extended dialect
     tf: TFAnalysis | None = None  # extended dialect
     four: FourAnalysis | None = None  # extended dialect
+    noise: NoiseAnalysis | None = None  # extended dialect
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
@@ -402,6 +417,21 @@ def _parse_model_params(params_str: str) -> dict[str, float]:
     return out
 
 
+def _parse_v_output_spec(token: str, directive: str,
+                         line: str) -> tuple[str, str | None]:
+    """``v(node)`` / ``v(node,ref)`` output specs (.tf / .noise)."""
+    m = re.match(r"^v\s*\(([^)]+)\)$", token, re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            f"{directive} output must be v(node) or v(node,ref): {line!r}")
+    parts = [p.strip() for p in m.group(1).split(",")]
+    if len(parts) == 1:
+        return parts[0], None
+    if len(parts) == 2:
+        return parts[0], parts[1]
+    raise ValueError(f"malformed {directive} output spec: {line!r}")
+
+
 def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                      dialect: str = "spicey") -> None:
     dir_name = tokens[0].lower()
@@ -446,17 +476,22 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     elif dir_name == ".tf" and dialect == "extended":
         out_tok = _require(tokens, 1, ".tf missing output spec")
         src = _require(tokens, 2, ".tf missing input source name")
-        m = re.match(r"^v\s*\(([^)]+)\)$", out_tok, re.IGNORECASE)
-        if not m:
-            raise ValueError(
-                f".tf output must be v(node) or v(node,ref): {line!r}")
-        parts = [p.strip() for p in m.group(1).split(",")]
-        if len(parts) == 1:
-            ckt.tf = TFAnalysis(out_pos=parts[0], out_neg=None, src=src)
-        elif len(parts) == 2:
-            ckt.tf = TFAnalysis(out_pos=parts[0], out_neg=parts[1], src=src)
-        else:
-            raise ValueError(f"malformed .tf output spec: {line!r}")
+        out_pos, out_neg = _parse_v_output_spec(out_tok, ".tf", line)
+        ckt.tf = TFAnalysis(out_pos=out_pos, out_neg=out_neg, src=src)
+    elif dir_name == ".noise" and dialect == "extended":
+        out_tok = _require(tokens, 1, ".noise missing output spec")
+        src = _require(tokens, 2, ".noise missing input source name")
+        mode = _require(tokens, 3, ".noise missing sweep mode").lower()
+        if mode not in ("dec", "lin"):
+            raise ValueError(".noise supports 'dec' or 'lin'")
+        N = int(js_parse_int(_require(tokens, 4, ".noise missing point count")))
+        f1 = parse_number_with_units(
+            _require(tokens, 5, ".noise missing start frequency"))
+        f2 = parse_number_with_units(
+            _require(tokens, 6, ".noise missing stop frequency"))
+        out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
+        ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
+                                  mode=mode, N=N, f1=f1, f2=f2)
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         if mode not in ("dec", "lin"):
