@@ -72,6 +72,7 @@ from .analysis.op import (
     simulate_op,
 )
 from .analysis.four import FourierProbe, FourierResult, simulate_four
+from .analysis.meas import MeasSpec, evaluate_meas, simulate_meas
 from .analysis.noise import NoiseResult, simulate_noise
 from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
@@ -137,6 +138,8 @@ __all__ = [
     "simulate_noise",
     "NoiseResult",
     "format_noise_result",
+    "simulate_meas",
+    "MeasSpec",
     "simulate_ac_batch",
     "simulate_tran",
     "simulate_tran_batch",

@@ -59,3 +59,4 @@ class SimulationResult:
     tf: object | None = None  # TFResult when the extended .tf directive ran
     four: object | None = None  # FourierResult when the extended .four ran
     noise: object | None = None  # NoiseResult when the extended .noise ran
+    meas: dict | None = None  # {name: value} when extended .meas lines ran

@@ -12,6 +12,7 @@ from .ac import simulate_ac
 from .op import simulate_dc, simulate_op
 from .results import SimulationResult
 from .four import simulate_four
+from .meas import simulate_meas
 from .noise import simulate_noise
 from .tf import simulate_tf
 from ..utils.profiling import span
@@ -45,5 +46,7 @@ def simulate(netlist_text: str, method: str = "gj",
         tran = simulate_tran(circuit, tensors=tensors, method=method)
     with span("four"):
         four = simulate_four(circuit, tran)
+    with span("meas"):
+        meas = simulate_meas(circuit, tran)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
-                            tf=tf, four=four, noise=noise)
+                            tf=tf, four=four, noise=noise, meas=meas)

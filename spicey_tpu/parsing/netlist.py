@@ -368,6 +368,7 @@ class ParsedCircuit:
     tf: TFAnalysis | None = None  # extended dialect
     four: FourAnalysis | None = None  # extended dialect
     noise: NoiseAnalysis | None = None  # extended dialect
+    meas: list = field(default_factory=list)  # extended .meas tran specs
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
@@ -478,6 +479,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         src = _require(tokens, 2, ".tf missing input source name")
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".tf", line)
         ckt.tf = TFAnalysis(out_pos=out_pos, out_neg=out_neg, src=src)
+    elif dir_name in (".meas", ".measure") and dialect == "extended":
+        from ..analysis.meas import parse_meas_line
+
+        ckt.meas.append(parse_meas_line(line))
     elif dir_name == ".noise" and dialect == "extended":
         out_tok = _require(tokens, 1, ".noise missing output spec")
         src = _require(tokens, 2, ".noise missing input source name")

@@ -1,0 +1,123 @@
+"""Extended-dialect .meas tran measurement directives.
+
+The reference has no measurement post-processing (SURVEY §5); `.meas tran`
+implements the core of ngspice's grammar with analytic expectations.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate
+
+RC = """the rc step for measures
+v1 in 0 PWL(0 0 1u 1 10m 1)
+r1 in out 1k
+c1 out 0 1u
+.tran 10u 10m
+.meas tran vmax max v(out)
+.meas tran vavg avg v(out) from=5m to=10m
+.meas tran t63 when v(out)=0.632
+.meas tran vat find v(out) at=1m
+.meas tran d50 trig v(in)=0.5 rise=1 targ v(out)=0.5 rise=1
+"""
+
+
+def test_meas_rc_step():
+    r = simulate(RC, dialect="extended")
+    m = r.meas
+    tau = 1e-3  # R*C
+    assert m["vmax"] == pytest.approx(1.0, abs=1e-3)
+    assert m["vavg"] == pytest.approx(1.0, abs=2e-3)
+    # v(t) = 1 - exp(-t/tau): crosses 0.632 at ~tau
+    assert m["t63"] == pytest.approx(tau, rel=0.02)
+    assert m["vat"] == pytest.approx(1 - math.exp(-1.0), rel=0.02)
+    # 50% input-to-output delay = tau*ln(2)
+    assert m["d50"] == pytest.approx(tau * math.log(2), rel=0.02)
+
+
+def test_meas_sine_stats():
+    r = simulate(
+        """the sine stats
+v1 out 0 SIN(1 2 1k)
+r1 out 0 1k
+.tran 1u 2m
+.meas tran vpp pp v(out)
+.meas tran vrms rms v(out) from=0 to=2m
+.meas tran varea integ v(out) from=0 to=1m
+.meas tran vmin min v(out)
+""",
+        dialect="extended",
+    )
+    m = r.meas
+    assert m["vpp"] == pytest.approx(4.0, rel=1e-3)
+    # rms of offset sine: sqrt(1^2 + 2^2/2)
+    assert m["vrms"] == pytest.approx(math.sqrt(1 + 2.0), rel=1e-3)
+    # integral over whole cycles: offset * duration
+    assert m["varea"] == pytest.approx(1e-3, rel=1e-2)
+    assert m["vmin"] == pytest.approx(-1.0, rel=1e-3)
+
+
+def test_meas_cross_counts():
+    r = simulate(
+        """the crossing counter
+v1 out 0 SIN(0 1 1k)
+r1 out 0 1k
+.tran 1u 3m
+.meas tran t2rise when v(out)=0 rise=2
+.meas tran t2cross when v(out)=0 cross=2
+.meas tran tfall when v(out)=0 fall=1
+""",
+        dialect="extended",
+    )
+    m = r.meas
+    assert m["t2rise"] == pytest.approx(2e-3, rel=1e-2)
+    # crossings (the t=0 touch is not one): 0.5m fall, 1.0m rise, ...
+    assert m["t2cross"] == pytest.approx(1.0e-3, rel=1e-2)
+    assert m["tfall"] == pytest.approx(0.5e-3, rel=1e-2)
+
+
+def test_meas_missing_crossing_is_nan():
+    r = simulate(
+        "t\nv1 out 0 dc 1\nr1 out 0 1k\n.tran 1u 1m\n"
+        ".meas tran tx when v(out)=5\n",
+        dialect="extended",
+    )
+    assert math.isnan(r.meas["tx"])
+
+
+def test_meas_val_keyword_spelling():
+    ckt = parse_netlist(
+        "t\nv1 out 0 dc 1\nr1 out 0 1k\n.tran 1u 1m\n"
+        ".measure tran tx when v(out) val=0.5 cross=3\n",
+        dialect="extended",
+    )
+    spec = ckt.meas[0]
+    assert spec.kind == "when" and spec.val == 0.5
+    assert spec.edge == "cross" and spec.k == 3
+
+
+def test_meas_malformed_raises():
+    with pytest.raises(ValueError, match="malformed .meas"):
+        parse_netlist("t\n.meas tran x bogus v(1)\n", dialect="extended")
+    with pytest.raises(ValueError, match="only 'tran'"):
+        parse_netlist("t\n.meas ac x max v(1)\n", dialect="extended")
+
+
+def test_meas_requires_tran():
+    with pytest.raises(ValueError, match="requires a .tran"):
+        simulate("t\nv1 1 0 dc 1\nr1 1 0 1k\n.meas tran x max v(1)\n",
+                 dialect="extended")
+
+
+def test_meas_unknown_node_raises():
+    with pytest.raises(ValueError, match="Unknown node"):
+        simulate("t\nv1 1 0 dc 1\nr1 1 0 1k\n.tran 1u 1m\n"
+                 ".meas tran x max v(zz)\n", dialect="extended")
+
+
+def test_meas_skipped_in_spicey_dialect():
+    ckt = parse_netlist("t\nv1 1 0 dc 1\n.meas tran x max v(1)\n")
+    assert ckt.meas == []
+    assert any(".meas" in s for s in ckt.skipped)
