@@ -72,7 +72,8 @@ from .analysis.op import (
     simulate_op,
 )
 from .analysis.four import FourierProbe, FourierResult, simulate_four
-from .analysis.meas import MeasSpec, evaluate_meas, simulate_meas
+from .analysis.meas import (MeasSpec, evaluate_meas, evaluate_meas_batch,
+                            meas_batch, simulate_meas)
 from .analysis.noise import NoiseResult, simulate_noise
 from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
@@ -139,6 +140,7 @@ __all__ = [
     "NoiseResult",
     "format_noise_result",
     "simulate_meas",
+    "meas_batch",
     "MeasSpec",
     "simulate_ac_batch",
     "simulate_tran",

@@ -196,3 +196,90 @@ def simulate_meas(ckt, tran: TranResult | None) -> dict[str, float] | None:
     if tran is None:
         raise ValueError(".meas tran requires a .tran analysis in the netlist")
     return {spec.name: evaluate_meas(spec, tran) for spec in ckt.meas}
+
+
+# --- batched evaluation over Monte-Carlo variants ---------------------------
+
+def _crossing_time_batch(t: np.ndarray, V: np.ndarray, level: float,
+                         edge: str, k: int) -> np.ndarray:
+    """k-th crossing time per variant. V: (B, S) -> (B,), NaN if absent."""
+    s = V - level
+    sl, sr = s[:, :-1], s[:, 1:]
+    rise = (sl < 0) & (sr >= 0) & (sr != sl)
+    fall = (sl > 0) & (sr <= 0) & (sr != sl)
+    hit = rise if edge == "rise" else fall if edge == "fall" else rise | fall
+    # first column where the running hit-count reaches k
+    kth = (np.cumsum(hit, axis=1) == k) & hit
+    found = kth.any(axis=1)
+    i = kth.argmax(axis=1)
+    b = np.arange(V.shape[0])
+    denom = s[b, i + 1] - s[b, i]
+    denom = np.where(denom == 0.0, 1.0, denom)
+    frac = -s[b, i] / denom
+    out = t[i] + frac * (t[i + 1] - t[i])
+    return np.where(found, out, np.nan)
+
+
+def _batch_waveform(batch, node: str) -> np.ndarray:
+    names_upper = [n.upper() for n in batch.node_names]
+    if node.upper() not in names_upper:
+        raise ValueError(f"Unknown node {node} in .meas")
+    return np.asarray(batch.node_voltage(node), dtype=np.float64)
+
+
+def evaluate_meas_batch(spec: MeasSpec, batch) -> np.ndarray:
+    """Evaluate one MeasSpec across every variant of a BatchTranResult.
+
+    Returns a (B,) array — the measurement's Monte-Carlo distribution.
+    Everything is vectorized numpy over the batch axis; no per-variant
+    Python loop, so 10k-variant yield metrics stay O(ms).
+    """
+    t = np.asarray(batch.times, dtype=np.float64)
+    V = _batch_waveform(batch, spec.node)
+
+    if spec.kind in _STAT_KINDS:
+        t0 = spec.t_from if spec.t_from is not None else t[0]
+        t1 = spec.t_to if spec.t_to is not None else t[-1]
+        m = (t >= t0) & (t <= t1)
+        if not np.any(m):
+            return np.full(V.shape[0], np.nan)
+        tw, Vw = t[m], V[:, m]
+        if spec.kind == "max":
+            return Vw.max(axis=1)
+        if spec.kind == "min":
+            return Vw.min(axis=1)
+        if spec.kind == "pp":
+            return Vw.max(axis=1) - Vw.min(axis=1)
+        span = tw[-1] - tw[0]
+        if spec.kind == "integ":
+            return np.trapezoid(Vw, tw, axis=1)
+        if span <= 0.0:
+            return Vw[:, 0] if spec.kind == "avg" else np.abs(Vw[:, 0])
+        if spec.kind == "avg":
+            return np.trapezoid(Vw, tw, axis=1) / span
+        return np.sqrt(np.trapezoid(Vw ** 2, tw, axis=1) / span)  # rms
+
+    if spec.kind == "when":
+        return _crossing_time_batch(t, V, spec.val, spec.edge, spec.k)
+
+    if spec.kind == "find":
+        if spec.at < t[0] or spec.at > t[-1]:
+            return np.full(V.shape[0], np.nan)
+        j = int(np.searchsorted(t, spec.at))
+        if j == 0 or t[j] == spec.at:
+            return V[:, j]
+        frac = (spec.at - t[j - 1]) / (t[j] - t[j - 1])
+        return V[:, j - 1] + frac * (V[:, j] - V[:, j - 1])
+
+    trig = _crossing_time_batch(t, V, spec.val, spec.edge, spec.k)
+    targ = _crossing_time_batch(t, _batch_waveform(batch, spec.node2),
+                                spec.val2, spec.edge2, spec.k2)
+    return targ - trig
+
+
+def meas_batch(ckt, batch) -> dict[str, np.ndarray]:
+    """Every `.meas tran` line evaluated across a BatchTranResult's variants:
+    the Monte-Carlo distribution of each measurement, ``{name: (B,)}``."""
+    if not ckt.meas:
+        raise ValueError("netlist has no .meas tran lines")
+    return {spec.name: evaluate_meas_batch(spec, batch) for spec in ckt.meas}

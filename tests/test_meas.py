@@ -121,3 +121,54 @@ def test_meas_skipped_in_spicey_dialect():
     ckt = parse_netlist("t\nv1 1 0 dc 1\n.meas tran x max v(1)\n")
     assert ckt.meas == []
     assert any(".meas" in s for s in ckt.skipped)
+
+
+def test_meas_batch_matches_single():
+    """Batched measurement distributions agree with per-variant evaluation."""
+    from spicey_tpu import meas_batch, simulate_tran_batch
+    from spicey_tpu.analysis.meas import evaluate_meas
+
+    text = """the mc rise time
+v1 in 0 PWL(0 0 1u 1 10m 1)
+r1 in out 1k
+c1 out 0 1u
+.tran 10u 10m
+.meas tran trise trig v(in)=0.5 rise=1 targ v(out)=0.5 rise=1
+.meas tran vrms rms v(out) from=1m to=10m
+.meas tran tcross when v(out)=0.5 rise=1
+.meas tran vmax max v(out)
+.meas tran vat find v(out) at=2.5m
+"""
+    ckt = parse_netlist(text, dialect="extended")
+    r_vals = np.array([0.5e3, 1e3, 2e3, 4e3])
+    batch = simulate_tran_batch(ckt, {"r1": r_vals})
+    dist = meas_batch(ckt, batch)
+    assert all(v.shape == (4,) for v in dist.values())
+    # tau scales linearly with R: 50% delay = tau*ln2
+    np.testing.assert_allclose(dist["trise"], r_vals * 1e-6 * math.log(2),
+                               rtol=0.02)
+    # cross-check every spec against the scalar path on one variant
+    single = simulate(text.replace("r1 in out 1k", "r1 in out 2k"),
+                      dialect="extended")
+    for spec in ckt.meas:
+        np.testing.assert_allclose(dist[spec.name][2],
+                                   single.meas[spec.name], rtol=1e-9,
+                                   err_msg=spec.name)
+
+
+def test_meas_batch_nan_for_missing_crossings():
+    from spicey_tpu import meas_batch, simulate_tran_batch
+
+    text = """the threshold yield
+v1 in 0 PWL(0 0 1u 1 2m 1)
+r1 in out 1k
+c1 out 0 1u
+.tran 10u 2m
+.meas tran thit when v(out)=0.8 rise=1
+"""
+    ckt = parse_netlist(text, dialect="extended")
+    # tau = 1 ms and 10 ms: fast lane crosses 0.8 at ~1.6 ms; slow lane never does
+    batch = simulate_tran_batch(ckt, {"c1": np.array([1e-6, 1e-5])})
+    dist = meas_batch(ckt, batch)
+    assert np.isfinite(dist["thit"][0])
+    assert math.isnan(dist["thit"][1])
