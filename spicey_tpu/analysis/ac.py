@@ -178,6 +178,26 @@ def _op_voltage_pad(tensors: CircuitTensors, op) -> np.ndarray:
     return x_pad
 
 
+def find_input_source(tensors: CircuitTensors, name: str,
+                      directive: str) -> tuple[int | None, int | None]:
+    """Locate a named independent source for .tf/.noise input referencing.
+    Returns (v_pos, i_pos) — exactly one is set — or raises."""
+    key = name.upper()
+    v_pos = next((k for k, n in enumerate(tensors.v_names)
+                  if n.upper() == key), None)
+    i_pos = next((k for k, n in enumerate(tensors.i_names)
+                  if n.upper() == key), None)
+    if v_pos is None and i_pos is None:
+        raise ValueError(
+            f"Unknown source {name} in {directive} (must be a V or I element)")
+    return v_pos, i_pos
+
+
+def format_out_spec(out_pos: str, out_neg: str | None) -> str:
+    """``v(out)`` / ``v(out,ref)`` display string for .tf/.noise results."""
+    return f"v({out_pos})" if out_neg is None else f"v({out_pos},{out_neg})"
+
+
 def small_signal_rows(tensors: CircuitTensors, op):
     """Small-signal conductances of every nonlinear device at the DC
     operating point, expressed as VCCS rows ((n,4) idx, (n,) gm).

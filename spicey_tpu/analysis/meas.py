@@ -73,6 +73,9 @@ def _edge_and_count(opts: str) -> tuple[str, int]:
         key = key.lower()
         if key in ("rise", "fall", "cross"):
             edge, k = key, int(float(val))
+            if k < 1:
+                raise ValueError(
+                    f".meas crossing count must be >= 1, got {key}={val}")
     return edge, k
 
 
@@ -120,21 +123,6 @@ def parse_meas_line(line: str) -> MeasSpec:
     raise ValueError(f"malformed .meas directive: {line!r}")
 
 
-def _crossing_times(t: np.ndarray, v: np.ndarray, level: float,
-                    edge: str) -> np.ndarray:
-    """All interpolated times where v crosses `level` with the given edge."""
-    s = v - level
-    sl, sr = s[:-1], s[1:]
-    rise = (sl < 0) & (sr >= 0) & (sr != sl)
-    fall = (sl > 0) & (sr <= 0) & (sr != sl)
-    hit = rise if edge == "rise" else fall if edge == "fall" else rise | fall
-    i = np.nonzero(hit)[0]
-    if i.size == 0:
-        return np.zeros(0)
-    frac = -s[i] / (s[i + 1] - s[i])
-    return t[i] + frac * (t[i + 1] - t[i])
-
-
 def _waveform(tran: TranResult, node: str) -> tuple[np.ndarray, np.ndarray]:
     by_upper = {n.upper(): n for n in tran.node_voltages}
     canonical = by_upper.get(node.upper())
@@ -146,78 +134,62 @@ def _waveform(tran: TranResult, node: str) -> tuple[np.ndarray, np.ndarray]:
             np.asarray(tran.node_voltages[canonical], dtype=np.float64))
 
 
-def evaluate_meas(spec: MeasSpec, tran: TranResult) -> float:
-    t, v = _waveform(tran, spec.node)
-
-    if spec.kind in _STAT_KINDS:
-        t0 = spec.t_from if spec.t_from is not None else t[0]
-        t1 = spec.t_to if spec.t_to is not None else t[-1]
-        m = (t >= t0) & (t <= t1)
-        if not np.any(m):
-            return float("nan")
-        tw, vw = t[m], v[m]
-        if spec.kind == "max":
-            return float(vw.max())
-        if spec.kind == "min":
-            return float(vw.min())
-        if spec.kind == "pp":
-            return float(vw.max() - vw.min())
-        span = tw[-1] - tw[0]
-        if spec.kind == "integ":
-            return float(np.trapezoid(vw, tw))
-        if span <= 0.0:
-            return float(vw[0]) if spec.kind == "avg" else float(abs(vw[0]))
-        if spec.kind == "avg":
-            return float(np.trapezoid(vw, tw) / span)
-        return float(np.sqrt(np.trapezoid(vw ** 2, tw) / span))  # rms
-
-    if spec.kind == "when":
-        times = _crossing_times(t, v, spec.val, spec.edge)
-        return float(times[spec.k - 1]) if times.size >= spec.k else float("nan")
-
-    if spec.kind == "find":
-        if spec.at < t[0] or spec.at > t[-1]:
-            return float("nan")
-        return float(np.interp(spec.at, t, v))
-
-    # delay: k-th trig crossing to k2-th targ crossing
-    trig = _crossing_times(t, v, spec.val, spec.edge)
-    t2, v2 = _waveform(tran, spec.node2)
-    targ = _crossing_times(t2, v2, spec.val2, spec.edge2)
-    if trig.size < spec.k or targ.size < spec.k2:
-        return float("nan")
-    return float(targ[spec.k2 - 1] - trig[spec.k - 1])
+def _interp_at(x: float, t: np.ndarray, V: np.ndarray) -> np.ndarray:
+    """Linear interpolation of (B, S) waveforms at time x (in [t0, tN])."""
+    j = int(np.searchsorted(t, x))
+    if j >= t.shape[0]:
+        return V[:, -1]
+    if j == 0 or t[j] == x:
+        return V[:, j]
+    frac = (x - t[j - 1]) / (t[j] - t[j - 1])
+    return V[:, j - 1] + frac * (V[:, j] - V[:, j - 1])
 
 
-def simulate_meas(ckt, tran: TranResult | None) -> dict[str, float] | None:
-    """Evaluate every `.meas tran` line against a finished transient."""
-    if not ckt.meas:
-        return None
-    if tran is None:
-        raise ValueError(".meas tran requires a .tran analysis in the netlist")
-    return {spec.name: evaluate_meas(spec, tran) for spec in ckt.meas}
+def _window(t: np.ndarray, V: np.ndarray, t_from: float | None,
+            t_to: float | None):
+    """Clip (B, S) waveforms to [from, to] with interpolated boundary
+    samples, so integrals/averages cover the exact requested window even on
+    coarse timesteps. Returns (tw, Vw) or (None, None) for an empty window."""
+    t0 = t[0] if t_from is None else max(t_from, float(t[0]))
+    t1 = t[-1] if t_to is None else min(t_to, float(t[-1]))
+    if t1 < t0:
+        return None, None
+    inside = (t > t0) & (t < t1)
+    tw = np.concatenate([[t0], t[inside], [t1]])
+    Vw = np.concatenate(
+        [_interp_at(t0, t, V)[:, None], V[:, inside],
+         _interp_at(t1, t, V)[:, None]], axis=1)
+    return tw, Vw
 
-
-# --- batched evaluation over Monte-Carlo variants ---------------------------
 
 def _crossing_time_batch(t: np.ndarray, V: np.ndarray, level: float,
-                         edge: str, k: int) -> np.ndarray:
-    """k-th crossing time per variant. V: (B, S) -> (B,), NaN if absent."""
+                         edge: str, k: int,
+                         t_min: np.ndarray | None = None) -> np.ndarray:
+    """k-th crossing time per variant (counting only crossings strictly
+    after each variant's ``t_min``, when given). V: (B, S) -> (B,), NaN if
+    the k-th crossing does not exist."""
     s = V - level
     sl, sr = s[:, :-1], s[:, 1:]
     rise = (sl < 0) & (sr >= 0) & (sr != sl)
     fall = (sl > 0) & (sr <= 0) & (sr != sl)
     hit = rise if edge == "rise" else fall if edge == "fall" else rise | fall
+    denom = sr - sl
+    denom = np.where(denom == 0.0, 1.0, denom)
+    tc = t[:-1] + (-sl / denom) * (t[1:] - t[:-1])  # (B, S-1) crossing times
+    if t_min is not None:
+        # drop crossings strictly before t_min (a targ event simultaneous
+        # with its trig counts — zero delay is a valid measurement; the
+        # tolerance absorbs interpolation round-off between two
+        # mathematically coincident crossings). NaN t_min filters nothing,
+        # but the caller's targ-trig arithmetic propagates the NaN anyway
+        tol = (t[-1] - t[0]) * 1e-9
+        hit = hit & ~(tc < t_min[:, None] - tol)
     # first column where the running hit-count reaches k
     kth = (np.cumsum(hit, axis=1) == k) & hit
     found = kth.any(axis=1)
     i = kth.argmax(axis=1)
     b = np.arange(V.shape[0])
-    denom = s[b, i + 1] - s[b, i]
-    denom = np.where(denom == 0.0, 1.0, denom)
-    frac = -s[b, i] / denom
-    out = t[i] + frac * (t[i + 1] - t[i])
-    return np.where(found, out, np.nan)
+    return np.where(found, tc[b, i], np.nan)
 
 
 def _batch_waveform(batch, node: str) -> np.ndarray:
@@ -227,23 +199,15 @@ def _batch_waveform(batch, node: str) -> np.ndarray:
     return np.asarray(batch.node_voltage(node), dtype=np.float64)
 
 
-def evaluate_meas_batch(spec: MeasSpec, batch) -> np.ndarray:
-    """Evaluate one MeasSpec across every variant of a BatchTranResult.
-
-    Returns a (B,) array — the measurement's Monte-Carlo distribution.
-    Everything is vectorized numpy over the batch axis; no per-variant
-    Python loop, so 10k-variant yield metrics stay O(ms).
-    """
-    t = np.asarray(batch.times, dtype=np.float64)
-    V = _batch_waveform(batch, spec.node)
-
+def _evaluate_rows(spec: MeasSpec, t: np.ndarray, V: np.ndarray,
+                   V2: np.ndarray | None) -> np.ndarray:
+    """The one evaluation kernel: (B, S) waveforms -> (B,) measurements.
+    The scalar path runs it with B=1, so single and batched measurements
+    can never disagree."""
     if spec.kind in _STAT_KINDS:
-        t0 = spec.t_from if spec.t_from is not None else t[0]
-        t1 = spec.t_to if spec.t_to is not None else t[-1]
-        m = (t >= t0) & (t <= t1)
-        if not np.any(m):
+        tw, Vw = _window(t, V, spec.t_from, spec.t_to)
+        if tw is None:
             return np.full(V.shape[0], np.nan)
-        tw, Vw = t[m], V[:, m]
         if spec.kind == "max":
             return Vw.max(axis=1)
         if spec.kind == "min":
@@ -265,16 +229,44 @@ def evaluate_meas_batch(spec: MeasSpec, batch) -> np.ndarray:
     if spec.kind == "find":
         if spec.at < t[0] or spec.at > t[-1]:
             return np.full(V.shape[0], np.nan)
-        j = int(np.searchsorted(t, spec.at))
-        if j == 0 or t[j] == spec.at:
-            return V[:, j]
-        frac = (spec.at - t[j - 1]) / (t[j] - t[j - 1])
-        return V[:, j - 1] + frac * (V[:, j] - V[:, j - 1])
+        return _interp_at(spec.at, t, V)
 
+    # delay: k-th trig crossing, then the k2-th targ crossing AFTER it
     trig = _crossing_time_batch(t, V, spec.val, spec.edge, spec.k)
-    targ = _crossing_time_batch(t, _batch_waveform(batch, spec.node2),
-                                spec.val2, spec.edge2, spec.k2)
+    targ = _crossing_time_batch(t, V2, spec.val2, spec.edge2, spec.k2,
+                                t_min=trig)
     return targ - trig
+
+
+def evaluate_meas(spec: MeasSpec, tran: TranResult) -> float:
+    t, v = _waveform(tran, spec.node)
+    v2 = (_waveform(tran, spec.node2)[1][None, :]
+          if spec.kind == "delay" else None)
+    return float(_evaluate_rows(spec, t, v[None, :], v2)[0])
+
+
+def simulate_meas(ckt, tran: TranResult | None) -> dict[str, float] | None:
+    """Evaluate every `.meas tran` line against a finished transient."""
+    if not ckt.meas:
+        return None
+    if tran is None:
+        raise ValueError(".meas tran requires a .tran analysis in the netlist")
+    return {spec.name: evaluate_meas(spec, tran) for spec in ckt.meas}
+
+
+# --- batched evaluation over Monte-Carlo variants ---------------------------
+
+def evaluate_meas_batch(spec: MeasSpec, batch) -> np.ndarray:
+    """Evaluate one MeasSpec across every variant of a BatchTranResult.
+
+    Returns a (B,) array — the measurement's Monte-Carlo distribution.
+    Everything is vectorized numpy over the batch axis; no per-variant
+    Python loop, so 10k-variant yield metrics stay O(ms).
+    """
+    t = np.asarray(batch.times, dtype=np.float64)
+    V = _batch_waveform(batch, spec.node)
+    V2 = _batch_waveform(batch, spec.node2) if spec.kind == "delay" else None
+    return _evaluate_rows(spec, t, V, V2)
 
 
 def meas_batch(ckt, batch) -> dict[str, np.ndarray]:

@@ -35,6 +35,8 @@ from .ac import (
     _assemble_grid,
     _op_voltage_pad,
     build_frequency_array,
+    find_input_source,
+    format_out_spec,
     small_signal_rows,
 )
 from .op import simulate_op
@@ -122,8 +124,10 @@ def simulate_noise(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
     method: str = "gj",
+    op=None,
 ) -> NoiseResult | None:
-    """Run the `.noise` analysis (None if the netlist has no .noise line)."""
+    """Run the `.noise` analysis (None if the netlist has no .noise line).
+    ``op`` optionally reuses an already-solved operating point."""
     if ckt.noise is None:
         return None
     if tensors is None:
@@ -140,16 +144,10 @@ def simulate_noise(
     out_p = node_index(spec.out_pos)
     out_n = node_index(spec.out_neg) if spec.out_neg is not None else nvar
 
-    src_key = spec.src.upper()
-    v_pos = next((k for k, n in enumerate(tensors.v_names)
-                  if n.upper() == src_key), None)
-    i_pos = next((k for k, n in enumerate(tensors.i_names)
-                  if n.upper() == src_key), None)
-    if v_pos is None and i_pos is None:
-        raise ValueError(
-            f"Unknown source {spec.src} in .noise (must be a V or I element)")
+    v_pos, i_pos = find_input_source(tensors, spec.src, ".noise")
 
-    op = simulate_op(ckt, tensors=tensors, method=method)
+    if op is None:
+        op = simulate_op(ckt, tensors=tensors, method=method)
     ss_idx, ss_g = small_signal_rows(tensors, op)
     ext = ext_arrays(tensors)
     ext["g_idx"] = jnp.concatenate([ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
@@ -217,8 +215,7 @@ def simulate_noise(
             contributions[name] = contrib[:, k]
 
     total = float(np.sqrt(np.trapezoid(s_out, freqs))) if F > 1 else 0.0
-    out_spec = (f"v({spec.out_pos})" if spec.out_neg is None
-                else f"v({spec.out_pos},{spec.out_neg})")
+    out_spec = format_out_spec(spec.out_pos, spec.out_neg)
     return NoiseResult(
         freqs=freqs, output_psd=s_out, input_psd=s_in, gain=gain,
         contributions=contributions, total_output_rms=total,

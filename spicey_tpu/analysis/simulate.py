@@ -31,14 +31,21 @@ def simulate(netlist_text: str, method: str = "gj",
         circuit = parse_netlist(netlist_text, dialect=dialect)
         tensors = build_tensors(circuit)
     with span("op"):
-        op = simulate_op(circuit, tensors=tensors, method=method) \
-            if circuit.op else None
+        # .tf and .noise both linearize at the operating point; solve it
+        # once and share it rather than re-running Newton per analysis
+        need_op = (circuit.op or circuit.tf is not None
+                   or circuit.noise is not None)
+        op_point = simulate_op(circuit, tensors=tensors, method=method) \
+            if need_op else None
+        op = op_point if circuit.op else None
     with span("dc"):
         dc = simulate_dc(circuit, tensors=tensors, method=method)
     with span("tf"):
-        tf = simulate_tf(circuit, tensors=tensors, method=method)
+        tf = simulate_tf(circuit, tensors=tensors, method=method,
+                         op=op_point)
     with span("noise"):
-        noise = simulate_noise(circuit, tensors=tensors, method=method)
+        noise = simulate_noise(circuit, tensors=tensors, method=method,
+                               op=op_point)
     with span("ac"):
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)

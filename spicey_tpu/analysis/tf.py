@@ -32,7 +32,7 @@ from ..ops.stamps import (
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
-from .ac import small_signal_rows
+from .ac import find_input_source, format_out_spec, small_signal_rows
 from .op import _op_indices, simulate_op
 
 
@@ -56,15 +56,18 @@ def simulate_tf(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
     method: str = "gj",
+    op=None,
 ) -> TFResult | None:
-    """Run the `.tf` analysis (None if the netlist has no .tf line)."""
+    """Run the `.tf` analysis (None if the netlist has no .tf line).
+    ``op`` optionally reuses an already-solved operating point."""
     if ckt.tf is None:
         return None
     if tensors is None:
         tensors = build_tensors(ckt)
 
     spec = ckt.tf
-    op = simulate_op(ckt, tensors=tensors, method=method)
+    if op is None:
+        op = simulate_op(ckt, tensors=tensors, method=method)
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
     dump = nvar_op
 
@@ -74,14 +77,7 @@ def simulate_tf(
 
     # locate the input source: a V source (branch excitation) or an
     # extended-dialect I source (nodal injection)
-    src_key = spec.src.upper()
-    v_pos = next((k for k, n in enumerate(tensors.v_names)
-                  if n.upper() == src_key), None)
-    i_pos = next((k for k, n in enumerate(tensors.i_names)
-                  if n.upper() == src_key), None)
-    if v_pos is None and i_pos is None:
-        raise ValueError(
-            f"Unknown source {spec.src} in .tf (must be a V or I element)")
+    v_pos, i_pos = find_input_source(tensors, spec.src, ".tf")
 
     # linearized DC conductance matrix at the operating point
     dtype = jnp.float64
@@ -139,8 +135,7 @@ def simulate_tf(
         r_in = float(x_pad[0, i2] - x_pad[0, i1])
     r_out = float(x_pad[1, out_p] - x_pad[1, out_n])
 
-    out_spec = (f"v({spec.out_pos})" if spec.out_neg is None
-                else f"v({spec.out_pos},{spec.out_neg})")
+    out_spec = format_out_spec(spec.out_pos, spec.out_neg)
     return TFResult(transfer_function=gain, input_impedance=r_in,
                     output_impedance=r_out, out_spec=out_spec,
                     src_name=spec.src)

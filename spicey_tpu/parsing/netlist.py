@@ -40,10 +40,13 @@ from .waveforms import (
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\w+\s*\([^)]*\)|\([^()]*\)|\S+')
 _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
-# extended dialect adds E (VCVS) and X (subcircuit instance) lines, which
-# the reference title rule does not know about
-# (parseNetlist.ts:158-161 regex lacks "e"/"x")
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhx]\w*$", re.IGNORECASE)
+# extended dialect adds E (VCVS) lines, which the reference title rule does
+# not know about (parseNetlist.ts:158-161 regex lacks "e"), and allows dots
+# in element names (subcircuit flattening emits "r1.x1"-style names). X
+# instance lines are consumed by _flatten_subcircuits before this regex ever
+# sees them.
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefh][\w.]*$",
+                                      re.IGNORECASE)
 # \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
 # a .subckt block)
 _END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
@@ -707,7 +710,7 @@ def _collect_subckt_defs(text: str) -> tuple[dict, list[str]]:
     cur_body: list[str] = []
     ended = False
     for raw in re.split(r"\r?\n", text):
-        line = raw.strip()
+        line = re.sub(r";.*$", "", re.sub(r"//.*$", "", raw)).strip()
         if ended:
             main.append(raw)
             continue
@@ -843,15 +846,26 @@ def _flatten_subcircuits(text: str) -> str:
         stripped = re.sub(r";.*$", "", re.sub(r"//.*$", "", line))
         toks = smart_tokens(stripped)
         first = toks[0] if toks else ""
+        if first and _X_NAME_RE.match(first):
+            # a real instance names a defined subckt as its last token;
+            # otherwise an x-word leading an untitled netlist's first free
+            # line is a title (mirroring the reference's lenient title rule)
+            if len(toks) >= 2 and toks[-1].lower() in defs:
+                out.extend(_expand_instance(first, toks, defs, 1))
+                continue
+            if seen_title:
+                raise ValueError(
+                    f"Unknown .subckt {toks[-1] if len(toks) >= 2 else '?'} "
+                    f"referenced by {first}")
+            seen_title = True
+            out.append(raw)
+            continue
         if (not seen_title and first and not first.startswith(".")
                 and not _ELEMENT_OR_TITLE_EXT_RE.match(first)):
             seen_title = True
             out.append(raw)
             continue
-        if first and _X_NAME_RE.match(first):
-            out.extend(_expand_instance(first, toks, defs, 1))
-        else:
-            out.append(raw)
+        out.append(raw)
     return "\n".join(out)
 
 

@@ -172,3 +172,61 @@ c1 out 0 1u
     dist = meas_batch(ckt, batch)
     assert np.isfinite(dist["thit"][0])
     assert math.isnan(dist["thit"][1])
+
+
+def test_meas_delay_targ_searched_after_trig():
+    """targ crossings BEFORE the trig event must be ignored (review
+    regression): out crosses 0.5 first, in crosses later."""
+    r = simulate(
+        """the out-leads-in delay
+v1 out 0 PWL(0 0 1m 1 10m 1)
+v2 in 0 PWL(0 0 5m 0 6m 1 10m 1)
+r1 out 0 1k
+r2 in 0 1k
+.tran 10u 10m
+.meas tran d trig v(in)=0.5 rise=1 targ v(out)=0.5 rise=1
+""",
+        dialect="extended",
+    )
+    # in crosses 0.5 at 5.5m; out's only 0.5-crossing (0.5m) precedes it
+    assert math.isnan(r.meas["d"])
+
+
+def test_meas_zero_cross_count_raises():
+    with pytest.raises(ValueError, match="must be >= 1"):
+        parse_netlist("t\n.meas tran x when v(1)=0.5 cross=0\n",
+                      dialect="extended")
+
+
+def test_meas_window_edges_interpolated():
+    """from/to boundaries interpolate instead of snapping to samples
+    (review regression): integral of a ramp over a half-open window."""
+    r = simulate(
+        """the coarse ramp
+v1 out 0 PWL(0 0 4m 4)
+r1 out 0 1k
+.tran 1m 4m
+.meas tran a integ v(out) from=0.5m to=1.5m
+.meas tran m avg v(out) from=0.5m to=1.5m
+""",
+        dialect="extended",
+    )
+    # v(t) = 1000*t: integral over [0.5m, 1.5m] = (0.5+1.5)/2 * 1m = 1e-3
+    assert r.meas["a"] == pytest.approx(1e-3, rel=1e-9)
+    assert r.meas["m"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_meas_delay_simultaneous_crossing_is_zero():
+    """A targ event mathematically coincident with the trig must yield a
+    ~0 delay, not NaN from interpolation round-off (review follow-up)."""
+    r = simulate(
+        """the instantaneous amplifier
+v1 src 0 PWL(0 0 1m 1 10m 1)
+e1 hi 0 src 0 10
+rl hi 0 1k
+.tran 10u 10m
+.meas tran d trig v(src)=0.5 rise=1 targ v(hi)=5 rise=1
+""",
+        dialect="extended",
+    )
+    assert abs(r.meas["d"]) < 1e-9

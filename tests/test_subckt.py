@@ -210,3 +210,48 @@ x1 a g
 """
     ckt = parse_netlist(text, dialect="extended")
     assert ckt.R[0].n2 == 0
+
+
+def test_untitled_netlist_starting_with_instance():
+    """Flattened element names contain dots and must not be eaten as the
+    title (review regression)."""
+    text = """.subckt div in out
+r1 in out 1k
+r2 out 0 3k
+.ends
+x1 a mid div
+v1 a 0 dc 4
+.tran 1u 5u
+"""
+    ckt = parse_netlist(text, dialect="extended")
+    assert [r.name for r in ckt.R] == ["r1.x1", "r2.x1"]
+    tran = simulate_tran(ckt)
+    np.testing.assert_allclose(tran.node_voltages["mid"], 3.0, rtol=1e-12)
+
+
+def test_x_word_title_still_parses():
+    """A title whose first word starts with 'x' must not be treated as a
+    subcircuit instance (review regression)."""
+    ckt = parse_netlist(
+        "xor gate test bench\nv1 1 0 dc 1\nr1 1 0 1k\n.tran 1u 5u\n",
+        dialect="extended",
+    )
+    assert ckt.title == "xor gate test bench"
+    assert [r.name for r in ckt.R] == ["r1"]
+
+
+def test_subckt_header_inline_comment():
+    """Inline ;-comments on the .subckt header must not become ports
+    (review regression)."""
+    text = """the commented header
+.subckt div in out ; a divider
+r1 in out 1k
+r2 out 0 1k // half
+.ends
+v1 a 0 dc 2
+x1 a mid div
+.tran 1u 5u
+"""
+    ckt = parse_netlist(text, dialect="extended")
+    tran = simulate_tran(ckt)
+    np.testing.assert_allclose(tran.node_voltages["mid"], 1.0, rtol=1e-12)
