@@ -29,9 +29,19 @@ lower), while the engine's fidelity contract is float64. The wrappers
 therefore run the elimination in f32 and recover f64 accuracy with mixed-
 precision iterative refinement: residuals r = b - A x are computed in f64 by
 XLA *outside* the kernel, correction solves reuse the f32 factorized path.
-This converges to ~f64 accuracy when cond(A) << 1/eps_f32 (~1e7) — fine for
-typical RC/RLC sweeps; circuits with extreme conductance spreads (e.g.
-Roff = 1e12 switches) should use the default f64 XLA path (method="gj").
+This converges to ~f64 accuracy when cond(A) << 1/eps_f32 (~1e7). Circuits
+with extreme conductance spreads (e.g. Roff = 1e12 switches) break that
+assumption, so the refined tier is **guarded**: after refinement the f64
+relative residual ||b - A x|| / (||A||*||x|| + ||b||) is computed per
+system (rtol = 1e-12: converged refinement lands at ~n*eps_f64 ~ 1e-15,
+divergence stalls >= ~eps_f32 ~ 1e-8, so the threshold sits 3 decades from
+either cluster and bounds the fallback path's forward error to
+~cond(A)*1e-12), and any system above ``rtol`` is either re-solved on the f64
+one-hot-GJ path (``fallback=True``, the default — a whole-batch
+``lax.cond`` branch that only executes when at least one system diverged)
+or has its ``valid`` flag cleared (``fallback=False``). Either way no
+silently-wrong result is marked valid — the batched analog of the
+reference's throw-on-singular philosophy (solveReal.ts:28).
 """
 
 from __future__ import annotations
@@ -77,24 +87,44 @@ def _first_match_onehot(score, rows_f, n):
     return rows_f == ridx
 
 
+def _extract_solution(colidx, rhs, rows2, n):
+    """x[k, b] = rhs[r, b] where colidx[r, b] == k, as one masked reduction.
+
+    ``colidx`` maps each row to the column it pivoted (float-encoded exact
+    small integers). The (n, n, tb) one-shot mask replaces the per-column
+    one-hot buffer list the unrolled kernel used to keep live — that list
+    was the scoped-VMEM blowup at N=64."""
+    eq = colidx[None, :, :] == rows2[:, None, :]  # (Nk, Nr, TB)
+    return jnp.sum(jnp.where(eq, rhs[None, :, :], 0.0), axis=1)
+
+
 def _gj_real_kernel(ab_ref, x_ref, valid_ref, *, n: int, eps: float):
-    """One grid cell: solve TILE_B real systems laid out (N, N+1, TILE_B)."""
-    ab = ab_ref[:]  # (N, N+1, TB)
-    tb = ab.shape[-1]
-    dtype = ab.dtype
+    """One grid cell: solve TILE_B real systems laid out (N, N+1, TILE_B).
+
+    The elimination runs as an in-kernel ``fori_loop`` (one step's
+    temporaries live at a time — an unrolled loop multiplies them by N and
+    blows Mosaic's scoped VMEM at N ~ 64). Loop bounds are pinned to i32:
+    under x64 Python-int bounds trace to i64, which Mosaic cannot lower.
+    Column k is extracted with a masked reduction over an iota (Mosaic has
+    no value-level dynamic_slice).
+    """
+    ab0 = ab_ref[:]  # (N, N+1, TB)
+    tb = ab0.shape[-1]
+    dtype = ab0.dtype
     # tpu.iota must be integer-typed; convert to float for the reductions
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
-    used = jnp.zeros((n, tb), dtype=dtype)
-    valid = jnp.ones((1, tb), dtype=dtype)
     # explicit typed constants: under x64, literals in scalar-scalar
     # jnp.where become weak f64, which Mosaic cannot lower
     eps_t = jnp.asarray(eps, dtype=dtype)
     one = jnp.asarray(1.0, dtype=dtype)
     zero = jnp.asarray(0.0, dtype=dtype)
-    pivots = []  # per-column one-hot masks, consumed in the extraction pass
+    cols3 = jax.lax.broadcasted_iota(
+        jnp.int32, (n, n + 1, tb), 1).astype(dtype)
 
-    for k in range(n):
-        col = ab[:, k, :]  # (N, TB)
+    def body(k, carry):
+        ab, used, valid, colidx = carry
+        kf = k.astype(dtype)
+        col = jnp.sum(jnp.where(cols3 == kf, ab, 0.0), axis=1)
         score = jnp.where(used > 0, -1.0, jnp.abs(col))
         onehot = _first_match_onehot(score, rows2, n)  # (N, TB) bool
         pv = jnp.sum(jnp.where(onehot, col, 0.0), axis=0, keepdims=True)
@@ -110,37 +140,42 @@ def _gj_real_kernel(ab_ref, x_ref, valid_ref, *, n: int, eps: float):
         ab = jnp.where(onehot[:, None, :], prow[None, :, :], ab)
         # no bool->float astype: Mosaic cannot lower that convert
         used = used + jnp.where(onehot, one, zero)
-        pivots.append(onehot)
+        colidx = colidx + jnp.where(onehot, kf, zero)
+        return ab, used, valid, colidx
+
+    init = (ab0, jnp.zeros((n, tb), dtype), jnp.ones((1, tb), dtype),
+            jnp.zeros((n, tb), dtype))
+    ab, _used, valid, colidx = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), body, init)
 
     rhs = ab[:, n, :]  # (N, TB) final RHS column
-    # keep all intermediates >= 2D: Mosaic rejects 1D vectors
-    x = jnp.concatenate(
-        [jnp.sum(jnp.where(pivots[k], rhs, 0.0), axis=0, keepdims=True)
-         for k in range(n)],
-        axis=0,
-    )  # (N, TB)
-    x_ref[:] = x
+    x_ref[:] = _extract_solution(colidx, rhs, rows2, n)
     valid_ref[:] = valid
 
 
 def _gj_complex_kernel(abr_ref, abi_ref, xr_ref, xi_ref, valid_ref,
                        *, n: int, eps: float):
-    """Complex GJ on (re, im) planes with |pivot|^2 pivoting."""
-    ar = abr_ref[:]
-    ai = abi_ref[:]
-    tb = ar.shape[-1]
-    dtype = ar.dtype
+    """Complex GJ on (re, im) planes with |pivot|^2 pivoting.
+
+    Same fori_loop + colidx structure as the real kernel (see there for the
+    scoped-VMEM rationale)."""
+    ar0 = abr_ref[:]
+    ai0 = abi_ref[:]
+    tb = ar0.shape[-1]
+    dtype = ar0.dtype
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
-    used = jnp.zeros((n, tb), dtype=dtype)
-    valid = jnp.ones((1, tb), dtype=dtype)
     eps2 = jnp.asarray(eps * eps, dtype=dtype)
     one = jnp.asarray(1.0, dtype=dtype)
     zero = jnp.asarray(0.0, dtype=dtype)
-    pivots = []
+    cols3 = jax.lax.broadcasted_iota(
+        jnp.int32, (n, n + 1, tb), 1).astype(dtype)
 
-    for k in range(n):
-        cr = ar[:, k, :]
-        ci = ai[:, k, :]
+    def body(k, carry):
+        ar, ai, used, valid, colidx = carry
+        kf = k.astype(dtype)
+        cmask = cols3 == kf
+        cr = jnp.sum(jnp.where(cmask, ar, 0.0), axis=1)
+        ci = jnp.sum(jnp.where(cmask, ai, 0.0), axis=1)
         mag2 = cr * cr + ci * ci
         score = jnp.where(used > 0, -1.0, mag2)
         onehot = _first_match_onehot(score, rows2, n)
@@ -165,20 +200,16 @@ def _gj_complex_kernel(abr_ref, abi_ref, xr_ref, xi_ref, valid_ref,
         ar = jnp.where(onehot[:, None, :], prow_r[None, :, :], ar)
         ai = jnp.where(onehot[:, None, :], prow_i[None, :, :], ai)
         used = used + jnp.where(onehot, one, zero)
-        pivots.append(onehot)
+        colidx = colidx + jnp.where(onehot, kf, zero)
+        return ar, ai, used, valid, colidx
 
-    rr = ar[:, n, :]
-    ri = ai[:, n, :]
-    xr = jnp.concatenate(
-        [jnp.sum(jnp.where(pivots[k], rr, 0.0), axis=0, keepdims=True)
-         for k in range(n)], axis=0,
-    )
-    xi = jnp.concatenate(
-        [jnp.sum(jnp.where(pivots[k], ri, 0.0), axis=0, keepdims=True)
-         for k in range(n)], axis=0,
-    )
-    xr_ref[:] = xr
-    xi_ref[:] = xi
+    init = (ar0, ai0, jnp.zeros((n, tb), dtype), jnp.ones((1, tb), dtype),
+            jnp.zeros((n, tb), dtype))
+    ar, ai, _used, valid, colidx = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), body, init)
+
+    xr_ref[:] = _extract_solution(colidx, ar[:, n, :], rows2, n)
+    xi_ref[:] = _extract_solution(colidx, ai[:, n, :], rows2, n)
     valid_ref[:] = valid
 
 
@@ -218,6 +249,10 @@ def _solve_real_f32(A, b, eps: float, interpret: bool):
             jax.ShapeDtypeStruct((n, bp), dtype),
             jax.ShapeDtypeStruct((1, bp), dtype),
         ],
+        # v5e has 128 MB VMEM; the compiler's default 16 MB scoped limit
+        # rejects the N=64 block (planes + loop double-buffer ~ 20 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ab)
     x = jnp.moveaxis(x[:, :b_orig], -1, 0)  # (B, N)
@@ -225,25 +260,62 @@ def _solve_real_f32(A, b, eps: float, interpret: bool):
     return x, valid
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "refine", "interpret"))
+def _rel_residual(r_max, a_max, x_max, b_max):
+    """Per-system relative residual ||r|| / (||A||*||x|| + ||b||), inf-norms."""
+    scale = jnp.maximum(a_max * x_max + b_max, jnp.finfo(r_max.dtype).tiny)
+    return r_max / scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "refine", "interpret", "rtol", "fallback"),
+)
 def pallas_gj_solve_real(A, b, eps: float = EPS, refine: int = 2,
-                         interpret: bool = False):
+                         interpret: bool = False, rtol: float = 1e-12,
+                         fallback: bool = True):
     """Solve A[i] x = b[i] for a batch. A: (B, N, N); b: (B, N).
 
     Returns (x: (B, N), valid: (B,) bool) in the input dtype. Elimination
     runs in the f32 Pallas kernel; `refine` rounds of f64 iterative
     refinement recover full precision for reasonably conditioned systems.
+    Refined (f64-input) solves are residual-guarded: systems whose final
+    relative residual exceeds ``rtol`` are re-solved on the f64 gj path
+    (``fallback=True``) or flagged invalid (``fallback=False``).
     """
     in_dtype = A.dtype
     A32 = A.astype(jnp.float32)
     x32, valid = _solve_real_f32(A32, b.astype(jnp.float32), eps, interpret)
     x = x32.astype(in_dtype)
-    if in_dtype != jnp.float32:
+    if in_dtype != jnp.float32 and refine > 0:
         for _ in range(refine):
             # multiply+reduce, not einsum: f64 dots cannot lower to the MXU
             r = b - jnp.sum(A * x[:, None, :], axis=-1)
             dx, _ = _solve_real_f32(A32, r.astype(jnp.float32), eps, interpret)
             x = x + dx.astype(in_dtype)
+        # residual guard: catch refinement divergence (cond(A) >~ 1e7).
+        # Only when refinement was requested — refine=0 with f64 inputs
+        # means the caller accepts raw-kernel (f32) accuracy.
+        r = b - jnp.sum(A * x[:, None, :], axis=-1)
+        rel = _rel_residual(
+            jnp.max(jnp.abs(r), axis=-1),
+            jnp.max(jnp.abs(A), axis=(-2, -1)),
+            jnp.max(jnp.abs(x), axis=-1),
+            jnp.max(jnp.abs(b), axis=-1),
+        )
+        bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
+        if fallback:
+            from .linsolve import gj_solve
+
+            def resolve_f64(_):
+                x64, v64 = jax.vmap(gj_solve, in_axes=(0, 0, None))(A, b, eps)
+                return (jnp.where(bad[:, None], x64, x),
+                        jnp.where(bad, v64, valid))
+
+            x, valid = jax.lax.cond(
+                jnp.any(bad), resolve_f64, lambda _: (x, valid), None
+            )
+        else:
+            valid = valid & ~bad
     return x, valid
 
 
@@ -281,6 +353,8 @@ def _solve_complex_f32(Ar, Ai, br, bi, eps: float, interpret: bool):
             jax.ShapeDtypeStruct((n, bp), dtype),
             jax.ShapeDtypeStruct((1, bp), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),  # see real kernel note
         interpret=interpret,
     )(abr, abi)
     xr = jnp.moveaxis(xr[:, :b_orig], -1, 0)
@@ -289,13 +363,20 @@ def _solve_complex_f32(Ar, Ai, br, bi, eps: float, interpret: bool):
     return xr, xi, valid
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "refine", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "refine", "interpret", "rtol", "fallback"),
+)
 def pallas_gj_solve_complex(Ar, Ai, br, bi, eps: float = EPS,
-                            refine: int = 2, interpret: bool = False):
+                            refine: int = 2, interpret: bool = False,
+                            rtol: float = 1e-12, fallback: bool = True):
     """Solve (Ar + j Ai) x = (br + j bi) batched on (re, im) planes.
 
     Ar/Ai: (B, N, N); br/bi: (B, N). Returns (xr, xi, valid) in the input
-    dtype, with f64 iterative refinement around the f32 kernel.
+    dtype, with f64 iterative refinement around the f32 kernel. Refined
+    solves are residual-guarded like ``pallas_gj_solve_real``: diverged
+    systems are re-solved on the f64 2N-real-block path (``fallback=True``)
+    or flagged invalid (``fallback=False``).
     """
     in_dtype = Ar.dtype
     f32 = jnp.float32
@@ -305,18 +386,47 @@ def pallas_gj_solve_complex(Ar, Ai, br, bi, eps: float = EPS,
     )
     xr = xr32.astype(in_dtype)
     xi = xi32.astype(in_dtype)
-    if in_dtype != jnp.float32:
-        for _ in range(refine):
-            # complex residual r = b - A x on (re, im) planes in f64,
-            # multiply+reduce (f64 dots cannot lower to the MXU)
-            mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
+    if in_dtype != jnp.float32 and refine > 0:
+        # multiply+reduce (f64 dots cannot lower to the MXU)
+        mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
+
+        def residual(xr, xi):
             ax_r = mv(Ar, xr) - mv(Ai, xi)
             ax_i = mv(Ar, xi) + mv(Ai, xr)
-            rr = br - ax_r
-            ri = bi - ax_i
+            return br - ax_r, bi - ax_i
+
+        for _ in range(refine):
+            rr, ri = residual(xr, xi)
             dxr, dxi, _ = _solve_complex_f32(
                 Ar32, Ai32, rr.astype(f32), ri.astype(f32), eps, interpret
             )
             xr = xr + dxr.astype(in_dtype)
             xi = xi + dxi.astype(in_dtype)
+        # residual guard (inf-norms over max(|re|, |im|) — within 2x of the
+        # true complex magnitudes, ample for a divergence test)
+        rr, ri = residual(xr, xi)
+        amax = lambda p, q, ax: jnp.maximum(
+            jnp.max(jnp.abs(p), axis=ax), jnp.max(jnp.abs(q), axis=ax)
+        )
+        rel = _rel_residual(
+            amax(rr, ri, -1), amax(Ar, Ai, (-2, -1)),
+            amax(xr, xi, -1), amax(br, bi, -1),
+        )
+        bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
+        if fallback:
+            from .linsolve import solve_complex_blocks
+
+            def resolve_f64(_):
+                xr64, xi64, v64 = solve_complex_blocks(
+                    Ar, Ai, br, bi, method="gj", eps=eps
+                )
+                return (jnp.where(bad[:, None], xr64, xr),
+                        jnp.where(bad[:, None], xi64, xi),
+                        jnp.where(bad, v64, valid))
+
+            xr, xi, valid = jax.lax.cond(
+                jnp.any(bad), resolve_f64, lambda _: (xr, xi, valid), None
+            )
+        else:
+            valid = valid & ~bad
     return xr, xi, valid

@@ -98,3 +98,87 @@ def test_vmap_composes():
     denom = np.abs(ref).max(axis=-1, keepdims=True)
     assert (np.abs(np.asarray(x) - ref) / denom).max() < 1e-8
     assert x.shape == (4, 30, 5)
+
+
+def _ill_conditioned(B, N, cond, seed=0):
+    """SVD-constructed systems with a prescribed condition number."""
+    rng = np.random.default_rng(seed)
+    mats = []
+    for _ in range(B):
+        U, _ = np.linalg.qr(rng.normal(size=(N, N)))
+        V, _ = np.linalg.qr(rng.normal(size=(N, N)))
+        s = np.logspace(0, -np.log10(cond), N)
+        mats.append(U @ np.diag(s) @ V.T)
+    return np.stack(mats), rng.normal(size=(B, N))
+
+
+def test_refinement_guard_flags_divergence():
+    """cond ~ 1e10 (the Roff=1e12 switch-circuit class) breaks f32
+    refinement; with fallback disabled the residual guard must clear
+    `valid` rather than return silently-wrong results."""
+    A, b = _ill_conditioned(8, 6, 1e10, seed=5)
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True, fallback=False)
+    assert not bool(np.asarray(valid).any())
+
+
+def test_refinement_guard_fallback_matches_f64():
+    """With fallback on (the default), diverged systems are re-solved on
+    the f64 gj path: results match numpy f64 to the cond*eps_f64 bound and
+    stay valid."""
+    A, b = _ill_conditioned(8, 6, 1e10, seed=5)
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True)
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    denom = np.abs(ref).max(axis=-1, keepdims=True)
+    assert (np.abs(np.asarray(x) - ref) / denom).max() < 1e-5
+    assert bool(np.asarray(valid).all())
+
+
+def test_refinement_guard_complex():
+    Ar, br = _ill_conditioned(6, 5, 1e10, seed=6)
+    _, bi = _ill_conditioned(6, 5, 1e10, seed=7)
+    # A = (1 + 1e-3 j) * Ar keeps cond(A) = cond(Ar) = 1e10 — an
+    # independent random Ai would regularize the complex matrix
+    Ai = Ar * 1e-3
+    args = tuple(map(jnp.asarray, (Ar, Ai, br, bi)))
+    xr_g, xi_g, v_g = pallas_gj_solve_complex(*args, interpret=True,
+                                              fallback=False)
+    xr, xi, valid = pallas_gj_solve_complex(*args, interpret=True)
+    ref = np.linalg.solve(Ar + 1j * Ai, (br + 1j * bi)[..., None])[..., 0]
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    denom = np.abs(ref).max(axis=-1, keepdims=True)
+    # guard-only run flags at least the diverged systems...
+    unguarded = np.asarray(xr_g) + 1j * np.asarray(xi_g)
+    diverged = (np.abs(unguarded - ref) / denom).max(axis=-1) > 1e-6
+    assert not np.asarray(v_g)[diverged].any()
+    # ...and the fallback run recovers f64 accuracy, all valid
+    assert (np.abs(got - ref) / denom).max() < 1e-5
+    assert bool(np.asarray(valid).all())
+
+
+def test_well_conditioned_never_falls_back():
+    """Residual guard must not flag ordinary systems (no false positives)."""
+    A, b = _rand_systems(200, 6, seed=8)
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True, fallback=False)
+    assert bool(np.asarray(valid).all())
+
+
+def test_switch_circuit_pallas_matches_gj():
+    """End-to-end: a VSWITCH transient (Roff-class conductance spread)
+    through method='pallas' must match the f64 gj path — the guarded tier
+    either refines successfully or falls back, never silently diverges."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from fixtures.netlists import VSWITCH_PWL
+
+    from spicey_tpu.analysis.batch import simulate_tran_batch
+
+    overrides = {"R1": np.array([100.0, 150.0])}
+    ref = simulate_tran_batch(VSWITCH_PWL, overrides, method="gj")
+    got = simulate_tran_batch(VSWITCH_PWL, overrides, method="pallas",
+                              interpret=True)
+    np.testing.assert_allclose(got.xs, ref.xs, rtol=1e-6, atol=1e-9)
