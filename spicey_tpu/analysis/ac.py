@@ -41,13 +41,14 @@ from ..constants import (
     GMIN,
     VT_300K,
 )
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
+from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays, lk_arrays
 from ..ops.linsolve import solve_planes
 from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
     stamp_current,
     stamp_extended,
+    stamp_mutual,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -69,8 +70,16 @@ def _inductor_susceptance(f, l_vals):
 
 
 def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-                  v_re, v_im, nvar, ext=None, i_re=None, i_im=None):
-    """Build (A_re, A_im, b_re, b_im) for one frequency; pure scatter-adds."""
+                  v_re, v_im, nvar, ext=None, i_re=None, i_im=None,
+                  minv=None):
+    """Build (A_re, A_im, b_re, b_im) for one frequency; pure scatter-adds.
+
+    ``minv``: M^{-1} for K-coupled inductors (analysis/tran._mutual_inv).
+    The coupled branch admittance matrix is Y(w) = (j*w*M)^{-1} =
+    -j * M^{-1} / w, stamped into the imaginary plane with the reference's
+    open-at-DC quirk applied per inductor (|w*L_a| < EPS zeroes a's rows
+    and columns — the k=0 limit reduces exactly to the scalar stamp).
+    """
     dtype = r_vals.dtype
     A_re = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
     A_im = jnp.zeros((nvar + 1, nvar + 1), dtype=dtype)
@@ -79,7 +88,15 @@ def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
 
     A_re = stamp_admittance(A_re, r_idx, 1.0 / r_vals)
     A_im = stamp_admittance(A_im, c_idx, 2.0 * jnp.pi * f * c_vals)
-    A_im = stamp_admittance(A_im, l_idx, _inductor_susceptance(f, l_vals))
+    if minv is None:
+        A_im = stamp_admittance(A_im, l_idx,
+                                _inductor_susceptance(f, l_vals))
+    else:
+        w = 2.0 * jnp.pi * f
+        keep = (jnp.abs(w * l_vals) >= EPS).astype(dtype)
+        w_safe = jnp.where(jnp.abs(w) < EPS, 1.0, w)
+        S = (-minv / w_safe) * keep[:, None] * keep[None, :]
+        A_im = stamp_mutual(A_im, l_idx, S)
     A_re, b_re = stamp_voltage_source(A_re, b_re, v_idx, v_re)
     b_im = b_im.at[v_idx[:, 2]].add(v_im)
     if ext is not None:
@@ -94,12 +111,15 @@ def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
 
 def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar, ext=None, i_re=None,
-                   i_im=None):
-    """Assembly vmapped over the frequency grid -> (F, N, N) planes."""
+                   i_im=None, minv=None):
+    """Assembly vmapped over the frequency grid -> (F, N, N) planes.
+
+    ``minv`` (frequency-independent) is computed once by the caller and
+    closed over, NOT re-inverted per grid point."""
     assemble = jax.vmap(
         lambda f: _assemble_one(
             f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-            v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im,
+            v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv,
         )
     )
     return assemble(freqs)
@@ -108,14 +128,23 @@ def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
 def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar: int, method: str = "gj",
-                   interpret: bool = False, ext=None, i_re=None, i_im=None):
+                   interpret: bool = False, ext=None, i_re=None, i_im=None,
+                   lk=None):
     """vmapped assemble + one batched solve over the whole grid."""
+    if lk is not None:
+        from .tran import _mutual_inv
+
+        minv, minv_ok = _mutual_inv(l_vals, lk)
+    else:
+        minv, minv_ok = None, None
     A_re, A_im, b_re, b_im = _assemble_grid(
         freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im,
+        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv,
     )
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                      method=method, interpret=interpret)
+    if minv_ok is not None:
+        valid = jnp.logical_and(valid, minv_ok)
     return x_re, x_im, valid
 
 
@@ -141,10 +170,28 @@ def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray
         for k, name in enumerate(tensors.c_names):
             out[name] = i_c[:, k]
     if tensors.n_l:
-        wl = w[:, None] * tensors.l_vals[None, :]
-        y_l = np.where(np.abs(wl) < EPS, 0.0,
-                       -1.0 / np.where(np.abs(wl) < EPS, 1.0, wl))
-        i_l = (1j * y_l) * vdrop(tensors.l_idx)
+        vd_l = vdrop(tensors.l_idx)
+        if tensors.n_k:
+            # coupled branch phasors: I = -j * M^{-1} Vd / w (per-inductor
+            # open-at-DC mask as in _assemble_one)
+            M = np.diag(tensors.l_vals.astype(np.float64))
+            a = tensors.k_pairs[:, 0]
+            b = tensors.k_pairs[:, 1]
+            m = tensors.k_vals * np.sqrt(
+                tensors.l_vals[a] * tensors.l_vals[b])
+            M[a, b] += m
+            M[b, a] += m
+            minv_h = np.linalg.inv(M)
+            keep = (np.abs(w[:, None] * tensors.l_vals[None, :])
+                    >= EPS).astype(np.float64)
+            w_safe = np.where(np.abs(w) < EPS, 1.0, w)
+            i_l = (-1j / w_safe[:, None]) * keep * (
+                (vd_l * keep) @ minv_h.T)
+        else:
+            wl = w[:, None] * tensors.l_vals[None, :]
+            y_l = np.where(np.abs(wl) < EPS, 0.0,
+                           -1.0 / np.where(np.abs(wl) < EPS, 1.0, wl))
+            i_l = (1j * y_l) * vd_l
         for k, name in enumerate(tensors.l_names):
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
@@ -220,7 +267,8 @@ def small_signal_rows(tensors: CircuitTensors, op):
 
     if tensors.n_d:
         vd = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
-        vd_lim = np.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+        tscale = tensors.vt / VT_300K  # see tran._stamp_system
+        vd_lim = np.clip(vd, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
         v_th = tensors.d_n * VT_300K
         g_d = np.maximum(tensors.d_is / v_th * np.exp(vd_lim / v_th), GMIN)
         adm(tensors.d_idx, g_d)
@@ -243,7 +291,7 @@ def small_signal_rows(tensors: CircuitTensors, op):
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
         gbe, gbc, gmf, gmr, *_ = bjt_ebers_moll(
             vbe, vbc, tensors.q_is, tensors.q_bf, tensors.q_br,
-            tensors.q_polarity)
+            tensors.q_polarity, vt=tensors.vt)
         adm(qi[:, [1, 2]], np.asarray(gbe))
         adm(qi[:, [1, 0]], np.asarray(gbc))
         rows.append(qi[:, [0, 2, 1, 2]])
@@ -308,6 +356,7 @@ def simulate_ac(
         nvar=tensors.nvar, method=method, interpret=interpret,
         ext=ext,
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
+        lk=lk_arrays(tensors),
     )
     # one packed device->host transfer (round-trips cost ~30 ms each on
     # remote-tunnel TPU setups)

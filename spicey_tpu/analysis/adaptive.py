@@ -39,13 +39,15 @@ from ..ir.circuit import (
     CircuitTensors,
     build_tensors,
     ext_arrays,
+    lk_arrays,
     nl_arrays,
 )
 from ..ir.sources import build_source_program, eval_sources
 from ..ops.linsolve import solve
 from ..ops.stamps import pad_solution
 from ..parsing.netlist import ParsedCircuit
-from .tran import _stamp_system, _switch_update, _vdrop
+from .tran import (_l_mv, _mutual_inv, _stamp_system,
+                   _switch_update, _vdrop)
 
 
 @dataclass
@@ -63,13 +65,17 @@ class AdaptiveTranResult:
 def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                    r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
-                   d_idx, d_is, d_n, ext, nl,
-                   nvar: int, method: str, max_steps: int,
+                   d_idx, d_is, d_n, ext, nl, lk=None,
+                   nvar: int = 0, method: str = "gj", max_steps: int = 4096,
                    max_nr: int = 50, nr_tol: float = 1e-9):
     dtype = jnp.float64
+    if lk is not None:
+        minv, _minv_ok = _mutual_inv(l_vals, lk)
+    else:
+        minv = None
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-                      ext)
+                      ext, minv)
     n_c = c_idx.shape[0]
     n_l = l_idx.shape[0]
     n_s = s_idx.shape[0]
@@ -117,7 +123,7 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         dt_c = jnp.maximum(dt_step, EPS)
         new_state = (
             _vdrop(x_pad, c_idx) if n_c else v_prev_c,
-            (i_prev_l + (dt_c / l_vals) * _vdrop(x_pad, l_idx))
+            (i_prev_l + _l_mv(dt_c, l_vals, minv, _vdrop(x_pad, l_idx)))
             if n_l else i_prev_l,
             _vdrop(x_pad, d_idx) if n_d else vd_prev_d,
             jnp.stack(
@@ -231,6 +237,7 @@ def simulate_tran_adaptive(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         ext_arrays(tensors), nl_arrays(tensors),
+        lk=lk_arrays(tensors),
         nvar=tensors.nvar, method=method, max_steps=max_steps,
         max_nr=max_nr, nr_tol=nr_tol,
     )

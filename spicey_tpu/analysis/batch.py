@@ -33,12 +33,13 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     ext_arrays,
+    lk_arrays,
     nl_arrays,
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
 from .ac import _assemble_grid, build_frequency_array
-from .tran import _tran_core
+from .tran import _mutual_inv, _tran_core
 
 
 @dataclass
@@ -74,7 +75,8 @@ def _resolve(ckt: ParsedCircuit | str,
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
 def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, i_re, i_im, ext,
-                   nvar: int, method: str, interpret: bool = False):
+                   nvar: int, method: str, interpret: bool = False,
+                   lk=None):
     """Assemble over (B, F), then ONE lane-dense solve over the flat batch.
 
     Only the assembly is vmapped; the solve sees the whole (B*F, N, N)
@@ -87,15 +89,23 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
 
     def one(rv, cv, lv, vre, vim, ext_b):
-        return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
-                              v_idx, vre, vim, nvar,
-                              ext=ext_b, i_re=i_re, i_im=i_im)
+        if lk is not None:
+            minv, mok = _mutual_inv(lv, lk)
+        else:
+            minv, mok = None, jnp.asarray(True)
+        planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
+                                v_idx, vre, vim, nvar,
+                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv)
+        return planes + (mok,)
 
-    A_re, A_im, b_re, b_im = jax.vmap(
+    A_re, A_im, b_re, b_im, mok = jax.vmap(
         one, in_axes=(0, 0, 0, 0, 0, ext_axes)
     )(r_vals, c_vals, l_vals, v_re, v_im, ext)
-    return solve_planes(A_re, A_im, b_re, b_im, method=method,
-                        interpret=interpret)
+    x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im, method=method,
+                                     interpret=interpret)
+    if lk is not None:
+        valid = jnp.logical_and(valid, mok[:, None])
+    return x_re, x_im, valid
 
 
 def _batch_values(base: np.ndarray, names: tuple[str, ...],
@@ -218,6 +228,7 @@ def simulate_ac_batch(
         jnp.asarray(tensors.v_idx), arrays["v_re"], arrays["v_im"],
         i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
+        lk=lk_arrays(tensors),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -312,7 +323,8 @@ def simulate_tran_batch(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, nr=nr,
-        ext=ext, nl=nl, batch=B, interpret=interpret,
+        ext=ext, nl=nl, lk=lk_arrays(tensors), batch=B,
+        interpret=interpret,
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

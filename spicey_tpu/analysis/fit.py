@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ir.circuit import CircuitTensors, build_tensors
+from ..ir.circuit import CircuitTensors, build_tensors, lk_arrays
 from ..parsing.netlist import ParsedCircuit
 from .sensitivity import _apply, _wrt_slots
 
@@ -124,7 +124,7 @@ def fit_ac(
             jnp.asarray(tensors.l_idx), vals["l"],
             jnp.asarray(tensors.v_idx), v_re, v_im,
             nvar=tensors.nvar, method=method,
-            ext=ext, i_re=i_re, i_im=i_im,
+            ext=ext, i_re=i_re, i_im=i_im, lk=lk_arrays(tensors),
         )
         mag = jnp.sqrt(x_re[:, node_idx] ** 2 + x_im[:, node_idx] ** 2)
         rel = (mag - target) / (jnp.abs(target) + 1e-12)
@@ -202,7 +202,7 @@ def fit_tran(
             jnp.asarray(tensors.d_idx),
             jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
             nvar=tensors.nvar, method=method, integration=integration,
-            nr=nr, ext=ext, nl=nl, record=node_idx,
+            nr=nr, ext=ext, nl=nl, lk=lk_arrays(tensors), record=node_idx,
         )
         rel = (xs - tgt) / scale
         return jnp.mean(rel * rel)

@@ -31,6 +31,7 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     ext_arrays,
+    lk_arrays,
     sample_source_values,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -43,7 +44,7 @@ from .batch import (
     _consumed,
     _resolve,
 )
-from .tran import _tran_core
+from .tran import _mutual_inv, _tran_core
 
 
 @dataclass
@@ -113,25 +114,32 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
                       interpret: bool = False, chunk: int | None = None,
-                      n_real: int | None = None):
+                      n_real: int | None = None, lk=None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
 
     def one(rv, cv, lv, vre, vim, ext_b):
-        return _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
-                              v_idx, vre, vim, nvar,
-                              ext=ext_b, i_re=i_re, i_im=i_im)
+        if lk is not None:
+            minv, mok = _mutual_inv(lv, lk)
+        else:
+            minv, mok = None, jnp.asarray(True)
+        planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
+                                v_idx, vre, vim, nvar,
+                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv)
+        return planes + (mok,)
 
     def solve_block(rv, cv, lv, vre, vim, ext_b):
         # assemble over (b, F); solve ONCE over the flattened block so the
         # Pallas kernel sees a single lane-dense grid instead of b tiny,
         # mostly-padding calls under vmap
-        A_re, A_im, b_re, b_im = jax.vmap(
+        A_re, A_im, b_re, b_im, mok = jax.vmap(
             one, in_axes=(0, 0, 0, 0, 0, ext_axes)
         )(rv, cv, lv, vre, vim, ext_b)
         x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                          method=method, interpret=interpret)
+        if lk is not None:
+            valid = jnp.logical_and(valid, mok[:, None])
         mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
         return mag, valid
 
@@ -264,7 +272,7 @@ def mc_ac_stats(
         jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
-        chunk=chunk, n_real=B if n_pad else None,
+        chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
@@ -277,7 +285,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
-                        interpret: bool = False):
+                        interpret: bool = False, lk=None):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -285,7 +293,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
     xs, _sw, valid, _state = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl,
+        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk,
         batch=r_vals.shape[0], interpret=interpret, record=node_idx,
     )
     v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
@@ -388,6 +396,7 @@ def mc_tran_stats(
         ext, nl,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
+        lk=lk_arrays(tensors),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -491,7 +500,7 @@ def mc_ac_sampled(
         jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
-        chunk=chunk, n_real=B if n_pad else None,
+        chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B

@@ -15,9 +15,17 @@ mirrors ngspice's ``.noise v(out[,ref]) <src> <dec|lin> <N> <f1> <f2>``:
   3. solve the forward system with a unit excitation at ``src`` to get the
      gain that refers the output noise back to the input.
 
-Noise generators (all white; no flicker — KF is not in the model set):
-  resistor/switch thermal 4kT/R, diode shot 2q*Id, BJT collector and base
-  shot 2q*Ic / 2q*Ib, MOSFET channel thermal (8/3)kT*gm.
+Noise generators:
+  - resistor/switch thermal 4kT/R;
+  - diode shot 2q*Id plus flicker KF*|Id|^AF / f;
+  - BJT collector/base shot 2q*Ic / 2q*Ib plus base flicker
+    KF*|Ib|^AF / f;
+  - MOSFET channel thermal, region-dependent from the operating point:
+    (8/3)kT*gm in saturation, 4kT*gds in triode, zero in cutoff
+    (ngspice's region forms), plus flicker KF*|Id|^AF / f (simplified —
+    no Cox*L^2 normalization, those are not level-1 model inputs here).
+  kT uses the circuit's ``.temp`` (300 K default). KF/AF come from the
+  .model cards (KF defaults to 0 = no flicker).
 """
 
 from __future__ import annotations
@@ -27,8 +35,9 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import EPS, GMIN, K_BOLTZMANN, Q_ELECTRON, T_NOISE
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
+from ..constants import EPS, K_BOLTZMANN, Q_ELECTRON, T_NOISE
+from ..ir.circuit import (CircuitTensors, build_tensors,
+                          ext_arrays, lk_arrays)
 from ..ops.linsolve import solve_planes
 from ..parsing.netlist import ParsedCircuit
 from .ac import (
@@ -63,61 +72,90 @@ class NoiseResult:
 
 
 def _noise_generators(tensors: CircuitTensors, op) -> tuple[
-        np.ndarray, np.ndarray, list[str]]:
-    """Every white-noise current generator as (node-pair rows, PSD A^2/Hz,
-    owning-device names). Node indices are tran/AC matrix indices with the
-    ground dump at tensors.nvar."""
+        np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Every noise current generator as (node-pair rows, white PSD A^2/Hz,
+    flicker coefficient A^2, owning-device names); the full PSD at
+    frequency f is ``white + flicker / f``. Node indices are tran/AC matrix
+    indices with the ground dump at tensors.nvar."""
     from ..models.devices import bjt_ebers_moll, mos_level1
 
-    four_kt = 4.0 * K_BOLTZMANN * T_NOISE
+    # T_NOISE (=VT_300K*q/k ~ 299.98 K) keeps kT consistent with the
+    # reference's rounded VT constant at the default temperature; .temp
+    # scales it proportionally
+    t_eff = T_NOISE * (tensors.temp_k / 300.0)
+    four_kt = 4.0 * K_BOLTZMANN * t_eff
     x_pad = _op_voltage_pad(tensors, op)
     idx: list[np.ndarray] = []
     psd: list[np.ndarray] = []
+    flick: list[np.ndarray] = []
     names: list[str] = []
 
+    def gen(rows, white, flicker=None):
+        idx.append(rows)
+        white = np.asarray(white, np.float64)
+        psd.append(white)
+        flick.append(np.zeros_like(white) if flicker is None
+                     else np.asarray(flicker, np.float64))
+
     if tensors.n_r:
-        idx.append(tensors.r_idx)
-        psd.append(four_kt / tensors.r_vals)
+        gen(tensors.r_idx, four_kt / tensors.r_vals)
         names.extend(tensors.r_names)
     if tensors.n_s:
         on = np.asarray([op.switch_states[n] for n in tensors.s_names])
         r_sw = np.maximum(np.abs(np.where(on, tensors.s_ron,
                                           tensors.s_roff)), EPS)
-        idx.append(tensors.s_idx[:, :2])
-        psd.append(four_kt / r_sw)
+        gen(tensors.s_idx[:, :2], four_kt / r_sw)
         names.extend(tensors.s_names)
     if tensors.n_d:
         i_d = np.abs([op.element_currents[n] for n in tensors.d_names])
-        idx.append(tensors.d_idx)
-        psd.append(2.0 * Q_ELECTRON * i_d)
+        gen(tensors.d_idx, 2.0 * Q_ELECTRON * i_d,
+            tensors.d_kf * i_d ** tensors.d_af)
         names.extend(tensors.d_names)
     if tensors.n_m:
         mi = tensors.m_idx
         vgs = x_pad[mi[:, 1]] - x_pad[mi[:, 2]]
         vds = x_pad[mi[:, 0]] - x_pad[mi[:, 2]]
-        gm, *_ = mos_level1(vgs, vds, tensors.m_beta, tensors.m_vto,
-                            tensors.m_lambda, tensors.m_polarity)
-        idx.append(mi[:, [0, 2]])  # drain-source channel
-        psd.append((8.0 / 3.0) * K_BOLTZMANN * T_NOISE
-                   * np.maximum(np.abs(np.asarray(gm)), GMIN))
+        gm, gds, _, i_ds = mos_level1(
+            vgs, vds, tensors.m_beta, tensors.m_vto,
+            tensors.m_lambda, tensors.m_polarity)
+        # operating region at the DC point (reflected frame, symmetric in
+        # vds like mos_level1): cutoff -> no channel noise; triode -> the
+        # resistive-channel form 4kT*gds; saturation -> (8/3)kT*gm
+        s = tensors.m_polarity
+        vgs_r = s * np.asarray(vgs)
+        vds_e = np.abs(np.asarray(vds))
+        vov = np.where(s * np.asarray(vds) < 0,
+                       vgs_r + vds_e, vgs_r) - s * tensors.m_vto
+        cutoff = vov <= 0.0
+        sat = vds_e >= vov
+        white_m = np.where(
+            cutoff, 0.0,
+            np.where(sat,
+                     (8.0 / 3.0) * K_BOLTZMANN * t_eff
+                     * np.abs(np.asarray(gm)),
+                     four_kt * np.abs(np.asarray(gds))))
+        gen(mi[:, [0, 2]], white_m,  # drain-source channel
+            tensors.m_kf * np.abs(np.asarray(i_ds)) ** tensors.m_af)
         names.extend(tensors.m_names)
     if tensors.n_q:
         qi = tensors.q_idx
         vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
         *_, i_c, i_b = bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
-                                      tensors.q_br, tensors.q_polarity)
-        idx.append(qi[:, [0, 2]])  # collector shot, c-e
-        psd.append(2.0 * Q_ELECTRON * np.abs(np.asarray(i_c)))
-        names.extend(tensors.q_names)
-        idx.append(qi[:, [1, 2]])  # base shot, b-e
-        psd.append(2.0 * Q_ELECTRON * np.abs(np.asarray(i_b)))
-        names.extend(tensors.q_names)
+                                      tensors.q_br, tensors.q_polarity,
+                                      vt=tensors.vt)
+        gen(qi[:, [0, 2]], 2.0 * Q_ELECTRON * np.abs(np.asarray(i_c)))
+        names.extend(tensors.q_names)  # collector shot, c-e
+        gen(qi[:, [1, 2]], 2.0 * Q_ELECTRON * np.abs(np.asarray(i_b)),
+            tensors.q_kf * np.abs(np.asarray(i_b)) ** tensors.q_af)
+        names.extend(tensors.q_names)  # base shot + flicker, b-e
 
     if not idx:
-        return (np.zeros((0, 2), np.int32), np.zeros((0,)), [])
+        return (np.zeros((0, 2), np.int32), np.zeros((0,)),
+                np.zeros((0,)), [])
     return (np.concatenate(idx, axis=0).astype(np.int32),
-            np.concatenate(psd, axis=0).astype(np.float64), names)
+            np.concatenate(psd, axis=0).astype(np.float64),
+            np.concatenate(flick, axis=0).astype(np.float64), names)
 
 
 def simulate_noise(
@@ -164,6 +202,15 @@ def simulate_noise(
     else:
         i_unit[i_pos] = 1.0
 
+    lk = lk_arrays(tensors)
+    if lk is not None:
+        from .tran import _mutual_inv
+
+        minv, minv_ok = _mutual_inv(jnp.asarray(tensors.l_vals), lk)
+        if not bool(minv_ok):
+            raise ValueError("Singular coupled-inductance matrix in .noise")
+    else:
+        minv = None
     A_re, A_im, b_re, b_im = _assemble_grid(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
@@ -173,6 +220,7 @@ def simulate_noise(
         jnp.asarray(v_unit), jnp.zeros(tensors.n_v),
         nvar, ext=ext,
         i_re=jnp.asarray(i_unit), i_im=jnp.zeros(tensors.n_i),
+        minv=minv,
     )
     # forward solve: gain(f) = v(out) per unit input
     x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method)
@@ -198,9 +246,10 @@ def simulate_noise(
 
     gain = x_pad[:, out_p] - x_pad[:, out_n]
 
-    g_idx, g_psd, g_names = _noise_generators(tensors, op)
+    g_idx, g_psd, g_flick, g_names = _noise_generators(tensors, op)
     h = z_pad[:, g_idx[:, 0]] - z_pad[:, g_idx[:, 1]]  # (F, nSrc)
-    contrib = (np.abs(h) ** 2) * g_psd[None, :]
+    s_gen = g_psd[None, :] + g_flick[None, :] / freqs[:, None]  # (F, nSrc)
+    contrib = (np.abs(h) ** 2) * s_gen
     s_out = contrib.sum(axis=1) if g_psd.size else np.zeros(F)
 
     gain_sq = np.abs(gain) ** 2

@@ -94,7 +94,8 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
         x_pad = pad_solution(x, nvar_op)
         vd = x_pad[..., d_idx[:, 0]] - x_pad[..., d_idx[:, 1]]
-        vd_lim = jnp.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+        tscale = nl["vt"] / VT_300K  # see tran._stamp_system
+        vd_lim = jnp.clip(vd, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
         v_th = d_n * VT_300K
         ev = jnp.exp(vd_lim / v_th)
         i_d = d_is * (ev - 1.0)
@@ -269,7 +270,8 @@ def simulate_op(
         vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
         *_, i_c, _i_b = bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
-                                       tensors.q_br, tensors.q_polarity)
+                                       tensors.q_br, tensors.q_polarity,
+                                       vt=tensors.vt)
         for k, name in enumerate(tensors.q_names):
             currents[name] = float(i_c[k])
     return OPResult(node_voltages=node_voltages, element_currents=currents,
@@ -383,7 +385,8 @@ def simulate_dc(
         vbc = x_pad[:, qi[:, 1]] - x_pad[:, qi[:, 0]]
         *_, i_c, _ = bjt_ebers_moll(
             vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
-            tensors.q_br[None, :], tensors.q_polarity[None, :])
+            tensors.q_br[None, :], tensors.q_polarity[None, :],
+            vt=tensors.vt)
         i_c = np.asarray(i_c)
         for k, name in enumerate(tensors.q_names):
             currents[name] = i_c[:, k]

@@ -34,6 +34,7 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     ext_arrays,
+    lk_arrays,
     nl_arrays,
     sample_source_values,
 )
@@ -115,7 +116,7 @@ def sensitivity_ac(
             jnp.asarray(tensors.l_idx), vals["l"],
             jnp.asarray(tensors.v_idx), v_re, v_im,
             nvar=tensors.nvar, method=method,
-            ext=ext, i_re=i_re, i_im=i_im,
+            ext=ext, i_re=i_re, i_im=i_im, lk=lk_arrays(tensors),
         )
         return jnp.sqrt(x_re[:, node_idx] ** 2 + x_im[:, node_idx] ** 2)
 
@@ -181,7 +182,7 @@ def sensitivity_tran(
             jnp.asarray(tensors.d_idx),
             jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
             nvar=tensors.nvar, method=method, integration=integration,
-            nr=nr, ext=ext, nl=nl, record=node_idx,
+            nr=nr, ext=ext, nl=nl, lk=lk_arrays(tensors), record=node_idx,
         )
         return xs  # (S+1,)
 

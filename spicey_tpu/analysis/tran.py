@@ -56,6 +56,7 @@ from ..ir.circuit import (
     empty_ext,
     empty_nl,
     ext_arrays,
+    lk_arrays,
     nl_arrays,
     sample_source_values,
 )
@@ -66,6 +67,7 @@ from ..ops.stamps import (
     stamp_admittance,
     stamp_current,
     stamp_extended,
+    stamp_mutual,
     stamp_vccs,
     stamp_voltage_source,
 )
@@ -92,6 +94,48 @@ class TranState:
 
 def _vdrop(x_pad, idx):
     return x_pad[..., idx[:, 0]] - x_pad[..., idx[:, 1]]
+
+
+def _mutual_inv(l_vals, lk):
+    """Inverse inductance matrix for K-coupled inductors.
+
+    M = diag(L) + offdiag(k_ab * sqrt(L_a * L_b)) over the coupled pairs;
+    returns (M^{-1}, ok) with any leading batch dims of ``l_vals``
+    preserved. Inversion is nL column solves on the one-hot-pivot gj path
+    (nL is tiny; jnp.linalg.inv would route f64 through the MXU, which TPUs
+    lack — see ops/linsolve.py).
+    """
+    nl_count = l_vals.shape[-1]
+    lead = l_vals.shape[:-1]
+    dtype = l_vals.dtype
+    eye = jnp.eye(nl_count, dtype=dtype)
+    M = l_vals[..., :, None] * eye
+    a = lk["k_pairs"][:, 0]
+    b = lk["k_pairs"][:, 1]
+    m = lk["k_vals"] * jnp.sqrt(l_vals[..., a] * l_vals[..., b])
+    M = M.at[..., a, b].add(m)
+    M = M.at[..., b, a].add(m)
+
+    def col(e):
+        return solve(M, jnp.broadcast_to(e, lead + (nl_count,)), method="gj")
+
+    X, oks = jax.vmap(col, out_axes=(-1, 0))(eye)
+    return X, jnp.all(oks, axis=0)
+
+
+def _l_stamp(A_pad, l_idx, c, l_vals, minv):
+    """Inductor companion admittance: scalar c/L per element, or the matrix
+    companion c * M^{-1} when mutual couplings are present."""
+    if minv is None:
+        return stamp_admittance(A_pad, l_idx, c / l_vals)
+    return stamp_mutual(A_pad, l_idx, c * minv)
+
+
+def _l_mv(c, l_vals, minv, v):
+    """(c/L) * v per element, or c * M^{-1} @ v with mutual couplings."""
+    if minv is None:
+        return (c / l_vals) * v
+    return c * jnp.sum(minv * v[..., None, :], axis=-1)
 
 
 def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
@@ -124,7 +168,8 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
             vbe = jnp.where(it == 0, vq_prev[..., 0], vbe_it)
             vbc = jnp.where(it == 0, vq_prev[..., 1], vbc_it)
         gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, _, _ = bjt_ebers_moll(
-            vbe, vbc, nl["q_is"], nl["q_bf"], nl["q_br"], nl["q_pol"]
+            vbe, vbc, nl["q_is"], nl["q_bf"], nl["q_br"], nl["q_pol"],
+            vt=nl["vt"],
         )
         be = q_idx[:, jnp.asarray([1, 2])]
         bc = q_idx[:, jnp.asarray([1, 0])]
@@ -146,7 +191,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   v_prev2_c=None, i_prev2_l=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
-     ext) = tensors_arrays
+     ext, minv) = tensors_arrays
     dtype = x.dtype
     lead = x.shape[:-1]  # native batch dims (Monte-Carlo variants)
     A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
@@ -165,9 +210,10 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
         g_c = jnp.where(is_first, c_vals / dt_c, 2.0 * c_vals / dt_c)
         A = stamp_admittance(A, c_idx, g_c)
         b = stamp_current(b, c_idx, -(g_c * v_prev_c + i_prev_c))
-        g_l = jnp.where(is_first, dt_c / l_vals, dt_c / (2.0 * l_vals))
-        A = stamp_admittance(A, l_idx, g_l)
-        b = stamp_current(b, l_idx, i_prev_l + g_l * v_prev_l)
+        c_l = jnp.where(is_first, dt_c, dt_c / 2.0)
+        A = _l_stamp(A, l_idx, c_l, l_vals, minv)
+        b = stamp_current(b, l_idx,
+                          i_prev_l + _l_mv(c_l, l_vals, minv, v_prev_l))
     elif integration == "gear2":
         # BDF2 companions (A-stable, 2nd-order, numerically damping —
         # unlike trap it does not ring on stiff switching circuits):
@@ -184,13 +230,13 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
         )
         A = stamp_admittance(A, c_idx, g_c)
         b = stamp_current(b, c_idx, ieq_c)
-        g_l = jnp.where(startup, dt_c / l_vals, dt_c / (1.5 * l_vals))
+        c_l = jnp.where(startup, dt_c, dt_c / 1.5)
         isrc_l = jnp.where(
             startup,
             i_prev_l,
             (2.0 * i_prev_l - 0.5 * i_prev2_l) / 1.5,
         )
-        A = stamp_admittance(A, l_idx, g_l)
+        A = _l_stamp(A, l_idx, c_l, l_vals, minv)
         b = stamp_current(b, l_idx, isrc_l)
     else:
         # backward-Euler companions (reference semantics,
@@ -198,8 +244,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
         g_c = c_vals / dt_c
         A = stamp_admittance(A, c_idx, g_c)
         b = stamp_current(b, c_idx, -g_c * v_prev_c)
-        g_l = dt_c / l_vals
-        A = stamp_admittance(A, l_idx, g_l)
+        A = _l_stamp(A, l_idx, dt_c, l_vals, minv)
         b = stamp_current(b, l_idx, i_prev_l)
     # Switches by current hysteresis state
     r_sw = jnp.where(sw_on, s_ron, s_roff)
@@ -216,7 +261,11 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     x_pad = pad_solution(x, nvar)
     vd_iter = _vdrop(x_pad, d_idx)
     vd = jnp.where(it == 0, vd_prev_d, vd_iter)
-    vd_lim = jnp.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+    # the linearization clamp scales with T/300 (at 300 K it is exactly the
+    # reference's fixed [-1.0, +0.8] window; a hotter junction needs a
+    # proportionally wider window or the Newton sticks at the clamp)
+    tscale = 1.0 if nl is None else nl["vt"] / VT_300K
+    vd_lim = jnp.clip(vd, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
     v_th = d_n * VT_300K
     exp_val = jnp.exp(vd_lim / v_th)
     i_d = d_is * (exp_val - 1.0)
@@ -242,7 +291,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
                nr: str = "spicey", nr_tol: float = 1e-9,
-               max_nr: int | None = None, ext=None, nl=None,
+               max_nr: int | None = None, ext=None, nl=None, lk=None,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
                resume: bool = False):
@@ -279,9 +328,16 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         ext = empty_ext(vs_grid.dtype)
     if nl is None:
         nl = empty_nl(vs_grid.dtype)
+    # K coupled inductors: the per-inductor companion generalizes to the
+    # matrix companion Gamma = c * M^{-1}; M^{-1} is fixed for the whole
+    # run (l_vals/k_vals don't change mid-scan), so invert once here.
+    if lk is not None:
+        minv, minv_ok = _mutual_inv(l_vals, lk)
+    else:
+        minv, minv_ok = None, None
     tensors_arrays = (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                       s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-                      ext)
+                      ext, minv)
     dtype = vs_grid.dtype
     lead = () if batch is None else (batch,)
     n_c = c_idx.shape[0]
@@ -309,17 +365,16 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             A = stamp_admittance(A, r_idx, 1.0 / r_vals)
             if integration == "trap":
                 g_c = jnp.where(first, c_vals / dt_cf, 2.0 * c_vals / dt_cf)
-                g_l = jnp.where(first, dt_cf / l_vals,
-                                dt_cf / (2.0 * l_vals))
+                c_l = jnp.where(first, dt_cf, dt_cf / 2.0)
             elif integration == "gear2":
                 st = jnp.logical_or(first, second)
                 g_c = jnp.where(st, c_vals / dt_cf, 1.5 * c_vals / dt_cf)
-                g_l = jnp.where(st, dt_cf / l_vals, dt_cf / (1.5 * l_vals))
+                c_l = jnp.where(st, dt_cf, dt_cf / 1.5)
             else:
                 g_c = c_vals / dt_cf
-                g_l = dt_cf / l_vals
+                c_l = dt_cf
             A = stamp_admittance(A, c_idx, g_c)
-            A = stamp_admittance(A, l_idx, g_l)
+            A = _l_stamp(A, l_idx, c_l, l_vals, minv)
             b_dummy = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
             A, _ = stamp_voltage_source(
                 A, b_dummy, v_idx,
@@ -400,9 +455,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 g_c = jnp.where(is_first, c_vals / dt_c,
                                 2.0 * c_vals / dt_c)
                 b = stamp_current(b, c_idx, -(g_c * v_prev_c + i_prev_c))
-                g_l = jnp.where(is_first, dt_c / l_vals,
-                                dt_c / (2.0 * l_vals))
-                b = stamp_current(b, l_idx, i_prev_l + g_l * v_prev_l)
+                c_l = jnp.where(is_first, dt_c, dt_c / 2.0)
+                b = stamp_current(
+                    b, l_idx,
+                    i_prev_l + _l_mv(c_l, l_vals, minv, v_prev_l))
             elif integration == "gear2":
                 startup = jnp.logical_or(is_first, is_second)
                 ieq_c = jnp.where(
@@ -462,20 +518,20 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             if integration == "trap":
                 i_prev_l = i_prev_l + jnp.where(
                     is_first,
-                    (dt_c / l_vals) * vd_l,
-                    (dt_c / (2.0 * l_vals)) * (v_prev_l + vd_l),
+                    _l_mv(dt_c, l_vals, minv, vd_l),
+                    _l_mv(dt_c / 2.0, l_vals, minv, v_prev_l + vd_l),
                 )
                 v_prev_l = vd_l
             elif integration == "gear2":
                 startup = jnp.logical_or(is_first, is_second)
                 i_prev_l = jnp.where(
                     startup,
-                    i_prev_l + (dt_c / l_vals) * vd_l,
-                    (dt_c / (1.5 * l_vals)) * vd_l
+                    i_prev_l + _l_mv(dt_c, l_vals, minv, vd_l),
+                    _l_mv(dt_c / 1.5, l_vals, minv, vd_l)
                     + (2.0 * i_prev_l - 0.5 * i_prev2_l) / 1.5,
                 )
             else:
-                i_prev_l = i_prev_l + (dt_c / l_vals) * vd_l
+                i_prev_l = i_prev_l + _l_mv(dt_c, l_vals, minv, vd_l)
             i_prev2_l = i_prev2_l_new
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
         if n_m:
@@ -498,6 +554,9 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         out = x if record is None else x[..., record]
         return carry, (out, sw_on)
 
+    init_valid = jnp.ones(lead, jnp.bool_)
+    if minv_ok is not None:  # singular coupling matrix flags every lane
+        init_valid = jnp.logical_and(init_valid, minv_ok)
     if init_state is None:
         init = (
             jnp.zeros(lead + (n_c,), dtype=dtype),
@@ -510,10 +569,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             jnp.zeros(lead + (n_s,), jnp.bool_),
             jnp.zeros(lead + (n_c,), dtype=dtype),
             jnp.zeros(lead + (n_l,), dtype=dtype),
-            jnp.ones(lead, jnp.bool_),
+            init_valid,
         )
     else:
-        init = tuple(init_state) + (jnp.ones(lead, jnp.bool_),)
+        init = tuple(init_state) + (init_valid,)
     n_steps = vs_grid.shape[0]
     first_flags = (jnp.zeros(n_steps, jnp.bool_) if resume
                    else jnp.arange(n_steps) == 0)
@@ -585,29 +644,40 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             out[name] = i_c[:, k]
     if tensors.n_l:
         vd = vdrop(tensors.l_idx)
+        if tensors.n_k:
+            # K-coupled: companion updates are c * M^{-1} @ vd (host-side
+            # analog of the scan's _l_mv; see _mutual_inv)
+            M = np.diag(tensors.l_vals.astype(np.float64))
+            a = tensors.k_pairs[:, 0]
+            b = tensors.k_pairs[:, 1]
+            m = tensors.k_vals * np.sqrt(
+                tensors.l_vals[a] * tensors.l_vals[b])
+            M[a, b] += m
+            M[b, a] += m
+            minv_h = np.linalg.inv(M)
+            lmv = lambda c, v: c * (v @ minv_h.T)
+        else:
+            lmv = lambda c, v: (c / tensors.l_vals) * v
         if integration == "trap":
             prev = np.concatenate([v_prev_l0[None, :], vd[:-1]], axis=0)
-            inc = (prev + vd) * dt_c / (2.0 * tensors.l_vals[None, :])
+            inc = lmv(dt_c / 2.0, prev + vd)
             if not resumed:
-                inc[0] = vd[0] * dt_c / tensors.l_vals  # BE first step
+                inc[0] = lmv(dt_c, vd[0])  # BE first step
             i_l = i_prev_l0[None, :] + np.cumsum(inc, axis=0)
         elif integration == "gear2":
             # two-step recurrence: i_k = (dt/1.5L) v_k + (2 i_{k-1} -
             # 0.5 i_{k-2}) / 1.5, BE for the fresh-run startup rows
             i_l = np.zeros_like(vd)
             im1, im2 = i_prev_l0, i_prev2_l0
-            g_be = dt_c / tensors.l_vals
-            g_g2 = dt_c / (1.5 * tensors.l_vals)
             for k in range(vd.shape[0]):
                 if not resumed and k < 2:
-                    ik = im1 + g_be * vd[k]
+                    ik = im1 + lmv(dt_c, vd[k])
                 else:
-                    ik = g_g2 * vd[k] + (2.0 * im1 - 0.5 * im2) / 1.5
+                    ik = lmv(dt_c / 1.5, vd[k]) + (2.0 * im1 - 0.5 * im2) / 1.5
                 i_l[k] = ik
                 im2, im1 = im1, ik
         else:
-            g_l = dt_c / tensors.l_vals[None, :]
-            i_l = i_prev_l0[None, :] + np.cumsum(g_l * vd, axis=0)
+            i_l = i_prev_l0[None, :] + np.cumsum(lmv(dt_c, vd), axis=0)
         for k, name in enumerate(tensors.l_names):
             out[name] = i_l[:, k]
     for k, name in enumerate(tensors.v_names):
@@ -656,6 +726,7 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
         *_, i_c, _i_b = bjt_ebers_moll(
             vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
             tensors.q_br[None, :], tensors.q_polarity[None, :],
+            vt=tensors.vt,
         )
         i_c = np.asarray(i_c)
         for k, name in enumerate(tensors.q_names):
@@ -746,6 +817,7 @@ def simulate_tran(
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
         ext=ext_arrays(tensors), nl=nl_arrays(tensors),
+        lk=lk_arrays(tensors),
         interpret=interpret,
         init_state=init_state,
         resume=state is not None,

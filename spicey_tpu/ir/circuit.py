@@ -38,6 +38,12 @@ class CircuitTensors:
     n_node_vars: int
     node_names: tuple[str, ...]  # non-ground canonical names, id order
 
+    # analysis temperature (extended .temp; 300 K default). ``vt`` is the
+    # thermal voltage kT/q at temp_k, normalized so temp_k=300 gives the
+    # reference's exact VT_300K constant.
+    temp_k: float
+    vt: float
+
     # 2-terminal elements: matrix indices (nE, 2) with ground -> nvar (dump)
     r_idx: np.ndarray
     r_vals: np.ndarray
@@ -51,6 +57,12 @@ class CircuitTensors:
     l_vals: np.ndarray
     l_names: tuple[str, ...]
 
+    # mutual couplings (extended K lines): pairs of positions into the L
+    # arrays + coupling coefficients. M[a,b] = k * sqrt(L[a] * L[b]).
+    k_pairs: np.ndarray  # (nK, 2) int32
+    k_vals: np.ndarray   # (nK,)
+    k_names: tuple[str, ...]
+
     # voltage sources: (nV, 3) = [i1, i2, branch]; branch never ground
     v_idx: np.ndarray
     v_dc: np.ndarray
@@ -59,7 +71,13 @@ class CircuitTensors:
     v_has_waveform: np.ndarray  # bool (nV,)
     v_names: tuple[str, ...]
 
-    # switches: (nS, 4) = [i1, i2, ic_pos, ic_neg] dump-mapped
+    # switches: (nS, 4) = [i1, i2, ic_pos, ic_neg] dump-mapped.
+    # Extended-dialect W (current-controlled) switches are folded into the
+    # same arrays: their control pair is [ctrl_V_branch, dump], so the
+    # engines' vctrl = x[ic_pos] - x[ic_neg] reads the controlling branch
+    # current directly (a branch current IS an MNA unknown), and the
+    # thresholds are von = It + Ih, voff = It - Ih. One code path drives
+    # both switch families in every engine.
     s_idx: np.ndarray
     s_ron: np.ndarray
     s_roff: np.ndarray
@@ -67,10 +85,15 @@ class CircuitTensors:
     s_voff: np.ndarray
     s_names: tuple[str, ...]
 
-    # diodes: (nD, 2) = [i_plus, i_minus] dump-mapped
+    # diodes: (nD, 2) = [i_plus, i_minus] dump-mapped.
+    # d_n is the EFFECTIVE emission coefficient N * (temp_k / 300): every
+    # engine computes v_th = d_n * VT_300K, so folding .temp in here makes
+    # all of them temperature-correct without touching the compiled cores.
     d_idx: np.ndarray
     d_is: np.ndarray
     d_n: np.ndarray
+    d_kf: np.ndarray  # flicker noise coefficient (extended; .noise)
+    d_af: np.ndarray  # flicker noise exponent
     d_names: tuple[str, ...]
 
     # current sources (extended dialect): (nI, 2) = [i1, i2] dump-mapped
@@ -108,6 +131,8 @@ class CircuitTensors:
     m_vto: np.ndarray
     m_lambda: np.ndarray
     m_polarity: np.ndarray   # +1 nmos, -1 pmos
+    m_kf: np.ndarray         # flicker noise coefficient (extended; .noise)
+    m_af: np.ndarray
     m_names: tuple[str, ...]
 
     # BJTs (extended dialect): (nQ, 3) = [c, b, e] dump-mapped
@@ -116,7 +141,13 @@ class CircuitTensors:
     q_bf: np.ndarray
     q_br: np.ndarray
     q_polarity: np.ndarray   # +1 npn, -1 pnp
+    q_kf: np.ndarray         # flicker noise coefficient (extended; .noise)
+    q_af: np.ndarray
     q_names: tuple[str, ...]
+
+    @property
+    def n_k(self) -> int:
+        return self.k_pairs.shape[0]
 
     @property
     def n_r(self) -> int:
@@ -196,6 +227,16 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     c_idx, c_vals, c_names = two_term(ckt.C, "C")
     l_idx, l_vals, l_names = two_term(ckt.L, "L")
 
+    temp_k = ckt.temp_kelvin
+    from ..constants import VT_300K
+    vt = VT_300K * temp_k / 300.0
+
+    k_pairs = np.asarray(
+        [[kc.l1_pos, kc.l2_pos] for kc in ckt.K], dtype=np.int32
+    ).reshape(-1, 2)
+    k_vals = np.asarray([kc.k for kc in ckt.K], dtype=np.float64)
+    k_names = tuple(kc.name for kc in ckt.K)
+
     v_idx = np.asarray(
         [[midx(v.n1), midx(v.n2), v.index] for v in ckt.V], dtype=np.int32
     ).reshape(-1, 3)
@@ -205,21 +246,35 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     v_has_wave = np.asarray([v.waveform is not None for v in ckt.V], dtype=bool)
     v_names = tuple(v.name for v in ckt.V)
 
-    s_idx = np.asarray(
-        [[midx(s.n1), midx(s.n2), midx(s.nc_pos), midx(s.nc_neg)] for s in ckt.S],
-        dtype=np.int32,
-    ).reshape(-1, 4)
-    s_ron = np.asarray([s.model.Ron for s in ckt.S], dtype=np.float64)
-    s_roff = np.asarray([s.model.Roff for s in ckt.S], dtype=np.float64)
-    s_von = np.asarray([s.model.Von for s in ckt.S], dtype=np.float64)
-    s_voff = np.asarray([s.model.Voff for s in ckt.S], dtype=np.float64)
-    s_names = tuple(s.name for s in ckt.S)
+    # S rows first, then W rows encoded as [i1, i2, ctrl_branch, dump]
+    # (vctrl = x[branch] - 0 = the controlling current) with the CSW
+    # hysteresis window mapped onto the Von/Voff thresholds.
+    s_rows = [[midx(s.n1), midx(s.n2), midx(s.nc_pos), midx(s.nc_neg)]
+              for s in ckt.S]
+    s_rows += [[midx(w.n1), midx(w.n2), w.ctrl_index, dump] for w in ckt.W]
+    s_idx = np.asarray(s_rows, dtype=np.int32).reshape(-1, 4)
+    s_ron = np.asarray([s.model.Ron for s in ckt.S]
+                       + [w.model.Ron for w in ckt.W], dtype=np.float64)
+    s_roff = np.asarray([s.model.Roff for s in ckt.S]
+                        + [w.model.Roff for w in ckt.W], dtype=np.float64)
+    s_von = np.asarray([s.model.Von for s in ckt.S]
+                       + [w.model.It + w.model.Ih for w in ckt.W],
+                       dtype=np.float64)
+    s_voff = np.asarray([s.model.Voff for s in ckt.S]
+                        + [w.model.It - w.model.Ih for w in ckt.W],
+                        dtype=np.float64)
+    s_names = tuple(s.name for s in ckt.S) + tuple(w.name for w in ckt.W)
 
     d_idx = np.asarray(
         [[midx(d.n_plus), midx(d.n_minus)] for d in ckt.D], dtype=np.int32
     ).reshape(-1, 2)
     d_is = np.asarray([d.model.Is for d in ckt.D], dtype=np.float64)
-    d_n = np.asarray([d.model.N for d in ckt.D], dtype=np.float64)
+    # effective N * (T/300): engines compute v_th = d_n * VT_300K, so this
+    # folds .temp into every diode path (see CircuitTensors docstring)
+    d_n = np.asarray([d.model.N for d in ckt.D],
+                     dtype=np.float64) * (temp_k / 300.0)
+    d_kf = np.asarray([d.model.KF for d in ckt.D], dtype=np.float64)
+    d_af = np.asarray([d.model.AF for d in ckt.D], dtype=np.float64)
     d_names = tuple(d.name for d in ckt.D)
 
     i_idx = np.asarray(
@@ -271,6 +326,8 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     m_lambda = np.asarray([m.model.Lambda for m in ckt.M], dtype=np.float64)
     m_polarity = np.asarray(
         [m.model.polarity for m in ckt.M], dtype=np.float64)
+    m_kf = np.asarray([m.model.KF for m in ckt.M], dtype=np.float64)
+    m_af = np.asarray([m.model.AF for m in ckt.M], dtype=np.float64)
     m_names = tuple(m.name for m in ckt.M)
 
     q_idx = np.asarray(
@@ -282,20 +339,25 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     q_br = np.asarray([q.model.Br for q in ckt.Q], dtype=np.float64)
     q_polarity = np.asarray(
         [q.model.polarity for q in ckt.Q], dtype=np.float64)
+    q_kf = np.asarray([q.model.KF for q in ckt.Q], dtype=np.float64)
+    q_af = np.asarray([q.model.AF for q in ckt.Q], dtype=np.float64)
     q_names = tuple(q.name for q in ckt.Q)
 
     return CircuitTensors(
         nvar=nvar,
         n_node_vars=n_node_vars,
         node_names=tuple(ckt.nodes.rev[1:]),
+        temp_k=temp_k, vt=vt,
         r_idx=r_idx, r_vals=r_vals, r_names=r_names,
         c_idx=c_idx, c_vals=c_vals, c_names=c_names,
         l_idx=l_idx, l_vals=l_vals, l_names=l_names,
+        k_pairs=k_pairs, k_vals=k_vals, k_names=k_names,
         v_idx=v_idx, v_dc=v_dc, v_ac_mag=v_ac_mag,
         v_ac_phase_deg=v_ac_phase, v_has_waveform=v_has_wave, v_names=v_names,
         s_idx=s_idx, s_ron=s_ron, s_roff=s_roff, s_von=s_von, s_voff=s_voff,
         s_names=s_names,
-        d_idx=d_idx, d_is=d_is, d_n=d_n, d_names=d_names,
+        d_idx=d_idx, d_is=d_is, d_n=d_n, d_kf=d_kf, d_af=d_af,
+        d_names=d_names,
         i_idx=i_idx, i_dc=i_dc, i_ac_mag=i_ac_mag,
         i_ac_phase_deg=i_ac_phase, i_has_waveform=i_has_wave, i_names=i_names,
         g_idx=g_idx, g_gm=g_gm, g_names=g_names,
@@ -303,9 +365,9 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         f_idx=f_idx, f_gain=f_gain, f_names=f_names,
         h_idx=h_idx, h_r=h_r, h_names=h_names,
         m_idx=m_idx, m_beta=m_beta, m_vto=m_vto, m_lambda=m_lambda,
-        m_polarity=m_polarity, m_names=m_names,
+        m_polarity=m_polarity, m_kf=m_kf, m_af=m_af, m_names=m_names,
         q_idx=q_idx, q_is=q_is, q_bf=q_bf, q_br=q_br,
-        q_polarity=q_polarity, q_names=q_names,
+        q_polarity=q_polarity, q_kf=q_kf, q_af=q_af, q_names=q_names,
     )
 
 
@@ -360,6 +422,8 @@ def nl_arrays(tensors: CircuitTensors, dtype=None,
         "q_bf": jnp.asarray(tensors.q_bf, dt),
         "q_br": jnp.asarray(tensors.q_br, dt),
         "q_pol": jnp.asarray(tensors.q_polarity, dt),
+        # thermal voltage at the circuit's .temp (300 K default)
+        "vt": jnp.asarray(tensors.vt, dt),
     }
 
 
@@ -367,12 +431,33 @@ def empty_nl(dtype=None) -> dict:
     """An nl pytree with no MOSFETs/BJTs."""
     import jax.numpy as jnp
 
+    from ..constants import VT_300K
+
     dt = jnp.float64 if dtype is None else dtype
     z3 = jnp.zeros((0, 3), jnp.int32)
     v = jnp.zeros((0,), dt)
     return {
         "m_idx": z3, "m_beta": v, "m_vto": v, "m_lambda": v, "m_pol": v,
         "q_idx": z3, "q_is": v, "q_bf": v, "q_br": v, "q_pol": v,
+        "vt": jnp.asarray(VT_300K, dt),
+    }
+
+
+def lk_arrays(tensors: CircuitTensors, dtype=None):
+    """Mutual-coupling (K) pytree, or None when the circuit has none.
+
+    ``None`` keeps the scalar per-inductor companion fast path; a dict
+    switches the engines to the matrix companion Gamma = c * M^{-1}
+    (analysis/tran.py, analysis/ac.py).
+    """
+    import jax.numpy as jnp
+
+    if tensors.n_k == 0:
+        return None
+    dt = jnp.float64 if dtype is None else dtype
+    return {
+        "k_pairs": jnp.asarray(tensors.k_pairs),
+        "k_vals": jnp.asarray(tensors.k_vals, dt),
     }
 
 

@@ -80,11 +80,12 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
     return gm_r, gds_r, i_eq, i_d
 
 
-def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype):
+def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K):
     """BJT Ebers-Moll (transport form) linearization.
 
     vbe, vbc: (..., nQ) junction voltages; i_s saturation current;
-    bf/br forward/reverse beta; qtype ±1 (NPN/PNP).
+    bf/br forward/reverse beta; qtype ±1 (NPN/PNP); vt the thermal voltage
+    kT/q (VT_300K default; extended ``.temp`` passes tensors.vt).
 
     Returns (gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, i_c, i_b) where
       base-emitter diode:  i = gbe*vbe + ibe_eq
@@ -94,9 +95,9 @@ def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype):
     (for result recording).
     """
     s = qtype
-    vt = VT_300K
-    vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN, DIODE_VD_MAX)
-    vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN, DIODE_VD_MAX)
+    tscale = vt / VT_300K  # clamp window scales with T (see tran)
+    vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
+    vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
 
     ebe = jnp.exp(vbe_l / vt)
     ebc = jnp.exp(vbc_l / vt)

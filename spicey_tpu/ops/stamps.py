@@ -57,6 +57,23 @@ def stamp_voltage_source(A_pad, b_pad, v_idx, volts):
     return A_pad, b_pad
 
 
+def stamp_mutual(A_pad, l_idx, G):
+    """Coupled-inductor companion matrix stamp (extended K lines).
+
+    The current of inductor a is sum_b G[a,b] * (v[i1_b] - v[i2_b]), so
+    every (a, b) pair contributes the 4-point pattern across a's KCL rows
+    and b's voltage columns. G: (..., nL, nL); duplicate dump-slot indices
+    accumulate (scatter-add semantics), matching the 2-terminal stamps.
+    """
+    i1 = l_idx[:, 0]
+    i2 = l_idx[:, 1]
+    A_pad = A_pad.at[..., i1[:, None], i1[None, :]].add(G)
+    A_pad = A_pad.at[..., i1[:, None], i2[None, :]].add(-G)
+    A_pad = A_pad.at[..., i2[:, None], i1[None, :]].add(-G)
+    A_pad = A_pad.at[..., i2[:, None], i2[None, :]].add(G)
+    return A_pad
+
+
 def pad_solution(x, nvar):
     """Append the ground slot (0) so dump-mapped indices read 0 volts."""
     zero_shape = x.shape[:-1] + (1,)

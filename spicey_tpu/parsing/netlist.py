@@ -45,7 +45,7 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # in element names (subcircuit flattening emits "r1.x1"-style names). X
 # instance lines are consumed by _flatten_subcircuits before this regex ever
 # sees them.
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefh][\w.]*$",
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkw][\w.]*$",
                                       re.IGNORECASE)
 # \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
 # a .subckt block)
@@ -202,10 +202,30 @@ class VSwitchModel:
 
 
 @dataclass
+class CSwitchModel:
+    """Current-controlled switch model (.model <name> CSW|ISWITCH).
+
+    ngspice CSW semantics: switch closes when the controlling current rises
+    above It + Ih and opens when it falls below It - Ih (hysteresis window
+    centered on the threshold It). ngspice defaults: Ron=1, Roff=1e12
+    (1/GMIN-class), It=0, Ih=0.
+    """
+
+    name: str
+    Ron: float = 1.0
+    Roff: float = 1e12
+    It: float = 0.0
+    Ih: float = 0.0
+
+
+@dataclass
 class DiodeModel:
     name: str
     Is: float = 1e-14
     N: float = 1.0
+    # flicker (1/f) noise parameters (extended dialect; used by .noise)
+    KF: float = 0.0
+    AF: float = 1.0
 
 
 @dataclass
@@ -220,6 +240,9 @@ class MOSModel:
     Vto: float = 0.0
     Kp: float = 2e-5
     Lambda: float = 0.0
+    # flicker (1/f) noise parameters (extended dialect; used by .noise)
+    KF: float = 0.0
+    AF: float = 1.0
 
 
 @dataclass
@@ -234,6 +257,9 @@ class BJTModel:
     Is: float = 1e-16
     Bf: float = 100.0
     Br: float = 1.0
+    # flicker (1/f) noise parameters (extended dialect; used by .noise)
+    KF: float = 0.0
+    AF: float = 1.0
 
 
 @dataclass
@@ -275,6 +301,40 @@ class Switch:
     nc_neg: int
     model_name: str
     model: VSwitchModel | None = None
+
+
+@dataclass
+class CSwitch:
+    """Extended-dialect W element: ``W name n1 n2 Vctrl model``.
+
+    A switch whose state follows the current through the named V source
+    (the control current is the source's MNA branch unknown, so no extra
+    sensing element is needed).
+    """
+
+    name: str
+    n1: int
+    n2: int
+    ctrl_name: str
+    model_name: str
+    model: CSwitchModel | None = None
+    ctrl_index: int = -1  # controlling V-source branch (parser post-pass)
+
+
+@dataclass
+class MutualCoupling:
+    """Extended-dialect K element: ``K name L1 L2 k`` (coupled inductors).
+
+    Couples two named inductors with coefficient 0 < |k| <= 1; the mutual
+    inductance is M = k * sqrt(L1 * L2).
+    """
+
+    name: str
+    l1_name: str
+    l2_name: str
+    k: float
+    l1_pos: int = -1  # index into ckt.L (parser post-pass)
+    l2_pos: int = -1
 
 
 @dataclass
@@ -365,6 +425,8 @@ class ParsedCircuit:
     H: list[CCVS] = field(default_factory=list)  # extended dialect
     M: list[MOSFET] = field(default_factory=list)  # extended dialect
     Q: list[BJT] = field(default_factory=list)  # extended dialect
+    W: list[CSwitch] = field(default_factory=list)  # extended dialect
+    K: list[MutualCoupling] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
@@ -377,10 +439,18 @@ class ParsedCircuit:
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
     skipped: list[str] = field(default_factory=list)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
+    cswitch_models: dict[str, CSwitchModel] = field(default_factory=dict)
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
     mos_models: dict[str, MOSModel] = field(default_factory=dict)
     bjt_models: dict[str, BJTModel] = field(default_factory=dict)
     title: str | None = None
+    temp_c: float | None = None  # extended .temp (Celsius); None = 300 K
+
+    @property
+    def temp_kelvin(self) -> float:
+        """Analysis temperature. Default 300 K exactly — the reference's
+        hard-coded VT=0.025852 V corresponds to T=300 K (constants.ts)."""
+        return 300.0 if self.temp_c is None else 273.15 + self.temp_c
 
     @property
     def n_node_vars(self) -> int:
@@ -477,6 +547,9 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         if not probes:
             raise ValueError(f".four needs at least one v(node) probe: {line!r}")
         ckt.four = FourAnalysis(f0=f0, probes=probes)
+    elif dir_name == ".temp" and dialect == "extended":
+        ckt.temp_c = parse_number_with_units(
+            _require(tokens, 1, ".temp missing temperature"))
     elif dir_name == ".tf" and dialect == "extended":
         out_tok = _require(tokens, 1, ".tf missing output spec")
         src = _require(tokens, 2, ".tf missing input source name")
@@ -558,6 +631,18 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Von = params["vt"] + vh / 2
                 model.Voff = params["vt"] - vh / 2
             ckt.vswitch_models[name_token.lower()] = model
+        elif type_lower in ("csw", "iswitch") and dialect == "extended":
+            cmodel = CSwitchModel(name=name_token)
+            params = _parse_model_params(params_str)
+            if "ron" in params:
+                cmodel.Ron = params["ron"]
+            if "roff" in params:
+                cmodel.Roff = params["roff"]
+            if "it" in params:
+                cmodel.It = params["it"]
+            if "ih" in params:
+                cmodel.Ih = params["ih"]
+            ckt.cswitch_models[name_token.lower()] = cmodel
         elif type_lower == "d":
             model = DiodeModel(name=name_token)
             params = _parse_model_params(params_str)
@@ -565,6 +650,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Is = params["is"]
             if "n" in params:
                 model.N = params["n"]
+            if "kf" in params:
+                model.KF = params["kf"]
+            if "af" in params:
+                model.AF = params["af"]
             ckt.diode_models[name_token.lower()] = model
         elif type_lower in ("nmos", "pmos") and dialect == "extended":
             model = MOSModel(name=name_token,
@@ -576,6 +665,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Kp = params["kp"]
             if "lambda" in params:
                 model.Lambda = params["lambda"]
+            if "kf" in params:
+                model.KF = params["kf"]
+            if "af" in params:
+                model.AF = params["af"]
             ckt.mos_models[name_token.lower()] = model
         elif type_lower in ("npn", "pnp") and dialect == "extended":
             model = BJTModel(name=name_token,
@@ -587,6 +680,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Bf = params["bf"]
             if "br" in params:
                 model.Br = params["br"]
+            if "kf" in params:
+                model.KF = params["kf"]
+            if "af" in params:
+                model.AF = params["af"]
             ckt.bjt_models[name_token.lower()] = model
         else:
             ckt.skipped.append(line)
@@ -691,6 +788,7 @@ def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str],
 _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
     "q": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2,
+    "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
 }
 
 _MAX_SUBCKT_DEPTH = 20
@@ -819,9 +917,12 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
             continue
         new = [rename(first)] + [map_node(t) for t in toks[1:1 + nn]]
         rest = toks[1 + nn:]
-        if tc in ("f", "h") and rest:
+        if tc in ("f", "h", "w") and rest:
             # controlling V source lives in the same scope; rename with it
             rest = [rename(rest[0])] + rest[1:]
+        elif tc == "k" and len(rest) >= 2:
+            # coupled inductors live in the same scope; rename both refs
+            rest = [rename(rest[0]), rename(rest[1])] + rest[2:]
         out.append(" ".join(new + rest))
     return out
 
@@ -1013,6 +1114,26 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 else:
                     ckt.E.append(VCVS(name=name, n1=n1, n2=n2,
                                       nc_pos=ncp, nc_neg=ncn, gain=val))
+            elif type_char == "k" and dialect == "extended":
+                l1 = _require(tokens, 1, "Coupling missing inductor name")
+                l2 = _require(tokens, 2, "Coupling missing inductor name")
+                kval = parse_number_with_units(
+                    _require(tokens, 3, "Coupling missing coefficient"))
+                if not (0.0 < abs(kval) <= 1.0):
+                    raise ValueError(
+                        f"Coupling coefficient must satisfy 0 < |k| <= 1, "
+                        f"got {kval}")
+                ckt.K.append(MutualCoupling(name=name, l1_name=l1,
+                                            l2_name=l2, k=kval))
+            elif type_char == "w" and dialect == "extended":
+                n1 = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "Switch missing node"))
+                n2 = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "Switch missing node"))
+                ctrl = _require(tokens, 3, "Switch missing control source")
+                model_name = _require(tokens, 4, "Switch missing model")
+                ckt.W.append(CSwitch(name=name, n1=n1, n2=n2, ctrl_name=ctrl,
+                                     model_name=model_name.lower()))
             elif type_char == "s":
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Switch missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Switch missing node"))
@@ -1072,6 +1193,38 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 f"Unknown .model {sw.model_name} referenced by switch {sw.name}"
             )
         sw.model = model
+
+    for wsw in ckt.W:
+        cmodel = ckt.cswitch_models.get(wsw.model_name)
+        if cmodel is None:
+            raise ValueError(
+                f"Unknown .model {wsw.model_name} referenced by switch "
+                f"{wsw.name}"
+            )
+        wsw.model = cmodel
+        ctrl = v_by_name.get(wsw.ctrl_name.upper())
+        if ctrl is None:
+            raise ValueError(
+                f"Unknown controlling source {wsw.ctrl_name} "
+                f"referenced by {wsw.name}"
+            )
+        wsw.ctrl_index = ctrl.index
+
+    l_by_name = {el.name.upper(): pos for pos, el in enumerate(ckt.L)}
+    for kc in ckt.K:
+        for attr, lname in (("l1_pos", kc.l1_name), ("l2_pos", kc.l2_name)):
+            pos = l_by_name.get(lname.upper())
+            if pos is None:
+                raise ValueError(
+                    f"Unknown inductor {lname} referenced by coupling "
+                    f"{kc.name}"
+                )
+            setattr(kc, attr, pos)
+        if kc.l1_pos == kc.l2_pos:
+            raise ValueError(
+                f"Coupling {kc.name} references inductor "
+                f"{kc.l1_name} twice"
+            )
 
     for d in ckt.D:
         model = ckt.diode_models.get(d.model_name)

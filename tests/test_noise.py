@@ -132,3 +132,51 @@ def test_noise_skipped_in_spicey_dialect():
                         ".noise v(1) v1 dec 5 1 10\n")
     assert ckt.noise is None
     assert any(".noise" in s for s in ckt.skipped)
+
+
+def test_flicker_noise_slope():
+    """Diode KF: at low f the 1/f term dominates, so f * S_contrib(f) is
+    ~flat across the flicker-dominated decades."""
+    net = """* flicker
+.model dn d(is=1e-14 kf=1e-16 af=1)
+v1 a 0 dc 5 ac 1
+r1 a b 1k
+dx b 0 dn
+.noise v(b) v1 dec 10 1 1e6
+.end
+"""
+    r = simulate(net, dialect="extended")
+    c = r.noise.contributions["dx"]
+    f = r.noise.freqs
+    fs = f * c
+    # flat within 5% over the first two decades (shot floor is ~1e-5 of
+    # the flicker level at 1 Hz with these numbers)
+    assert abs(fs[10] / fs[0] - 1.0) < 0.05
+    # and without kf the contribution is white (flat S, growing f*S)
+    r0 = simulate(net.replace(" kf=1e-16 af=1", ""), dialect="extended")
+    c0 = r0.noise.contributions["dx"]
+    assert abs(c0[10] / c0[0] - 1.0) < 1e-6
+
+
+def test_mosfet_channel_noise_regions():
+    """ngspice-style region forms: 4kT*gds in triode, (8/3)kT*gm in
+    saturation, zero in cutoff (ADVICE r1: the old code always used the
+    saturation formula and floored gm at GMIN)."""
+    net = """* mos noise
+.model mn nmos(vto=1 kp=1m)
+vdd vdd 0 {VD}
+vg g 0 {VG}
+rload vdd d 1k
+m1 d g 0 mn
+.noise v(d) vg lin 2 1k 2k
+.end
+"""
+    tri = simulate(net.format(VD="1", VG="5"), dialect="extended")
+    sat = simulate(net.format(VD="30", VG="5"), dialect="extended")
+    cut = simulate(net.format(VD="8", VG="0"), dialect="extended")
+    c_tri = tri.noise.contributions["m1"][0]
+    c_sat = sat.noise.contributions["m1"][0]
+    c_cut = cut.noise.contributions["m1"][0]
+    assert c_cut == 0.0
+    assert c_tri > 0.0 and c_sat > 0.0
+    assert c_sat != c_tri

@@ -1,0 +1,167 @@
+"""W current-controlled switch and .temp tests (extended dialect).
+
+W switches fold into the S-switch arrays at IR level: the control pair is
+[ctrl_V_branch, dump], so vctrl = x[branch] IS the controlling current and
+every engine (tran scan, .op, small-signal) drives both switch families
+through one code path (ir/circuit.py build_tensors).
+
+.temp folds into the IR as d_n_eff = N*(T/300) (so v_th = d_n*VT_300K is
+temperature-correct everywhere), nl["vt"]/tensors.vt for BJTs, and a
+T/300-scaled diode clamp window.
+"""
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate
+from spicey_tpu.constants import VT_300K
+
+CSW_NET = """* current switch
+.model cs csw(ron=1 roff=1e9 it=0.5m ih=0.1m)
+i1 0 a PULSE(0 1m 0 1m 1m 1m 10m)
+vsense a b 0
+rload b 0 1k
+v2 c 0 5
+w1 c out vsense cs
+rout out 0 1k
+.tran 50u 3m
+.end
+"""
+
+
+def test_w_switch_hysteresis_timing():
+    """Ramp 0->1mA over 1ms: closes when i > it+ih = 0.6mA (t~0.6ms),
+    stays closed through the plateau, opens when i < it-ih = 0.4mA on the
+    1ms down-ramp (t~2.6ms)."""
+    r = simulate(CSW_NET, dialect="extended")
+    t = np.asarray(r.tran.times)
+    on = np.asarray(r.tran.node_voltages["out"]) > 2.0
+    t_on = t[np.argmax(on)]
+    t_off = t[len(on) - 1 - np.argmax(on[::-1])]
+    assert 0.55e-3 < t_on < 0.70e-3, t_on
+    assert 2.55e-3 < t_off < 2.70e-3, t_off
+    # current through the switch is recorded under its name
+    assert "w1" in r.tran.element_currents
+
+
+def test_w_switch_model_defaults():
+    ckt = parse_netlist("* t\n.model cs csw\nv1 a 0 1\nvs b 0 0\n"
+                        "w1 a c vs cs\nrc c 0 1k\n.end\n",
+                        dialect="extended")
+    m = ckt.cswitch_models["cs"]
+    assert (m.Ron, m.Roff, m.It, m.Ih) == (1.0, 1e12, 0.0, 0.0)
+    t = __import__("spicey_tpu").build_tensors(ckt)
+    # encoded as an S row with control = [branch of vs, dump]
+    assert t.s_names == ("w1",)
+    assert t.s_idx[0, 2] == ckt.V[1].index
+    assert t.s_idx[0, 3] == t.nvar
+
+
+def test_w_switch_errors():
+    with pytest.raises(ValueError, match="Unknown .model"):
+        parse_netlist("* t\nv1 a 0 1\nvs b 0 0\nw1 a c vs nomodel\n.end\n",
+                      dialect="extended")
+    with pytest.raises(ValueError, match="Unknown controlling source"):
+        parse_netlist("* t\n.model cs csw\nv1 a 0 1\nw1 a c vmissing cs\n"
+                      ".end\n", dialect="extended")
+
+
+def test_w_switch_op_state():
+    """DC operating point reports the W switch state by name."""
+    net = """* w op
+.model cs csw(it=0.5m)
+i1 0 a dc 1m
+vsense a 0 0
+v2 c 0 5
+w1 c out vsense cs
+rout out 0 1k
+.op
+.end
+"""
+    r = simulate(net, dialect="extended")
+    assert r.op.switch_states["w1"] is np.True_ or r.op.switch_states["w1"]
+    assert abs(r.op.node_voltages["out"] - 5 * 1e3 / (1e3 + 1.0)) < 1e-6
+
+
+DIODE_NET = """* temp test
+.model d1 d(is=1e-14)
+v1 a 0 5
+r1 a b 1k
+d1x b 0 d1
+.op
+{T}.end
+"""
+
+
+@pytest.mark.parametrize("temp_c,temp_k", [(None, 300.0), (126.85, 400.0),
+                                           (-73.15, 200.0)])
+def test_temp_diode_kcl_self_consistent(temp_c, temp_k):
+    """The .op diode solution satisfies its own nonlinear KCL at every
+    temperature: (5-vd)/R == Is*(exp(vd/(N*vt(T)))-1) within NR tol."""
+    t_line = "" if temp_c is None else f".temp {temp_c}\n"
+    r = simulate(DIODE_NET.format(T=t_line), dialect="extended")
+    vd = r.op.node_voltages["b"]
+    vt = VT_300K * temp_k / 300.0
+    lhs = (5 - vd) / 1e3
+    rhs = 1e-14 * (np.exp(vd / vt) - 1)
+    assert abs(lhs - rhs) / lhs < 5e-3, (vd, lhs, rhs)
+
+
+def test_temp_default_matches_no_directive():
+    """Parity guard: omitting .temp must bit-match the pre-.temp engine
+    (temp_k = 300 exactly, vt = VT_300K exactly)."""
+    ckt = parse_netlist(DIODE_NET.format(T=""), dialect="extended")
+    t = __import__("spicey_tpu").build_tensors(ckt)
+    assert t.temp_k == 300.0
+    assert t.vt == VT_300K
+    np.testing.assert_array_equal(t.d_n, [1.0])
+
+
+def test_temp_bjt_vbe_shift():
+    """With Is fixed, vbe at constant bias current scales ~T/300 (our
+    model: only VT scales). Check direction and magnitude."""
+    net = """* bjt temp
+.model qn npn(is=1e-16 bf=100)
+vcc c 0 5
+ib 0 b dc 10u
+q1 c b 0 qn
+.op
+{T}.end
+"""
+    r300 = simulate(net.format(T=""), dialect="extended")
+    r360 = simulate(net.format(T=".temp 86.85\n"), dialect="extended")
+    vbe300 = r300.op.node_voltages["b"]
+    vbe360 = r360.op.node_voltages["b"]
+    assert abs(vbe360 / vbe300 - 1.2) < 0.01, (vbe300, vbe360)
+
+
+def test_temp_scales_resistor_noise():
+    net = """* r noise
+v1 a 0 dc 0 ac 1
+r1 a b 1k
+r2 b 0 1k
+.noise v(b) v1 lin 3 1k 3k
+{T}.end
+"""
+    r300 = simulate(net.format(T=""), dialect="extended")
+    r600 = simulate(net.format(T=".temp 326.85\n"), dialect="extended")
+    np.testing.assert_allclose(
+        r600.noise.output_psd / r300.noise.output_psd, 2.0, rtol=1e-9)
+
+
+def test_temp_tran_diode_waveform_shifts():
+    """A rectifier passes less of the waveform at higher temperature
+    (bigger diode drop at fixed Is) — end-to-end tran with .temp."""
+    net = """* rectifier
+.model d1 d
+v1 in 0 SIN(0 2 1k)
+d1x in out d1
+rl out 0 1k
+.tran 10u 2m
+{T}.end
+"""
+    r300 = simulate(net.format(T=""), dialect="extended")
+    r400 = simulate(net.format(T=".temp 126.85\n"), dialect="extended")
+    p300 = np.asarray(r300.tran.node_voltages["out"]).max()
+    p400 = np.asarray(r400.tran.node_voltages["out"]).max()
+    assert p400 < p300 < 2.0
