@@ -41,10 +41,56 @@ def best_of(fn, reps: int = 3) -> float:
     return best
 
 
+def rc_ladder_netlist(sections: int, freqs: int = 51) -> str:
+    """RC ladder with `sections` RC stages: Nvar = sections + 2
+    (section nodes + source node + V-source branch). This is the workload
+    where the solver dominates — at Nvar=64 the per-system elimination is
+    ~N^3 flops, no longer free next to assembly/dispatch."""
+    lines = ["* ladder bench", "v1 in 0 dc 0 ac 1"]
+    prev = "in"
+    for i in range(1, sections + 1):
+        lines.append(f"r{i} {prev} n{i} {100 + i}")
+        lines.append(f"c{i} n{i} 0 1u")
+        prev = f"n{i}"
+    lines.append(f".ac lin {freqs} 1 10k")
+    lines.append(".end")
+    return "\n".join(lines) + "\n"
+
+
 def main() -> None:
-    from spicey_tpu import parse_netlist, simulate_ac
+    from spicey_tpu import parse_netlist, simulate, simulate_ac
     from spicey_tpu.analysis.mc import mc_ac_stats
     from spicey_tpu.ir.circuit import build_tensors
+
+    # --- single-circuit latency: what an interactive reference user feels.
+    # Cold = first-call wall time (parse + trace + XLA compile + dispatch);
+    # warm = steady-state repeat call. Measured FIRST so nothing is cached.
+    basics01 = (
+        "Demo of a simple AC circuit\n"
+        "v1 1 0 dc 0 ac 1\n"
+        "r1 1 2 30\n"
+        "c1 2 0 100u\n"
+        ".ac dec 100 1 100\n"
+        ".end\n"
+    )
+    # NB: the title must not start with an element letter ("RC ..." would
+    # parse as a resistor — the reference's title heuristic, parseNetlist.ts)
+    transient01 = (
+        "Transient bench: rc circuit with a pulse source\n"
+        "V1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+        "R1 1 2 1k\n"
+        "C1 2 0 1u\n"
+        ".tran 0.1u 20u\n"
+        ".end\n"
+    )
+    t0 = time.perf_counter()
+    simulate(basics01)
+    ac_cold_s = time.perf_counter() - t0
+    ac_warm_s = best_of(lambda: simulate(basics01))
+    t0 = time.perf_counter()
+    simulate(transient01)
+    tran_cold_s = time.perf_counter() - t0
+    tran_warm_s = best_of(lambda: simulate(transient01))
 
     net = (
         "AC bench\n"
@@ -144,6 +190,50 @@ def main() -> None:
     # sanity window on the settled mean (pulse plateau ~5 V * duty response)
     assert 0.0 < float(tstats.mean[-1]) < 5.0
 
+    # --- solver-bound workload: Nvar=64 RC-ladder MC (the Nvar=3 README
+    # circuit mostly measures assembly/dispatch; at N=64 the N^3 solve
+    # dominates and the batch-major Pallas layout claims are actually
+    # exercised). B x F = 2048 x 51 = 104k systems per call. ---
+    LB = 2048
+    lad64 = parse_netlist(rc_ladder_netlist(62))
+    lt64 = build_tensors(lad64)
+    lad_over = {"r1": 101.0 * (1 + 0.2 * rng.random(LB))}
+    n64 = {}
+    for label, kw in (
+        ("f32_pallas", dict(precision="f32", method="pallas")),
+        ("f64_gj", dict(precision="f64", method="gj")),
+    ):
+        s = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, **kw)
+        assert s.n_valid == LB, (label, s.n_valid)
+        n64[label] = LB / best_of(
+            lambda: mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
+                                **kw))
+    # cross-tier correctness at N=64: guarded-pallas f32 tracks f64 means
+    s32 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
+                      precision="f32", method="pallas")
+    s64 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64)
+    np.testing.assert_allclose(s32.mean, s64.mean, rtol=5e-3, atol=1e-7)
+
+    # --- Pallas-vs-XLA-gj N sweep: systems/s at N in {8, 16, 32, 64}
+    # (B=512 variants x 51 freqs = 26k complex systems per call) ---
+    SB = 512
+    sweep = {}
+    for n in (8, 16, 32, 64):
+        lad = parse_netlist(rc_ladder_netlist(n - 2))
+        lt = build_tensors(lad)
+        over = {"r1": 101.0 * (1 + 0.2 * rng.random(SB))}
+        node = f"n{n - 2}"
+        entry = {}
+        for label, kw in (
+            ("pallas_f32", dict(precision="f32", method="pallas")),
+            ("gj_f64", dict(precision="f64", method="gj")),
+        ):
+            mc_ac_stats(lad, over, node=node, tensors=lt, **kw)  # warm
+            el = best_of(lambda: mc_ac_stats(lad, over, node=node,
+                                             tensors=lt, **kw))
+            entry[label] = round(SB * 51 / el, 1)  # complex systems/s
+        sweep[f"N={n}"] = entry
+
     print(json.dumps({
         "metric": "mc_ac_yield_variants_per_sec",
         "value": round(big_vps, 1),
@@ -155,6 +245,15 @@ def main() -> None:
         "f64_tier_vs_baseline": round(B / f64_elapsed / baseline_vps, 1),
         "tran_variants_per_sec": round(tran_vps, 1),
         "tran_vs_baseline": round(tran_vps / tran_baseline_vps, 1),
+        "n64_ladder_f32_variants_per_sec": round(n64["f32_pallas"], 1),
+        "n64_ladder_f64_variants_per_sec": round(n64["f64_gj"], 1),
+        "solver_systems_per_sec_by_n": sweep,
+        "single_circuit_latency": {
+            "ac_cold_s": round(ac_cold_s, 3),
+            "ac_warm_ms": round(ac_warm_s * 1e3, 2),
+            "tran_cold_s": round(tran_cold_s, 3),
+            "tran_warm_ms": round(tran_warm_s * 1e3, 2),
+        },
     }))
 
 
