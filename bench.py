@@ -198,10 +198,12 @@ def main() -> None:
     lad64 = parse_netlist(rc_ladder_netlist(62))
     lt64 = build_tensors(lad64)
     lad_over = {"r1": 101.0 * (1 + 0.2 * rng.random(LB))}
+    # chunked: at N=64 the unchunked (B, F, 2N, 2N) solve buffers exceed
+    # one chip's HBM; the constant-memory tier streams 256-variant blocks
     n64 = {}
     for label, kw in (
-        ("f32_pallas", dict(precision="f32", method="pallas")),
-        ("f64_gj", dict(precision="f64", method="gj")),
+        ("f32_pallas", dict(precision="f32", method="pallas", chunk=256)),
+        ("f64_gj", dict(precision="f64", method="gj", chunk=128)),
     ):
         s = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, **kw)
         assert s.n_valid == LB, (label, s.n_valid)
@@ -210,8 +212,8 @@ def main() -> None:
                                 **kw))
     # cross-tier correctness at N=64: guarded-pallas f32 tracks f64 means
     s32 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
-                      precision="f32", method="pallas")
-    s64 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64)
+                      precision="f32", method="pallas", chunk=256)
+    s64 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, chunk=128)
     np.testing.assert_allclose(s32.mean, s64.mean, rtol=5e-3, atol=1e-7)
 
     # --- Pallas-vs-XLA-gj N sweep: systems/s at N in {8, 16, 32, 64}
@@ -225,8 +227,9 @@ def main() -> None:
         node = f"n{n - 2}"
         entry = {}
         for label, kw in (
-            ("pallas_f32", dict(precision="f32", method="pallas")),
-            ("gj_f64", dict(precision="f64", method="gj")),
+            ("pallas_f32", dict(precision="f32", method="pallas",
+                                chunk=128)),
+            ("gj_f64", dict(precision="f64", method="gj", chunk=128)),
         ):
             mc_ac_stats(lad, over, node=node, tensors=lt, **kw)  # warm
             el = best_of(lambda: mc_ac_stats(lad, over, node=node,

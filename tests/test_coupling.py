@@ -196,3 +196,41 @@ rb s2 0 50
     assert (vs1 > 1e-3).all() and (vs2 > 1e-3).all()
     # symmetric secondaries see identical magnitudes
     np.testing.assert_allclose(vs1, vs2, rtol=1e-10)
+
+
+def test_mc_stats_support_coupling():
+    """The fused on-device Monte-Carlo stats paths thread the coupling."""
+    from spicey_tpu.analysis.mc import mc_ac_stats, mc_tran_stats
+
+    B = 8
+    rng = np.random.default_rng(0)
+    over = {"rload": 100.0 * (0.9 + 0.2 * rng.random(B))}  # brackets 100
+    st = mc_tran_stats(TRANSFORMER_TRAN.format(K="k1 l1 l2 0.9\n"), over,
+                       node="s", dialect="extended")
+    assert st.n_valid == B
+    assert np.isfinite(st.mean).all()
+    sa = mc_ac_stats(TRANSFORMER_AC, over, node="s", dialect="extended")
+    assert sa.n_valid == B
+    # the mean |V(s)| must bracket the nominal single-circuit response
+    r = simulate(TRANSFORMER_AC, dialect="extended")
+    nominal = np.abs(r.ac.node_voltages["s"])
+    assert (sa.min <= nominal + 1e-9).all() and (sa.max >= nominal - 1e-9).all()
+
+
+def test_sensitivity_through_coupling():
+    """Autodiff sensitivity differentiates through M^{-1}: d|V(s)|/dRload
+    matches finite differences."""
+    from spicey_tpu.analysis.sensitivity import sensitivity_ac
+
+    ckt = parse_netlist(TRANSFORMER_AC, dialect="extended")
+    sens = sensitivity_ac(ckt, node="s", wrt=["rload"])
+    eps = 1e-3
+    hi = simulate(TRANSFORMER_AC.replace("rload s 0 100",
+                                         f"rload s 0 {100 + eps}"),
+                  dialect="extended")
+    lo = simulate(TRANSFORMER_AC.replace("rload s 0 100",
+                                         f"rload s 0 {100 - eps}"),
+                  dialect="extended")
+    fd = (np.abs(hi.ac.node_voltages["s"])
+          - np.abs(lo.ac.node_voltages["s"])) / (2 * eps)
+    np.testing.assert_allclose(sens["rload"], fd, rtol=1e-5, atol=1e-12)
