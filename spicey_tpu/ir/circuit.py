@@ -228,6 +228,13 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     l_idx, l_vals, l_names = two_term(ckt.L, "L")
 
     temp_k = ckt.temp_kelvin
+    # resistor temperature coefficients (extended tc1=/tc2=): folded into
+    # the IR values so every engine sees R(T)
+    if ckt.R and temp_k != 300.0:
+        d_t = temp_k - 300.0
+        tc1 = np.asarray([r.tc1 for r in ckt.R], dtype=np.float64)
+        tc2 = np.asarray([r.tc2 for r in ckt.R], dtype=np.float64)
+        r_vals = r_vals * (1.0 + tc1 * d_t + tc2 * d_t * d_t)
     from ..constants import VT_300K
     vt = VT_300K * temp_k / 300.0
 

@@ -27,14 +27,18 @@ from dataclasses import dataclass, field
 from .node_index import NodeIndex
 from .numbers import parse_number_with_units
 from .waveforms import (
+    AmWaveform,
     ExpWaveform,
     PulseWaveform,
     PwlWaveform,
+    SffmWaveform,
     SinWaveform,
     Waveform,
+    parse_am_args,
     parse_exp_args,
     parse_pulse_args,
     parse_pwl_args,
+    parse_sffm_args,
     parse_sin_args,
 )
 
@@ -74,6 +78,10 @@ class Resistor:
     n1: int
     n2: int
     R: float
+    # extended-dialect temperature coefficients (ngspice):
+    # R(T) = R * (1 + tc1*(T - 300) + tc2*(T - 300)^2), applied with .temp
+    tc1: float = 0.0
+    tc2: float = 0.0
 
 
 @dataclass
@@ -757,6 +765,22 @@ def _scan_source_spec(vs, tokens: list[str],
                 raise ValueError("Malformed EXP() specification")
             vs.waveform = ExpWaveform(parse_exp_args(arg_token))
             i += 1 if "(" in key else 2
+        elif key.startswith("sffm") and dialect == "extended":
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "SFFM() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed SFFM() specification")
+            vs.waveform = SffmWaveform(parse_sffm_args(arg_token))
+            i += 1 if "(" in key else 2
+        elif key.startswith("am") and dialect == "extended":
+            arg_token = key if "(" in key else _require(
+                tokens, i + 1, "AM() missing arguments"
+            )
+            if not arg_token or not re.search(r"\(.*\)", arg_token):
+                raise ValueError("Malformed AM() specification")
+            vs.waveform = AmWaveform(parse_am_args(arg_token))
+            i += 1 if "(" in key else 2
         else:
             # stray parenthesized groups and unknown keywords are skipped
             # one token at a time (parseNetlist.ts:384-388)
@@ -1028,7 +1052,15 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Resistor missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Resistor missing node"))
                 val = parse_number_with_units(_require(tokens, 3, "Resistor missing value"))
-                ckt.R.append(Resistor(name=name, n1=n1, n2=n2, R=val))
+                res = Resistor(name=name, n1=n1, n2=n2, R=val)
+                if dialect == "extended":
+                    # tc1=/tc2= temperature coefficients (trailing k=v
+                    # tokens are ignored in the reference dialect)
+                    params = _parse_model_params(" ".join(
+                        t for t in tokens[4:] if "=" in t))
+                    res.tc1 = params.get("tc1", 0.0)
+                    res.tc2 = params.get("tc2", 0.0)
+                ckt.R.append(res)
             elif type_char == "c":
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Capacitor missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Capacitor missing node"))

@@ -183,6 +183,8 @@ class PwlWaveform(Waveform):
 
 _SIN_HEAD_RE = re.compile(r"^sin\s*\(", re.IGNORECASE)
 _EXP_HEAD_RE = re.compile(r"^exp\s*\(", re.IGNORECASE)
+_SFFM_HEAD_RE = re.compile(r"^sffm\s*\(", re.IGNORECASE)
+_AM_HEAD_RE = re.compile(r"^am\s*\(", re.IGNORECASE)
 
 
 @dataclass(frozen=True)
@@ -266,6 +268,88 @@ class ExpWaveform(Waveform):
         fall = (s.v1 - s.v2) * (1.0 - np.exp(-d2 / tau2))
         return s.v1 + np.where(t >= s.td1, rise, 0.0) \
             + np.where(t >= s.td2, fall, 0.0)
+
+    def __call__(self, t: float) -> float:
+        return float(self.sample(np.asarray([t]))[0])
+
+
+@dataclass(frozen=True)
+class SffmSpec:
+    """SFFM(VO VA FC MDI FS [PHASEC [PHASES]]) — single-frequency FM
+    (ngspice): v(t) = VO + VA*sin(2*pi*FC*t + PHASEC/360*2*pi
+                                  + MDI*sin(2*pi*FS*t + PHASES/360*2*pi))."""
+
+    vo: float
+    va: float
+    fc: float
+    mdi: float = 0.0
+    fs: float = 0.0
+    phasec_deg: float = 0.0
+    phases_deg: float = 0.0
+
+
+def parse_sffm_args(token: str) -> SffmSpec:
+    parts = [p for p in _SPLIT_RE.split(_strip_call(token, _SFFM_HEAD_RE))
+             if p]
+    if len(parts) < 3 or len(parts) > 7:
+        raise ValueError("SFFM() requires 3 to 7 arguments")
+    vals = [parse_number_with_units(p) for p in parts]
+    vals += [0.0] * (7 - len(vals))
+    return SffmSpec(*vals)
+
+
+@dataclass(frozen=True)
+class AmSpec:
+    """AM(VA VO MF FC [TD [PHASES]]) — amplitude modulation (ngspice):
+    v(t) = VA*(VO + sin(2*pi*MF*(t-TD)))*sin(2*pi*FC*(t-TD)
+               + PHASES/360*2*pi) for t >= TD, else 0."""
+
+    va: float
+    vo: float
+    mf: float
+    fc: float
+    td: float = 0.0
+    phases_deg: float = 0.0
+
+
+def parse_am_args(token: str) -> AmSpec:
+    parts = [p for p in _SPLIT_RE.split(_strip_call(token, _AM_HEAD_RE)) if p]
+    if len(parts) < 4 or len(parts) > 6:
+        raise ValueError("AM() requires 4 to 6 arguments")
+    vals = [parse_number_with_units(p) for p in parts]
+    vals += [0.0] * (6 - len(vals))
+    return AmSpec(*vals)
+
+
+class SffmWaveform(Waveform):
+    def __init__(self, spec: SffmSpec):
+        self.spec = spec
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        s = self.spec
+        t = np.asarray(t, dtype=np.float64)
+        two_pi = 2.0 * math.pi
+        inner = two_pi * s.fs * t + s.phases_deg / 360.0 * two_pi
+        return s.vo + s.va * np.sin(
+            two_pi * s.fc * t + s.phasec_deg / 360.0 * two_pi
+            + s.mdi * np.sin(inner))
+
+    def __call__(self, t: float) -> float:
+        return float(self.sample(np.asarray([t]))[0])
+
+
+class AmWaveform(Waveform):
+    def __init__(self, spec: AmSpec):
+        self.spec = spec
+
+    def sample(self, t: np.ndarray) -> np.ndarray:
+        s = self.spec
+        t = np.asarray(t, dtype=np.float64)
+        two_pi = 2.0 * math.pi
+        dt = t - s.td
+        wave = s.va * (s.vo + np.sin(two_pi * s.mf * dt)) * np.sin(
+            two_pi * s.fc * dt + s.phases_deg / 360.0 * two_pi)
+        return np.where(dt >= 0.0, wave, 0.0)
 
     def __call__(self, t: float) -> float:
         return float(self.sample(np.asarray([t]))[0])

@@ -152,3 +152,51 @@ def test_malformed_sin_raises():
 
     with pytest.raises(ValueError, match="SIN"):
         parse_netlist("t\nv1 1 0 SIN(1)\nr1 1 0 1k\n", dialect="extended")
+
+
+def test_sffm_waveform():
+    """SFFM(VO VA FC MDI FS): ngspice single-frequency FM."""
+    import numpy as np
+
+    from spicey_tpu.parsing.waveforms import SffmWaveform, parse_sffm_args
+
+    w = SffmWaveform(parse_sffm_args("SFFM(0.5 2 10k 5 1k)"))
+    t = np.linspace(0, 1e-3, 257)
+    exp = 0.5 + 2 * np.sin(2 * np.pi * 10e3 * t
+                           + 5 * np.sin(2 * np.pi * 1e3 * t))
+    np.testing.assert_allclose(w.sample(t), exp, atol=1e-12)
+    import pytest
+
+    with pytest.raises(ValueError, match="SFFM"):
+        parse_sffm_args("SFFM(1 2)")
+
+
+def test_am_waveform():
+    """AM(VA VO MF FC TD): ngspice amplitude modulation, 0 before TD."""
+    import numpy as np
+
+    from spicey_tpu.parsing.waveforms import AmWaveform, parse_am_args
+
+    w = AmWaveform(parse_am_args("AM(2 0.5 1k 10k 1m)"))
+    t = np.linspace(0, 3e-3, 301)
+    d = t - 1e-3
+    exp = np.where(
+        d >= 0,
+        2 * (0.5 + np.sin(2 * np.pi * 1e3 * d)) * np.sin(2 * np.pi * 10e3 * d),
+        0.0)
+    np.testing.assert_allclose(w.sample(t), exp, atol=1e-12)
+
+
+def test_sffm_am_through_source_scanner():
+    """SFFM/AM parse on V and I lines in the extended dialect; in the
+    reference dialect the tokens are skipped like any unknown keyword."""
+    from spicey_tpu import parse_netlist
+    from spicey_tpu.parsing.waveforms import AmWaveform, SffmWaveform
+
+    net = ("t\nv1 a 0 SFFM(0 1 10k 5 1k)\ni1 a 0 AM(1 0 1k 10k)\n"
+           "r1 a 0 1k\n.end\n")
+    ckt = parse_netlist(net, dialect="extended")
+    assert isinstance(ckt.V[0].waveform, SffmWaveform)
+    assert isinstance(ckt.I[0].waveform, AmWaveform)
+    ref = parse_netlist("t\nv1 a 0 SFFM(0 1 10k 5 1k)\nr1 a 0 1k\n.end\n")
+    assert ref.V[0].waveform is None  # reference dialect: skipped token

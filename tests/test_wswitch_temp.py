@@ -165,3 +165,17 @@ rl out 0 1k
     p300 = np.asarray(r300.tran.node_voltages["out"]).max()
     p400 = np.asarray(r400.tran.node_voltages["out"]).max()
     assert p400 < p300 < 2.0
+
+
+def test_resistor_tc_scales_with_temp():
+    """Extended tc1=/tc2=: R(T) = R*(1 + tc1*dT + tc2*dT^2), folded into
+    the IR so every engine sees R(T); no .temp -> exact parity."""
+    net = "* tc\nv1 a 0 1\nr1 a 0 1k tc1=1m tc2=1u\n.op\n{T}.end\n"
+    r300 = simulate(net.format(T=""), dialect="extended")
+    assert abs(r300.op.element_currents["r1"] - 1e-3) < 1e-15
+    r400 = simulate(net.format(T=".temp 126.85\n"), dialect="extended")
+    r_eff = 1e3 * (1 + 1e-3 * 100 + 1e-6 * 100**2)
+    assert abs(r400.op.element_currents["r1"] - 1 / r_eff) < 1e-12
+    # tc tokens are inert in the reference dialect (trailing tokens ignored)
+    ref = parse_netlist("* tc\nv1 a 0 1\nr1 a 0 1k tc1=1m\n.end\n")
+    assert ref.R[0].R == 1e3 and ref.R[0].tc1 == 0.0
