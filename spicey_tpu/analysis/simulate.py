@@ -50,7 +50,16 @@ def simulate(netlist_text: str, method: str = "gj",
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)
     with span("tran"):
-        tran = simulate_tran(circuit, tensors=tensors, method=method)
+        # .options reltol/itl4 map onto the Newton toggles (reltol implies
+        # iterate-to-convergence; the reference default is the
+        # break-on-switch-stability loop)
+        tran_kw = {}
+        if "reltol" in circuit.options:
+            tran_kw = dict(nr="converged", nr_tol=circuit.options["reltol"])
+        if "itl4" in circuit.options:
+            tran_kw["max_nr"] = int(circuit.options["itl4"])
+        tran = simulate_tran(circuit, tensors=tensors, method=method,
+                             **tran_kw)
     with span("four"):
         four = simulate_four(circuit, tran)
     with span("meas"):

@@ -453,6 +453,7 @@ class ParsedCircuit:
     bjt_models: dict[str, BJTModel] = field(default_factory=dict)
     title: str | None = None
     temp_c: float | None = None  # extended .temp (Celsius); None = 300 K
+    options: dict[str, float] = field(default_factory=dict)  # extended
 
     @property
     def temp_kelvin(self) -> float:
@@ -558,6 +559,19 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     elif dir_name == ".temp" and dialect == "extended":
         ckt.temp_c = parse_number_with_units(
             _require(tokens, 1, ".temp missing temperature"))
+    elif dir_name in (".options", ".option") and dialect == "extended":
+        # ngspice-style key[=value] pairs; bare keys store 1.0 (flags).
+        # Keys the engines consume: temp (like .temp), reltol (Newton
+        # convergence tolerance; implies iterate-to-convergence), itl4
+        # (transient Newton iteration limit). Others are carried in
+        # ckt.options for callers.
+        params = _parse_model_params(" ".join(tokens[1:]))
+        for tok in tokens[1:]:
+            if "=" not in tok:
+                params.setdefault(tok.lower(), 1.0)
+        ckt.options.update(params)
+        if "temp" in params and ckt.temp_c is None:
+            ckt.temp_c = params["temp"]
     elif dir_name == ".tf" and dialect == "extended":
         out_tok = _require(tokens, 1, ".tf missing output spec")
         src = _require(tokens, 2, ".tf missing input source name")

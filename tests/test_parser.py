@@ -195,3 +195,49 @@ def test_probe_dedupe_preserves_first_casing():
 def test_nonprint_tran_skipped():
     ckt = parse_netlist("t\n.print ac v(1)\n")
     assert len(ckt.skipped) == 1
+
+
+def test_options_directive():
+    """.options (extended): key=value pairs; temp aliases .temp; reltol
+    switches the transient Newton to iterate-to-convergence."""
+    from spicey_tpu import parse_netlist
+
+    ckt = parse_netlist(
+        "t\nv1 a 0 1\nr1 a 0 1k\n"
+        ".options temp=126.85 reltol=1e-6 itl4=30 keepopinfo\n.end\n",
+        dialect="extended")
+    assert ckt.options["reltol"] == 1e-6
+    assert ckt.options["itl4"] == 30
+    assert ckt.options["keepopinfo"] == 1.0
+    assert abs(ckt.temp_kelvin - 400.0) < 1e-9
+    # .temp wins over .options temp
+    ckt2 = parse_netlist(
+        "t\nv1 a 0 1\nr1 a 0 1k\n.temp 26.85\n.options temp=100\n.end\n",
+        dialect="extended")
+    assert abs(ckt2.temp_kelvin - 300.0) < 1e-9
+    # reference dialect: .options lands in skipped
+    ckt3 = parse_netlist("t\nv1 a 0 1\nr1 a 0 1k\n.options reltol=1e-6\n.end\n")
+    assert any(line.startswith(".options") for line in ckt3.skipped)
+
+
+def test_options_reltol_drives_tran_convergence():
+    import numpy as np
+
+    from spicey_tpu import simulate
+
+    net = """* diode clip
+.model d1 d
+v1 in 0 SIN(0 2 1k)
+d1x in out d1
+rl out 0 1k
+.tran 20u 1m
+{O}.end
+"""
+    loose = simulate(net.format(O=""), dialect="extended")
+    tight = simulate(net.format(O=".options reltol=1e-12\n"),
+                     dialect="extended")
+    # iterate-to-convergence refines the single-Newton-step diode solution
+    a = np.asarray(loose.tran.node_voltages["out"])
+    b = np.asarray(tight.tran.node_voltages["out"])
+    assert np.abs(a - b).max() > 0  # semantics differ...
+    assert np.abs(a - b).max() < 0.3  # ...but stay close (knee region)
