@@ -87,10 +87,14 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
+    # lk["k_vals"] arrives batched (B, nK); k_pairs closes over (replicated)
+    kv_in = lk["k_vals"] if lk is not None else None
+    kv_axis = 0 if lk is not None else None
 
-    def one(rv, cv, lv, vre, vim, ext_b):
-        if lk is not None:
-            minv, mok = _mutual_inv(lv, lk)
+    def one(rv, cv, lv, vre, vim, ext_b, kv):
+        if kv is not None:
+            minv, mok = _mutual_inv(
+                lv, {"k_pairs": lk["k_pairs"], "k_vals": kv})
         else:
             minv, mok = None, jnp.asarray(True)
         planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
@@ -99,8 +103,8 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         return planes + (mok,)
 
     A_re, A_im, b_re, b_im, mok = jax.vmap(
-        one, in_axes=(0, 0, 0, 0, 0, ext_axes)
-    )(r_vals, c_vals, l_vals, v_re, v_im, ext)
+        one, in_axes=(0, 0, 0, 0, 0, ext_axes, kv_axis)
+    )(r_vals, c_vals, l_vals, v_re, v_im, ext, kv_in)
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im, method=method,
                                      interpret=interpret)
     if lk is not None:
@@ -152,6 +156,21 @@ def _batched_nl(tensors: CircuitTensors, overrides, B: int) -> dict:
     return nl
 
 
+def _batched_lk(tensors: CircuitTensors, overrides, B: int):
+    """lk pytree with coupling coefficients tiled to (B, nK) + overrides
+    applied (overriding a K element name sweeps its coefficient), or None
+    when the circuit has no couplings. _mutual_inv broadcasts the (B, nK)
+    k_vals against (B, nL) l_vals, so the batched transient core consumes
+    this directly; the AC cores vmap over the k_vals axis."""
+    if tensors.n_k == 0:
+        return None
+    return {
+        "k_pairs": jnp.asarray(tensors.k_pairs),
+        "k_vals": jnp.asarray(
+            _batch_values(tensors.k_vals, tensors.k_names, overrides, B)),
+    }
+
+
 def _batch_size(overrides: dict[str, np.ndarray]) -> int:
     sizes = {np.asarray(v).shape[0] for v in overrides.values()}
     if len(sizes) != 1:
@@ -190,6 +209,7 @@ def simulate_ac_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               tensors.k_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names], overrides)
 
@@ -228,7 +248,7 @@ def simulate_ac_batch(
         jnp.asarray(tensors.v_idx), arrays["v_re"], arrays["v_im"],
         i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
-        lk=lk_arrays(tensors),
+        lk=_batched_lk(tensors, overrides, B),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -254,6 +274,7 @@ def simulate_tran_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               tensors.k_names,
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names,
                tensors.m_names, tensors.q_names], overrides)
@@ -323,7 +344,7 @@ def simulate_tran_batch(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, nr=nr,
-        ext=ext, nl=nl, lk=lk_arrays(tensors), batch=B,
+        ext=ext, nl=nl, lk=_batched_lk(tensors, overrides, B), batch=B,
         interpret=interpret,
     )
     return BatchTranResult(

@@ -234,3 +234,30 @@ def test_sensitivity_through_coupling():
     fd = (np.abs(hi.ac.node_voltages["s"])
           - np.abs(lo.ac.node_voltages["s"])) / (2 * eps)
     np.testing.assert_allclose(sens["rload"], fd, rtol=1e-5, atol=1e-12)
+
+
+def test_batched_k_override():
+    """Overriding a K element name sweeps its coupling coefficient across
+    the batch in both batch APIs."""
+    ks = np.array([0.3, 0.9])
+    rt = simulate_tran_batch(TRANSFORMER_TRAN.format(K="k1 l1 l2 0.9\n"),
+                             {"k1": ks}, dialect="extended")
+    assert bool(rt.valid.all())
+    # stronger coupling -> larger secondary amplitude
+    amp = np.abs(rt.node_voltage("s")).max(axis=1)
+    assert amp[1] > 2 * amp[0]
+    # variant 1 equals the single-circuit k=0.9 run
+    r1 = simulate(TRANSFORMER_TRAN.format(K="k1 l1 l2 0.9\n"),
+                  dialect="extended")
+    np.testing.assert_allclose(
+        rt.node_voltage("s")[1], np.asarray(r1.tran.node_voltages["s"]),
+        atol=1e-9)
+
+    ra = simulate_ac_batch(TRANSFORMER_AC, {"k1": ks}, dialect="extended")
+    assert bool(ra.valid.all())
+    s_col = [n.upper() for n in ra.node_names].index("S")
+    r2 = simulate(TRANSFORMER_AC, dialect="extended")
+    np.testing.assert_allclose(ra.x[1, :, s_col],
+                               r2.ac.node_voltages["s"], rtol=1e-10)
+    ref03 = _analytic_transformer(r2.ac.freqs, k=0.3)
+    np.testing.assert_allclose(ra.x[0, :, s_col], ref03[:, 1], rtol=1e-10)
