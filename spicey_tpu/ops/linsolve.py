@@ -107,17 +107,88 @@ def solve(A, b, method: str = "gj", eps: float = EPS,
     return fn(A, b, eps)
 
 
+def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
+    """Complex Gauss-Jordan directly on (re, im) planes, one system.
+
+    Pivots by |pivot|^2 — the reference's complex-magnitude partial
+    pivoting (solveComplex.ts:24), which the 2N real-block embedding does
+    NOT reproduce (the block system pivots on individual re/im entries).
+    At ~(1/4) the flops of the (2N)^3 block elimination this is also the
+    faster f64 fidelity path once N is beyond trivial. One-hot pivot
+    selection as in ``gj_solve``; vmap over leading axes for batching.
+    """
+    N = A_re.shape[-1]
+    dtype = jnp.result_type(A_re.dtype, b_re.dtype)
+    Ar = jnp.concatenate(
+        [A_re.astype(dtype), b_re.astype(dtype)[..., None]], axis=-1)
+    Ai = jnp.concatenate(
+        [A_im.astype(dtype), b_im.astype(dtype)[..., None]], axis=-1)
+    used = jnp.zeros((N,), jnp.bool_)
+    P = jnp.zeros((N, N), dtype)
+    valid = jnp.asarray(True)
+    rows = jnp.arange(N)
+    eps2 = eps * eps
+
+    def body(k, state):
+        Ar, Ai, used, P, valid = state
+        cr = lax.dynamic_slice_in_dim(Ar, k, 1, axis=1)[:, 0]
+        ci = lax.dynamic_slice_in_dim(Ai, k, 1, axis=1)[:, 0]
+        mag2 = cr * cr + ci * ci
+        score = jnp.where(used, -jnp.ones_like(mag2), mag2)
+        p = jnp.argmax(score)
+        onehot = rows == p
+        pvr = jnp.sum(jnp.where(onehot, cr, 0.0))
+        pvi = jnp.sum(jnp.where(onehot, ci, 0.0))
+        d = pvr * pvr + pvi * pvi
+        ok = d >= eps2  # |pivot| >= eps, the reference threshold
+        valid = jnp.logical_and(valid, ok)
+        inv_d = 1.0 / jnp.where(ok, d, 1.0)
+        prr = jnp.sum(jnp.where(onehot[:, None], Ar, 0.0), axis=0)
+        pri = jnp.sum(jnp.where(onehot[:, None], Ai, 0.0), axis=0)
+        # pivot_row / pivot (complex divide)
+        prow_r = (prr * pvr + pri * pvi) * inv_d
+        prow_i = (pri * pvr - prr * pvi) * inv_d
+        fr = jnp.where(onehot, 0.0, cr)
+        fi = jnp.where(onehot, 0.0, ci)
+        Ar = Ar - (fr[:, None] * prow_r[None, :]
+                   - fi[:, None] * prow_i[None, :])
+        Ai = Ai - (fr[:, None] * prow_i[None, :]
+                   + fi[:, None] * prow_r[None, :])
+        Ar = jnp.where(onehot[:, None], prow_r[None, :], Ar)
+        Ai = jnp.where(onehot[:, None], prow_i[None, :], Ai)
+        used = jnp.logical_or(used, onehot)
+        P = P + (onehot.astype(dtype)[:, None]
+                 * (rows == k).astype(dtype)[None, :])
+        return Ar, Ai, used, P, valid
+
+    Ar, Ai, used, P, valid = lax.fori_loop(
+        0, N, body, (Ar, Ai, used, P, valid))
+    # multiply+reduce, not dot (no f64 MXU path on TPU)
+    x_re = jnp.sum(P * Ar[:, N][:, None], axis=0)
+    x_im = jnp.sum(P * Ai[:, N][:, None], axis=0)
+    return x_re, x_im, valid
+
+
 def solve_planes(A_re, A_im, b_re, b_im, method: str = "gj",
                  eps: float = EPS, interpret: bool = False):
     """Complex solve on (re, im) planes with method dispatch.
 
     method:
-      - "gj" / "lax": 2N real block embedding (float64 fidelity tier);
+      - "gj" (default): complex Gauss-Jordan on the planes with
+        |pivot|-magnitude pivoting (``gj_solve_planes``) — the reference's
+        complex solver semantics at ~1/4 the flops of the block embedding;
+      - "lax" / "gj2n": 2N real block embedding (``solve_complex_blocks``);
       - "pallas": batch-major Pallas kernel on the planes directly (fast
         tier; f32 inputs run the raw kernel, f64 inputs get mixed-precision
         refinement). Leading batch dims are flattened for the kernel.
     Shapes: A_*: (..., N, N); b_*: (..., N). Returns (x_re, x_im, valid).
     """
+    if method == "gj":
+        fn = gj_solve_planes
+        batch_dims = A_re.ndim - 2
+        for _ in range(batch_dims):
+            fn = jax.vmap(fn, in_axes=(0, 0, 0, 0, None))
+        return fn(A_re, A_im, b_re, b_im, eps)
     if method != "pallas":
         return solve_complex_blocks(A_re, A_im, b_re, b_im, method=method,
                                     eps=eps)
