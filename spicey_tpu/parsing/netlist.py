@@ -1022,6 +1022,11 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
     if dialect not in ("spicey", "extended"):
         raise ValueError("dialect must be 'spicey' or 'extended'")
     if dialect == "extended":
+        if "{" in text or re.search(r"^\s*\.param\b", text,
+                                    re.IGNORECASE | re.MULTILINE):
+            from .params import apply_params
+
+            text = apply_params(text)
         text = _flatten_subcircuits(text)
     ckt = ParsedCircuit()
     seen_title = False

@@ -1,0 +1,112 @@
+"""Global netlist parameters: ``.param`` + ``{expression}`` substitution.
+
+An extended-dialect preprocessing pass (no reference analog — ngspice
+semantics): ``.param name=expr ...`` lines define named constants, evaluated
+in file order (later definitions may reference earlier ones), and any
+``{expr}`` token elsewhere in the netlist is replaced by its evaluated
+value before element parsing. Runs BEFORE subcircuit flattening so braces
+inside ``.subckt`` bodies see the global parameter scope.
+
+Expression language: numeric literals (with engineering suffixes: ``10k``,
+``3meg``, ``100n``...), parameter names (case-insensitive), ``+ - * / **``,
+parentheses, and the functions sqrt/exp/log/log10/sin/cos/tan/abs/min/max.
+Evaluation is a whitelisted AST walk — no eval(), no attribute access, no
+arbitrary calls.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+import re
+
+from .numbers import parse_number_with_units
+
+_PARAM_LINE_RE = re.compile(r"^\s*\.param\s+(.*)$", re.IGNORECASE)
+_ASSIGN_RE = re.compile(r"([A-Za-z_]\w*)\s*=\s*(\{[^}]*\}|\S+)")
+_BRACE_RE = re.compile(r"\{([^{}]*)\}")
+# engineering-suffixed literal inside an expression: digits followed by
+# letters (e.g. 10k, 3meg, 2.2u) — invalid Python syntax, so normalize first
+_ENG_NUM_RE = re.compile(
+    r"(?<![\w.])(\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[A-Za-z]+)")
+
+_FUNCS = {
+    "sqrt": math.sqrt, "exp": math.exp, "log": math.log,
+    "log10": math.log10, "sin": math.sin, "cos": math.cos,
+    "tan": math.tan, "abs": abs, "min": min, "max": max,
+}
+_BINOPS = {
+    ast.Add: lambda a, b: a + b,
+    ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b,
+    ast.Div: lambda a, b: a / b,
+    ast.Pow: lambda a, b: a ** b,
+}
+_UNARYOPS = {ast.USub: lambda a: -a, ast.UAdd: lambda a: a}
+
+
+def eval_expr(expr: str, params: dict[str, float]) -> float:
+    """Evaluate one parameter expression against the current scope."""
+    normalized = _ENG_NUM_RE.sub(
+        lambda m: repr(parse_number_with_units(m.group(1))), expr)
+    try:
+        tree = ast.parse(normalized, mode="eval").body
+    except SyntaxError as err:
+        raise ValueError(f"malformed parameter expression {expr!r}") from err
+
+    def ev(node) -> float:
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)):
+            return float(node.value)
+        if isinstance(node, ast.Name):
+            key = node.id.lower()
+            if key in params:
+                return params[key]
+            raise ValueError(
+                f"unknown parameter {node.id!r} in expression {expr!r}")
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            return _BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
+            return _UNARYOPS[type(node.op)](ev(node.operand))
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id.lower() in _FUNCS and not node.keywords):
+            return float(_FUNCS[node.func.id.lower()](
+                *[ev(a) for a in node.args]))
+        raise ValueError(
+            f"unsupported construct in parameter expression {expr!r}")
+
+    return float(ev(tree))
+
+
+def apply_params(text: str) -> str:
+    """Collect .param definitions (in order) and substitute every {expr}.
+
+    .param lines are stripped from the output; parsing stops honoring new
+    definitions after .end like the main parser does. Brace substitution
+    applies to every remaining line, comments excluded.
+    """
+    params: dict[str, float] = {}
+    out_lines: list[str] = []
+    ended = False
+    for raw in re.split(r"\r?\n", text):
+        if not ended and re.match(r"^\s*\.end\b(?!s)", raw, re.IGNORECASE):
+            ended = True
+        m = None if ended else _PARAM_LINE_RE.match(raw)
+        if m:
+            body = m.group(1)
+            rest = _ASSIGN_RE.sub("", body).strip()
+            if rest and not rest.startswith(("*", ";", "//")):
+                raise ValueError(f"malformed .param directive: {raw!r}")
+            for name, val in _ASSIGN_RE.findall(body):
+                expr = val[1:-1] if val.startswith("{") else val
+                params[name.lower()] = eval_expr(expr, params)
+            continue
+        out_lines.append(raw)
+
+    def sub_line(line: str) -> str:
+        if line.lstrip().startswith("*"):
+            return line
+        return _BRACE_RE.sub(
+            lambda m: repr(eval_expr(m.group(1), params)), line)
+
+    return "\n".join(sub_line(line) for line in out_lines)
