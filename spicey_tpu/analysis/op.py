@@ -67,7 +67,7 @@ class OPResult:
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
-             method: str = "gj", batch: int | None = None):
+             method: str = "gj", batch: int | None = None, x0=None):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
@@ -131,7 +131,10 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         done = jnp.logical_or(done, settled)
         return x, sw, it, done, ok
 
-    x0 = jnp.zeros(lead + (nvar_op,), dtype=dtype)
+    if x0 is None:  # .nodeset seeds the Newton iterate; default is rest
+        x0 = jnp.zeros(lead + (nvar_op,), dtype=dtype)
+    else:
+        x0 = jnp.broadcast_to(x0.astype(dtype), lead + (nvar_op,))
     x, sw_on, _it, done, ok = jax.lax.while_loop(
         cond, body,
         (x0, jnp.zeros(lead + (n_s,), jnp.bool_), jnp.asarray(0),
@@ -168,7 +171,7 @@ def _op_indices(tensors: CircuitTensors):
 
 def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
                  r_vals, max_iters, tol, method, ext=None, nl=None,
-                 batch=None):
+                 batch=None, x0=None):
     dump = nvar_op
     return _op_core(
         jnp.asarray(remap(tensors.r_idx)), r_vals,
@@ -182,7 +185,7 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
         ext if ext is not None else ext_arrays(tensors, dump=dump),
         nl if nl is not None else nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
-        batch=batch,
+        batch=batch, x0=x0,
     )
 
 
@@ -199,11 +202,20 @@ def simulate_op(
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
     n_node = tensors.n_node_vars
 
+    x0 = None
+    if getattr(ckt, "nodeset", None):
+        # .nodeset: initial Newton guess for the named node voltages
+        # (selects the basin of attraction for multi-stable circuits)
+        ns = {k.upper(): v for k, v in ckt.nodeset.items()}
+        seed = np.zeros(nvar_op)
+        for i, name in enumerate(tensors.node_names):
+            seed[i] = ns.get(name.upper(), 0.0)
+        x0 = jnp.asarray(seed)
     x, sw_on, valid = _run_op_core(
         tensors, remap, l_bidx, v_idx_op, nvar_op,
         jnp.asarray(tensors.v_dc), jnp.asarray(tensors.i_dc),
         jnp.asarray(tensors.r_vals),
-        max_iters=max_iters, tol=tol, method=method,
+        max_iters=max_iters, tol=tol, method=method, x0=x0,
     )
     # one packed device->host transfer (x | switch states | validity)
     packed = np.asarray(jnp.concatenate(

@@ -445,6 +445,7 @@ class ParsedCircuit:
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
+    nodeset: dict[str, float] = field(default_factory=dict)  # extended
     skipped: list[str] = field(default_factory=list)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
     cswitch_models: dict[str, CSwitchModel] = field(default_factory=dict)
@@ -520,6 +521,17 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     dir_name = tokens[0].lower()
     if dir_name == ".op" and dialect == "extended":
         ckt.op = True
+    elif dir_name == ".nodeset" and dialect == "extended":
+        # .nodeset v(node)=value ... — initial Newton guess for .op
+        body = line.strip()[8:].strip()
+        entries = re.findall(r"v\(([^)]+)\)\s*=\s*(\S+)", body,
+                             re.IGNORECASE)
+        leftover = re.sub(r"v\(([^)]+)\)\s*=\s*(\S+)", "", body,
+                          flags=re.IGNORECASE).strip()
+        if not entries or leftover:
+            raise ValueError(f"malformed .nodeset directive: {line!r}")
+        for node, val in entries:
+            ckt.nodeset[node] = parse_number_with_units(val)
     elif dir_name == ".ic" and dialect == "extended":
         # .ic v(node)=value ... — transient initial node voltages. Parsed
         # from the raw line: the tokenizer splits "v(2)=3" at the paren.

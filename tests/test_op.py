@@ -209,3 +209,39 @@ def test_dc_1d_sweep_has_no_2d_fields():
         dialect="extended",
     )
     assert res.dc.sweep2 is None and res.dc.shape2d is None
+
+
+def test_nodeset_selects_latch_state():
+    """.nodeset seeds the .op Newton iterate: a cross-coupled NMOS latch
+    has two stable DC states, and the seed picks the basin."""
+    latch = """* latch
+.model mn nmos(vto=1 kp=2m)
+vdd vdd 0 5
+r1 vdd q 10k
+r2 vdd qb 10k
+m1 q qb 0 mn
+m2 qb q 0 mn
+.op
+{NS}.end
+"""
+    from spicey_tpu import simulate
+
+    ra = simulate(latch.format(NS=".nodeset v(q)=5 v(qb)=0\n"),
+                  dialect="extended")
+    rb = simulate(latch.format(NS=".nodeset v(q)=0 v(qb)=5\n"),
+                  dialect="extended")
+    assert ra.op.node_voltages["q"] > 4.5 > 1.0 > ra.op.node_voltages["qb"]
+    assert rb.op.node_voltages["qb"] > 4.5 > 1.0 > rb.op.node_voltages["q"]
+
+
+def test_nodeset_parse_errors():
+    import pytest
+
+    from spicey_tpu import parse_netlist
+
+    with pytest.raises(ValueError, match="malformed .nodeset"):
+        parse_netlist("t\nv1 a 0 1\nr1 a 0 1\n.nodeset garbage\n.end\n",
+                      dialect="extended")
+    ckt = parse_netlist("t\nv1 a 0 1\nr1 a 0 1\n.nodeset v(a)=2.5\n.end\n",
+                        dialect="extended")
+    assert ckt.nodeset == {"a": 2.5}
