@@ -41,7 +41,8 @@ from ..constants import (
     GMIN,
     VT_300K,
 )
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays, lk_arrays
+from ..ir.circuit import (CircuitTensors, build_tensors,
+                          bv_branch_rows, ext_arrays, lk_arrays)
 from ..ops.linsolve import solve_planes
 from ..ops.stamps import (
     pad_solution,
@@ -304,6 +305,34 @@ def small_signal_rows(tensors: CircuitTensors, op):
             np.concatenate(vals, axis=0))
 
 
+def _bsource_small_signal(ckt, tensors: CircuitTensors, op):
+    """Small-signal VCCS rows for I-kind behavioral sources at the .op
+    point: each reference partial dI/d(vref) is one 4-point
+    transconductance row. (V-kind sources stay 0 V shorts in AC.)"""
+    import jax
+
+    from ..ir.circuit import bsrc_static
+
+    x_pad = _op_voltage_pad(tensors, op)
+    # op branch currents are not part of the AC x_pad here; branch refs
+    # read 0 — acceptable for the op-linearized gain of v-referenced
+    # sources, the dominant behavioral use case
+    rows: list[list[int]] = []
+    vals: list[float] = []
+    for kind, fn, i1, i2, _br, refs in bsrc_static(ckt, tensors.nvar):
+        if kind != "i":
+            continue
+        v = jnp.asarray([x_pad[a] - x_pad[b] for a, b in refs])
+        for j, (a, b) in enumerate(refs):
+            e = jnp.zeros_like(v).at[j].set(1.0)
+            _, gj = jax.jvp(lambda vv: fn(vv, 0.0), (v,), (e,))
+            rows.append([i1, i2, a, b])
+            vals.append(float(gj))
+    if not rows:
+        return np.zeros((0, 4), np.int32), np.zeros((0,))
+    return (np.asarray(rows, np.int32), np.asarray(vals, np.float64))
+
+
 def simulate_ac(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
@@ -337,11 +366,25 @@ def simulate_ac(
     i_im = tensors.i_ac_mag * np.sin(iph)
 
     ext = ext_arrays(tensors)
+    # V-kind behavioral sources own MNA branch unknowns; the AC sweep
+    # stamps them as 0 V small-signal shorts so the system stays regular
+    # (matching the reference's policy of not stamping nonlinear devices).
+    v_idx_ac = tensors.v_idx
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0]:
+        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
+        z = np.zeros(bv.shape[0])
+        v_re = np.concatenate([v_re, z])
+        v_im = np.concatenate([v_im, z])
     if linearize == "op":
         from .op import simulate_op
 
         op = simulate_op(ckt, tensors=tensors, method=method)
         ss_idx, ss_g = small_signal_rows(tensors, op)
+        if ckt.B:
+            bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+            ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+            ss_g = np.concatenate([ss_g, bs_g], axis=0)
         ext["g_idx"] = jnp.concatenate(
             [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
         ext["g_gm"] = jnp.concatenate(
@@ -352,7 +395,7 @@ def simulate_ac(
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
         jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-        jnp.asarray(tensors.v_idx), jnp.asarray(v_re), jnp.asarray(v_im),
+        jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
         nvar=tensors.nvar, method=method, interpret=interpret,
         ext=ext,
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),

@@ -214,6 +214,9 @@ def simulate_tran_adaptive(
     steps. Raises if the attempt budget is exhausted before tstop."""
     if ckt.tran is None:
         return None
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     tstop = ckt.tran.tstop

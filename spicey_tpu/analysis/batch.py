@@ -203,6 +203,10 @@ def simulate_ac_batch(
     used by spicey_tpu.parallel to shard the batch/freq axes over a mesh.
     """
     ckt = _resolve(circuit, dialect=dialect)
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this batched path "
+            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -268,6 +272,10 @@ def simulate_tran_batch(
 ) -> BatchTranResult:
     """One compiled batched transient run over all parameter variants."""
     ckt = _resolve(circuit, dialect=dialect)
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this batched path "
+            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:

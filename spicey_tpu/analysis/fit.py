@@ -97,6 +97,9 @@ def fit_ac(
 
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -171,6 +174,9 @@ def fit_tran(
 
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)

@@ -212,6 +212,10 @@ def mc_ac_stats(
     requires the default f64 tier.
     """
     ckt = _resolve(circuit, dialect=dialect)
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in Monte-Carlo paths "
+            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -324,6 +328,10 @@ def mc_tran_stats(
     needs the default f64.
     """
     ckt = _resolve(circuit, dialect=dialect)
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in Monte-Carlo paths "
+            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:
@@ -457,6 +465,10 @@ def mc_ac_sampled(
     millions. Everything else matches mc_ac_stats (pair with ``chunk`` to
     bound memory)."""
     ckt = _resolve(circuit, dialect=dialect)
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in Monte-Carlo paths "
+            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:

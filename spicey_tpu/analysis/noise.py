@@ -168,6 +168,9 @@ def simulate_noise(
     ``op`` optionally reuses an already-solved operating point."""
     if ckt.noise is None:
         return None
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     spec = ckt.noise

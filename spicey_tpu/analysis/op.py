@@ -33,7 +33,8 @@ from ..constants import (
     GMIN,
     VT_300K,
 )
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays, nl_arrays
+from ..ir.circuit import (CircuitTensors, bsrc_static,
+                          build_tensors, ext_arrays, nl_arrays)
 from ..ops.linsolve import solve
 from ..ops.stamps import (
     pad_solution,
@@ -43,7 +44,8 @@ from ..ops.stamps import (
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
-from ..analysis.tran import _stamp_nonlinear, _switch_update
+from ..analysis.tran import (_stamp_bsources, _stamp_nonlinear,
+                             _switch_update)
 from ..models.devices import bjt_ebers_moll, mos_level1
 
 
@@ -63,11 +65,12 @@ class OPResult:
 
 
 @partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method",
-                                   "batch"))
+                                   "batch", "bsrc"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
-             method: str = "gj", batch: int | None = None, x0=None):
+             method: str = "gj", batch: int | None = None, x0=None,
+             bsrc=()):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
@@ -105,6 +108,8 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         # MOSFET/BJT Newton companions, seeded from the current iterate
         # (it=1 bypasses the transient engine's prev-timestep seeding)
         A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None)
+        if bsrc:  # behavioral sources at t=0 (time-dependent terms at DC)
+            A, b = _stamp_bsources(A, b, bsrc, x_pad, jnp.asarray(0.0))
         return A[..., :nvar_op, :nvar_op], b[..., :nvar_op]
 
     def cond(st):
@@ -171,7 +176,7 @@ def _op_indices(tensors: CircuitTensors):
 
 def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
                  r_vals, max_iters, tol, method, ext=None, nl=None,
-                 batch=None, x0=None):
+                 batch=None, x0=None, bsrc=()):
     dump = nvar_op
     return _op_core(
         jnp.asarray(remap(tensors.r_idx)), r_vals,
@@ -185,7 +190,7 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
         ext if ext is not None else ext_arrays(tensors, dump=dump),
         nl if nl is not None else nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
-        batch=batch, x0=x0,
+        batch=batch, x0=x0, bsrc=bsrc,
     )
 
 
@@ -216,6 +221,7 @@ def simulate_op(
         jnp.asarray(tensors.v_dc), jnp.asarray(tensors.i_dc),
         jnp.asarray(tensors.r_vals),
         max_iters=max_iters, tol=tol, method=method, x0=x0,
+        bsrc=bsrc_static(ckt, nvar_op),
     )
     # one packed device->host transfer (x | switch states | validity)
     packed = np.asarray(jnp.concatenate(
@@ -286,6 +292,13 @@ def simulate_op(
                                        vt=tensors.vt)
         for k, name in enumerate(tensors.q_names):
             currents[name] = float(i_c[k])
+    for bsrc_el, spec in zip(ckt.B, bsrc_static(ckt, nvar_op)):
+        kind, fn, _i1, _i2, br, refs = spec
+        if kind == "v":
+            currents[bsrc_el.name] = float(x[br])
+        else:
+            vals = jnp.asarray([x_pad[a] - x_pad[b] for a, b in refs])
+            currents[bsrc_el.name] = float(fn(vals, 0.0))
     return OPResult(node_voltages=node_voltages, element_currents=currents,
                     switch_states=switch_states)
 
@@ -362,6 +375,7 @@ def simulate_dc(
         jnp.asarray(v_dc), jnp.asarray(i_dc),
         jnp.asarray(tensors.r_vals),
         max_iters=max_iters, tol=tol, method=method, batch=B,
+        bsrc=bsrc_static(ckt, nvar_op),
     )
     packed = np.asarray(jnp.concatenate(
         [x, valid[:, None].astype(x.dtype)], axis=1))
@@ -467,7 +481,7 @@ def op_batch(
         tensors, remap, l_bidx, v_idx_op, nvar_op,
         jnp.asarray(v_dc), jnp.asarray(i_dc), jnp.asarray(r_vals),
         max_iters=max_iters, tol=tol, method=method,
-        ext=ext, nl=nl, batch=B,
+        ext=ext, nl=nl, batch=B, bsrc=bsrc_static(ckt, nvar_op),
     )
     return BatchOPResult(node_names=tensors.node_names, x=np.asarray(x),
                          valid=np.asarray(valid))

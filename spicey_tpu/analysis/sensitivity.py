@@ -92,6 +92,9 @@ def sensitivity_ac(
     """
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -147,6 +150,9 @@ def sensitivity_tran(
     """
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
+    if ckt.B:
+        raise NotImplementedError(
+            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)

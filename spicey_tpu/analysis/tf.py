@@ -99,6 +99,36 @@ def simulate_tf(
     from ..ops.stamps import stamp_vccs
 
     A = stamp_vccs(A, jnp.asarray(remap(ss_idx)), jnp.asarray(ss_g))
+    if ckt.B:
+        # behavioral sources linearize at the op point: I-kind as VCCS
+        # rows (dI/dvref), V-kind as their branch row with gradient
+        # couplings (dV/dvref) — same decomposition the Newton loop uses
+        import jax
+
+        from ..ir.circuit import bsrc_static
+
+        x_pad_np = np.zeros(nvar_op + 1)
+        for i, name in enumerate(tensors.node_names):
+            x_pad_np[i] = op.node_voltages[name]
+        for kind, fn, i1, i2, br, refs in bsrc_static(ckt, nvar_op):
+            v0 = jnp.asarray([x_pad_np[a] - x_pad_np[b] for a, b in refs])
+            gs = []
+            for j in range(len(refs)):
+                e = jnp.zeros_like(v0).at[j].set(1.0)
+                _, gj = jax.jvp(lambda vv: fn(vv, 0.0), (v0,), (e,))
+                gs.append(float(gj))
+            if kind == "i":
+                for (a, b2), g in zip(refs, gs):
+                    A = stamp_vccs(A, jnp.asarray([[i1, i2, a, b2]]),
+                                   jnp.asarray([g]))
+            else:
+                A = A.at[i1, br].add(1.0)
+                A = A.at[i2, br].add(-1.0)
+                A = A.at[br, i1].add(1.0)
+                A = A.at[br, i2].add(-1.0)
+                for (a, b2), g in zip(refs, gs):
+                    A = A.at[br, a].add(-g)
+                    A = A.at[br, b2].add(g)
     A = A[:nvar_op, :nvar_op]
 
     # RHS 1: unit input excitation (all other sources stay zeroed)

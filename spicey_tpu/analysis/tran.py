@@ -51,6 +51,7 @@ from ..constants import (
 )
 from ..ir.circuit import (
     CircuitTensors,
+    bsrc_static,
     build_tensors,
     effective_time_step,
     empty_ext,
@@ -184,11 +185,51 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
     return A, b
 
 
+def _stamp_bsources(A, b, bsrc, x_pad, t):
+    """Behavioral-source Newton companions (parsing/bexpr.py).
+
+    Each source linearizes as f(vals) ~ f0 + sum_j g_j * (vals_j - vals0_j)
+    with vals_j = x[a_j] - x[b_j]; partials come from jax.jvp against unit
+    tangents (nRef is tiny and static). An I-kind source then stamps as
+    per-reference VCCS rows plus a current injection; a V-kind source adds
+    its branch row v(n+) - v(n-) - f = 0 with gradient couplings.
+    """
+    for kind, fn, i1, i2, br, refs in bsrc:
+        ra = jnp.asarray([a for a, _ in refs], jnp.int32)
+        rb = jnp.asarray([b2 for _, b2 in refs], jnp.int32)
+        vals = x_pad[..., ra] - x_pad[..., rb]  # (..., nRef)
+        f0 = fn(vals, t)
+        gs = []
+        lin = f0
+        for j in range(len(refs)):
+            e = jnp.zeros((len(refs),), vals.dtype).at[j].set(1.0)
+            e = jnp.broadcast_to(e, vals.shape)
+            _, gj = jax.jvp(lambda v: fn(v, t), (vals,), (e,))
+            gs.append(gj)
+            lin = lin - gj * vals[..., j]
+        # lin = f0 - sum_j g_j vals_j  (the constant term of the companion)
+        if kind == "i":
+            for j, g in enumerate(gs):
+                idx4 = jnp.asarray([[i1, i2, refs[j][0], refs[j][1]]])
+                A = stamp_vccs(A, idx4, g[..., None])
+            b = stamp_current(b, jnp.asarray([[i1, i2]]), lin[..., None])
+        else:
+            A = A.at[..., i1, br].add(1.0)
+            A = A.at[..., i2, br].add(-1.0)
+            A = A.at[..., br, i1].add(1.0)
+            A = A.at[..., br, i2].add(-1.0)
+            for j, g in enumerate(gs):
+                A = A.at[..., br, refs[j][0]].add(-g)
+                A = A.at[..., br, refs[j][1]].add(g)
+            b = b.at[..., br].add(lin)
+    return A, b
+
+
 def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   i_prev_l, v_prev_l, vd_prev_d, sw_on,
                   integration: str = "be", is_first=None, is_second=None,
                   nl=None, vm_prev=None, vq_prev=None,
-                  v_prev2_c=None, i_prev2_l=None):
+                  v_prev2_c=None, i_prev2_l=None, bsrc=(), t=0.0):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext, minv) = tensors_arrays
@@ -275,6 +316,8 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     b = stamp_current(b, d_idx, ieq)
     if nl is not None:
         A, b = _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev)
+    if bsrc:
+        A, b = _stamp_bsources(A, b, bsrc, x_pad, t)
     return A[..., :nvar, :nvar], b[..., :nvar]
 
 
@@ -286,7 +329,7 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
                                    "nr_tol", "max_nr", "batch",
-                                   "interpret", "record", "resume"))
+                                   "interpret", "record", "resume", "bsrc"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
@@ -294,7 +337,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                max_nr: int | None = None, ext=None, nl=None, lk=None,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
-               resume: bool = False):
+               resume: bool = False, bsrc=(), times=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -350,7 +393,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
     linear = (n_s == 0 and n_d == 0 and n_m == 0 and n_q == 0
-              and nr == "spicey")
+              and not bsrc and nr == "spicey")
     if linear:
         # Linear circuit: A is time-invariant (per integration phase), so
         # factor ONCE outside the scan — each step is then a multiply by
@@ -406,7 +449,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             return jnp.sum(M * v[..., None, :], axis=-1)
 
     def step_fn(carry, inputs):
-        vs_t, is_first, is_second = inputs
+        vs_t, is_first, is_second, t_step = inputs
         (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
          vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all) = carry
 
@@ -423,6 +466,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 is_second=is_second,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
                 v_prev2_c=v_prev2_c, i_prev2_l=i_prev2_l,
+                bsrc=bsrc, t=t_step,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -578,8 +622,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    else jnp.arange(n_steps) == 0)
     second_flags = (jnp.zeros(n_steps, jnp.bool_) if resume
                     else jnp.arange(n_steps) == 1)
+    if times is None:  # absolute times (behavioral sources reference them)
+        times = jnp.arange(n_steps, dtype=vs_grid.dtype) * dt
     carry, (xs, sw_states) = jax.lax.scan(
-        step_fn, init, (vs_grid, first_flags, second_flags)
+        step_fn, init, (vs_grid, first_flags, second_flags, times)
     )
     return xs, sw_states, carry[-1], carry[:-1]
 
@@ -765,7 +811,7 @@ def simulate_tran(
     # MOSFET/BJT devices are extended-dialect (no reference-parity contract)
     # and genuinely need Newton iteration; auto-upgrade from the reference's
     # break-on-switch-stability semantics
-    if (tensors.n_m or tensors.n_q) and nr == "spicey":
+    if (tensors.n_m or tensors.n_q or ckt.B) and nr == "spicey":
         nr = "converged"
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
@@ -818,6 +864,8 @@ def simulate_tran(
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
         ext=ext_arrays(tensors), nl=nl_arrays(tensors),
         lk=lk_arrays(tensors),
+        bsrc=bsrc_static(ckt, tensors.nvar),
+        times=jnp.asarray(times),
         interpret=interpret,
         init_state=init_state,
         resume=state is not None,
@@ -841,6 +889,21 @@ def simulate_tran(
         src_grid=vs_grid,
         state0=state.carry if state is not None else None,
     )
+    if ckt.B:
+        # behavioral-source currents: V-kind from its branch unknown,
+        # I-kind by re-evaluating the expression over the trajectory
+        xs_pad_b = np.concatenate([xs, np.zeros((xs.shape[0], 1))], axis=1)
+        for bsrc_el, spec in zip(
+                ckt.B, bsrc_static(ckt, tensors.nvar)):
+            kind, fn, _i1, _i2, br, refs = spec
+            if kind == "v":
+                element_currents[bsrc_el.name] = xs[:, br]
+            else:
+                ra = np.asarray([a for a, _ in refs], dtype=np.int64)
+                rb = np.asarray([b for _, b in refs], dtype=np.int64)
+                vals = jnp.asarray(xs_pad_b[:, ra] - xs_pad_b[:, rb])
+                element_currents[bsrc_el.name] = np.asarray(
+                    fn(vals, jnp.asarray(times)))
 
     # probe filter (simulateTRAN.ts:240-249): keep canonical-casing keys
     if ckt.tran_probes:

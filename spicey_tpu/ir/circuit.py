@@ -450,6 +450,43 @@ def empty_nl(dtype=None) -> dict:
     }
 
 
+def bsrc_static(ckt: ParsedCircuit, dump: int):
+    """Hashable static spec for behavioral (B) sources, for one system size.
+
+    Index pairs are computed against a system whose ground dump slot is
+    ``dump`` (tran/AC: tensors.nvar; .op: nvar_op), so the same parsed
+    circuit serves every engine. Each entry:
+    (kind, fn, i1, i2, branch_or_-1, ((ref_a, ref_b), ...)) where refs
+    gather as vals[..., j] = x_pad[a_j] - x_pad[b_j] (branch refs pair with
+    the dump slot, which reads 0). The tuple is hashable (fns by identity),
+    so it passes through jit as a static argument.
+    """
+    def midx(node_id: int) -> int:
+        return dump if node_id == 0 else node_id - 1
+
+    out = []
+    for b in ckt.B:
+        refs = tuple(
+            (midx(a), midx(b2)) if kind == "nodes" else (a, dump)
+            for kind, a, b2 in b.ref_pairs
+        )
+        out.append((b.kind, b.fn, midx(b.n1), midx(b.n2),
+                    b.index if b.kind == "v" else -1, refs))
+    return tuple(out)
+
+
+def bv_branch_rows(ckt: ParsedCircuit, dump: int) -> np.ndarray:
+    """(nBv, 3) = [i1, i2, branch] rows for V-kind behavioral sources —
+    the voltage-source stamp pattern their branch unknowns occupy (the AC
+    sweep stamps them as 0 V small-signal shorts)."""
+    def midx(node_id: int) -> int:
+        return dump if node_id == 0 else node_id - 1
+
+    rows = [[midx(b.n1), midx(b.n2), b.index]
+            for b in ckt.B if b.kind == "v"]
+    return np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+
+
 def lk_arrays(tensors: CircuitTensors, dtype=None):
     """Mutual-coupling (K) pytree, or None when the circuit has none.
 

@@ -49,7 +49,7 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # in element names (subcircuit flattening emits "r1.x1"-style names). X
 # instance lines are consumed by _flatten_subcircuits before this regex ever
 # sees them.
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkw][\w.]*$",
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwb][\w.]*$",
                                       re.IGNORECASE)
 # \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
 # a .subckt block)
@@ -330,6 +330,28 @@ class CSwitch:
 
 
 @dataclass
+class BSource:
+    """Extended-dialect behavioral source: ``B name n+ n- V=expr|I=expr``.
+
+    ngspice-style arbitrary source. ``I=expr`` drives the expression's
+    current from n+ through the source to n- (KCL convention of the I
+    element); ``V=expr`` enforces v(n+) - v(n-) = expr via an extra MNA
+    branch unknown (allocated after the H branches). Expressions may
+    reference v(node)/v(a,b), i(vname), and time (parsing/bexpr.py).
+    """
+
+    name: str
+    n1: int
+    n2: int
+    kind: str                 # "i" | "v"
+    expr: str
+    refs: list                # [("v"|"i", name, name2|None), ...]
+    fn: object                # compiled (vals, t) -> value closure
+    ref_pairs: list = field(default_factory=list)  # resolved node-id/branch
+    index: int = -1           # MNA branch (v-kind), parser post-pass
+
+
+@dataclass
 class MutualCoupling:
     """Extended-dialect K element: ``K name L1 L2 k`` (coupled inductors).
 
@@ -435,6 +457,7 @@ class ParsedCircuit:
     Q: list[BJT] = field(default_factory=list)  # extended dialect
     W: list[CSwitch] = field(default_factory=list)  # extended dialect
     K: list[MutualCoupling] = field(default_factory=list)  # extended dialect
+    B: list[BSource] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
@@ -468,8 +491,10 @@ class ParsedCircuit:
 
     @property
     def n_vars(self) -> int:
-        # branch-unknown ordering: V sources, then E (VCVS), then H (CCVS)
-        return self.n_node_vars + len(self.V) + len(self.E) + len(self.H)
+        # branch-unknown ordering: V sources, then E (VCVS), then H (CCVS),
+        # then behavioral V-kind B sources
+        return (self.n_node_vars + len(self.V) + len(self.E) + len(self.H)
+                + sum(1 for b in self.B if b.kind == "v"))
 
     # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
     @property
@@ -961,6 +986,11 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
                     mapped_rest.append(t)
             out.append(" ".join([rename(first)] + nodes + mapped_rest))
             continue
+        if tc == "b":
+            raise ValueError(
+                f'behavioral (B) elements are not supported inside .subckt '
+                f'yet: "{line}" (their v()/i() references would need '
+                f'instance-scope rewriting)')
         nn = _ELEMENT_NODE_COUNT.get(tc)
         if nn is None:
             out.append(line)  # unknown element: passes through to `skipped`
@@ -1177,6 +1207,24 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 else:
                     ckt.E.append(VCVS(name=name, n1=n1, n2=n2,
                                       nc_pos=ncp, nc_neg=ncn, gain=val))
+            elif type_char == "b" and dialect == "extended":
+                n1 = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "Behavioral source missing node"))
+                n2 = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "Behavioral source missing node"))
+                m = re.match(
+                    r"^\s*\S+\s+\S+\s+\S+\s+([vi])\s*=\s*(.+)$",
+                    line, re.IGNORECASE)
+                if not m:
+                    raise ValueError(
+                        "Behavioral source needs V=<expr> or I=<expr>")
+                from .bexpr import compile_bexpr
+
+                kind = m.group(1).lower()
+                expr = m.group(2).strip()
+                refs, fn = compile_bexpr(expr)
+                ckt.B.append(BSource(name=name, n1=n1, n2=n2, kind=kind,
+                                     expr=expr, refs=refs, fn=fn))
             elif type_char == "k" and dialect == "extended":
                 l1 = _require(tokens, 1, "Coupling missing inductor name")
                 l2 = _require(tokens, 2, "Coupling missing inductor name")
@@ -1239,7 +1287,34 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
         e.index = n_nodes + len(ckt.V) + j
     for j, h in enumerate(ckt.H):
         h.index = n_nodes + len(ckt.V) + len(ckt.E) + j
+    bv_branch = n_nodes + len(ckt.V) + len(ckt.E) + len(ckt.H)
+    for bsrc in ckt.B:
+        if bsrc.kind == "v":
+            bsrc.index = bv_branch
+            bv_branch += 1
     v_by_name = {v.name.upper(): v for v in ckt.V}
+    for bsrc in ckt.B:
+        bsrc.ref_pairs = []
+        for kind, a, b2 in bsrc.refs:
+            if kind == "v":
+                ida = ckt.nodes.get(a)
+                if ida is None:
+                    raise ValueError(
+                        f"Unknown node {a} referenced by {bsrc.name}")
+                idb = 0
+                if b2 is not None:
+                    idb = ckt.nodes.get(b2)
+                    if idb is None:
+                        raise ValueError(
+                            f"Unknown node {b2} referenced by {bsrc.name}")
+                bsrc.ref_pairs.append(("nodes", ida, idb))
+            else:
+                ctrl = v_by_name.get(a.upper())
+                if ctrl is None:
+                    raise ValueError(
+                        f"Unknown controlling source {a} "
+                        f"referenced by {bsrc.name}")
+                bsrc.ref_pairs.append(("branch", ctrl.index, None))
     for cs in list(ckt.F) + list(ckt.H):
         ctrl = v_by_name.get(cs.ctrl_name.upper())
         if ctrl is None:

@@ -146,7 +146,7 @@ def test_vcvs_tran_matches_scaled_source():
     """An E-buffered RC must trace the same waveform as directly driving
     the RC with a pulse of gain-scaled amplitude."""
     buffered = parse_netlist(
-        "buffered\nV1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\ne1 2 0 1 0 2\n"
+        "the buffered rc\nV1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\ne1 2 0 1 0 2\n"
         "r1 2 3 1k\nc1 3 0 1u\n.tran 0.1u 20u\n",
         dialect="extended",
     )
