@@ -30,6 +30,8 @@ import numpy as np
 
 from ..ir.circuit import (
     CircuitTensors,
+    bsrc_static,
+    bv_branch_rows,
     build_tensors,
     effective_time_step,
     ext_arrays,
@@ -203,10 +205,6 @@ def simulate_ac_batch(
     used by spicey_tpu.parallel to shard the batch/freq axes over a mesh.
     """
     ckt = _resolve(circuit, dialect=dialect)
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this batched path "
-            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -229,6 +227,15 @@ def simulate_ac_batch(
     ph = tensors.v_ac_phase_deg * math.pi / 180.0
     v_re = np.broadcast_to(tensors.v_ac_mag * np.cos(ph), (B, tensors.n_v))
     v_im = np.broadcast_to(tensors.v_ac_mag * np.sin(ph), (B, tensors.n_v))
+    # V-kind behavioral branches stamp as 0 V small-signal shorts (the
+    # same policy simulate_ac applies); I-kind are open in AC
+    v_idx_ac = tensors.v_idx
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0]:
+        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
+        z = np.zeros((B, bv.shape[0]))
+        v_re = np.concatenate([v_re, z], axis=1)
+        v_im = np.concatenate([v_im, z], axis=1)
 
     arrays = dict(
         freqs=jnp.asarray(freqs),
@@ -249,7 +256,7 @@ def simulate_ac_batch(
         jnp.asarray(tensors.r_idx), arrays["r_vals"],
         jnp.asarray(tensors.c_idx), arrays["c_vals"],
         jnp.asarray(tensors.l_idx), arrays["l_vals"],
-        jnp.asarray(tensors.v_idx), arrays["v_re"], arrays["v_im"],
+        jnp.asarray(v_idx_ac), arrays["v_re"], arrays["v_im"],
         i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
         lk=_batched_lk(tensors, overrides, B),
@@ -272,10 +279,6 @@ def simulate_tran_batch(
 ) -> BatchTranResult:
     """One compiled batched transient run over all parameter variants."""
     ckt = _resolve(circuit, dialect=dialect)
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this batched path "
-            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:
@@ -292,8 +295,10 @@ def simulate_tran_batch(
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
     ext = _batched_ext(tensors, overrides, B)
     nl = _batched_nl(tensors, overrides, B)
-    # MOSFET/BJT Newton needs convergence iterations (see tran.simulate_tran)
-    nr = "converged" if (tensors.n_m or tensors.n_q) else "spicey"
+    # MOSFET/BJT/behavioral Newton needs convergence iterations
+    # (see tran.simulate_tran)
+    nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
+          else "spicey")
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     times = np.arange(steps + 1, dtype=np.float64) * dt
@@ -353,6 +358,7 @@ def simulate_tran_batch(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, nr=nr,
         ext=ext, nl=nl, lk=_batched_lk(tensors, overrides, B), batch=B,
+        bsrc=bsrc_static(ckt, tensors.nvar),
         interpret=interpret,
     )
     return BatchTranResult(

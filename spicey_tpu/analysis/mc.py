@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ir.circuit import (
+    bsrc_static,
     build_tensors,
+    bv_branch_rows,
     effective_time_step,
     ext_arrays,
     lk_arrays,
@@ -180,6 +182,25 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     return _pack_stats(stats, n_valid)
 
 
+def _v_idx_ac(ckt, tensors):
+    """v_idx with V-kind behavioral branch rows appended as 0 V shorts
+    (the batch AC policy for B sources; see analysis/batch.py)."""
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0] == 0:
+        return tensors.v_idx
+    return np.concatenate([tensors.v_idx, bv], axis=0)
+
+
+def _pad_v_phasors(ckt, tensors, v_re, v_im):
+    """Zero-pad AC drive phasors for the appended behavioral branch rows."""
+    n_bv = sum(1 for b in ckt.B if b.kind == "v")
+    if n_bv == 0:
+        return v_re, v_im
+    z = jnp.zeros(v_re.shape[:-1] + (n_bv,), v_re.dtype)
+    return (jnp.concatenate([v_re, z], axis=-1),
+            jnp.concatenate([v_im, z], axis=-1))
+
+
 def mc_ac_stats(
     circuit: ParsedCircuit | str,
     overrides: dict[str, np.ndarray],
@@ -212,10 +233,6 @@ def mc_ac_stats(
     requires the default f64 tier.
     """
     ckt = _resolve(circuit, dialect=dialect)
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in Monte-Carlo paths "
-            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -273,7 +290,9 @@ def mc_ac_stats(
         jnp.asarray(tensors.r_idx), r_vals,
         jnp.asarray(tensors.c_idx), c_vals,
         jnp.asarray(tensors.l_idx), l_vals,
-        jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
+        jnp.asarray(_v_idx_ac(ckt, tensors)),
+        *_pad_v_phasors(ckt, tensors, jnp.asarray(v_re), jnp.asarray(v_im)),
+        ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
@@ -284,12 +303,12 @@ def mc_ac_stats(
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "nr", "interpret"))
+                                   "nr", "interpret", "bsrc"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
-                        interpret: bool = False, lk=None):
+                        interpret: bool = False, lk=None, bsrc=()):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -297,7 +316,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
     xs, _sw, valid, _state = _tran_core(
         vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk,
+        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk, bsrc=bsrc,
         batch=r_vals.shape[0], interpret=interpret, record=node_idx,
     )
     v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
@@ -328,10 +347,6 @@ def mc_tran_stats(
     needs the default f64.
     """
     ckt = _resolve(circuit, dialect=dialect)
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in Monte-Carlo paths "
-            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
     if tensors is None:
@@ -374,7 +389,8 @@ def mc_tran_stats(
            for k, v in _batched_ext(tensors, overrides, B).items()}
     nl = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
           for k, v in _batched_nl(tensors, overrides, B).items()}
-    nr = "converged" if (tensors.n_m or tensors.n_q) else "spicey"
+    nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
+          else "spicey")
     r_vals = jnp.asarray(r_vals, fdt)
     c_vals = jnp.asarray(c_vals, fdt)
     l_vals = jnp.asarray(l_vals, fdt)
@@ -404,7 +420,7 @@ def mc_tran_stats(
         ext, nl,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
-        lk=lk_arrays(tensors),
+        lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -465,10 +481,6 @@ def mc_ac_sampled(
     millions. Everything else matches mc_ac_stats (pair with ``chunk`` to
     bound memory)."""
     ckt = _resolve(circuit, dialect=dialect)
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in Monte-Carlo paths "
-            "yet — use simulate()/simulate_tran/simulate_op")
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
     if tensors is None:
@@ -509,7 +521,9 @@ def mc_ac_sampled(
         jnp.asarray(tensors.r_idx), jnp.asarray(vals["r"], fdt),
         jnp.asarray(tensors.c_idx), jnp.asarray(vals["c"], fdt),
         jnp.asarray(tensors.l_idx), jnp.asarray(vals["l"], fdt),
-        jnp.asarray(tensors.v_idx), v_re, v_im, ext, i_re, i_im,
+        jnp.asarray(_v_idx_ac(ckt, tensors)),
+        *_pad_v_phasors(ckt, tensors, jnp.asarray(v_re), jnp.asarray(v_im)),
+        ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),

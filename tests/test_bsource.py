@@ -142,13 +142,13 @@ def test_bsource_parse_and_path_errors():
     with pytest.raises(ValueError, match="not supported inside .subckt"):
         parse_netlist("t\n.subckt s a\nb1 a 0 I=v(a)\n.ends\n"
                       "v1 n 0 1\nx1 n s\n.end\n", dialect="extended")
-    # unsupported analysis paths refuse loudly
-    from spicey_tpu.analysis.batch import simulate_tran_batch
+    # still-guarded analysis paths refuse loudly
+    from spicey_tpu.analysis.adaptive import simulate_tran_adaptive
 
     with pytest.raises(NotImplementedError, match="behavioral"):
-        simulate_tran_batch("t\nb1 a 0 I=v(a)\nr1 a 0 1\n.tran 1u 10u\n"
-                            ".end\n", {"r1": np.array([1.0])},
-                            dialect="extended")
+        simulate_tran_adaptive(parse_netlist(
+            "t\nv1 in 0 1\nbl a 0 I=v(a)\nr1 in a 1\n.tran 1u 10u\n.end\n",
+            dialect="extended"))
     # reference dialect: B lines land in `skipped`
     ckt = parse_netlist("the title\nb1 a 0 I=5\nv1 a 0 1\nr1 a 0 1\n.end\n")
     assert any(line.startswith("b1") for line in ckt.skipped)
@@ -172,3 +172,46 @@ rl out 0 1k
     rb_ = simulate(net_b, dialect="extended")
     assert rb_.tf.transfer_function == pytest.approx(
         10.0 / np.cosh(1.0) ** 2, rel=1e-9)
+
+
+
+def test_bsource_batched_paths():
+    """Behavioral sources run in the batched sweep and Monte-Carlo paths:
+    the nonlinear-load quadratic holds per variant."""
+    from spicey_tpu.analysis.batch import simulate_tran_batch
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    net = """* b batch
+v1 in 0 5
+r1 in a 1k
+bload a 0 I=1m*v(a)**2
+.tran 10u 100u
+.end
+"""
+    rs = np.array([1e3, 2e3])
+    rt = simulate_tran_batch(net, {"r1": rs}, dialect="extended")
+    assert bool(rt.valid.all())
+    va = rt.node_voltage("a")[:, -1]
+    for r_ohm, a in zip(rs, va):
+        assert 1e-3 * a ** 2 == pytest.approx((5 - a) / r_ohm, rel=1e-6)
+
+    st = mc_tran_stats(net, {"r1": np.linspace(1e3, 2e3, 8)}, node="a",
+                       dialect="extended")
+    assert st.n_valid == 8
+    assert va.min() - 1e-6 <= st.mean[-1] <= va.max() + 1e-6
+
+    # AC batch: V-kind branch rows stay regular (0 V shorts)
+    from spicey_tpu.analysis.batch import simulate_ac_batch
+
+    net_ac = """* b ac batch
+v1 in 0 dc 1 ac 1
+r1 in out 1k
+bamp out 0 V=2*tanh(5*v(in))
+.ac lin 2 1k 2k
+.end
+"""
+    ra = simulate_ac_batch(net_ac, {"r1": np.array([1e3, 2e3])},
+                           dialect="extended")
+    assert bool(ra.valid.all())
+    out_col = [n.upper() for n in ra.node_names].index("OUT")
+    np.testing.assert_allclose(np.abs(ra.x[:, :, out_col]), 0.0, atol=1e-12)
