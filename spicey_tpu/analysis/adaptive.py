@@ -37,6 +37,7 @@ import numpy as np
 from ..constants import EPS
 from ..ir.circuit import (
     CircuitTensors,
+    bsrc_static,
     build_tensors,
     ext_arrays,
     lk_arrays,
@@ -61,11 +62,11 @@ class AdaptiveTranResult:
 
 
 @partial(jax.jit, static_argnames=("nvar", "method", "max_steps", "max_nr",
-                                   "nr_tol"))
+                                   "nr_tol", "bsrc"))
 def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                    r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
-                   d_idx, d_is, d_n, ext, nl, lk=None,
+                   d_idx, d_is, d_n, ext, nl, lk=None, bsrc=(),
                    nvar: int = 0, method: str = "gj", max_steps: int = 4096,
                    max_nr: int = 50, nr_tol: float = 1e-9):
     dtype = jnp.float64
@@ -102,6 +103,7 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                 v_prev_c, zc, i_prev_l, zl, vd_prev_d, sw,
                 integration="be", is_first=is_first,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
+                bsrc=bsrc, t=t_eval,
             )
             x_new, solve_ok = solve(A, b, method=method)
             x_pad = pad_solution(x_new, nvar)
@@ -214,9 +216,6 @@ def simulate_tran_adaptive(
     steps. Raises if the attempt budget is exhausted before tstop."""
     if ckt.tran is None:
         return None
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     tstop = ckt.tran.tstop
@@ -240,7 +239,7 @@ def simulate_tran_adaptive(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         ext_arrays(tensors), nl_arrays(tensors),
-        lk=lk_arrays(tensors),
+        lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
         nvar=tensors.nvar, method=method, max_steps=max_steps,
         max_nr=max_nr, nr_tol=nr_tol,
     )

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..constants import EPS, K_BOLTZMANN, Q_ELECTRON, T_NOISE
 from ..ir.circuit import (CircuitTensors, build_tensors,
-                          ext_arrays, lk_arrays)
+                          bv_branch_rows, ext_arrays, lk_arrays)
 from ..ops.linsolve import solve_planes
 from ..parsing.netlist import ParsedCircuit
 from .ac import (
@@ -168,9 +168,6 @@ def simulate_noise(
     ``op`` optionally reuses an already-solved operating point."""
     if ckt.noise is None:
         return None
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     spec = ckt.noise
@@ -190,6 +187,15 @@ def simulate_noise(
     if op is None:
         op = simulate_op(ckt, tensors=tensors, method=method)
     ss_idx, ss_g = small_signal_rows(tensors, op)
+    if ckt.B:
+        # behavioral sources are noiseless (ngspice semantics) but their
+        # op-point gradients shape the transfer: I-kind add VCCS rows here;
+        # V-kind branch rows are stamped as 0 V shorts below
+        from .ac import _bsource_small_signal
+
+        bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+        ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+        ss_g = np.concatenate([ss_g, bs_g], axis=0)
     ext = ext_arrays(tensors)
     ext["g_idx"] = jnp.concatenate([ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
     ext["g_gm"] = jnp.concatenate([ext["g_gm"], jnp.asarray(ss_g)], axis=0)
@@ -214,13 +220,18 @@ def simulate_noise(
             raise ValueError("Singular coupled-inductance matrix in .noise")
     else:
         minv = None
+    v_idx_ac = tensors.v_idx
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0]:
+        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
+        v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
     A_re, A_im, b_re, b_im = _assemble_grid(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
         jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-        jnp.asarray(tensors.v_idx),
-        jnp.asarray(v_unit), jnp.zeros(tensors.n_v),
+        jnp.asarray(v_idx_ac),
+        jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
         nvar, ext=ext,
         i_re=jnp.asarray(i_unit), i_im=jnp.zeros(tensors.n_i),
         minv=minv,

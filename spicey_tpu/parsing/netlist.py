@@ -876,11 +876,12 @@ def _collect_subckt_defs(text: str) -> tuple[dict, list[str]]:
     top-level only; nested `.subckt` definitions raise. Everything after a
     top-level `.end` passes through untouched (the parser ignores it anyway).
     """
-    defs: dict[str, tuple[list[str], list[str]]] = {}
+    defs: dict[str, tuple] = {}
     main: list[str] = []
     cur_name: str | None = None
     cur_ports: list[str] = []
     cur_body: list[str] = []
+    cur_defaults: list[tuple[str, str]] = []
     ended = False
     for raw in re.split(r"\r?\n", text):
         line = re.sub(r";.*$", "", re.sub(r"//.*$", "", raw)).strip()
@@ -898,12 +899,22 @@ def _collect_subckt_defs(text: str) -> tuple[dict, list[str]]:
             toks = line.split()
             if len(toks) < 3:
                 raise ValueError(f'malformed .subckt directive: "{line}"')
-            cur_name, cur_ports, cur_body = toks[1].lower(), toks[2:], []
+            # trailing name=expr tokens are default parameters (an optional
+            # ngspice-style "params:" marker before them is skipped)
+            rest = [t for t in toks[2:] if t.lower() != "params:"]
+            cur_ports = [t for t in rest if "=" not in t]
+            cur_defaults = []
+            for t in rest:
+                if "=" in t:
+                    pname, pval = t.split("=", 1)
+                    pval = pval[1:-1] if pval.startswith("{") else pval
+                    cur_defaults.append((pname.lower(), pval))
+            cur_name, cur_body = toks[1].lower(), []
             continue
         if _ENDS_RE.match(line):
             if cur_name is None:
                 raise ValueError(f'.ends without matching .subckt: "{line}"')
-            defs[cur_name] = (cur_ports, cur_body)
+            defs[cur_name] = (cur_ports, cur_body, cur_defaults)
             cur_name = None
             continue
         (cur_body if cur_name is not None else main).append(raw)
@@ -913,7 +924,7 @@ def _collect_subckt_defs(text: str) -> tuple[dict, list[str]]:
 
 
 def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
-                     depth: int) -> list[str]:
+                     depth: int, scope: dict | None = None) -> list[str]:
     """Expand one X line into flattened element lines.
 
     ngspice-style scoping: ports bind to the instance's outer nodes, every
@@ -926,14 +937,39 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
         raise ValueError(
             f"subcircuit nesting deeper than {_MAX_SUBCKT_DEPTH} while "
             f"expanding {inst_name} (recursive .subckt definition?)")
+    from .params import eval_expr, substitute_braces
+
+    if scope is None:
+        scope = {}
     if len(tokens) < 2:
         raise ValueError(f"subcircuit instance {inst_name} missing subcircuit name")
-    sub_name = tokens[-1].lower()
+    # trailing name=value tokens override the definition's default params;
+    # the subckt name is the last bare (non-assignment) token
+    kv_tokens = [t for t in tokens[1:] if "=" in t]
+    bare = [t for t in tokens[1:] if "=" not in t]
+    if not bare:
+        raise ValueError(f"subcircuit instance {inst_name} missing subcircuit name")
+    sub_name = bare[-1].lower()
     if sub_name not in defs:
         raise ValueError(
-            f"Unknown .subckt {tokens[-1]} referenced by {inst_name}")
-    ports, body = defs[sub_name]
-    outer = tokens[1:-1]
+            f"Unknown .subckt {bare[-1]} referenced by {inst_name}")
+    ports, body, defaults = defs[sub_name]
+    outer = bare[:-1]
+    # instance-local parameter scope: defaults (evaluated against the outer
+    # scope, in declaration order so later defaults may use earlier ones)
+    # overridden by the X line's name=value pairs (evaluated in the OUTER
+    # scope, ngspice semantics)
+    local = dict(scope)
+    for pname, pexpr in defaults:
+        local[pname] = eval_expr(pexpr, local)
+    for t in kv_tokens:
+        pname, pval = t.split("=", 1)
+        if pname.lower() not in dict(defaults):
+            raise ValueError(
+                f"unknown parameter {pname!r} on instance {inst_name} "
+                f"(not declared by .subckt {sub_name})")
+        pval = pval[1:-1] if pval.startswith("{") else pval
+        local[pname.lower()] = eval_expr(pval, scope)
     if len(outer) != len(ports):
         raise ValueError(
             f"{inst_name} connects {len(outer)} nodes but .subckt "
@@ -955,6 +991,9 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
             continue
         line = re.sub(r"//.*$", "", line)
         line = re.sub(r";.*$", "", line)
+        # scoped {param} substitution: instance-local over globals; unknown
+        # names defer to deeper instance scopes (strict at the final pass)
+        line = substitute_braces(line, local, strict=False)
         toks = smart_tokens(line)
         if not toks or not toks[0]:
             continue
@@ -967,9 +1006,34 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
                 f'directive not allowed inside .subckt {sub_name}: "{line}"')
         tc = first[0].lower()
         if tc == "x" and _X_NAME_RE.match(first):
-            inner = ([rename(first)] + [map_node(t) for t in toks[1:-1]]
-                     + [toks[-1]])
-            out.extend(_expand_instance(rename(first), inner, defs, depth + 1))
+            inner_kv = [t for t in toks[1:] if "=" in t]
+            inner_bare = [t for t in toks[1:] if "=" not in t]
+            inner = ([rename(first)]
+                     + [map_node(t) for t in inner_bare[:-1]]
+                     + [inner_bare[-1]] + inner_kv)
+            out.extend(_expand_instance(rename(first), inner, defs,
+                                        depth + 1, scope=local))
+            continue
+        if tc == "b":
+            # behavioral source: map its two nodes, then rewrite the
+            # v()/i() references inside the expression into this scope
+            m = re.match(r"^\s*(\S+)\s+(\S+)\s+(\S+)\s+(.*)$", line)
+            if not m:
+                raise ValueError(
+                    f'malformed behavioral source in .subckt: "{line}"')
+            tail = m.group(4)
+            tail = re.sub(
+                r"\b[vV]\s*\(([^()]*)\)",
+                lambda mm: "v(" + ",".join(
+                    map_node(x.strip()) for x in mm.group(1).split(",")
+                    if x.strip()) + ")",
+                tail)
+            tail = re.sub(
+                r"\b[iI]\s*\(([^()]*)\)",
+                lambda mm: "i(" + rename(mm.group(1).strip()) + ")",
+                tail)
+            out.append(" ".join([rename(first), map_node(m.group(2)),
+                                 map_node(m.group(3)), tail]))
             continue
         if tc == "m":
             # M d g s [bulk] model [k=v...]: bare tokens after the nodes are
@@ -986,11 +1050,6 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
                     mapped_rest.append(t)
             out.append(" ".join([rename(first)] + nodes + mapped_rest))
             continue
-        if tc == "b":
-            raise ValueError(
-                f'behavioral (B) elements are not supported inside .subckt '
-                f'yet: "{line}" (their v()/i() references would need '
-                f'instance-scope rewriting)')
         nn = _ELEMENT_NODE_COUNT.get(tc)
         if nn is None:
             out.append(line)  # unknown element: passes through to `skipped`
@@ -1007,11 +1066,14 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
     return out
 
 
-def _flatten_subcircuits(text: str) -> str:
+def _flatten_subcircuits(text: str, gparams: dict | None = None) -> str:
     """Flatten `.subckt`/`.ends`/X hierarchy into a flat netlist (extended
     dialect only — the reference drops X lines into `skipped`,
-    parseNetlist.ts:444-446)."""
+    parseNetlist.ts:444-446). ``gparams`` is the global .param scope used
+    to evaluate instance parameter overrides."""
     defs, main = _collect_subckt_defs(text)
+    if gparams is None:
+        gparams = {}
     out: list[str] = []
     seen_title = False
     ended = False
@@ -1028,15 +1090,18 @@ def _flatten_subcircuits(text: str) -> str:
         toks = smart_tokens(stripped)
         first = toks[0] if toks else ""
         if first and _X_NAME_RE.match(first):
-            # a real instance names a defined subckt as its last token;
+            # a real instance names a defined subckt as its last BARE token
+            # (trailing name=value tokens are parameter overrides);
             # otherwise an x-word leading an untitled netlist's first free
             # line is a title (mirroring the reference's lenient title rule)
-            if len(toks) >= 2 and toks[-1].lower() in defs:
-                out.extend(_expand_instance(first, toks, defs, 1))
+            bare = [t for t in toks[1:] if "=" not in t]
+            if bare and bare[-1].lower() in defs:
+                out.extend(_expand_instance(first, toks, defs, 1,
+                                            scope=gparams))
                 continue
             if seen_title:
                 raise ValueError(
-                    f"Unknown .subckt {toks[-1] if len(toks) >= 2 else '?'} "
+                    f"Unknown .subckt {bare[-1] if bare else '?'} "
                     f"referenced by {first}")
             seen_title = True
             out.append(raw)
@@ -1064,12 +1129,24 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
     if dialect not in ("spicey", "extended"):
         raise ValueError("dialect must be 'spicey' or 'extended'")
     if dialect == "extended":
-        if "{" in text or re.search(r"^\s*\.param\b", text,
-                                    re.IGNORECASE | re.MULTILINE):
+        gparams: dict = {}
+        has_braces = "{" in text
+        if has_braces or re.search(r"^\s*\.param\b", text,
+                                   re.IGNORECASE | re.MULTILINE):
             from .params import apply_params
 
-            text = apply_params(text)
-        text = _flatten_subcircuits(text)
+            # lenient first pass: .subckt-local parameters resolve later,
+            # at instance expansion, with the instance scope
+            text, gparams = apply_params(text, strict=False)
+        text = _flatten_subcircuits(text, gparams)
+        if has_braces and "{" in text:
+            # strict final pass: anything still braced is a genuinely
+            # unknown parameter — surface the name, not a number-parse error
+            from .params import substitute_braces
+
+            text = "\n".join(
+                substitute_braces(line, gparams, strict=True)
+                for line in re.split(r"\r?\n", text))
     ckt = ParsedCircuit()
     seen_title = False
 

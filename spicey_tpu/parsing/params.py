@@ -78,12 +78,33 @@ def eval_expr(expr: str, params: dict[str, float]) -> float:
     return float(ev(tree))
 
 
-def apply_params(text: str) -> str:
+def substitute_braces(line: str, params: dict[str, float],
+                      strict: bool = True) -> str:
+    """Replace every {expr} in one line. With strict=False, expressions
+    referencing unknown parameters are left intact (deferred to a later
+    scope — parameterized .subckt bodies are substituted at expansion
+    time with their instance-local scope layered over the globals)."""
+    if line.lstrip().startswith("*"):
+        return line
+
+    def repl(m: re.Match) -> str:
+        try:
+            return repr(eval_expr(m.group(1), params))
+        except ValueError:
+            if strict:
+                raise
+            return m.group(0)
+
+    return _BRACE_RE.sub(repl, line)
+
+
+def apply_params(text: str, strict: bool = True):
     """Collect .param definitions (in order) and substitute every {expr}.
 
-    .param lines are stripped from the output; parsing stops honoring new
-    definitions after .end like the main parser does. Brace substitution
-    applies to every remaining line, comments excluded.
+    Returns (text, params). .param lines are stripped from the output;
+    parsing stops honoring new definitions after .end like the main parser
+    does. With strict=False, braces whose expressions reference unknown
+    names survive for a later scoped pass (see substitute_braces).
     """
     params: dict[str, float] = {}
     out_lines: list[str] = []
@@ -103,10 +124,5 @@ def apply_params(text: str) -> str:
             continue
         out_lines.append(raw)
 
-    def sub_line(line: str) -> str:
-        if line.lstrip().startswith("*"):
-            return line
-        return _BRACE_RE.sub(
-            lambda m: repr(eval_expr(m.group(1), params)), line)
-
-    return "\n".join(sub_line(line) for line in out_lines)
+    return ("\n".join(substitute_braces(line, params, strict=strict)
+                      for line in out_lines), params)

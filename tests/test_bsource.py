@@ -139,16 +139,18 @@ def test_bsource_parse_and_path_errors():
     with pytest.raises(ValueError, match="Unknown node"):
         parse_netlist("t\nb1 a 0 I=v(nope)\nr1 a 0 1\n.end\n",
                       dialect="extended")
-    with pytest.raises(ValueError, match="not supported inside .subckt"):
-        parse_netlist("t\n.subckt s a\nb1 a 0 I=v(a)\n.ends\n"
-                      "v1 n 0 1\nx1 n s\n.end\n", dialect="extended")
+    # B inside .subckt now expands with scope-rewritten references
+    ckt_sub = parse_netlist("t\n.subckt s a\nb1 a 0 I=1m*v(a)\n.ends\n"
+                            "v1 n 0 1\nx1 n s\n.end\n", dialect="extended")
+    assert ckt_sub.B[0].name == "b1.x1"
+    assert ckt_sub.B[0].refs == [("v", "n", None)]
     # still-guarded analysis paths refuse loudly
-    from spicey_tpu.analysis.adaptive import simulate_tran_adaptive
+    from spicey_tpu.analysis.sensitivity import sensitivity_tran
 
     with pytest.raises(NotImplementedError, match="behavioral"):
-        simulate_tran_adaptive(parse_netlist(
+        sensitivity_tran(parse_netlist(
             "t\nv1 in 0 1\nbl a 0 I=v(a)\nr1 in a 1\n.tran 1u 10u\n.end\n",
-            dialect="extended"))
+            dialect="extended"), node="a", wrt=["r1"])
     # reference dialect: B lines land in `skipped`
     ckt = parse_netlist("the title\nb1 a 0 I=5\nv1 a 0 1\nr1 a 0 1\n.end\n")
     assert any(line.startswith("b1") for line in ckt.skipped)
@@ -215,3 +217,41 @@ bamp out 0 V=2*tanh(5*v(in))
     assert bool(ra.valid.all())
     out_col = [n.upper() for n in ra.node_names].index("OUT")
     np.testing.assert_allclose(np.abs(ra.x[:, :, out_col]), 0.0, atol=1e-12)
+
+
+
+def test_bsource_adaptive_and_noise():
+    """Adaptive stepping and .noise handle behavioral sources: the
+    LTE-controlled run tracks the tanh limiter, and the noise gain sees
+    the op-point gradient of an I-kind source."""
+    from spicey_tpu.analysis.adaptive import simulate_tran_adaptive
+
+    ckt = parse_netlist(
+        "* ad b\nv1 in 0 SIN(0 0.2 1k)\nrb in 0 1k\n"
+        "bamp out 0 V=2*tanh(5*v(in))\nrl out 0 1k\n.tran 10u 1m\n.end\n",
+        dialect="extended")
+    r = simulate_tran_adaptive(ckt)
+    t = np.asarray(r.times)
+    vout = np.asarray(r.node_voltages["out"])
+    exp = 2 * np.tanh(5 * 0.2 * np.sin(2 * np.pi * 1e3 * t))
+    assert np.abs(vout - exp).max() < 5e-3
+
+    # noise: behavioral conductance g = 2m*v at v=2 -> 4 mS in parallel
+    # with r1; the output PSD equals the r1 thermal noise through the
+    # divider formed with the behavioral conductance
+    net = """* b noise
+v1 in 0 dc 5
+r1 in a 1k
+bload a 0 I=1m*v(a)**2
+.noise v(a) v1 lin 2 1k 2k
+.end
+"""
+    r2 = simulate(net, dialect="extended")
+    from spicey_tpu.constants import K_BOLTZMANN, T_NOISE
+
+    va = (-1 + np.sqrt(21)) / 2
+    g_b = 2e-3 * va             # dI/dv at the op point
+    g1 = 1e-3
+    # r1's current noise 4kT/R through the node-a impedance 1/(g1+g_b)
+    s_exp = 4 * K_BOLTZMANN * T_NOISE / 1e3 / (g1 + g_b) ** 2
+    np.testing.assert_allclose(r2.noise.output_psd, s_exp, rtol=1e-6)

@@ -28,9 +28,10 @@ def test_eval_expr_basics():
 
 
 def test_param_ordering_and_redefinition():
-    out = apply_params(".param a=1 b={a+1}\n.param a=10 c={a+b}\n"
-                       "r1 x 0 {c}\n.end\n")
+    out, params = apply_params(".param a=1 b={a+1}\n.param a=10 c={a+b}\n"
+                               "r1 x 0 {c}\n.end\n")
     assert "r1 x 0 12.0" in out
+    assert params == {"a": 10.0, "b": 2.0, "c": 12.0}
 
 
 def test_params_in_elements_models_directives():
@@ -94,3 +95,75 @@ def test_reference_dialect_leaves_braces_alone():
     (they fail number parsing like the reference would)."""
     ckt = parse_netlist("t\n.param a=1\nv1 x 0 1\nr1 x 0 1k\n.end\n")
     assert any(line.startswith(".param") for line in ckt.skipped)
+
+
+def test_parameterized_subckt_defaults_and_overrides():
+    """ngspice-style .subckt parameters: defaults on the definition line,
+    name=value overrides on the X line (evaluated in the outer scope)."""
+    net = """* param cells
+.param base=1k
+.subckt divider in out rtop=1k rbot={base}
+r1 in out {rtop}
+r2 out 0 {rbot}
+.ends
+v1 a 0 6
+x1 a mid1 divider
+x2 a mid2 divider rtop={2*base} rbot=1k
+.op
+.end
+"""
+    r = simulate(net, dialect="extended")
+    # x1: 1k/1k -> 3 V; x2: 2k over 1k -> 2 V
+    assert abs(r.op.node_voltages["mid1"] - 3.0) < 1e-9
+    assert abs(r.op.node_voltages["mid2"] - 2.0) < 1e-9
+
+
+def test_parameterized_subckt_nested_scopes():
+    """Nested instances: each level's overrides evaluate in ITS outer
+    scope and shadow the parent's parameters."""
+    net = """* nested
+.subckt leaf a r=100
+rl a 0 {r}
+.ends
+.subckt mid a r=200
+x1 a leaf r={r*2}
+.ends
+v1 n 0 1
+x0 n mid r=300
+.op
+.end
+"""
+    r = simulate(net, dialect="extended")
+    # leaf resistor = 300*2 = 600
+    assert abs(r.op.element_currents["rl.x1.x0"] - 1 / 600.0) < 1e-12
+
+
+def test_subckt_param_errors():
+    with pytest.raises(ValueError, match="unknown parameter"):
+        simulate("t\n.subckt s a r=1\nrx a 0 {r}\n.ends\nv1 n 0 1\n"
+                 "x1 n s nope=2\n.op\n.end\n", dialect="extended")
+    # unresolved brace surfaces the parameter name
+    with pytest.raises(ValueError, match="unknown parameter"):
+        simulate("t\nv1 a 0 1\nr1 a 0 {ghost}\n.end\n", dialect="extended")
+
+
+def test_behavioral_inside_parameterized_subckt():
+    """B expressions inside .subckt get scope-rewritten references AND
+    local parameter substitution."""
+    net = """* b cell
+.subckt clip in out lim=1
+bamp out 0 V={lim}*tanh(v(in))
+rl out 0 1k
+.ends
+v1 sig 0 2
+x1 sig y1 clip
+x2 sig y2 clip lim=3
+.op
+.end
+"""
+    import numpy as np
+
+    r = simulate(net, dialect="extended")
+    assert r.op.node_voltages["y1"] == pytest.approx(np.tanh(2.0), rel=1e-9)
+    assert r.op.node_voltages["y2"] == pytest.approx(3 * np.tanh(2.0),
+                                                     rel=1e-9)
