@@ -149,10 +149,14 @@ def _batched_ext(tensors: CircuitTensors, overrides, B: int) -> dict:
 
 def _batched_nl(tensors: CircuitTensors, overrides, B: int) -> dict:
     """nl pytree with per-device betas/Is tiled to (B, nX); overriding an
-    M element name sweeps its beta, a Q element name its Is."""
+    M element name sweeps its beta, a J name its model Beta (the stored
+    channel value is 2x the model's — m_beta_scale undoes the lowering so
+    user values stay in model units), a Q element name its Is."""
     nl = nl_arrays(tensors)
+    scale = tensors.m_beta_scale
     nl["m_beta"] = jnp.asarray(
-        _batch_values(tensors.m_beta, tensors.m_names, overrides, B))
+        _batch_values(tensors.m_beta / scale, tensors.m_names, overrides, B)
+        * scale)
     nl["q_is"] = jnp.asarray(
         _batch_values(tensors.q_is, tensors.q_names, overrides, B))
     return nl

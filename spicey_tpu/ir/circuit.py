@@ -125,12 +125,18 @@ class CircuitTensors:
     h_r: np.ndarray
     h_names: tuple[str, ...]
 
-    # MOSFETs (extended dialect): (nM, 3) = [d, g, s] dump-mapped
+    # MOSFETs (extended dialect): (nM, 3) = [d, g, s] dump-mapped.
+    # JFET channels lower into these arrays (the level-1 JFET square law is
+    # the MOS law with beta_mos = 2*Beta and, for PJF, vto_mos = -Vto so the
+    # reflected-frame overdrive matches SPICE's vgs_eff - Vto convention);
+    # m_beta_scale records the lowering factor (2 for J rows, 1 for M rows)
+    # so by-name batch overrides keep sweeping the *model's* Beta.
     m_idx: np.ndarray
-    m_beta: np.ndarray       # Kp * W / L
+    m_beta: np.ndarray       # Kp * W / L (M rows) | 2 * Beta (J rows)
+    m_beta_scale: np.ndarray
     m_vto: np.ndarray
     m_lambda: np.ndarray
-    m_polarity: np.ndarray   # +1 nmos, -1 pmos
+    m_polarity: np.ndarray   # +1 nmos/njf, -1 pmos/pjf
     m_kf: np.ndarray         # flicker noise coefficient (extended; .noise)
     m_af: np.ndarray
     m_names: tuple[str, ...]
@@ -272,17 +278,36 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
                         dtype=np.float64)
     s_names = tuple(s.name for s in ckt.S) + tuple(w.name for w in ckt.W)
 
-    d_idx = np.asarray(
-        [[midx(d.n_plus), midx(d.n_minus)] for d in ckt.D], dtype=np.int32
-    ).reshape(-1, 2)
-    d_is = np.asarray([d.model.Is for d in ckt.D], dtype=np.float64)
+    # JFET gate junctions lower into the diode arrays: for NJF the
+    # gate-channel PN junction's anode is the gate (conducts when vgs/vgd
+    # go positive); PJF reverses anode/cathode. Synthetic names <j>#gs /
+    # <j>#gd surface the gate currents in element-current results.
+    d_rows = [[midx(d.n_plus), midx(d.n_minus)] for d in ckt.D]
+    d_is_l = [d.model.Is for d in ckt.D]
+    d_n_l = [d.model.N for d in ckt.D]
+    d_kf_l = [d.model.KF for d in ckt.D]
+    d_af_l = [d.model.AF for d in ckt.D]
+    d_names_l = [d.name for d in ckt.D]
+    for j in ckt.J:
+        g, dnode, snode = midx(j.ng), midx(j.nd), midx(j.ns)
+        for tag, chan in (("gs", snode), ("gd", dnode)):
+            if j.model.polarity >= 0:
+                d_rows.append([g, chan])
+            else:
+                d_rows.append([chan, g])
+            d_is_l.append(j.model.Is)
+            d_n_l.append(1.0)
+            d_kf_l.append(0.0)
+            d_af_l.append(1.0)
+            d_names_l.append(f"{j.name}#{tag}")
+    d_idx = np.asarray(d_rows, dtype=np.int32).reshape(-1, 2)
+    d_is = np.asarray(d_is_l, dtype=np.float64)
     # effective N * (T/300): engines compute v_th = d_n * VT_300K, so this
     # folds .temp into every diode path (see CircuitTensors docstring)
-    d_n = np.asarray([d.model.N for d in ckt.D],
-                     dtype=np.float64) * (temp_k / 300.0)
-    d_kf = np.asarray([d.model.KF for d in ckt.D], dtype=np.float64)
-    d_af = np.asarray([d.model.AF for d in ckt.D], dtype=np.float64)
-    d_names = tuple(d.name for d in ckt.D)
+    d_n = np.asarray(d_n_l, dtype=np.float64) * (temp_k / 300.0)
+    d_kf = np.asarray(d_kf_l, dtype=np.float64)
+    d_af = np.asarray(d_af_l, dtype=np.float64)
+    d_names = tuple(d_names_l)
 
     i_idx = np.asarray(
         [[midx(s.n1), midx(s.n2)] for s in ckt.I], dtype=np.int32
@@ -324,18 +349,34 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     h_names = tuple(h.name for h in ckt.H)
 
     m_idx = np.asarray(
-        [[midx(m.nd), midx(m.ng), midx(m.ns)] for m in ckt.M],
+        [[midx(m.nd), midx(m.ng), midx(m.ns)] for m in ckt.M]
+        + [[midx(j.nd), midx(j.ng), midx(j.ns)] for j in ckt.J],
         dtype=np.int32,
     ).reshape(-1, 3)
     m_beta = np.asarray(
-        [m.model.Kp * m.W / m.L for m in ckt.M], dtype=np.float64)
-    m_vto = np.asarray([m.model.Vto for m in ckt.M], dtype=np.float64)
-    m_lambda = np.asarray([m.model.Lambda for m in ckt.M], dtype=np.float64)
+        [m.model.Kp * m.W / m.L for m in ckt.M]
+        + [2.0 * j.model.Beta for j in ckt.J], dtype=np.float64)
+    m_beta_scale = np.asarray(
+        [1.0] * len(ckt.M) + [2.0] * len(ckt.J), dtype=np.float64)
+    # PJF keeps SPICE's negative-as-given Vto but evaluates the overdrive on
+    # reflected voltages (vov = -vgs - Vto); the MOS kernel's convention is
+    # vov = s*vgs - s*vto, so J rows store s*Vto
+    m_vto = np.asarray(
+        [m.model.Vto for m in ckt.M]
+        + [j.model.polarity * j.model.Vto for j in ckt.J], dtype=np.float64)
+    m_lambda = np.asarray(
+        [m.model.Lambda for m in ckt.M]
+        + [j.model.Lambda for j in ckt.J], dtype=np.float64)
     m_polarity = np.asarray(
-        [m.model.polarity for m in ckt.M], dtype=np.float64)
-    m_kf = np.asarray([m.model.KF for m in ckt.M], dtype=np.float64)
-    m_af = np.asarray([m.model.AF for m in ckt.M], dtype=np.float64)
-    m_names = tuple(m.name for m in ckt.M)
+        [m.model.polarity for m in ckt.M]
+        + [j.model.polarity for j in ckt.J], dtype=np.float64)
+    m_kf = np.asarray(
+        [m.model.KF for m in ckt.M]
+        + [j.model.KF for j in ckt.J], dtype=np.float64)
+    m_af = np.asarray(
+        [m.model.AF for m in ckt.M]
+        + [j.model.AF for j in ckt.J], dtype=np.float64)
+    m_names = tuple(m.name for m in ckt.M) + tuple(j.name for j in ckt.J)
 
     q_idx = np.asarray(
         [[midx(q.nc), midx(q.nb), midx(q.ne)] for q in ckt.Q],
@@ -371,7 +412,8 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         e_idx=e_idx, e_gain=e_gain, e_names=e_names,
         f_idx=f_idx, f_gain=f_gain, f_names=f_names,
         h_idx=h_idx, h_r=h_r, h_names=h_names,
-        m_idx=m_idx, m_beta=m_beta, m_vto=m_vto, m_lambda=m_lambda,
+        m_idx=m_idx, m_beta=m_beta, m_beta_scale=m_beta_scale, m_vto=m_vto,
+        m_lambda=m_lambda,
         m_polarity=m_polarity, m_kf=m_kf, m_af=m_af, m_names=m_names,
         q_idx=q_idx, q_is=q_is, q_bf=q_bf, q_br=q_br,
         q_polarity=q_polarity, q_kf=q_kf, q_af=q_af, q_names=q_names,

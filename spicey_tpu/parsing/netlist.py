@@ -49,7 +49,7 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # in element names (subcircuit flattening emits "r1.x1"-style names). X
 # instance lines are consumed by _flatten_subcircuits before this regex ever
 # sees them.
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwb][\w.]*$",
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbj][\w.]*$",
                                       re.IGNORECASE)
 # \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
 # a .subckt block)
@@ -271,6 +271,26 @@ class BJTModel:
 
 
 @dataclass
+class JFETModel:
+    """Extended-dialect level-1 JFET model (.model <name> njf|pjf).
+
+    SPICE defaults: Vto=-2 V (both polarities, SPICE convention: the
+    pinch-off is negative as-given and the PJF equations run on reflected
+    terminal voltages), Beta=1e-4 A/V^2, Lambda=0, gate-junction Is=1e-14 A.
+    """
+
+    name: str
+    polarity: float = 1.0  # +1 njf, -1 pjf
+    Vto: float = -2.0
+    Beta: float = 1e-4
+    Lambda: float = 0.0
+    Is: float = 1e-14
+    # flicker (1/f) noise parameters (extended dialect; used by .noise)
+    KF: float = 0.0
+    AF: float = 1.0
+
+
+@dataclass
 class MOSFET:
     """Extended-dialect M element: ``M name nd ng ns [nb] model [w=] [l=]``.
 
@@ -298,6 +318,26 @@ class BJT:
     ne: int
     model_name: str
     model: BJTModel | None = None
+
+
+@dataclass
+class JFET:
+    """Extended-dialect J element: ``J name nd ng ns model``.
+
+    Lowered at tensorization time onto the existing companion primitives:
+    one square-law channel entry in the MOSFET arrays (JFET's
+    ``Beta*(vgs-Vto)^2`` saturation law equals the level-1 MOS law with
+    ``beta_mos = 2*Beta``) plus two gate-junction diode entries
+    (gate-source / gate-drain) in the diode arrays — see
+    ir/circuit.py:build_tensors. No new engine code paths.
+    """
+
+    name: str
+    nd: int
+    ng: int
+    ns: int
+    model_name: str
+    model: JFETModel | None = None
 
 
 @dataclass
@@ -455,6 +495,7 @@ class ParsedCircuit:
     H: list[CCVS] = field(default_factory=list)  # extended dialect
     M: list[MOSFET] = field(default_factory=list)  # extended dialect
     Q: list[BJT] = field(default_factory=list)  # extended dialect
+    J: list[JFET] = field(default_factory=list)  # extended dialect
     W: list[CSwitch] = field(default_factory=list)  # extended dialect
     K: list[MutualCoupling] = field(default_factory=list)  # extended dialect
     B: list[BSource] = field(default_factory=list)  # extended dialect
@@ -475,6 +516,7 @@ class ParsedCircuit:
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
     mos_models: dict[str, MOSModel] = field(default_factory=dict)
     bjt_models: dict[str, BJTModel] = field(default_factory=dict)
+    jfet_models: dict[str, JFETModel] = field(default_factory=dict)
     title: str | None = None
     temp_c: float | None = None  # extended .temp (Celsius); None = 300 K
     options: dict[str, float] = field(default_factory=dict)  # extended
@@ -744,6 +786,23 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "af" in params:
                 model.AF = params["af"]
             ckt.bjt_models[name_token.lower()] = model
+        elif type_lower in ("njf", "pjf") and dialect == "extended":
+            model = JFETModel(name=name_token,
+                              polarity=1.0 if type_lower == "njf" else -1.0)
+            params = _parse_model_params(params_str)
+            if "vto" in params:
+                model.Vto = params["vto"]
+            if "beta" in params:
+                model.Beta = params["beta"]
+            if "lambda" in params:
+                model.Lambda = params["lambda"]
+            if "is" in params:
+                model.Is = params["is"]
+            if "kf" in params:
+                model.KF = params["kf"]
+            if "af" in params:
+                model.AF = params["af"]
+            ckt.jfet_models[name_token.lower()] = model
         else:
             ckt.skipped.append(line)
     else:
@@ -862,7 +921,7 @@ def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str],
 # name are node references that must be remapped into the instance scope
 _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
-    "q": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2,
+    "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2,
     "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
 }
 
@@ -1252,6 +1311,16 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 model_name = _require(tokens, 4, "BJT missing model")
                 ckt.Q.append(BJT(name=name, nc=nc, nb=nb, ne=ne,
                                  model_name=model_name.lower()))
+            elif type_char == "j" and dialect == "extended":
+                nd = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "JFET missing drain node"))
+                ng = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "JFET missing gate node"))
+                ns = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "JFET missing source node"))
+                model_name = _require(tokens, 4, "JFET missing model")
+                ckt.J.append(JFET(name=name, nd=nd, ng=ng, ns=ns,
+                                  model_name=model_name.lower()))
             elif type_char in ("f", "h") and dialect == "extended":
                 n1 = ckt.nodes.get_or_create(
                     _require(tokens, 1, "Controlled source missing node"))
@@ -1464,5 +1533,13 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 f"Unknown .model {q.model_name} referenced by BJT {q.name}"
             )
         q.model = model
+
+    for j in ckt.J:
+        jmodel = ckt.jfet_models.get(j.model_name)
+        if jmodel is None:
+            raise ValueError(
+                f"Unknown .model {j.model_name} referenced by JFET {j.name}"
+            )
+        j.model = jmodel
 
     return ckt
