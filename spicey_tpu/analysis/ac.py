@@ -53,13 +53,15 @@ from ..ops.stamps import (
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
-from ..utils.logspace import linear_grid, logspace
+from ..utils.logspace import linear_grid, logspace, octspace
 from .results import ACResult
 
 
 def build_frequency_array(mode: str, N: int, f1: float, f2: float) -> np.ndarray:
     if mode == "dec":
         return logspace(f1, f2, N)
+    if mode == "oct":  # extended dialect (.ac oct parses only there)
+        return octspace(f1, f2, N)
     return linear_grid(f1, f2, N)
 
 

@@ -664,8 +664,8 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_tok = _require(tokens, 1, ".noise missing output spec")
         src = _require(tokens, 2, ".noise missing input source name")
         mode = _require(tokens, 3, ".noise missing sweep mode").lower()
-        if mode not in ("dec", "lin"):
-            raise ValueError(".noise supports 'dec' or 'lin'")
+        if mode not in ("dec", "lin", "oct"):
+            raise ValueError(".noise supports 'dec', 'lin' or 'oct'")
         N = int(js_parse_int(_require(tokens, 4, ".noise missing point count")))
         f1 = parse_number_with_units(
             _require(tokens, 5, ".noise missing start frequency"))
@@ -676,7 +676,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                                   mode=mode, N=N, f1=f1, f2=f2)
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
-        if mode not in ("dec", "lin"):
+        # the reference throws on anything but dec/lin (parseNetlist.ts:
+        # 165-179); the extended dialect adds ngspice's oct mode
+        allowed = ("dec", "lin", "oct") if dialect == "extended" else ("dec", "lin")
+        if mode not in allowed:
             raise ValueError(".ac supports 'dec' or 'lin'")
         N = int(js_parse_int(_require(tokens, 2, ".ac missing point count")))
         f1 = parse_number_with_units(_require(tokens, 3, ".ac missing start frequency"))

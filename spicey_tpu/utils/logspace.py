@@ -28,6 +28,23 @@ def logspace(f1: float, f2: float, points_per_decade: int) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)
 
 
+def octspace(f1: float, f2: float, points_per_octave: int) -> np.ndarray:
+    """Points-per-octave grid (extended-dialect ``.ac oct``; the reference
+    throws on any mode but dec/lin, simulateAC-adjacent parseNetlist.ts:
+    165-179). Same structure as :func:`logspace` with base 2: points at
+    ``f1 * 2^(i/N)``, exact stop appended when the last point falls short."""
+    if f1 <= 0 or f2 <= 0:
+        raise ValueError(".ac frequencies must be > 0")
+    if f2 < f1:
+        f1, f2 = f2, f1
+    octaves = math.log2(f2 / f1)
+    n = max(1, math.ceil(octaves * points_per_octave))
+    arr = [f1 * math.pow(2.0, i / points_per_octave) for i in range(n + 1)]
+    if arr[-1] < f2 * (1 - EPS):
+        arr.append(f2)
+    return np.asarray(arr, dtype=np.float64)
+
+
 def linear_grid(f1: float, f2: float, N: int) -> np.ndarray:
     """Linear .ac grid: max(2, N) evenly spaced points inclusive
     (/root/reference/lib/analysis/simulateAC.ts:17-21)."""

@@ -122,3 +122,37 @@ def test_singular_ac_raises():
     ckt = parse_netlist("t\nv1 1 0 ac 1\nv2 1 0 ac 2\nr1 1 0 1k\n.ac lin 2 1 10\n")
     with pytest.raises(ValueError, match="Singular"):
         simulate_ac(ckt)
+
+
+def test_ac_oct_mode_extended():
+    """Extended-dialect .ac oct: points at f1*2^(i/N); exact stop when the
+    span is a whole number of octaves. The reference dialect throws."""
+    ckt = parse_netlist("t\nv1 1 0 ac 1\nr1 1 2 30\nc1 2 0 100u\n"
+                        ".ac oct 4 100 1600\n", dialect="extended")
+    ac = simulate_ac(ckt)
+    expect = 100.0 * 2.0 ** (np.arange(17) / 4.0)
+    np.testing.assert_allclose(ac.freqs, expect, rtol=1e-12)
+    # non-integral octave span: ceil(octaves*N) intervals, so the grid
+    # overshoots f2 rather than appending it — the same semantics as the
+    # reference's dec grid (utils/logspace.ts:7-14)
+    ckt2 = parse_netlist("t\nv1 1 0 ac 1\nr1 1 0 1k\n.ac oct 2 100 500\n",
+                         dialect="extended")
+    ac2 = simulate_ac(ckt2)
+    np.testing.assert_allclose(ac2.freqs,
+                               100.0 * 2.0 ** (np.arange(6) / 2.0),
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="dec.*lin"):
+        parse_netlist("t\nv1 1 0 ac 1\nr1 1 0 1k\n.ac oct 2 1 10\n")
+
+
+def test_noise_oct_mode():
+    from spicey_tpu import simulate
+    from spicey_tpu.constants import K_BOLTZMANN, T_NOISE
+
+    r = simulate("t\nv1 in 0 dc 0 ac 1\nr1 in out 1k\nr2 out 0 1k\n"
+                 ".noise v(out) v1 oct 2 100 800\n", dialect="extended")
+    np.testing.assert_allclose(r.noise.freqs[:-1],
+                               100.0 * 2.0 ** (np.arange(6) / 2.0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(r.noise.output_psd,
+                               4 * K_BOLTZMANN * T_NOISE * 500.0, rtol=1e-9)

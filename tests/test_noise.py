@@ -124,7 +124,7 @@ def test_noise_unknown_source_raises():
 
 def test_noise_bad_mode_raises():
     with pytest.raises(ValueError, match="dec.*lin|lin.*dec"):
-        parse_netlist("t\n.noise v(1) v1 oct 5 1 10\n", dialect="extended")
+        parse_netlist("t\n.noise v(1) v1 log 5 1 10\n", dialect="extended")
 
 
 def test_noise_skipped_in_spicey_dialect():
