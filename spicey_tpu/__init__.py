@@ -75,6 +75,7 @@ from .analysis.four import FourierProbe, FourierResult, simulate_four
 from .analysis.meas import (MeasSpec, evaluate_meas, evaluate_meas_batch,
                             meas_batch, simulate_meas)
 from .analysis.noise import NoiseResult, simulate_noise
+from .analysis.pz import PZResult, format_pz_result, simulate_pz
 from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
@@ -139,6 +140,9 @@ __all__ = [
     "simulate_noise",
     "NoiseResult",
     "format_noise_result",
+    "simulate_pz",
+    "PZResult",
+    "format_pz_result",
     "simulate_meas",
     "meas_batch",
     "MeasSpec",

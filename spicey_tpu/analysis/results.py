@@ -60,3 +60,4 @@ class SimulationResult:
     four: object | None = None  # FourierResult when the extended .four ran
     noise: object | None = None  # NoiseResult when the extended .noise ran
     meas: dict | None = None  # {name: value} when extended .meas lines ran
+    pz: object | None = None  # PZResult when the extended .pz directive ran

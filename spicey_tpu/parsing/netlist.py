@@ -480,6 +480,22 @@ class TFAnalysis:
 
 
 @dataclass
+class PZAnalysis:
+    """Extended-dialect ``.pz n1 n2 n3 n4 cur|vol pol|zer|pz``:
+    pole-zero analysis of the small-signal transfer function from the input
+    port (n1, n2) to the output port (n3, n4) at the DC operating point,
+    ngspice-style. ``vol`` = voltage transfer (ideal V input across the
+    port), ``cur`` = transimpedance (unit current into n1, out of n2)."""
+
+    n1: str
+    n2: str
+    n3: str
+    n4: str
+    transfer: str  # "cur" | "vol"
+    which: str     # "pol" | "zer" | "pz"
+
+
+@dataclass
 class ParsedCircuit:
     nodes: NodeIndex = field(default_factory=NodeIndex)
     R: list[Resistor] = field(default_factory=list)
@@ -503,6 +519,7 @@ class ParsedCircuit:
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
     tf: TFAnalysis | None = None  # extended dialect
+    pz: PZAnalysis | None = None  # extended dialect
     four: FourAnalysis | None = None  # extended dialect
     noise: NoiseAnalysis | None = None  # extended dialect
     meas: list = field(default_factory=list)  # extended .meas tran specs
@@ -674,6 +691,18 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
         ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
                                   mode=mode, N=N, f1=f1, f2=f2)
+    elif dir_name == ".pz" and dialect == "extended":
+        if len(tokens) < 7:
+            raise ValueError(
+                ".pz needs: .pz n1 n2 n3 n4 cur|vol pol|zer|pz")
+        transfer = tokens[5].lower()
+        if transfer not in ("cur", "vol"):
+            raise ValueError(".pz transfer type must be 'cur' or 'vol'")
+        which = tokens[6].lower()
+        if which not in ("pol", "zer", "pz"):
+            raise ValueError(".pz analysis type must be 'pol', 'zer' or 'pz'")
+        ckt.pz = PZAnalysis(n1=tokens[1], n2=tokens[2], n3=tokens[3],
+                            n4=tokens[4], transfer=transfer, which=which)
     elif dir_name == ".ac":
         mode = _require(tokens, 1, ".ac missing mode").lower()
         # the reference throws on anything but dec/lin (parseNetlist.ts:
