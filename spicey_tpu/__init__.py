@@ -50,6 +50,7 @@ from .formatting.text import (
     format_tf_result,
     format_tran_result,
 )
+from .formatting.rawfile import format_rawfile, read_rawfile, write_rawfile
 from .formatting.vgraph import eec_engine_tran_to_vgraphs, spicey_tran_to_vgraphs
 from .ir.circuit import CircuitTensors, build_tensors
 from .math_complex import Complex
@@ -143,6 +144,9 @@ __all__ = [
     "simulate_pz",
     "PZResult",
     "format_pz_result",
+    "format_rawfile",
+    "read_rawfile",
+    "write_rawfile",
     "simulate_meas",
     "meas_batch",
     "MeasSpec",
