@@ -77,6 +77,7 @@ from .analysis.meas import (MeasSpec, evaluate_meas, evaluate_meas_batch,
                             meas_batch, simulate_meas)
 from .analysis.noise import NoiseResult, simulate_noise
 from .analysis.pz import PZResult, format_pz_result, simulate_pz
+from .analysis.sens import SensResult, format_sens_result, simulate_sens
 from .analysis.tf import TFResult, simulate_tf
 from .parallel.mesh import make_mesh, sharder
 from .parsing.netlist import ParsedCircuit, parse_netlist
@@ -147,6 +148,9 @@ __all__ = [
     "format_rawfile",
     "read_rawfile",
     "write_rawfile",
+    "simulate_sens",
+    "SensResult",
+    "format_sens_result",
     "simulate_meas",
     "meas_batch",
     "MeasSpec",

@@ -48,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
             format_noise_result,
             format_op_result,
             format_pz_result,
+            format_sens_result,
             format_tf_result,
             format_tran_result,
             simulate,
@@ -67,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(format_tf_result(res.tf))
             if res.pz is not None:
                 print(format_pz_result(res.pz))
+            if res.sens is not None:
+                print(format_sens_result(res.sens))
             if res.noise is not None:
                 print(format_noise_result(res.noise))
             if res.ac is not None:

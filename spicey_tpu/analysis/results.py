@@ -61,3 +61,4 @@ class SimulationResult:
     noise: object | None = None  # NoiseResult when the extended .noise ran
     meas: dict | None = None  # {name: value} when extended .meas lines ran
     pz: object | None = None  # PZResult when the extended .pz directive ran
+    sens: object | None = None  # SensResult when the extended .sens ran

@@ -15,6 +15,7 @@ from .four import simulate_four
 from .meas import simulate_meas
 from .noise import simulate_noise
 from .pz import simulate_pz
+from .sens import simulate_sens
 from .tf import simulate_tf
 from ..utils.profiling import span
 from .tran import simulate_tran
@@ -35,7 +36,8 @@ def simulate(netlist_text: str, method: str = "gj",
         # .tf and .noise both linearize at the operating point; solve it
         # once and share it rather than re-running Newton per analysis
         need_op = (circuit.op or circuit.tf is not None
-                   or circuit.noise is not None or circuit.pz is not None)
+                   or circuit.noise is not None or circuit.pz is not None
+                   or circuit.sens is not None)
         op_point = simulate_op(circuit, tensors=tensors, method=method) \
             if need_op else None
         op = op_point if circuit.op else None
@@ -50,6 +52,9 @@ def simulate(netlist_text: str, method: str = "gj",
     with span("pz"):
         pz = simulate_pz(circuit, tensors=tensors, method=method,
                          op=op_point)
+    with span("sens"):
+        sens = simulate_sens(circuit, tensors=tensors, method=method,
+                             op=op_point)
     with span("ac"):
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)
@@ -69,4 +74,5 @@ def simulate(netlist_text: str, method: str = "gj",
     with span("meas"):
         meas = simulate_meas(circuit, tran)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
-                            tf=tf, four=four, noise=noise, meas=meas, pz=pz)
+                            tf=tf, four=four, noise=noise, meas=meas, pz=pz,
+                            sens=sens)

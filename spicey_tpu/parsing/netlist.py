@@ -480,6 +480,15 @@ class TFAnalysis:
 
 
 @dataclass
+class SensAnalysis:
+    """Extended-dialect ``.sens v(out[,ref])``: DC sensitivities of the
+    output voltage w.r.t. every circuit parameter (adjoint method)."""
+
+    out_pos: str
+    out_neg: str | None
+
+
+@dataclass
 class PZAnalysis:
     """Extended-dialect ``.pz n1 n2 n3 n4 cur|vol pol|zer|pz``:
     pole-zero analysis of the small-signal transfer function from the input
@@ -520,6 +529,7 @@ class ParsedCircuit:
     dc: DCAnalysis | None = None  # extended dialect
     tf: TFAnalysis | None = None  # extended dialect
     pz: PZAnalysis | None = None  # extended dialect
+    sens: SensAnalysis | None = None  # extended dialect
     four: FourAnalysis | None = None  # extended dialect
     noise: NoiseAnalysis | None = None  # extended dialect
     meas: list = field(default_factory=list)  # extended .meas tran specs
@@ -691,6 +701,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
         ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
                                   mode=mode, N=N, f1=f1, f2=f2)
+    elif dir_name == ".sens" and dialect == "extended":
+        out_tok = _require(tokens, 1, ".sens missing output spec")
+        out_pos, out_neg = _parse_v_output_spec(out_tok, ".sens", line)
+        ckt.sens = SensAnalysis(out_pos=out_pos, out_neg=out_neg)
     elif dir_name == ".pz" and dialect == "extended":
         if len(tokens) < 7:
             raise ValueError(
