@@ -42,7 +42,7 @@ from ..constants import (
     VT_300K,
 )
 from ..ir.circuit import (CircuitTensors, build_tensors,
-                          bv_branch_rows, ext_arrays, lk_arrays)
+                          bv_branch_rows, ext_arrays, lk_arrays, tl_arrays)
 from ..ops.linsolve import solve_planes
 from ..ops.stamps import (
     pad_solution,
@@ -50,6 +50,8 @@ from ..ops.stamps import (
     stamp_current,
     stamp_extended,
     stamp_mutual,
+    stamp_tline_coupling,
+    stamp_tline_ports,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -74,7 +76,7 @@ def _inductor_susceptance(f, l_vals):
 
 def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
                   v_re, v_im, nvar, ext=None, i_re=None, i_im=None,
-                  minv=None):
+                  minv=None, tl=None):
     """Build (A_re, A_im, b_re, b_im) for one frequency; pure scatter-adds.
 
     ``minv``: M^{-1} for K-coupled inductors (analysis/tran._mutual_inv).
@@ -108,13 +110,22 @@ def _assemble_one(f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         b_im = stamp_current(b_im, ext["i_idx"], i_im)
         # controlled sources: real, frequency-independent stamps
         A_re = stamp_extended(A_re, ext)
+    if tl is not None:
+        # transmission lines, exact lossless phasor model: near-end Z0 rows
+        # plus the far-end coupling -e^{-j w Td} split across the planes
+        A_re = stamp_tline_ports(A_re, tl["t_idx"], tl["z0"])
+        theta = 2.0 * jnp.pi * f * tl["td"]
+        A_re = stamp_tline_coupling(A_re, tl["t_idx"], tl["z0"],
+                                    -jnp.cos(theta))
+        A_im = stamp_tline_coupling(A_im, tl["t_idx"], tl["z0"],
+                                    jnp.sin(theta))
     return (A_re[:nvar, :nvar], A_im[:nvar, :nvar],
             b_re[:nvar], b_im[:nvar])
 
 
 def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar, ext=None, i_re=None,
-                   i_im=None, minv=None):
+                   i_im=None, minv=None, tl=None):
     """Assembly vmapped over the frequency grid -> (F, N, N) planes.
 
     ``minv`` (frequency-independent) is computed once by the caller and
@@ -123,6 +134,7 @@ def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         lambda f: _assemble_one(
             f, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
             v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv,
+            tl=tl,
         )
     )
     return assemble(freqs)
@@ -132,7 +144,7 @@ def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar: int, method: str = "gj",
                    interpret: bool = False, ext=None, i_re=None, i_im=None,
-                   lk=None):
+                   lk=None, tl=None):
     """vmapped assemble + one batched solve over the whole grid."""
     if lk is not None:
         from .tran import _mutual_inv
@@ -142,7 +154,7 @@ def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         minv, minv_ok = None, None
     A_re, A_im, b_re, b_im = _assemble_grid(
         freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv,
+        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv, tl=tl,
     )
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                      method=method, interpret=interpret)
@@ -216,6 +228,11 @@ def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray
         i_ph = tensors.i_ac_mag * np.exp(1j * iph)
         for k, name in enumerate(tensors.i_names):
             out[name] = np.full(x.shape[0], i_ph[k], dtype=np.complex128)
+    if tensors.n_t:
+        # port-current phasors are branch unknowns (Branin model)
+        for k, name in enumerate(tensors.t_names):
+            out[name] = x[:, tensors.t_idx[k, 4]]
+            out[f"{name}#p2"] = x[:, tensors.t_idx[k, 5]]
     return out
 
 
@@ -402,6 +419,7 @@ def simulate_ac(
         ext=ext,
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
         lk=lk_arrays(tensors),
+        tl=tl_arrays(tensors),
     )
     # one packed device->host transfer (round-trips cost ~30 ms each on
     # remote-tunnel TPU setups)

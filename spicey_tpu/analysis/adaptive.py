@@ -216,6 +216,11 @@ def simulate_tran_adaptive(
     steps. Raises if the attempt budget is exhausted before tstop."""
     if ckt.tran is None:
         return None
+    if ckt.T:
+        # the Branin history buffer assumes a FIXED step grid; a variable
+        # step would need time-stamped interpolation of the delay line
+        raise NotImplementedError(
+            "transmission (T) lines are not supported in adaptive tran")
     if tensors is None:
         tensors = build_tensors(ckt)
     tstop = ckt.tran.tstop

@@ -38,10 +38,11 @@ from ..ir.circuit import (
     lk_arrays,
     nl_arrays,
     sample_source_values,
+    tl_arrays,
 )
 from ..parsing.netlist import ParsedCircuit, parse_netlist
 from .ac import _assemble_grid, build_frequency_array
-from .tran import _mutual_inv, _tran_core
+from .tran import _mutual_inv, _tline_hist_len, _tran_core
 
 
 @dataclass
@@ -78,7 +79,7 @@ def _resolve(ckt: ParsedCircuit | str,
 def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, i_re, i_im, ext,
                    nvar: int, method: str, interpret: bool = False,
-                   lk=None):
+                   lk=None, tl=None):
     """Assemble over (B, F), then ONE lane-dense solve over the flat batch.
 
     Only the assembly is vmapped; the solve sees the whole (B*F, N, N)
@@ -101,7 +102,8 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             minv, mok = None, jnp.asarray(True)
         planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                                 v_idx, vre, vim, nvar,
-                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv)
+                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv,
+                                tl=tl)
         return planes + (mok,)
 
     A_re, A_im, b_re, b_im, mok = jax.vmap(
@@ -264,6 +266,7 @@ def simulate_ac_batch(
         i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
         lk=_batched_lk(tensors, overrides, B),
+        tl=tl_arrays(tensors),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -364,6 +367,10 @@ def simulate_tran_batch(
         ext=ext, nl=nl, lk=_batched_lk(tensors, overrides, B), batch=B,
         bsrc=bsrc_static(ckt, tensors.nvar),
         interpret=interpret,
+        # transmission lines: Z0/Td are not sweepable (unbatched (nT,)
+        # arrays broadcast against the lane axis inside the stamps)
+        tl=tl_arrays(tensors),
+        hist_len=_tline_hist_len(tensors, dt),
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -100,6 +100,9 @@ def fit_ac(
     if ckt.B:
         raise NotImplementedError(
             "behavioral (B) sources are not supported in this analysis yet")
+    if ckt.T:
+        raise NotImplementedError(
+            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -177,6 +180,9 @@ def fit_tran(
     if ckt.B:
         raise NotImplementedError(
             "behavioral (B) sources are not supported in this analysis yet")
+    if ckt.T:
+        raise NotImplementedError(
+            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)

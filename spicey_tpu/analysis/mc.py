@@ -35,6 +35,7 @@ from ..ir.circuit import (
     ext_arrays,
     lk_arrays,
     sample_source_values,
+    tl_arrays,
 )
 from ..parsing.netlist import ParsedCircuit
 from .ac import _assemble_grid, build_frequency_array
@@ -46,7 +47,7 @@ from .batch import (
     _consumed,
     _resolve,
 )
-from .tran import _mutual_inv, _tran_core
+from .tran import _mutual_inv, _tline_hist_len, _tran_core
 
 
 @dataclass
@@ -116,7 +117,7 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
                       interpret: bool = False, chunk: int | None = None,
-                      n_real: int | None = None, lk=None):
+                      n_real: int | None = None, lk=None, tl=None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -128,7 +129,8 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             minv, mok = None, jnp.asarray(True)
         planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                                 v_idx, vre, vim, nvar,
-                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv)
+                                ext=ext_b, i_re=i_re, i_im=i_im, minv=minv,
+                                tl=tl)
         return planes + (mok,)
 
     def solve_block(rv, cv, lv, vre, vim, ext_b):
@@ -296,6 +298,7 @@ def mc_ac_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
+        tl=tl_arrays(tensors, dtype=fdt),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
@@ -303,12 +306,13 @@ def mc_ac_stats(
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "nr", "interpret", "bsrc"))
+                                   "nr", "interpret", "bsrc", "hist_len"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
-                        interpret: bool = False, lk=None, bsrc=()):
+                        interpret: bool = False, lk=None, bsrc=(),
+                        tl=None, hist_len: int = 0):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -318,6 +322,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
         nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk, bsrc=bsrc,
         batch=r_vals.shape[0], interpret=interpret, record=node_idx,
+        tl=tl, hist_len=hist_len,
     )
     v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
@@ -421,6 +426,8 @@ def mc_tran_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
+        tl=tl_arrays(tensors, dtype=fdt),
+        hist_len=_tline_hist_len(tensors, dt),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -527,6 +534,7 @@ def mc_ac_sampled(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
+        tl=tl_arrays(tensors, dtype=fdt),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..constants import EPS, K_BOLTZMANN, Q_ELECTRON, T_NOISE
 from ..ir.circuit import (CircuitTensors, build_tensors,
-                          bv_branch_rows, ext_arrays, lk_arrays)
+                          bv_branch_rows, ext_arrays, lk_arrays, tl_arrays)
 from ..ops.linsolve import solve_planes
 from ..parsing.netlist import ParsedCircuit
 from .ac import (
@@ -234,7 +234,7 @@ def simulate_noise(
         jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
         nvar, ext=ext,
         i_re=jnp.asarray(i_unit), i_im=jnp.zeros(tensors.n_i),
-        minv=minv,
+        minv=minv, tl=tl_arrays(tensors),
     )
     # forward solve: gain(f) = v(out) per unit input
     x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method)

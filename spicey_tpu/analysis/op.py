@@ -41,6 +41,8 @@ from ..ops.stamps import (
     stamp_admittance,
     stamp_current,
     stamp_extended,
+    stamp_tline_coupling,
+    stamp_tline_ports,
     stamp_voltage_source,
 )
 from ..parsing.netlist import ParsedCircuit
@@ -70,7 +72,7 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj", batch: int | None = None, x0=None,
-             bsrc=()):
+             bsrc=(), tl=None):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
@@ -92,6 +94,13 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         A, b = stamp_voltage_source(A, b, v_idx, v_dc)
         b = stamp_current(b, ext["i_idx"], i_dc)
         A = stamp_extended(A, ext)
+        if tl is not None:
+            # transmission line at DC: the theta->0 Branin steady state —
+            # a differential short (v and i equal across ports), the
+            # classic SPICE T-element DC behavior
+            A = stamp_tline_ports(A, tl["t_idx"], tl["z0"])
+            A = stamp_tline_coupling(A, tl["t_idx"], tl["z0"],
+                                     -jnp.ones_like(tl["z0"]))
         r_sw = jnp.where(sw_on, s_ron, s_roff)
         A = stamp_admittance(A, s_idx[:, :2],
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
@@ -178,6 +187,11 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
                  r_vals, max_iters, tol, method, ext=None, nl=None,
                  batch=None, x0=None, bsrc=()):
     dump = nvar_op
+    tl = None
+    if tensors.n_t:
+        from ..ir.circuit import tl_arrays
+
+        tl = tl_arrays(tensors, dump=dump)
     return _op_core(
         jnp.asarray(remap(tensors.r_idx)), r_vals,
         jnp.asarray(l_bidx), jnp.asarray(v_idx_op), v_dc,
@@ -190,7 +204,7 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
         ext if ext is not None else ext_arrays(tensors, dump=dump),
         nl if nl is not None else nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
-        batch=batch, x0=x0, bsrc=bsrc,
+        batch=batch, x0=x0, bsrc=bsrc, tl=tl,
     )
 
 
@@ -299,6 +313,9 @@ def simulate_op(
         else:
             vals = jnp.asarray([x_pad[a] - x_pad[b] for a, b in refs])
             currents[bsrc_el.name] = float(fn(vals, 0.0))
+    for k, name in enumerate(tensors.t_names):
+        currents[name] = float(x[tensors.t_idx[k, 4]])
+        currents[f"{name}#p2"] = float(x[tensors.t_idx[k, 5]])
     return OPResult(node_voltages=node_voltages, element_currents=currents,
                     switch_states=switch_states)
 

@@ -186,6 +186,23 @@ def _build_pencil(ckt: ParsedCircuit, tensors: CircuitTensors, op,
         bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
         _vccs(G, remap(bs_idx), bs_g)
 
+    # transmission lines at DC (theta -> 0 steady state): differential
+    # short between the ports. Valid for G (.sens); the delay itself is
+    # NOT polynomial in s, so .pz refuses circuits with lines.
+    if tensors.n_t:
+        ti = remap(tensors.t_idx)
+        for (i1, i2, i3, i4, b1, b2), z0 in zip(ti, tensors.t_z0):
+            for (p, q, br, fp, fq, obr) in ((i1, i2, b1, i3, i4, b2),
+                                            (i3, i4, b2, i1, i2, b1)):
+                G[p, br] += 1.0
+                G[q, br] -= 1.0
+                G[br, p] += 1.0
+                G[br, q] -= 1.0
+                G[br, br] -= z0
+                G[br, fp] -= 1.0
+                G[br, fq] += 1.0
+                G[br, obr] -= z0
+
     # capacitors: admittance pattern with value C in the s-plane
     _adm(C, remap(tensors.c_idx), tensors.c_vals)
     # inductors: branch unknowns after the AC block; the branch row is
@@ -255,6 +272,10 @@ def simulate_pz(
         return None
     if tensors is None:
         tensors = build_tensors(ckt)
+    if tensors.n_t:
+        raise ValueError(
+            ".pz does not support transmission lines: the delay e^{-s*Td} "
+            "is not a polynomial pencil (infinitely many poles)")
     spec = ckt.pz
 
     def node_index(name: str) -> int | None:

@@ -95,6 +95,9 @@ def sensitivity_ac(
     if ckt.B:
         raise NotImplementedError(
             "behavioral (B) sources are not supported in this analysis yet")
+    if ckt.T:
+        raise NotImplementedError(
+            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -153,6 +156,9 @@ def sensitivity_tran(
     if ckt.B:
         raise NotImplementedError(
             "behavioral (B) sources are not supported in this analysis yet")
+    if ckt.T:
+        raise NotImplementedError(
+            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)

@@ -60,6 +60,7 @@ from ..ir.circuit import (
     lk_arrays,
     nl_arrays,
     sample_source_values,
+    tl_arrays,
 )
 from ..models.devices import bjt_ebers_moll, mos_level1
 from ..ops.linsolve import solve
@@ -69,6 +70,7 @@ from ..ops.stamps import (
     stamp_current,
     stamp_extended,
     stamp_mutual,
+    stamp_tline_ports,
     stamp_vccs,
     stamp_voltage_source,
 )
@@ -229,7 +231,8 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   i_prev_l, v_prev_l, vd_prev_d, sw_on,
                   integration: str = "be", is_first=None, is_second=None,
                   nl=None, vm_prev=None, vq_prev=None,
-                  v_prev2_c=None, i_prev2_l=None, bsrc=(), t=0.0):
+                  v_prev2_c=None, i_prev2_l=None, bsrc=(), t=0.0,
+                  tl=None, e_t=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext, minv) = tensors_arrays
@@ -296,6 +299,12 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     A, b = stamp_voltage_source(A, b, v_idx, vs_t[..., :n_v])
     # extended-dialect current sources: direct RHS injection
     b = stamp_current(b, ext["i_idx"], vs_t[..., n_v:])
+    # transmission lines: near-end topology + delayed far-end Thevenin
+    # sources from the history buffer (Branin; e_t: (..., nT, 2))
+    if tl is not None:
+        A = stamp_tline_ports(A, tl["t_idx"], tl["z0"])
+        b = b.at[..., tl["t_idx"][:, 4]].add(e_t[..., 0])
+        b = b.at[..., tl["t_idx"][:, 5]].add(e_t[..., 1])
     # extended-dialect controlled sources (linear, time-invariant)
     A = stamp_extended(A, ext)
     # Diode Shockley companions
@@ -329,7 +338,8 @@ def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
 
 @partial(jax.jit, static_argnames=("nvar", "method", "integration", "nr",
                                    "nr_tol", "max_nr", "batch",
-                                   "interpret", "record", "resume", "bsrc"))
+                                   "interpret", "record", "resume", "bsrc",
+                                   "hist_len"))
 def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                v_idx, s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
                nvar: int, method: str = "gj", integration: str = "be",
@@ -337,7 +347,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                max_nr: int | None = None, ext=None, nl=None, lk=None,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
-               resume: bool = False, bsrc=(), times=None):
+               resume: bool = False, bsrc=(), times=None,
+               tl=None, hist_len: int = 0):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -392,6 +403,39 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     if max_nr is None:
         max_nr = MAX_NR_ITERS if nr == "spicey" else 50
 
+    # transmission-line history machinery (Branin): per-line delay in steps
+    # (clamped >= 1 — a line shorter than the timestep can't be causal on a
+    # fixed grid), circular buffer of the port Thevenin values w = v + Z0*i
+    n_t = 0 if tl is None else tl["t_idx"].shape[0]
+    if n_t:
+        td_steps = jnp.maximum(tl["td"] / jnp.maximum(dt, EPS), 1.0)
+        t_line = jnp.arange(n_t)
+
+        def tline_read(w_hist, cnt):
+            """Delayed far-end Thevenin sources (..., nT, 2) = (E1, E2)
+            at the step about to be solved, by linear interpolation on the
+            circular buffer (zeros before the wave arrives)."""
+            p = cnt.astype(dtype) - td_steps          # (nT,)
+            k = jnp.floor(p)
+            frac = (p - k)[..., None]
+            ki = k.astype(jnp.int32)
+            w_k = w_hist[..., ki % hist_len, t_line, :]
+            w_k1 = w_hist[..., (ki + 1) % hist_len, t_line, :]
+            w_k = jnp.where((ki >= 0)[..., None], w_k, 0.0)
+            w_k1 = jnp.where((ki >= -1)[..., None], w_k1, 0.0)
+            w = w_k * (1.0 - frac) + w_k1 * frac      # (..., nT, 2)
+            # E1 mirrors the FAR end's w2; E2 the near end's w1
+            return jnp.stack([w[..., 1], w[..., 0]], axis=-1)
+
+        def tline_write(w_hist, cnt, x_pad):
+            t_idx = tl["t_idx"]
+            w1 = (x_pad[..., t_idx[:, 0]] - x_pad[..., t_idx[:, 1]]
+                  + tl["z0"] * x_pad[..., t_idx[:, 4]])
+            w2 = (x_pad[..., t_idx[:, 2]] - x_pad[..., t_idx[:, 3]]
+                  + tl["z0"] * x_pad[..., t_idx[:, 5]])
+            w_new = jnp.stack([w1, w2], axis=-1)
+            return w_hist.at[..., cnt % hist_len, :, :].set(w_new)
+
     linear = (n_s == 0 and n_d == 0 and n_m == 0 and n_q == 0
               and not bsrc and nr == "spicey")
     if linear:
@@ -423,6 +467,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 A, b_dummy, v_idx,
                 jnp.zeros(v_idx.shape[:1], dtype=dtype))
             A = stamp_extended(A, ext)
+            if n_t:  # lines are linear: Z0 port rows are time-invariant
+                A = stamp_tline_ports(A, tl["t_idx"], tl["z0"])
             return A[..., :nvar, :nvar]
 
         def inv_of(A):
@@ -450,8 +496,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
     def step_fn(carry, inputs):
         vs_t, is_first, is_second, t_step = inputs
-        (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-         vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all) = carry
+        if n_t:
+            (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
+             vq_prev, sw_on, v_prev2_c, i_prev2_l, w_hist, t_cnt,
+             valid_all) = carry
+            e_t = tline_read(w_hist, t_cnt)
+        else:
+            (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
+             vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all) = carry
+            e_t = None
 
         def cond(st):
             _x, _sw, it, done, _ok = st
@@ -466,7 +519,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 is_second=is_second,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
                 v_prev2_c=v_prev2_c, i_prev2_l=i_prev2_l,
-                bsrc=bsrc, t=t_step,
+                bsrc=bsrc, t=t_step, tl=tl, e_t=e_t,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -523,6 +576,9 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             n_v = v_idx.shape[0]
             b = b.at[..., v_idx[:, 2]].add(vs_t[..., :n_v])
             b = stamp_current(b, ext["i_idx"], vs_t[..., n_v:])
+            if n_t:
+                b = b.at[..., tl["t_idx"][:, 4]].add(e_t[..., 0])
+                b = b.at[..., tl["t_idx"][:, 5]].add(e_t[..., 1])
             b = b[..., :nvar]
             if integration in ("trap", "gear2"):
                 sel = (is_first if integration == "trap"
@@ -593,8 +649,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 axis=-1,
             )
         valid_all = jnp.logical_and(valid_all, step_ok)
-        carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-                 vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all)
+        if n_t:
+            w_hist = tline_write(w_hist, t_cnt, x_pad)
+            carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d,
+                     vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l,
+                     w_hist, t_cnt + 1, valid_all)
+        else:
+            carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d,
+                     vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l,
+                     valid_all)
         out = x if record is None else x[..., record]
         return carry, (out, sw_on)
 
@@ -613,8 +676,13 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             jnp.zeros(lead + (n_s,), jnp.bool_),
             jnp.zeros(lead + (n_c,), dtype=dtype),
             jnp.zeros(lead + (n_l,), dtype=dtype),
-            init_valid,
         )
+        if n_t:
+            init = init + (
+                jnp.zeros(lead + (hist_len, n_t, 2), dtype=dtype),
+                jnp.asarray(0, jnp.int32),
+            )
+        init = init + (init_valid,)
     else:
         init = tuple(init_state) + (init_valid,)
     n_steps = vs_grid.shape[0]
@@ -628,6 +696,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         step_fn, init, (vs_grid, first_flags, second_flags, times)
     )
     return xs, sw_states, carry[-1], carry[:-1]
+
+
+def _tline_hist_len(tensors: CircuitTensors, dt: float) -> int:
+    """Circular-buffer length covering the longest line delay (+2 slots
+    for the interpolation pair and the in-flight write). Static per run."""
+    if tensors.n_t == 0:
+        return 0
+    steps = np.maximum(tensors.t_td / max(dt, EPS), 1.0)
+    return int(np.ceil(steps.max())) + 2
 
 
 def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
@@ -777,6 +854,11 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
         i_c = np.asarray(i_c)
         for k, name in enumerate(tensors.q_names):
             out[name] = i_c[:, k]
+    if tensors.n_t:
+        # port currents ARE branch unknowns; <name> = port 1, <name>#p2
+        for k, name in enumerate(tensors.t_names):
+            out[name] = xs_pad[:, tensors.t_idx[k, 4]]
+            out[f"{name}#p2"] = xs_pad[:, tensors.t_idx[k, 5]]
     return out
 
 
@@ -843,11 +925,16 @@ def simulate_tran(
         v_ic = (node_v[tensors.c_idx[:, 0]]
                 - node_v[tensors.c_idx[:, 1]])
         z = np.zeros
-        init_state = tuple(jnp.asarray(a) for a in (
+        parts = (
             v_ic, z(tensors.n_c), z(tensors.n_l), z(tensors.n_l),
             z(tensors.n_d), z((tensors.n_m, 2)), z((tensors.n_q, 2)),
             np.zeros(tensors.n_s, bool), v_ic.copy(), z(tensors.n_l),
-        ))
+        )
+        if tensors.n_t:
+            parts = parts + (z((_tline_hist_len(tensors, dt),
+                                tensors.n_t, 2)),
+                             np.int32(0))
+        init_state = tuple(jnp.asarray(a) for a in parts)
 
     xs, sw_states, valid, fin_state = _tran_core(
         jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
@@ -869,6 +956,8 @@ def simulate_tran(
         interpret=interpret,
         init_state=init_state,
         resume=state is not None,
+        tl=tl_arrays(tensors),
+        hist_len=_tline_hist_len(tensors, dt),
     )
     # one packed device->host transfer for the solution, switch states,
     # and the validity flag (round-trips are ~30 ms each over the tunnel)

@@ -141,6 +141,14 @@ class CircuitTensors:
     m_af: np.ndarray
     m_names: tuple[str, ...]
 
+    # transmission lines (extended T): (nT, 6) = [i1, i2, i3, i4, br1, br2]
+    # — port nodes dump-mapped, branch columns never ground (Branin model,
+    # two port-current unknowns per line after the Bv branches)
+    t_idx: np.ndarray
+    t_z0: np.ndarray
+    t_td: np.ndarray
+    t_names: tuple[str, ...]
+
     # BJTs (extended dialect): (nQ, 3) = [c, b, e] dump-mapped
     q_idx: np.ndarray
     q_is: np.ndarray
@@ -202,6 +210,10 @@ class CircuitTensors:
     @property
     def n_m(self) -> int:
         return self.m_idx.shape[0]
+
+    @property
+    def n_t(self) -> int:
+        return self.t_idx.shape[0]
 
     @property
     def n_q(self) -> int:
@@ -378,6 +390,14 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         + [j.model.AF for j in ckt.J], dtype=np.float64)
     m_names = tuple(m.name for m in ckt.M) + tuple(j.name for j in ckt.J)
 
+    t_idx = np.asarray(
+        [[midx(tl.n1), midx(tl.n2), midx(tl.n3), midx(tl.n4),
+          tl.index, tl.index + 1] for tl in ckt.T], dtype=np.int32,
+    ).reshape(-1, 6)
+    t_z0 = np.asarray([tl.z0 for tl in ckt.T], dtype=np.float64)
+    t_td = np.asarray([tl.td for tl in ckt.T], dtype=np.float64)
+    t_names = tuple(tl.name for tl in ckt.T)
+
     q_idx = np.asarray(
         [[midx(q.nc), midx(q.nb), midx(q.ne)] for q in ckt.Q],
         dtype=np.int32,
@@ -415,6 +435,7 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         m_idx=m_idx, m_beta=m_beta, m_beta_scale=m_beta_scale, m_vto=m_vto,
         m_lambda=m_lambda,
         m_polarity=m_polarity, m_kf=m_kf, m_af=m_af, m_names=m_names,
+        t_idx=t_idx, t_z0=t_z0, t_td=t_td, t_names=t_names,
         q_idx=q_idx, q_is=q_is, q_bf=q_bf, q_br=q_br,
         q_polarity=q_polarity, q_kf=q_kf, q_af=q_af, q_names=q_names,
     )
@@ -527,6 +548,27 @@ def bv_branch_rows(ckt: ParsedCircuit, dump: int) -> np.ndarray:
     rows = [[midx(b.n1), midx(b.n2), b.index]
             for b in ckt.B if b.kind == "v"]
     return np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+
+
+def tl_arrays(tensors: CircuitTensors, dtype=None,
+              dump: int | None = None):
+    """Transmission-line pytree, or None when the circuit has none.
+
+    ``None`` keeps every engine's no-lines fast path (no history carry in
+    the transient scan, no coupling stamps in AC/op)."""
+    import jax.numpy as jnp
+
+    if tensors.n_t == 0:
+        return None
+    dt = jnp.float64 if dtype is None else dtype
+    idx = tensors.t_idx
+    if dump is not None:
+        idx = np.where(idx == tensors.nvar, dump, idx)
+    return {
+        "t_idx": jnp.asarray(np.asarray(idx, np.int32)),
+        "z0": jnp.asarray(tensors.t_z0, dt),
+        "td": jnp.asarray(tensors.t_td, dt),
+    }
 
 
 def lk_arrays(tensors: CircuitTensors, dtype=None):

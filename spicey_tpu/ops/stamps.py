@@ -142,6 +142,44 @@ def stamp_ccvs(A_pad, idx, r):
     return A_pad
 
 
+def stamp_tline_ports(A_pad, t_idx, z0):
+    """Transmission-line near-end pattern (Branin model; extended T lines).
+
+    t_idx: (nT, 6) = [i1, i2, i3, i4, br1, br2]; z0: (..., nT). Each port's
+    branch row enforces v(+) - v(-) - Z0*i_port = E(t) (the delayed far-end
+    Thevenin source lands in the RHS), and the port currents enter the node
+    KCL rows. This is the WHOLE A-matrix contribution in the transient scan
+    — the far-end coupling is history, not topology.
+    """
+    i1, i2, i3, i4 = t_idx[:, 0], t_idx[:, 1], t_idx[:, 2], t_idx[:, 3]
+    b1, b2 = t_idx[:, 4], t_idx[:, 5]
+    for (p, q, br) in ((i1, i2, b1), (i3, i4, b2)):
+        A_pad = A_pad.at[..., p, br].add(1.0)
+        A_pad = A_pad.at[..., q, br].add(-1.0)
+        A_pad = A_pad.at[..., br, p].add(1.0)
+        A_pad = A_pad.at[..., br, q].add(-1.0)
+        A_pad = A_pad.at[..., br, br].add(-z0)
+    return A_pad
+
+
+def stamp_tline_coupling(A_pad, t_idx, z0, c):
+    """Far-end coupling rows with coefficient ``c`` (..., nT) per plane.
+
+    Branch row br1 gains ``c`` times (v(i3) - v(i4) + Z0*i2) and br2 the
+    mirror; in AC ``c = -e^{-j w Td}`` split into per-plane real/imag calls
+    (ops are real — TPUs have no complex dtypes), at DC ``c = -1`` (the
+    theta -> 0 steady state: differential short, the classic SPICE
+    T-element DC behavior).
+    """
+    i1, i2, i3, i4 = t_idx[:, 0], t_idx[:, 1], t_idx[:, 2], t_idx[:, 3]
+    b1, b2 = t_idx[:, 4], t_idx[:, 5]
+    for (br, p, q, obr) in ((b1, i3, i4, b2), (b2, i1, i2, b1)):
+        A_pad = A_pad.at[..., br, p].add(c)
+        A_pad = A_pad.at[..., br, q].add(-c)
+        A_pad = A_pad.at[..., br, obr].add(c * z0)
+    return A_pad
+
+
 def stamp_extended(A_pad, ext):
     """All linear extended-dialect controlled sources from an ext pytree
     (ir.circuit.ext_arrays): G/E/F/H. Independent I sources are RHS-only

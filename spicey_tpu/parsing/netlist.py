@@ -51,6 +51,10 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # sees them.
 _ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbj][\w.]*$",
                                       re.IGNORECASE)
+# "t" is deliberately NOT in the title-leader set: titles beginning with
+# "the/test/transient..." are ubiquitous and SPICE decks always carry a
+# title line, so a T element on the very first line of an untitled netlist
+# is swallowed as the title (documented quirk); anywhere else it parses.
 # \b keeps ".ends" from matching (".end" terminates parsing, ".ends" closes
 # a .subckt block)
 _END_RE = re.compile(r"^\s*\.end\b", re.IGNORECASE)
@@ -370,6 +374,29 @@ class CSwitch:
 
 
 @dataclass
+class TLine:
+    """Extended-dialect T element: lossless transmission line,
+    ``T name n1 n2 n3 n4 Z0=z [TD=td | F=f [NL=nl]]`` (ngspice syntax).
+
+    Modeled by Branin's method of characteristics: each port is a Thevenin
+    branch (series Z0 + a source delayed from the far end), adding two MNA
+    branch unknowns (the port currents, flowing into the + terminals). Only
+    the differential mode is modeled — the classic SPICE T-element
+    property. ``td = NL/F`` when given in wavelength form (NL defaults to
+    0.25, ngspice semantics).
+    """
+
+    name: str
+    n1: int
+    n2: int
+    n3: int
+    n4: int
+    z0: float
+    td: float
+    index: int = -1  # first of the two branch unknowns (post-pass)
+
+
+@dataclass
 class BSource:
     """Extended-dialect behavioral source: ``B name n+ n- V=expr|I=expr``.
 
@@ -524,6 +551,7 @@ class ParsedCircuit:
     W: list[CSwitch] = field(default_factory=list)  # extended dialect
     K: list[MutualCoupling] = field(default_factory=list)  # extended dialect
     B: list[BSource] = field(default_factory=list)  # extended dialect
+    T: list[TLine] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
@@ -561,9 +589,10 @@ class ParsedCircuit:
     @property
     def n_vars(self) -> int:
         # branch-unknown ordering: V sources, then E (VCVS), then H (CCVS),
-        # then behavioral V-kind B sources
+        # then behavioral V-kind B sources, then 2 port currents per T line
         return (self.n_node_vars + len(self.V) + len(self.E) + len(self.H)
-                + sum(1 for b in self.B if b.kind == "v"))
+                + sum(1 for b in self.B if b.kind == "v")
+                + 2 * len(self.T))
 
     # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
     @property
@@ -967,7 +996,7 @@ def _parse_current_source(ckt: ParsedCircuit, name: str, tokens: list[str],
 # name are node references that must be remapped into the instance scope
 _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
-    "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2,
+    "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2, "t": 4,
     "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
 }
 
@@ -1417,6 +1446,30 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
                 refs, fn = compile_bexpr(expr)
                 ckt.B.append(BSource(name=name, n1=n1, n2=n2, kind=kind,
                                      expr=expr, refs=refs, fn=fn))
+            elif type_char == "t" and dialect == "extended":
+                nodes_t = [ckt.nodes.get_or_create(
+                    _require(tokens, k, "Transmission line missing node"))
+                    for k in (1, 2, 3, 4)]
+                params = _parse_model_params(
+                    " ".join(t for t in tokens[5:] if "=" in t))
+                if "z0" not in params:
+                    raise ValueError("Transmission line missing Z0=")
+                z0 = params["z0"]
+                if z0 <= 0:
+                    raise ValueError("Transmission line Z0 must be > 0")
+                if "td" in params:
+                    td = params["td"]
+                elif "f" in params:
+                    # wavelength form: td = NL/F, NL defaults to 0.25
+                    td = params.get("nl", 0.25) / params["f"]
+                else:
+                    raise ValueError(
+                        "Transmission line needs TD= or F= [NL=]")
+                if td <= 0:
+                    raise ValueError("Transmission line delay must be > 0")
+                ckt.T.append(TLine(name=name, n1=nodes_t[0], n2=nodes_t[1],
+                                   n3=nodes_t[2], n4=nodes_t[3],
+                                   z0=z0, td=td))
             elif type_char == "k" and dialect == "extended":
                 l1 = _require(tokens, 1, "Coupling missing inductor name")
                 l2 = _require(tokens, 2, "Coupling missing inductor name")
@@ -1484,6 +1537,8 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
         if bsrc.kind == "v":
             bsrc.index = bv_branch
             bv_branch += 1
+    for ti, tl in enumerate(ckt.T):  # two port-current branches per line
+        tl.index = bv_branch + 2 * ti
     v_by_name = {v.name.upper(): v for v in ckt.V}
     for bsrc in ckt.B:
         bsrc.ref_pairs = []
