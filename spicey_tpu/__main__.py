@@ -33,8 +33,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="suppress result tables (e.g. rawfile-only runs)")
     args = ap.parse_args(argv)
 
+    import os
+
     text = (sys.stdin.read() if args.deck == "-"
             else open(args.deck).read())
+    base_dir = (os.getcwd() if args.deck == "-"
+                else os.path.dirname(os.path.abspath(args.deck)))
 
     import jax
 
@@ -55,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         from spicey_tpu.formatting.rawfile import write_rawfile
 
-        res = simulate(text, dialect=args.dialect, method=args.method)
+        res = simulate(text, dialect=args.dialect, method=args.method,
+                       base_dir=base_dir)
 
         if not args.quiet:
             if res.circuit.title:

@@ -23,14 +23,17 @@ from .tran import simulate_tran
 
 def simulate(netlist_text: str, method: str = "gj",
              dialect: str = "spicey",
-             ac_linearize: str | None = None) -> SimulationResult:
+             ac_linearize: str | None = None,
+             base_dir: str | None = None) -> SimulationResult:
     """Parse and run every requested analysis.
 
     ``ac_linearize="op"`` makes the AC sweep linearize nonlinear devices
     around the DC operating point (analysis/ac.py); the default keeps the
-    reference behavior of not stamping them."""
+    reference behavior of not stamping them. ``base_dir`` resolves
+    relative ``.include``/``.lib`` paths (extended dialect)."""
     with span("parse"):
-        circuit = parse_netlist(netlist_text, dialect=dialect)
+        circuit = parse_netlist(netlist_text, dialect=dialect,
+                                base_dir=base_dir)
         tensors = build_tensors(circuit)
     with span("op"):
         # .tf and .noise both linearize at the operating point; solve it

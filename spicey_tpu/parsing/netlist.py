@@ -1249,7 +1249,68 @@ def _flatten_subcircuits(text: str, gparams: dict | None = None) -> str:
     return "\n".join(out)
 
 
-def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
+_MAX_INCLUDE_DEPTH = 10
+
+
+def _expand_includes(text: str, base_dir: str | None,
+                     depth: int = 0) -> str:
+    """Resolve ``.include``/``.inc`` and ``.lib`` file references
+    (extended dialect; the reference drops them into `skipped`).
+
+    - ``.include "file"`` / ``.inc file`` splices the file in, relative
+      paths resolved against ``base_dir`` (the including file's directory
+      for nested includes).
+    - ``.lib "file" section`` splices only the ``.lib <section>`` ...
+      ``.endl`` block of that file (ngspice library sections); the bare
+      ``.lib "file"`` form behaves like ``.include``.
+    """
+    import os
+
+    if depth > _MAX_INCLUDE_DEPTH:
+        raise ValueError(
+            f"include nesting deeper than {_MAX_INCLUDE_DEPTH} "
+            f"(recursive .include?)")
+    out: list[str] = []
+    for raw in re.split(r"\r?\n", text):
+        line = raw.strip()
+        m = re.match(r'^\.(?:include|inc|lib)\b\s*(.*)$', line,
+                     re.IGNORECASE)
+        if not m:
+            out.append(raw)
+            continue
+        is_lib = line.lower().startswith(".lib")
+        toks = smart_tokens(m.group(1))
+        if not toks:
+            raise ValueError(f'missing filename: "{line}"')
+        path = toks[0].strip('"')
+        section = toks[1] if is_lib and len(toks) > 1 else None
+        if is_lib and not (path.strip('"') and ("." in path or "/" in path
+                                                or len(toks) > 1)):
+            # ".lib section" inside a library file itself: leave for the
+            # section extractor below
+            out.append(raw)
+            continue
+        full = path if os.path.isabs(path) else os.path.join(
+            base_dir or os.getcwd(), path)
+        if not os.path.exists(full):
+            raise ValueError(f'.include file not found: "{full}"')
+        with open(full) as fh:
+            content = fh.read()
+        if section is not None:
+            mm = re.search(
+                rf'^\s*\.lib\s+{re.escape(section)}\s*$(.*?)^\s*\.endl\b',
+                content, re.IGNORECASE | re.MULTILINE | re.DOTALL)
+            if mm is None:
+                raise ValueError(
+                    f'.lib section "{section}" not found in "{full}"')
+            content = mm.group(1)
+        out.append(_expand_includes(content, os.path.dirname(full),
+                                    depth + 1))
+    return "\n".join(out)
+
+
+def parse_netlist(text: str, dialect: str = "spicey",
+                  base_dir: str | None = None) -> ParsedCircuit:
     """Parse a netlist.
 
     dialect="spicey" (default) reproduces the reference exactly (I/G/E/...
@@ -1263,6 +1324,9 @@ def parse_netlist(text: str, dialect: str = "spicey") -> ParsedCircuit:
     if dialect not in ("spicey", "extended"):
         raise ValueError("dialect must be 'spicey' or 'extended'")
     if dialect == "extended":
+        if re.search(r"^\s*\.(include|inc|lib)\b", text,
+                     re.IGNORECASE | re.MULTILINE):
+            text = _expand_includes(text, base_dir)
         gparams: dict = {}
         has_braces = "{" in text
         if has_braces or re.search(r"^\s*\.param\b", text,
