@@ -27,8 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (
-    DIODE_VD_MAX,
-    DIODE_VD_MIN,
     EPS,
     GMIN,
     VT_300K,
@@ -66,13 +64,34 @@ class OPResult:
         return self.element_currents
 
 
+def _pnjlim(vnew, vold, vt, vcrit):
+    """SPICE3's pn-junction Newton limiter (devsup.c pnjlim).
+
+    Unlike the transient engine's absolute [-1, +0.8] clamp (which is the
+    reference's contract, simulateTRAN.ts:89-91, and which creates WRONG
+    stationary points for junctions whose true drop exceeds the window —
+    e.g. power diodes at hundreds of amps), pnjlim limits the step
+    RELATIVE to the last-used junction voltage: above vcrit, voltage moves
+    shrink logarithmically, so Newton walks up the exponential without
+    overflowing and converges to the true solution."""
+    arg = 1.0 + (vnew - vold) / vt
+    v_pos = jnp.where(arg > 0.0,
+                      vold + vt * jnp.log(jnp.maximum(arg, 1e-300)),
+                      vcrit)
+    v_neg = vt * jnp.log(jnp.maximum(vnew, 1e-300) / vt)
+    v_lim = jnp.where(vold > 0.0, v_pos, v_neg)
+    limit = jnp.logical_and(vnew > vcrit,
+                            jnp.abs(vnew - vold) > 2.0 * vt)
+    return jnp.where(limit, v_lim, vnew)
+
+
 @partial(jax.jit, static_argnames=("nvar_op", "max_iters", "tol", "method",
                                    "batch", "bsrc"))
 def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj", batch: int | None = None, x0=None,
-             bsrc=(), tl=None):
+             bsrc=(), tl=None, node_diag=None, gshunt=None):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
@@ -84,10 +103,18 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
     n_s = s_idx.shape[0]
     lead = () if batch is None else (batch,)
 
-    def assemble(x, sw_on, it):
+    v_th = d_n * VT_300K
+    v_crit = v_th * jnp.log(v_th / (jnp.sqrt(2.0) * jnp.maximum(d_is, 1e-300)))
+
+    def assemble(x, sw_on, it, vjd):
         A = jnp.zeros(lead + (nvar_op + 1, nvar_op + 1), dtype=dtype)
         b = jnp.zeros(lead + (nvar_op + 1,), dtype=dtype)
         A = stamp_admittance(A, r_idx, 1.0 / r_vals)
+        if gshunt is not None:
+            # gmin-stepping homotopy: a shunt conductance from every node
+            # to ground softens the Jacobian; the host wrapper steps it
+            # toward 0 re-seeding from each converged stage
+            A = A.at[..., node_diag, node_diag].add(gshunt)
         # L shorts: voltage-source pattern with 0 V
         A, b = stamp_voltage_source(A, b, l_bidx,
                                     jnp.zeros(l_bidx.shape[0], dtype=dtype))
@@ -106,9 +133,9 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
                              1.0 / jnp.maximum(jnp.abs(r_sw), EPS))
         x_pad = pad_solution(x, nvar_op)
         vd = x_pad[..., d_idx[:, 0]] - x_pad[..., d_idx[:, 1]]
-        tscale = nl["vt"] / VT_300K  # see tran._stamp_system
-        vd_lim = jnp.clip(vd, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
-        v_th = d_n * VT_300K
+        # pnjlim (relative, exact-converging) instead of the transient
+        # engine's absolute window — see _pnjlim
+        vd_lim = _pnjlim(vd, vjd, v_th, v_crit)
         ev = jnp.exp(vd_lim / v_th)
         i_d = d_is * (ev - 1.0)
         g_d = jnp.maximum((d_is / v_th) * ev, GMIN)
@@ -119,15 +146,15 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None)
         if bsrc:  # behavioral sources at t=0 (time-dependent terms at DC)
             A, b = _stamp_bsources(A, b, bsrc, x_pad, jnp.asarray(0.0))
-        return A[..., :nvar_op, :nvar_op], b[..., :nvar_op]
+        return A[..., :nvar_op, :nvar_op], b[..., :nvar_op], vd_lim
 
     def cond(st):
-        _x, _sw, it, done, _ok = st
+        _x, _sw, _vjd, it, done, _ok = st
         return jnp.logical_and(it < max_iters, ~jnp.all(done))
 
     def body(st):
-        x, sw, it, done, ok = st
-        A, b = assemble(x, sw, it)
+        x, sw, vjd, it, done, ok = st
+        A, b, vd_used = assemble(x, sw, it, vjd)
         x_new, solve_ok = solve(A, b, method=method)
         x_pad = pad_solution(x_new, nvar_op)
         new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad)
@@ -140,18 +167,21 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         mask = done[..., None]
         x = jnp.where(mask, x, x_new)
         sw = jnp.where(mask, sw, new_on)
+        vjd = jnp.where(mask, vjd, vd_used) if vjd.shape[-1] else vjd
         ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
         it = it + 1
         done = jnp.logical_or(done, settled)
-        return x, sw, it, done, ok
+        return x, sw, vjd, it, done, ok
 
     if x0 is None:  # .nodeset seeds the Newton iterate; default is rest
         x0 = jnp.zeros(lead + (nvar_op,), dtype=dtype)
     else:
         x0 = jnp.broadcast_to(x0.astype(dtype), lead + (nvar_op,))
-    x, sw_on, _it, done, ok = jax.lax.while_loop(
+    n_d = d_idx.shape[0]
+    x, sw_on, _vjd, _it, done, ok = jax.lax.while_loop(
         cond, body,
-        (x0, jnp.zeros(lead + (n_s,), jnp.bool_), jnp.asarray(0),
+        (x0, jnp.zeros(lead + (n_s,), jnp.bool_),
+         jnp.zeros(lead + (n_d,), dtype=dtype), jnp.asarray(0),
          jnp.zeros(lead, jnp.bool_), jnp.ones(lead, jnp.bool_)),
     )
     return x, sw_on, jnp.logical_and(ok, done)
@@ -185,7 +215,7 @@ def _op_indices(tensors: CircuitTensors):
 
 def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
                  r_vals, max_iters, tol, method, ext=None, nl=None,
-                 batch=None, x0=None, bsrc=()):
+                 batch=None, x0=None, bsrc=(), gshunt=None):
     dump = nvar_op
     tl = None
     if tensors.n_t:
@@ -205,6 +235,9 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
         nl if nl is not None else nl_arrays(tensors, dump=dump),
         nvar_op=nvar_op, max_iters=max_iters, tol=tol, method=method,
         batch=batch, x0=x0, bsrc=bsrc, tl=tl,
+        node_diag=(None if gshunt is None
+                   else jnp.arange(tensors.n_node_vars, dtype=jnp.int32)),
+        gshunt=gshunt,
     )
 
 
@@ -230,20 +263,44 @@ def simulate_op(
         for i, name in enumerate(tensors.node_names):
             seed[i] = ns.get(name.upper(), 0.0)
         x0 = jnp.asarray(seed)
-    x, sw_on, valid = _run_op_core(
-        tensors, remap, l_bidx, v_idx_op, nvar_op,
-        jnp.asarray(tensors.v_dc), jnp.asarray(tensors.i_dc),
-        jnp.asarray(tensors.r_vals),
-        max_iters=max_iters, tol=tol, method=method, x0=x0,
-        bsrc=bsrc_static(ckt, nvar_op),
-    )
-    # one packed device->host transfer (x | switch states | validity)
-    packed = np.asarray(jnp.concatenate(
-        [x, sw_on.astype(x.dtype),
-         jnp.full((1,), valid, x.dtype)]))
+    bsrc = bsrc_static(ckt, nvar_op)
+
+    def attempt(x_seed, v_scale=1.0, gshunt=None):
+        x_a, sw_a, ok_a = _run_op_core(
+            tensors, remap, l_bidx, v_idx_op, nvar_op,
+            jnp.asarray(tensors.v_dc * v_scale),
+            jnp.asarray(tensors.i_dc * v_scale),
+            jnp.asarray(tensors.r_vals),
+            max_iters=max_iters, tol=tol, method=method, x0=x_seed,
+            bsrc=bsrc, gshunt=gshunt,
+        )
+        packed_a = np.asarray(jnp.concatenate(
+            [x_a, sw_a.astype(x_a.dtype), jnp.full((1,), ok_a, x_a.dtype)]))
+        return packed_a, bool(packed_a[-1] > 0.5)
+
+    packed, ok = attempt(x0)
+    if not ok:
+        # ngspice-style convergence aids, tried in order (each stage seeds
+        # the next from its converged solution):
+        # 1. gmin stepping — shunt every node with a conductance stepped
+        #    from 1e-2 S down to 0;
+        # 2. source stepping — ramp every independent source 10% -> 100%.
+        seed = x0
+        for g in (1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-8, 1e-10, 1e-12, 0.0):
+            packed, ok = attempt(seed, gshunt=jnp.asarray(g))
+            if not ok:
+                break
+            seed = jnp.asarray(packed[:nvar_op])
+        if not ok:
+            seed = x0
+            for scale in np.linspace(0.1, 1.0, 10):
+                packed, ok = attempt(seed, v_scale=float(scale))
+                if not ok:
+                    break
+                seed = jnp.asarray(packed[:nvar_op])
     x = packed[:nvar_op]
     sw_on = packed[nvar_op:nvar_op + tensors.n_s] > 0.5
-    if not bool(packed[-1] > 0.5):
+    if not ok:
         raise ValueError("DC operating point did not converge")
 
     x_pad = np.concatenate([x, [0.0]])
