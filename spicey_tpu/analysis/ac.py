@@ -311,7 +311,9 @@ def small_signal_rows(tensors: CircuitTensors, op):
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
         gbe, gbc, gmf, gmr, *_ = bjt_ebers_moll(
             vbe, vbc, tensors.q_is, tensors.q_bf, tensors.q_br,
-            tensors.q_polarity, vt=tensors.vt)
+            tensors.q_polarity, vt=tensors.vt,
+            vbe_lim=tensors.q_polarity * vbe,
+            vbc_lim=tensors.q_polarity * vbc)
         adm(qi[:, [1, 2]], np.asarray(gbe))
         adm(qi[:, [1, 0]], np.asarray(gbc))
         rows.append(qi[:, [0, 2, 1, 2]])

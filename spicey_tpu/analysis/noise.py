@@ -141,9 +141,11 @@ def _noise_generators(tensors: CircuitTensors, op) -> tuple[
         qi = tensors.q_idx
         vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
-        *_, i_c, i_b = bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
-                                      tensors.q_br, tensors.q_polarity,
-                                      vt=tensors.vt)
+        *_, i_c, i_b = bjt_ebers_moll(
+            vbe, vbc, tensors.q_is, tensors.q_bf,
+            tensors.q_br, tensors.q_polarity, vt=tensors.vt,
+            vbe_lim=tensors.q_polarity * vbe,
+            vbc_lim=tensors.q_polarity * vbc)
         gen(qi[:, [0, 2]], 2.0 * Q_ELECTRON * np.abs(np.asarray(i_c)))
         names.extend(tensors.q_names)  # collector shot, c-e
         gen(qi[:, [1, 2]], 2.0 * Q_ELECTRON * np.abs(np.asarray(i_b)),

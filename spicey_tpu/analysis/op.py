@@ -105,8 +105,13 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
 
     v_th = d_n * VT_300K
     v_crit = v_th * jnp.log(v_th / (jnp.sqrt(2.0) * jnp.maximum(d_is, 1e-300)))
+    q_idx = nl["q_idx"]
+    n_q = q_idx.shape[0]
+    vt_q = nl["vt"]
+    v_crit_q = vt_q * jnp.log(
+        vt_q / (jnp.sqrt(2.0) * jnp.maximum(nl["q_is"], 1e-300)))
 
-    def assemble(x, sw_on, it, vjd):
+    def assemble(x, sw_on, it, vjd, vjq):
         A = jnp.zeros(lead + (nvar_op + 1, nvar_op + 1), dtype=dtype)
         b = jnp.zeros(lead + (nvar_op + 1,), dtype=dtype)
         A = stamp_admittance(A, r_idx, 1.0 / r_vals)
@@ -141,20 +146,33 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         g_d = jnp.maximum((d_is / v_th) * ev, GMIN)
         A = stamp_admittance(A, d_idx, g_d)
         b = stamp_current(b, d_idx, i_d - g_d * vd_lim)
+        # BJT junctions get the same pnjlim treatment (reflected frame;
+        # the transient engine's absolute clamp would park a power BJT at
+        # a wrong bias the moment its true vbe exceeds +0.8)
+        if n_q:
+            s_q = nl["q_pol"]
+            vbe_r = s_q * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]])
+            vbc_r = s_q * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]])
+            vq_lim = jnp.stack(
+                [_pnjlim(vbe_r, vjq[..., 0], vt_q, v_crit_q),
+                 _pnjlim(vbc_r, vjq[..., 1], vt_q, v_crit_q)], axis=-1)
+        else:
+            vq_lim = vjq
         # MOSFET/BJT Newton companions, seeded from the current iterate
         # (it=1 bypasses the transient engine's prev-timestep seeding)
-        A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None)
+        A, b = _stamp_nonlinear(A, b, nl, x_pad, jnp.asarray(1), None, None,
+                                vq_lim=vq_lim if n_q else None)
         if bsrc:  # behavioral sources at t=0 (time-dependent terms at DC)
             A, b = _stamp_bsources(A, b, bsrc, x_pad, jnp.asarray(0.0))
-        return A[..., :nvar_op, :nvar_op], b[..., :nvar_op], vd_lim
+        return A[..., :nvar_op, :nvar_op], b[..., :nvar_op], vd_lim, vq_lim
 
     def cond(st):
-        _x, _sw, _vjd, it, done, _ok = st
+        _x, _sw, _vjd, _vjq, it, done, _ok = st
         return jnp.logical_and(it < max_iters, ~jnp.all(done))
 
     def body(st):
-        x, sw, vjd, it, done, ok = st
-        A, b, vd_used = assemble(x, sw, it, vjd)
+        x, sw, vjd, vjq, it, done, ok = st
+        A, b, vd_used, vq_used = assemble(x, sw, it, vjd, vjq)
         x_new, solve_ok = solve(A, b, method=method)
         x_pad = pad_solution(x_new, nvar_op)
         new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad)
@@ -168,20 +186,23 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         x = jnp.where(mask, x, x_new)
         sw = jnp.where(mask, sw, new_on)
         vjd = jnp.where(mask, vjd, vd_used) if vjd.shape[-1] else vjd
+        vjq = (jnp.where(mask[..., None], vjq, vq_used)
+               if n_q else vjq)
         ok = jnp.logical_and(ok, jnp.logical_or(done, solve_ok))
         it = it + 1
         done = jnp.logical_or(done, settled)
-        return x, sw, vjd, it, done, ok
+        return x, sw, vjd, vjq, it, done, ok
 
     if x0 is None:  # .nodeset seeds the Newton iterate; default is rest
         x0 = jnp.zeros(lead + (nvar_op,), dtype=dtype)
     else:
         x0 = jnp.broadcast_to(x0.astype(dtype), lead + (nvar_op,))
     n_d = d_idx.shape[0]
-    x, sw_on, _vjd, _it, done, ok = jax.lax.while_loop(
+    x, sw_on, _vjd, _vjq, _it, done, ok = jax.lax.while_loop(
         cond, body,
         (x0, jnp.zeros(lead + (n_s,), jnp.bool_),
-         jnp.zeros(lead + (n_d,), dtype=dtype), jnp.asarray(0),
+         jnp.zeros(lead + (n_d,), dtype=dtype),
+         jnp.zeros(lead + (n_q, 2), dtype=dtype), jnp.asarray(0),
          jnp.zeros(lead, jnp.bool_), jnp.ones(lead, jnp.bool_)),
     )
     return x, sw_on, jnp.logical_and(ok, done)
@@ -358,9 +379,13 @@ def simulate_op(
         qi = remap(tensors.q_idx)
         vbe = x_pad[qi[:, 1]] - x_pad[qi[:, 2]]
         vbc = x_pad[qi[:, 1]] - x_pad[qi[:, 0]]
-        *_, i_c, _i_b = bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
-                                       tensors.q_br, tensors.q_polarity,
-                                       vt=tensors.vt)
+        *_, i_c, _i_b = bjt_ebers_moll(
+            vbe, vbc, tensors.q_is, tensors.q_bf,
+            tensors.q_br, tensors.q_polarity, vt=tensors.vt,
+            # record at the TRUE junction voltages (the op converged there;
+            # the default clamp would misreport power devices)
+            vbe_lim=tensors.q_polarity * vbe,
+            vbc_lim=tensors.q_polarity * vbc)
         for k, name in enumerate(tensors.q_names):
             currents[name] = float(i_c[k])
     for bsrc_el, spec in zip(ckt.B, bsrc_static(ckt, nvar_op)):
@@ -486,7 +511,9 @@ def simulate_dc(
         *_, i_c, _ = bjt_ebers_moll(
             vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
             tensors.q_br[None, :], tensors.q_polarity[None, :],
-            vt=tensors.vt)
+            vt=tensors.vt,
+            vbe_lim=tensors.q_polarity[None, :] * vbe,
+            vbc_lim=tensors.q_polarity[None, :] * vbc)
         i_c = np.asarray(i_c)
         for k, name in enumerate(tensors.q_names):
             currents[name] = i_c[:, k]

@@ -141,10 +141,11 @@ def _l_mv(c, l_vals, minv, v):
     return c * jnp.sum(minv * v[..., None, :], axis=-1)
 
 
-def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
+def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev, vq_lim=None):
     """MOSFET/BJT Newton companions (models/devices.py). Seeds follow the
     diode convention: previous-timestep junction voltages on iteration 0,
-    else the current iterate."""
+    else the current iterate. ``vq_lim``: (..., nQ, 2) reflected-frame
+    pnjlim-limited (vbe, vbc) from the .op Newton (see op._op_core)."""
     m_idx = nl["m_idx"]
     q_idx = nl["q_idx"]
     if m_idx.shape[0]:
@@ -173,6 +174,8 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev):
         gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, _, _ = bjt_ebers_moll(
             vbe, vbc, nl["q_is"], nl["q_bf"], nl["q_br"], nl["q_pol"],
             vt=nl["vt"],
+            vbe_lim=None if vq_lim is None else vq_lim[..., 0],
+            vbc_lim=None if vq_lim is None else vq_lim[..., 1],
         )
         be = q_idx[:, jnp.asarray([1, 2])]
         bc = q_idx[:, jnp.asarray([1, 0])]
@@ -846,10 +849,15 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
     if tensors.n_q:
         vbe = xs_pad[:, tensors.q_idx[:, 1]] - xs_pad[:, tensors.q_idx[:, 2]]
         vbc = xs_pad[:, tensors.q_idx[:, 1]] - xs_pad[:, tensors.q_idx[:, 0]]
+        # recording convention: full nonlinear currents WITHOUT the
+        # Newton clamp, mirroring the reference's unclamped diode
+        # recording (simulateTRAN.ts:207-219)
         *_, i_c, _i_b = bjt_ebers_moll(
             vbe, vbc, tensors.q_is[None, :], tensors.q_bf[None, :],
             tensors.q_br[None, :], tensors.q_polarity[None, :],
             vt=tensors.vt,
+            vbe_lim=tensors.q_polarity[None, :] * vbe,
+            vbc_lim=tensors.q_polarity[None, :] * vbc,
         )
         i_c = np.asarray(i_c)
         for k, name in enumerate(tensors.q_names):

@@ -80,12 +80,17 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
     return gm_r, gds_r, i_eq, i_d
 
 
-def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K):
+def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K,
+                   vbe_lim=None, vbc_lim=None):
     """BJT Ebers-Moll (transport form) linearization.
 
     vbe, vbc: (..., nQ) junction voltages; i_s saturation current;
     bf/br forward/reverse beta; qtype ±1 (NPN/PNP); vt the thermal voltage
     kT/q (VT_300K default; extended ``.temp`` passes tensors.vt).
+    ``vbe_lim``/``vbc_lim``: REFLECTED-frame junction voltages already
+    limited by the caller (the .op Newton's pnjlim) — when given they
+    replace the default absolute clamp, which creates wrong stationary
+    points for power devices whose true drop exceeds the window.
 
     Returns (gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, i_c, i_b) where
       base-emitter diode:  i = gbe*vbe + ibe_eq
@@ -95,9 +100,14 @@ def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K):
     (for result recording).
     """
     s = qtype
-    tscale = vt / VT_300K  # clamp window scales with T (see tran)
-    vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
-    vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
+    if vbe_lim is not None:
+        vbe_l, vbc_l = vbe_lim, vbc_lim
+    else:
+        tscale = vt / VT_300K  # clamp window scales with T (see tran)
+        vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN * tscale,
+                         DIODE_VD_MAX * tscale)
+        vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN * tscale,
+                         DIODE_VD_MAX * tscale)
 
     ebe = jnp.exp(vbe_l / vt)
     ebc = jnp.exp(vbc_l / vt)

@@ -73,3 +73,40 @@ def test_truly_singular_still_raises():
     with pytest.raises(ValueError, match="did not converge|Singular"):
         simulate("x\nv1 a 0 dc 1\nv2 a 0 dc 2\nr1 a 0 1k\n.op\n",
                  dialect="extended")
+
+
+def test_power_bjt_high_current_bias():
+    """20 mA base drive, bf=100: the device saturates against the 5 ohm
+    collector load. True vbe ~ 0.97 V exceeds the transient clamp window;
+    pnjlim reaches it and the recorded ic satisfies collector KCL."""
+    r = simulate("""x
+.model qn npn(is=1e-16 bf=100)
+vcc p 0 dc 10
+rc p c 5
+ib 0 b dc 20m
+q1 c b 0 qn
+.op
+""", dialect="extended")
+    vb = r.op.node_voltages["b"]
+    vc = r.op.node_voltages["c"]
+    ic = r.op.element_currents["q1"]
+    assert vb == pytest.approx(VT_300K * np.log(20e-3 * 100 / 1e-16),
+                               rel=1e-3)
+    assert ic == pytest.approx((10 - vc) / 5, rel=1e-9)  # collector KCL
+    assert vc < vb  # saturated
+
+
+def test_bjt_active_region_exact():
+    """1 mA base drive with head-room: ic = bf*ib exactly, vbe closed
+    form."""
+    r = simulate("""x
+.model qn npn(is=1e-16 bf=100)
+vcc p 0 dc 10
+rc p c 5
+ib 0 b dc 1m
+q1 c b 0 qn
+.op
+""", dialect="extended")
+    assert r.op.element_currents["q1"] == pytest.approx(0.1, rel=1e-9)
+    assert r.op.node_voltages["b"] == pytest.approx(
+        VT_300K * np.log(1e-3 * 100 / 1e-16), rel=1e-9)
