@@ -354,6 +354,28 @@ def _bsource_small_signal(ckt, tensors: CircuitTensors, op):
     return (np.asarray(rows, np.int32), np.asarray(vals, np.float64))
 
 
+def diode_smallsignal_caps(tensors: CircuitTensors, op):
+    """Diode junction capacitances C(vd) at the operating point, as extra
+    linear C rows for op-linearized AC/noise sweeps (extended TT/CJO).
+    Returns (idx (n,2), c_vals) — empty when no diode stores charge."""
+    from ..models.devices import diode_charge_cap
+
+    if not tensors.has_d_charge:
+        return np.zeros((0, 2), np.int32), np.zeros((0,))
+    x_pad = _op_voltage_pad(tensors, op)
+    vd = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
+    v_th = tensors.d_n * VT_300K
+    # the op converged at the true junction voltage; cap the exponent only
+    # against overflow (vd beyond ~2 V forward never happens at an op)
+    vd_c = np.minimum(vd, 2.0)
+    ev = np.exp(vd_c / v_th)
+    _, c = diode_charge_cap(vd_c, tensors.d_is * (ev - 1.0),
+                            np.maximum(tensors.d_is / v_th * ev, GMIN),
+                            tensors.d_tt, tensors.d_cjo, tensors.d_vj,
+                            tensors.d_m, tensors.d_fc)
+    return tensors.d_idx, np.asarray(c, np.float64)
+
+
 def simulate_ac(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
@@ -397,6 +419,7 @@ def simulate_ac(
         z = np.zeros(bv.shape[0])
         v_re = np.concatenate([v_re, z])
         v_im = np.concatenate([v_im, z])
+    c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
     if linearize == "op":
         from .op import simulate_op
 
@@ -410,11 +433,16 @@ def simulate_ac(
             [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
         ext["g_gm"] = jnp.concatenate(
             [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
+        # diode junction capacitances at the op point join the C stamps
+        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+        if cj_idx.shape[0]:
+            c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
+            c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
 
     x_re, x_im, valid = _ac_sweep_core(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-        jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+        jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
         jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
         nvar=tensors.nvar, method=method, interpret=interpret,

@@ -34,6 +34,7 @@ from ..ir.circuit import (
     bv_branch_rows,
     build_tensors,
     effective_time_step,
+    dchg_arrays,
     ext_arrays,
     lk_arrays,
     nl_arrays,
@@ -371,6 +372,7 @@ def simulate_tran_batch(
         # arrays broadcast against the lane axis inside the stamps)
         tl=tl_arrays(tensors),
         hist_len=_tline_hist_len(tensors, dt),
+        dchg=dchg_arrays(tensors),
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -227,10 +227,19 @@ def simulate_noise(
     if bv.shape[0]:
         v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
         v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
+    # diode junction capacitances at the op point shape the transfer
+    # (the noise system is op-linearized by definition)
+    from .ac import diode_smallsignal_caps
+
+    c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
+    cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+    if cj_idx.shape[0]:
+        c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
+        c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
     A_re, A_im, b_re, b_im = _assemble_grid(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-        jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+        jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
         jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
         jnp.asarray(v_idx_ac),
         jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),

@@ -203,8 +203,14 @@ def _build_pencil(ckt: ParsedCircuit, tensors: CircuitTensors, op,
                 G[br, fq] += 1.0
                 G[br, obr] -= z0
 
-    # capacitors: admittance pattern with value C in the s-plane
+    # capacitors: admittance pattern with value C in the s-plane,
+    # plus diode junction capacitances at the op point (extended TT/CJO)
     _adm(C, remap(tensors.c_idx), tensors.c_vals)
+    if tensors.has_d_charge:
+        from .ac import diode_smallsignal_caps
+
+        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+        _adm(C, remap(cj_idx), cj_vals)
     # inductors: branch unknowns after the AC block; the branch row is
     # v1 - v2 - s*L*i = 0 (incidence in G, -L on C's branch diagonal)
     if n_l:

@@ -53,6 +53,7 @@ from ..ir.circuit import (
     CircuitTensors,
     bsrc_static,
     build_tensors,
+    dchg_arrays,
     effective_time_step,
     empty_ext,
     empty_nl,
@@ -235,7 +236,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   integration: str = "be", is_first=None, is_second=None,
                   nl=None, vm_prev=None, vq_prev=None,
                   v_prev2_c=None, i_prev2_l=None, bsrc=(), t=0.0,
-                  tl=None, e_t=None):
+                  tl=None, e_t=None, dchg=None, q_prev_d=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext, minv) = tensors_arrays
@@ -326,6 +327,19 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     ieq = i_d - g_d * vd_lim
     A = stamp_admittance(A, d_idx, g_d)
     b = stamp_current(b, d_idx, ieq)
+    if dchg is not None:
+        # charge-storage companion (BE): i = (q(v) - q_prev)/dt, Newton-
+        # linearized at vd_lim -> G = C(vd_lim)/dt (extended TT/CJO; the
+        # reference diode is memoryless)
+        from ..models.devices import diode_charge_cap
+
+        q_d, c_d = diode_charge_cap(vd_lim, i_d, g_d, dchg["tt"],
+                                    dchg["cjo"], dchg["vj"], dchg["m"],
+                                    dchg["fc"])
+        g_q = c_d / dt_c
+        A = stamp_admittance(A, d_idx, g_q)
+        b = stamp_current(b, d_idx,
+                          (q_d - q_prev_d) / dt_c - g_q * vd_lim)
     if nl is not None:
         A, b = _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev)
     if bsrc:
@@ -351,7 +365,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
                resume: bool = False, bsrc=(), times=None,
-               tl=None, hist_len: int = 0):
+               tl=None, hist_len: int = 0, dchg=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -499,15 +513,17 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
     def step_fn(carry, inputs):
         vs_t, is_first, is_second, t_step = inputs
+        rest = list(carry)
+        valid_all = rest.pop()
         if n_t:
-            (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-             vq_prev, sw_on, v_prev2_c, i_prev2_l, w_hist, t_cnt,
-             valid_all) = carry
+            t_cnt = rest.pop()
+            w_hist = rest.pop()
             e_t = tline_read(w_hist, t_cnt)
         else:
-            (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
-             vq_prev, sw_on, v_prev2_c, i_prev2_l, valid_all) = carry
             e_t = None
+        q_prev_d = rest.pop() if dchg is not None else None
+        (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
+         vq_prev, sw_on, v_prev2_c, i_prev2_l) = rest
 
         def cond(st):
             _x, _sw, it, done, _ok = st
@@ -523,6 +539,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
                 v_prev2_c=v_prev2_c, i_prev2_l=i_prev2_l,
                 bsrc=bsrc, t=t_step, tl=tl, e_t=e_t,
+                dchg=dchg, q_prev_d=q_prev_d,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -637,6 +654,20 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 i_prev_l = i_prev_l + _l_mv(dt_c, l_vals, minv, vd_l)
             i_prev2_l = i_prev2_l_new
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
+        if dchg is not None:
+            # commit the charge at the accepted solution, evaluated with
+            # the same clamp the stamping used (companion consistency)
+            from ..models.devices import diode_charge_cap
+
+            tsc = 1.0 if nl is None else nl["vt"] / VT_300K
+            vd_c = jnp.clip(vd_prev_d, DIODE_VD_MIN * tsc,
+                            DIODE_VD_MAX * tsc)
+            v_th_d = d_n * VT_300K
+            ev_c = jnp.exp(vd_c / v_th_d)
+            q_prev_d, _ = diode_charge_cap(
+                vd_c, d_is * (ev_c - 1.0),
+                jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
+                dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"], dchg["fc"])
         if n_m:
             m_idx = nl["m_idx"]
             vm_prev = jnp.stack(
@@ -652,17 +683,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 axis=-1,
             )
         valid_all = jnp.logical_and(valid_all, step_ok)
+        carry = [v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d,
+                 vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l]
+        if dchg is not None:
+            carry.append(q_prev_d)
         if n_t:
-            w_hist = tline_write(w_hist, t_cnt, x_pad)
-            carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d,
-                     vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l,
-                     w_hist, t_cnt + 1, valid_all)
-        else:
-            carry = (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d,
-                     vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l,
-                     valid_all)
+            carry.extend([tline_write(w_hist, t_cnt, x_pad), t_cnt + 1])
+        carry.append(valid_all)
         out = x if record is None else x[..., record]
-        return carry, (out, sw_on)
+        return tuple(carry), (out, sw_on)
 
     init_valid = jnp.ones(lead, jnp.bool_)
     if minv_ok is not None:  # singular coupling matrix flags every lane
@@ -680,6 +709,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             jnp.zeros(lead + (n_c,), dtype=dtype),
             jnp.zeros(lead + (n_l,), dtype=dtype),
         )
+        if dchg is not None:  # diode charge state (q(0) = 0: at rest)
+            init = init + (jnp.zeros(lead + (n_d,), dtype=dtype),)
         if n_t:
             init = init + (
                 jnp.zeros(lead + (hist_len, n_t, 2), dtype=dtype),
@@ -834,6 +865,26 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
         v_th = tensors.d_n[None, :] * VT_300K
         with np.errstate(over="ignore"):
             i_d = tensors.d_is[None, :] * (np.exp(vd / v_th) - 1.0)
+        if tensors.has_d_charge:
+            # capacitive current (q_k - q_{k-1})/dt on top of the Shockley
+            # part; q evaluated at the SAME clamped voltage the scan
+            # committed (companion consistency)
+            from ..models.devices import diode_charge_cap
+
+            tsc = tensors.vt / VT_300K
+            vd_c = np.clip(vd, DIODE_VD_MIN * tsc, DIODE_VD_MAX * tsc)
+            ev_c = np.exp(vd_c / v_th)
+            q, _ = diode_charge_cap(
+                vd_c, tensors.d_is[None, :] * (ev_c - 1.0),
+                np.maximum(tensors.d_is[None, :] / v_th * ev_c, GMIN),
+                tensors.d_tt[None, :], tensors.d_cjo[None, :],
+                tensors.d_vj[None, :], tensors.d_m[None, :],
+                tensors.d_fc[None, :])
+            q = np.asarray(q)
+            q0 = (np.asarray(state0[10]) if resumed
+                  else np.zeros(tensors.n_d))
+            q_prev = np.concatenate([q0[None, :], q[:-1]], axis=0)
+            i_d = i_d + (q - q_prev) / dt_c
         for k, name in enumerate(tensors.d_names):
             out[name] = i_d[:, k]
     if tensors.n_m:
@@ -938,6 +989,8 @@ def simulate_tran(
             z(tensors.n_d), z((tensors.n_m, 2)), z((tensors.n_q, 2)),
             np.zeros(tensors.n_s, bool), v_ic.copy(), z(tensors.n_l),
         )
+        if tensors.has_d_charge:
+            parts = parts + (z(tensors.n_d),)
         if tensors.n_t:
             parts = parts + (z((_tline_hist_len(tensors, dt),
                                 tensors.n_t, 2)),
@@ -966,6 +1019,7 @@ def simulate_tran(
         resume=state is not None,
         tl=tl_arrays(tensors),
         hist_len=_tline_hist_len(tensors, dt),
+        dchg=dchg_arrays(tensors),
     )
     # one packed device->host transfer for the solution, switch states,
     # and the validity flag (round-trips are ~30 ms each over the tunnel)

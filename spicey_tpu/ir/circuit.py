@@ -94,7 +94,18 @@ class CircuitTensors:
     d_n: np.ndarray
     d_kf: np.ndarray  # flicker noise coefficient (extended; .noise)
     d_af: np.ndarray  # flicker noise exponent
+    # charge storage (extended TT/CJO/VJ/M/FC; all-zero TT+CJO = the
+    # reference's memoryless diode and every engine's fast path)
+    d_tt: np.ndarray
+    d_cjo: np.ndarray
+    d_vj: np.ndarray
+    d_m: np.ndarray
+    d_fc: np.ndarray
     d_names: tuple[str, ...]
+
+    @property
+    def has_d_charge(self) -> bool:
+        return bool(self.d_tt.any() or self.d_cjo.any())
 
     # current sources (extended dialect): (nI, 2) = [i1, i2] dump-mapped
     i_idx: np.ndarray
@@ -245,6 +256,30 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     c_idx, c_vals, c_names = two_term(ckt.C, "C")
     l_idx, l_vals, l_names = two_term(ckt.L, "L")
 
+    # MOSFET gate-overlap (CGSO/CGDO per width) and JFET gate (CGS/CGD)
+    # capacitances lower onto LINEAR C entries — every engine (tran
+    # companions, AC susceptance, batch sweeps) then handles device
+    # charge loading with zero new code paths. Names <dev>#cgs / <dev>#cgd.
+    c_rows, c_v, c_n = list(c_idx), list(c_vals), list(c_names)
+    for m in ckt.M:
+        for tag, cap, other in (("cgs", m.model.Cgso * m.W, m.ns),
+                                ("cgd", m.model.Cgdo * m.W, m.nd)):
+            if cap > 0.0:
+                c_rows.append([midx(m.ng), midx(other)])
+                c_v.append(cap)
+                c_n.append(f"{m.name}#{tag}")
+    for j in ckt.J:
+        for tag, cap, other in (("cgs", j.model.Cgs, j.ns),
+                                ("cgd", j.model.Cgd, j.nd)):
+            if cap > 0.0:
+                c_rows.append([midx(j.ng), midx(other)])
+                c_v.append(cap)
+                c_n.append(f"{j.name}#{tag}")
+    if len(c_n) > len(c_names):
+        c_idx = np.asarray(c_rows, dtype=np.int32).reshape(-1, 2)
+        c_vals = np.asarray(c_v, dtype=np.float64)
+        c_names = tuple(c_n)
+
     temp_k = ckt.temp_kelvin
     # resistor temperature coefficients (extended tc1=/tc2=): folded into
     # the IR values so every engine sees R(T)
@@ -299,6 +334,11 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     d_n_l = [d.model.N for d in ckt.D]
     d_kf_l = [d.model.KF for d in ckt.D]
     d_af_l = [d.model.AF for d in ckt.D]
+    d_tt_l = [d.model.TT for d in ckt.D]
+    d_cjo_l = [d.model.CJO for d in ckt.D]
+    d_vj_l = [d.model.VJ for d in ckt.D]
+    d_m_l = [d.model.M for d in ckt.D]
+    d_fc_l = [d.model.FC for d in ckt.D]
     d_names_l = [d.name for d in ckt.D]
     for j in ckt.J:
         g, dnode, snode = midx(j.ng), midx(j.nd), midx(j.ns)
@@ -311,6 +351,11 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
             d_n_l.append(1.0)
             d_kf_l.append(0.0)
             d_af_l.append(1.0)
+            d_tt_l.append(0.0)
+            d_cjo_l.append(0.0)
+            d_vj_l.append(1.0)
+            d_m_l.append(0.5)
+            d_fc_l.append(0.5)
             d_names_l.append(f"{j.name}#{tag}")
     d_idx = np.asarray(d_rows, dtype=np.int32).reshape(-1, 2)
     d_is = np.asarray(d_is_l, dtype=np.float64)
@@ -319,6 +364,11 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
     d_n = np.asarray(d_n_l, dtype=np.float64) * (temp_k / 300.0)
     d_kf = np.asarray(d_kf_l, dtype=np.float64)
     d_af = np.asarray(d_af_l, dtype=np.float64)
+    d_tt = np.asarray(d_tt_l, dtype=np.float64)
+    d_cjo = np.asarray(d_cjo_l, dtype=np.float64)
+    d_vj = np.asarray(d_vj_l, dtype=np.float64)
+    d_m = np.asarray(d_m_l, dtype=np.float64)
+    d_fc = np.asarray(d_fc_l, dtype=np.float64)
     d_names = tuple(d_names_l)
 
     i_idx = np.asarray(
@@ -425,6 +475,7 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         s_idx=s_idx, s_ron=s_ron, s_roff=s_roff, s_von=s_von, s_voff=s_voff,
         s_names=s_names,
         d_idx=d_idx, d_is=d_is, d_n=d_n, d_kf=d_kf, d_af=d_af,
+        d_tt=d_tt, d_cjo=d_cjo, d_vj=d_vj, d_m=d_m, d_fc=d_fc,
         d_names=d_names,
         i_idx=i_idx, i_dc=i_dc, i_ac_mag=i_ac_mag,
         i_ac_phase_deg=i_ac_phase, i_has_waveform=i_has_wave, i_names=i_names,
@@ -548,6 +599,23 @@ def bv_branch_rows(ckt: ParsedCircuit, dump: int) -> np.ndarray:
     rows = [[midx(b.n1), midx(b.n2), b.index]
             for b in ckt.B if b.kind == "v"]
     return np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+
+
+def dchg_arrays(tensors: CircuitTensors, dtype=None):
+    """Diode charge-storage pytree, or None when every TT and CJO is 0
+    (keeping the reference's memoryless-diode fast path everywhere)."""
+    import jax.numpy as jnp
+
+    if not tensors.has_d_charge:
+        return None
+    dt = jnp.float64 if dtype is None else dtype
+    return {
+        "tt": jnp.asarray(tensors.d_tt, dt),
+        "cjo": jnp.asarray(tensors.d_cjo, dt),
+        "vj": jnp.asarray(tensors.d_vj, dt),
+        "m": jnp.asarray(tensors.d_m, dt),
+        "fc": jnp.asarray(tensors.d_fc, dt),
+    }
 
 
 def tl_arrays(tensors: CircuitTensors, dtype=None,

@@ -80,6 +80,32 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
     return gm_r, gds_r, i_eq, i_d
 
 
+def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc):
+    """SPICE diode charge q(vd) and capacitance C(vd) = dq/dvd.
+
+    Diffusion charge TT*i_d (C = TT*g_d; pass the Shockley current and
+    conductance already evaluated at the limited junction voltage) plus
+    the depletion charge: below fc*vj the closed form
+    ``CJO*VJ/(1-M)*(1-(1-v/VJ)^(1-M))``, above it SPICE's quadratic
+    extension (C is linear in v there), continuous in both q and C at the
+    breakpoint. All-zero TT and CJO give exactly q = C = 0 — the
+    reference's memoryless diode.
+    """
+    fcv = fc * vj
+    below = vd < fcv
+    arg = jnp.maximum(1.0 - jnp.where(below, vd, 0.0) / vj, 1e-12)
+    q_dep_b = cjo * vj / (1.0 - m) * (1.0 - arg ** (1.0 - m))
+    c_dep_b = cjo * arg ** (-m)
+    f1 = cjo * vj / (1.0 - m) * (1.0 - (1.0 - fc) ** (1.0 - m))
+    c0 = cjo * (1.0 - fc) ** (-(1.0 + m))
+    q_dep_a = f1 + c0 * ((1.0 - fc * (1.0 + m)) * (vd - fcv)
+                         + m / (2.0 * vj) * (vd * vd - fcv * fcv))
+    c_dep_a = c0 * (1.0 - fc * (1.0 + m) + m * vd / vj)
+    q = tt * i_d + jnp.where(below, q_dep_b, q_dep_a)
+    c = tt * g_d + jnp.where(below, c_dep_b, c_dep_a)
+    return q, c
+
+
 def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K,
                    vbe_lim=None, vbc_lim=None):
     """BJT Ebers-Moll (transport form) linearization.

@@ -235,6 +235,13 @@ class DiodeModel:
     name: str
     Is: float = 1e-14
     N: float = 1.0
+    # charge storage (extended dialect; SPICE TT/CJO/VJ/M/FC — all-zero
+    # defaults keep the reference's memoryless diode exactly)
+    TT: float = 0.0
+    CJO: float = 0.0
+    VJ: float = 1.0
+    M: float = 0.5
+    FC: float = 0.5
     # flicker (1/f) noise parameters (extended dialect; used by .noise)
     KF: float = 0.0
     AF: float = 1.0
@@ -252,6 +259,10 @@ class MOSModel:
     Vto: float = 0.0
     Kp: float = 2e-5
     Lambda: float = 0.0
+    # gate-overlap capacitances per meter of width (SPICE CGSO/CGDO);
+    # lowered to linear C entries cgso*W / cgdo*W at tensorization
+    Cgso: float = 0.0
+    Cgdo: float = 0.0
     # flicker (1/f) noise parameters (extended dialect; used by .noise)
     KF: float = 0.0
     AF: float = 1.0
@@ -289,6 +300,9 @@ class JFETModel:
     Beta: float = 1e-4
     Lambda: float = 0.0
     Is: float = 1e-14
+    # gate capacitances (absolute F; SPICE CGS/CGD) lowered to C entries
+    Cgs: float = 0.0
+    Cgd: float = 0.0
     # flicker (1/f) noise parameters (extended dialect; used by .noise)
     KF: float = 0.0
     AF: float = 1.0
@@ -826,6 +840,21 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Is = params["is"]
             if "n" in params:
                 model.N = params["n"]
+            if dialect == "extended":
+                # charge-storage parameters (reference dialect ignores
+                # unknown model keys, so these stay extended-only)
+                if "tt" in params:
+                    model.TT = params["tt"]
+                if "cjo" in params:
+                    model.CJO = params["cjo"]
+                if "cj0" in params:
+                    model.CJO = params["cj0"]
+                if "vj" in params:
+                    model.VJ = params["vj"]
+                if "m" in params:
+                    model.M = params["m"]
+                if "fc" in params:
+                    model.FC = params["fc"]
             if "kf" in params:
                 model.KF = params["kf"]
             if "af" in params:
@@ -841,6 +870,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Kp = params["kp"]
             if "lambda" in params:
                 model.Lambda = params["lambda"]
+            if "cgso" in params:
+                model.Cgso = params["cgso"]
+            if "cgdo" in params:
+                model.Cgdo = params["cgdo"]
             if "kf" in params:
                 model.KF = params["kf"]
             if "af" in params:
@@ -873,6 +906,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Lambda = params["lambda"]
             if "is" in params:
                 model.Is = params["is"]
+            if "cgs" in params:
+                model.Cgs = params["cgs"]
+            if "cgd" in params:
+                model.Cgd = params["cgd"]
             if "kf" in params:
                 model.KF = params["kf"]
             if "af" in params:

@@ -1,0 +1,153 @@
+"""Extended-dialect diode charge storage (TT transit time, CJO/VJ/M/FC
+junction capacitance).
+
+The reference diode is memoryless (simulateTRAN.ts:72-101 has no charge
+terms); all-zero TT/CJO defaults preserve that exactly. With charge, the
+transient scan carries q_prev per diode and stamps the BE companion
+C(v)/dt; op-linearized AC/noise/.pz stamp C(v_op) as extra capacitor rows.
+"""
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate
+from spicey_tpu.ir.circuit import build_tensors
+from spicey_tpu.models.devices import diode_charge_cap
+
+
+def test_defaults_are_memoryless():
+    t = build_tensors(parse_netlist(
+        "x\n.model dm d\nv1 a 0 1\nd1 a 0 dm\n", dialect="extended"))
+    assert not t.has_d_charge
+    t2 = build_tensors(parse_netlist(
+        "x\n.model dm d(tt=10n)\nv1 a 0 1\nd1 a 0 dm\n",
+        dialect="extended"))
+    assert t2.has_d_charge
+
+
+def test_charge_model_continuity_at_breakpoint():
+    """q and C are continuous at v = FC*VJ (SPICE's linearized extension)."""
+    cjo, vj, m, fc = 10e-12, 0.8, 0.5, 0.5
+    eps = 1e-9
+    for v in (fc * vj - eps, fc * vj + eps):
+        q, c = diode_charge_cap(np.float64(v), 0.0, 0.0, 0.0,
+                                cjo, vj, m, fc)
+        if v < fc * vj:
+            q_b, c_b = float(q), float(c)
+        else:
+            assert float(q) == pytest.approx(q_b, rel=1e-7)
+            assert float(c) == pytest.approx(c_b, rel=1e-6)
+    # closed form below the breakpoint
+    v = -3.0
+    q, c = diode_charge_cap(np.float64(v), 0.0, 0.0, 0.0, cjo, vj, m, fc)
+    assert float(c) == pytest.approx(cjo * (1 - v / vj) ** (-m), rel=1e-12)
+
+
+def test_varactor_smallsignal_pole():
+    """Reverse-biased junction as a varactor: the R-C(v) lowpass pole in
+    linearize="op" AC sits at 1/(2 pi R C(-VR)) with
+    C = CJO*(1+VR/VJ)^-M."""
+    CJ0, VJ, M, VR, R = 10e-12, 0.8, 0.5, 5.0, 10e3
+    r = simulate(f"""x
+.model dv d(is=1e-14 cjo={CJ0} vj={VJ} m={M})
+vb b 0 dc -{VR} ac 1
+r1 b a {R}
+d1 a 0 dv
+.ac dec 80 100k 100meg
+""", dialect="extended", ac_linearize="op")
+    h = np.abs(np.asarray(r.ac.node_voltages["a"]))
+    f = np.asarray(r.ac.freqs)
+    fc = 1 / (2 * np.pi * R * CJ0 * (1 + VR / VJ) ** (-M))
+    # interpolate the -3 dB crossing
+    k = np.argmax(h < 1 / np.sqrt(2))
+    f3 = np.interp(1 / np.sqrt(2), [h[k], h[k - 1]], [f[k], f[k - 1]])
+    assert f3 == pytest.approx(fc, rel=0.02)
+
+
+def test_reverse_recovery_with_tt():
+    """Transit-time charge: switching a conducting diode to reverse drive
+    pulls a large negative recovery current before settling to -Is —
+    impossible with the memoryless reference model."""
+    r = simulate("""x
+.model dr d(is=1e-14 tt=100n)
+vs in 0 PWL(0 2 1u 2 1.01u -2)
+rs in a 100
+dr1 a 0 dr
+.tran 10n 3u
+""", dialect="extended")
+    t = np.asarray(r.tran.times)
+    i_d = np.asarray(r.tran.element_currents["dr1"])
+    fwd = i_d[(t > 0.5e-6) & (t < 0.9e-6)].mean()
+    assert fwd == pytest.approx(0.0128, rel=0.05)
+    # recovery: more negative than any resistive-only response could be
+    assert i_d[(t > 1.0e-6) & (t < 1.5e-6)].min() < -0.015
+    # and the memoryless model shows NO recovery
+    r0 = simulate(r"""x
+.model dr d(is=1e-14)
+vs in 0 PWL(0 2 1u 2 1.01u -2)
+rs in a 100
+dr1 a 0 dr
+.tran 10n 3u
+""", dialect="extended")
+    i_0 = np.asarray(r0.tran.element_currents["dr1"])
+    assert i_0.min() > -1e-10
+    # both settle to the leakage floor
+    assert i_d[t > 2.8e-6].mean() == pytest.approx(-1e-14, rel=1e-3)
+
+
+def test_junction_cap_slows_switching():
+    """A big CJO across the diode slows the RC charging of its node."""
+    base = """x
+.model dc1 d(is=1e-14{extra})
+v1 in 0 PULSE(0 0.4 0 1n 1n 5u 20u)
+r1 in a 10k
+dc1 a 0 dc1
+.tran 10n 4u
+"""
+    fast = simulate(base.format(extra=""), dialect="extended")
+    slow = simulate(base.format(extra=" cjo=100p"), dialect="extended")
+    t = np.asarray(fast.tran.times)
+    k = np.argmin(np.abs(t - 0.5e-6))
+    va_f = np.asarray(fast.tran.node_voltages["a"])[k]
+    va_s = np.asarray(slow.tran.node_voltages["a"])[k]
+    # 0.4 V drive keeps the diode essentially off (a ~50 nA trickle drops
+    # ~0.5 mV across the 10k); RC = 10k * ~100p = 1 us
+    assert va_f == pytest.approx(0.4, rel=5e-3)   # instantaneous w/o charge
+    assert va_s < 0.35                            # still charging
+
+
+def test_pz_sees_junction_cap():
+    """.pz's C pencil includes C(v_op): the varactor pole shows up."""
+    CJ0, VJ, M, VR, R = 10e-12, 0.8, 0.5, 5.0, 10e3
+    r = simulate(f"""x
+.model dv d(is=1e-14 cjo={CJ0} vj={VJ} m={M})
+vb b 0 dc -{VR} ac 1
+r1 b a {R}
+d1 a 0 dv
+.pz b 0 a 0 vol pol
+""", dialect="extended")
+    w_expect = -1 / (R * CJ0 * (1 + VR / VJ) ** (-M))
+    # the diode's small-signal gd adds a tiny parallel conductance; the
+    # pole is dominated by 1/(R C)
+    assert r.pz.poles.real.min() == pytest.approx(w_expect, rel=0.01)
+
+
+def test_batch_sweep_with_charge():
+    """The charge companion runs inside the batched scan (lane axis)."""
+    from spicey_tpu import simulate_tran_batch
+
+    B = 4
+    ckt = parse_netlist("""x
+.model dr d(is=1e-14 tt=50n)
+vs in 0 PWL(0 2 1u 2 1.01u -2)
+rs in a {r}
+dr1 a 0 dr
+.tran 10n 2u
+""".replace("{r}", "100"), dialect="extended")
+    res = simulate_tran_batch(ckt, {"rs": 100.0 * (1 + 0.2 * np.arange(B))})
+    assert res.valid.all()
+    va = res.node_voltage("a")
+    t = res.times
+    # forward drop roughly one diode drop in every lane
+    mask = (t > 0.5e-6) & (t < 0.9e-6)
+    assert np.all(va[:, mask] > 0.5) and np.all(va[:, mask] < 0.9)

@@ -227,3 +227,39 @@ x1 g d p csamp
 """,
         dialect="extended")
     assert res.op.node_voltages["d"] == pytest.approx(6.0, abs=1e-6)
+
+
+def test_gate_caps_lowered_to_c_entries():
+    """MOSFET CGSO/CGDO (per width) and JFET CGS/CGD (absolute) lower onto
+    linear C entries named <dev>#cgs / <dev>#cgd."""
+    t = build_tensors(parse_netlist(
+        "x\n.model mn nmos(vto=1 kp=2m cgso=10u cgdo=2u)\n"
+        "vdd d 0 5\nvg g 0 2\nm1 d g 0 mn w=200u l=100u\n",
+        dialect="extended"))
+    assert t.c_names == ("m1#cgs", "m1#cgd")
+    np.testing.assert_allclose(t.c_vals, [10e-6 * 200e-6, 2e-6 * 200e-6])
+    t2 = build_tensors(parse_netlist(
+        "x\n.model jm njf(cgs=1p cgd=0.5p)\nvd d 0 1\nj1 d g 0 jm\n"
+        "vg g 0 0\n", dialect="extended"))
+    assert t2.c_names == ("j1#cgs", "j1#cgd")
+    np.testing.assert_allclose(t2.c_vals, [1e-12, 0.5e-12])
+
+
+def test_ring_oscillates_on_intrinsic_gate_caps():
+    """3-stage CMOS ring with NO explicit load caps: the CGSO/CGDO-lowered
+    gate capacitance alone sets the period."""
+    res = simulate("""a ring on gate caps
+.model mn nmos(vto=1 kp=2m cgso=10u cgdo=2u)
+.model mp pmos(vto=-1 kp=2m cgso=10u cgdo=2u)
+vdd vdd 0 5
+mn1 n1 n3 0 mn
+mp1 n1 n3 vdd mp
+mn2 n2 n1 0 mn
+mp2 n2 n1 vdd mp
+mn3 n3 n2 0 mn
+mp3 n3 n2 vdd mp
+ikick 0 n1 PULSE(0 2m 0 1n 1n 3u 1)
+.tran 0.2u 60u
+""", dialect="extended")
+    v1 = np.asarray(res.tran.node_voltages["n1"])
+    assert v1.min() < 1.0 and v1.max() > 4.0
