@@ -355,25 +355,53 @@ def _bsource_small_signal(ckt, tensors: CircuitTensors, op):
 
 
 def diode_smallsignal_caps(tensors: CircuitTensors, op):
-    """Diode junction capacitances C(vd) at the operating point, as extra
-    linear C rows for op-linearized AC/noise sweeps (extended TT/CJO).
-    Returns (idx (n,2), c_vals) — empty when no diode stores charge."""
+    """Junction capacitances C(v) at the operating point — diode TT/CJO
+    plus BJT TF/TR/CJE/CJC junctions — as extra linear C rows for
+    op-linearized AC/noise/pz. Returns (idx (n,2), c_vals); empty when no
+    device stores charge."""
     from ..models.devices import diode_charge_cap
 
-    if not tensors.has_d_charge:
-        return np.zeros((0, 2), np.int32), np.zeros((0,))
+    rows: list[np.ndarray] = []
+    caps: list[np.ndarray] = []
     x_pad = _op_voltage_pad(tensors, op)
-    vd = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
-    v_th = tensors.d_n * VT_300K
-    # the op converged at the true junction voltage; cap the exponent only
-    # against overflow (vd beyond ~2 V forward never happens at an op)
-    vd_c = np.minimum(vd, 2.0)
-    ev = np.exp(vd_c / v_th)
-    _, c = diode_charge_cap(vd_c, tensors.d_is * (ev - 1.0),
-                            np.maximum(tensors.d_is / v_th * ev, GMIN),
-                            tensors.d_tt, tensors.d_cjo, tensors.d_vj,
-                            tensors.d_m, tensors.d_fc)
-    return tensors.d_idx, np.asarray(c, np.float64)
+    if tensors.has_d_charge:
+        vd = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
+        v_th = tensors.d_n * VT_300K
+        # the op converged at the true junction voltage; cap the exponent
+        # only against overflow (vd beyond ~2 V never happens at an op)
+        vd_c = np.minimum(vd, 2.0)
+        ev = np.exp(vd_c / v_th)
+        _, c = diode_charge_cap(vd_c, tensors.d_is * (ev - 1.0),
+                                np.maximum(tensors.d_is / v_th * ev, GMIN),
+                                tensors.d_tt, tensors.d_cjo, tensors.d_vj,
+                                tensors.d_m, tensors.d_fc)
+        rows.append(tensors.d_idx)
+        caps.append(np.asarray(c, np.float64))
+    if tensors.has_q_charge:
+        qi = tensors.q_idx
+        s = tensors.q_polarity
+        g = tensors.q_chg
+        vt = tensors.vt
+        for pair, v_r, tt, cjo, vj, m in (
+            (qi[:, [1, 2]],
+             s * (x_pad[qi[:, 1]] - x_pad[qi[:, 2]]),
+             g[:, 0], g[:, 2], g[:, 3], g[:, 4]),
+            (qi[:, [1, 0]],
+             s * (x_pad[qi[:, 1]] - x_pad[qi[:, 0]]),
+             g[:, 1], g[:, 5], g[:, 6], g[:, 7]),
+        ):
+            v_c = np.minimum(v_r, 2.0)
+            ev = np.exp(v_c / vt)
+            _, c = diode_charge_cap(
+                v_c, tensors.q_is * (ev - 1.0),
+                np.maximum(tensors.q_is / vt * ev, GMIN),
+                tt, cjo, vj, m, g[:, 8])
+            rows.append(pair.astype(np.int32))
+            caps.append(np.asarray(c, np.float64))
+    if not rows:
+        return np.zeros((0, 2), np.int32), np.zeros((0,))
+    return (np.concatenate(rows, axis=0).astype(np.int32),
+            np.concatenate(caps))
 
 
 def simulate_ac(

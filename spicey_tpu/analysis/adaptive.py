@@ -223,10 +223,10 @@ def simulate_tran_adaptive(
             "transmission (T) lines are not supported in adaptive tran")
     if tensors is None:
         tensors = build_tensors(ckt)
-    if tensors.has_d_charge:
+    if tensors.has_d_charge or tensors.has_q_charge:
         raise NotImplementedError(
-            "diode charge storage (TT/CJO) is not supported in adaptive "
-            "tran yet")
+            "device charge storage (TT/CJO/TF/CJE/CJC) is not supported "
+            "in adaptive tran yet")
     tstop = ckt.tran.tstop
     dt0 = ckt.tran.dt if ckt.tran.dt > EPS else tstop / 1000.0
     if dt_min is None:

@@ -35,6 +35,7 @@ from ..ir.circuit import (
     build_tensors,
     effective_time_step,
     dchg_arrays,
+    qchg_arrays,
     ext_arrays,
     lk_arrays,
     nl_arrays,
@@ -373,6 +374,7 @@ def simulate_tran_batch(
         tl=tl_arrays(tensors),
         hist_len=_tline_hist_len(tensors, dt),
         dchg=dchg_arrays(tensors),
+        qchg=qchg_arrays(tensors),
     )
     return BatchTranResult(
         times=times, node_names=tensors.node_names,

@@ -30,6 +30,7 @@ import numpy as np
 from ..ir.circuit import (
     bsrc_static,
     dchg_arrays,
+    qchg_arrays,
     build_tensors,
     bv_branch_rows,
     effective_time_step,
@@ -313,7 +314,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
                         interpret: bool = False, lk=None, bsrc=(),
-                        tl=None, hist_len: int = 0, dchg=None):
+                        tl=None, hist_len: int = 0, dchg=None, qchg=None):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -323,7 +324,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
         s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
         nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk, bsrc=bsrc,
         batch=r_vals.shape[0], interpret=interpret, record=node_idx,
-        tl=tl, hist_len=hist_len, dchg=dchg,
+        tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg,
     )
     v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
     stats = _stats_of(v_node, valid, qs)
@@ -430,6 +431,7 @@ def mc_tran_stats(
         tl=tl_arrays(tensors, dtype=fdt),
         hist_len=_tline_hist_len(tensors, dt),
         dchg=dchg_arrays(tensors, dtype=fdt),
+        qchg=qchg_arrays(tensors, dtype=fdt),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B

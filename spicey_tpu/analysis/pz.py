@@ -206,7 +206,7 @@ def _build_pencil(ckt: ParsedCircuit, tensors: CircuitTensors, op,
     # capacitors: admittance pattern with value C in the s-plane,
     # plus diode junction capacitances at the op point (extended TT/CJO)
     _adm(C, remap(tensors.c_idx), tensors.c_vals)
-    if tensors.has_d_charge:
+    if tensors.has_d_charge or tensors.has_q_charge:
         from .ac import diode_smallsignal_caps
 
         cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)

@@ -54,6 +54,7 @@ from ..ir.circuit import (
     bsrc_static,
     build_tensors,
     dchg_arrays,
+    qchg_arrays,
     effective_time_step,
     empty_ext,
     empty_nl,
@@ -191,6 +192,40 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev, vq_lim=None):
     return A, b
 
 
+def _bjt_junction_charge(x_pad, nl, qchg, q_idx):
+    """Physical junction charges/capacitances at the transient-clamped
+    voltages: (q_be, c_be, q_bc, c_bc, vbe_lim_phys, vbc_lim_phys).
+
+    Each junction reuses the diode charge model (models/devices.py):
+    b-e with (TF, CJE, VJE, MJE), b-c with (TR, CJC, VJC, MJC); reflected
+    frame for PNP, charges flip back with the polarity sign."""
+    from ..models.devices import diode_charge_cap
+
+    s = nl["q_pol"]
+    vt = nl["vt"]
+    tscale = vt / VT_300K
+    vbe_r = jnp.clip(
+        s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]]),
+        DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
+    vbc_r = jnp.clip(
+        s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]]),
+        DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
+    i_s = nl["q_is"]
+
+    def one(v_r, tt, cjo, vj, m):
+        ev = jnp.exp(v_r / vt)
+        q_r, c = diode_charge_cap(v_r, i_s * (ev - 1.0),
+                                  jnp.maximum(i_s / vt * ev, GMIN),
+                                  tt, cjo, vj, m, qchg["fc"])
+        return s * q_r, c
+
+    q_be, c_be = one(vbe_r, qchg["tf"], qchg["cje"], qchg["vje"],
+                     qchg["mje"])
+    q_bc, c_bc = one(vbc_r, qchg["tr"], qchg["cjc"], qchg["vjc"],
+                     qchg["mjc"])
+    return q_be, c_be, q_bc, c_bc, s * vbe_r, s * vbc_r
+
+
 def _stamp_bsources(A, b, bsrc, x_pad, t):
     """Behavioral-source Newton companions (parsing/bexpr.py).
 
@@ -236,7 +271,8 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                   integration: str = "be", is_first=None, is_second=None,
                   nl=None, vm_prev=None, vq_prev=None,
                   v_prev2_c=None, i_prev2_l=None, bsrc=(), t=0.0,
-                  tl=None, e_t=None, dchg=None, q_prev_d=None):
+                  tl=None, e_t=None, dchg=None, q_prev_d=None,
+                  qchg=None, q_prev_q=None):
     (r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
      s_idx, s_ron, s_roff, _s_von, _s_voff, d_idx, d_is, d_n,
      ext, minv) = tensors_arrays
@@ -342,6 +378,20 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
                           (q_d - q_prev_d) / dt_c - g_q * vd_lim)
     if nl is not None:
         A, b = _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev)
+    if qchg is not None:
+        # BJT junction-charge companions (BE), one per junction
+        q_be, c_be, q_bc, c_bc, vbe_lp, vbc_lp = _bjt_junction_charge(
+            x_pad, nl, qchg, nl["q_idx"])
+        be = nl["q_idx"][:, jnp.asarray([1, 2])]
+        bc = nl["q_idx"][:, jnp.asarray([1, 0])]
+        g_be = c_be / dt_c
+        g_bc = c_bc / dt_c
+        A = stamp_admittance(A, be, g_be)
+        b = stamp_current(
+            b, be, (q_be - q_prev_q[..., 0]) / dt_c - g_be * vbe_lp)
+        A = stamp_admittance(A, bc, g_bc)
+        b = stamp_current(
+            b, bc, (q_bc - q_prev_q[..., 1]) / dt_c - g_bc * vbc_lp)
     if bsrc:
         A, b = _stamp_bsources(A, b, bsrc, x_pad, t)
     return A[..., :nvar, :nvar], b[..., :nvar]
@@ -365,7 +415,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
                resume: bool = False, bsrc=(), times=None,
-               tl=None, hist_len: int = 0, dchg=None):
+               tl=None, hist_len: int = 0, dchg=None, qchg=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -521,6 +571,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             e_t = tline_read(w_hist, t_cnt)
         else:
             e_t = None
+        q_prev_q = rest.pop() if qchg is not None else None
         q_prev_d = rest.pop() if dchg is not None else None
         (v_prev_c, i_prev_c, i_prev_l, v_prev_l, vd_prev_d, vm_prev,
          vq_prev, sw_on, v_prev2_c, i_prev2_l) = rest
@@ -540,6 +591,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 v_prev2_c=v_prev2_c, i_prev2_l=i_prev2_l,
                 bsrc=bsrc, t=t_step, tl=tl, e_t=e_t,
                 dchg=dchg, q_prev_d=q_prev_d,
+                qchg=qchg, q_prev_q=q_prev_q,
             )
             x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
             x_pad_new = pad_solution(x_new, nvar)
@@ -668,6 +720,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 vd_c, d_is * (ev_c - 1.0),
                 jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
                 dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"], dchg["fc"])
+        if qchg is not None:
+            q_be_n, _, q_bc_n, _, _, _ = _bjt_junction_charge(
+                x_pad, nl, qchg, nl["q_idx"])
+            q_prev_q = jnp.stack([q_be_n, q_bc_n], axis=-1)
         if n_m:
             m_idx = nl["m_idx"]
             vm_prev = jnp.stack(
@@ -687,6 +743,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                  vm_prev, vq_prev, sw_on, v_prev2_c, i_prev2_l]
         if dchg is not None:
             carry.append(q_prev_d)
+        if qchg is not None:
+            carry.append(q_prev_q)
         if n_t:
             carry.extend([tline_write(w_hist, t_cnt, x_pad), t_cnt + 1])
         carry.append(valid_all)
@@ -711,6 +769,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         )
         if dchg is not None:  # diode charge state (q(0) = 0: at rest)
             init = init + (jnp.zeros(lead + (n_d,), dtype=dtype),)
+        if qchg is not None:  # BJT junction charges (b-e, b-c)
+            init = init + (jnp.zeros(lead + (n_q, 2), dtype=dtype),)
         if n_t:
             init = init + (
                 jnp.zeros(lead + (hist_len, n_t, 2), dtype=dtype),
@@ -911,6 +971,23 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             vbc_lim=tensors.q_polarity[None, :] * vbc,
         )
         i_c = np.asarray(i_c)
+        if tensors.has_q_charge:
+            # collector terminal current loses the b->c junction charge
+            # current: i_c_total = i_c - dq_bc/dt (companion-consistent
+            # clamped voltages, like the scan's commit)
+            from ..ir.circuit import nl_arrays, qchg_arrays
+
+            nl_h = nl_arrays(tensors)
+            qchg_h = qchg_arrays(tensors)
+            _, _, q_bc, _, _, _ = _bjt_junction_charge(
+                jnp.asarray(xs_pad), nl_h, qchg_h, jnp.asarray(
+                    tensors.q_idx))
+            q_bc = np.asarray(q_bc)
+            q0_pos = 10 + (1 if tensors.has_d_charge else 0)
+            q0 = (np.asarray(state0[q0_pos])[:, 1] if resumed
+                  else np.zeros(tensors.n_q))
+            q_bc_prev = np.concatenate([q0[None, :], q_bc[:-1]], axis=0)
+            i_c = i_c - (q_bc - q_bc_prev) / dt_c
         for k, name in enumerate(tensors.q_names):
             out[name] = i_c[:, k]
     if tensors.n_t:
@@ -991,6 +1068,8 @@ def simulate_tran(
         )
         if tensors.has_d_charge:
             parts = parts + (z(tensors.n_d),)
+        if tensors.has_q_charge:
+            parts = parts + (z((tensors.n_q, 2)),)
         if tensors.n_t:
             parts = parts + (z((_tline_hist_len(tensors, dt),
                                 tensors.n_t, 2)),
@@ -1020,6 +1099,7 @@ def simulate_tran(
         tl=tl_arrays(tensors),
         hist_len=_tline_hist_len(tensors, dt),
         dchg=dchg_arrays(tensors),
+        qchg=qchg_arrays(tensors),
     )
     # one packed device->host transfer for the solution, switch states,
     # and the validity flag (round-trips are ~30 ms each over the tunnel)

@@ -168,7 +168,15 @@ class CircuitTensors:
     q_polarity: np.ndarray   # +1 npn, -1 pnp
     q_kf: np.ndarray         # flicker noise coefficient (extended; .noise)
     q_af: np.ndarray
+    # charge storage (extended TF/TR/CJE/CJC...): (nQ, 9) packed
+    # [tf, tr, cje, vje, mje, cjc, vjc, mjc, fc]
+    q_chg: np.ndarray
     q_names: tuple[str, ...]
+
+    @property
+    def has_q_charge(self) -> bool:
+        return bool(self.q_chg[:, [0, 1, 2, 5]].any()) if self.q_chg.size \
+            else False
 
     @property
     def n_k(self) -> int:
@@ -459,6 +467,10 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         [q.model.polarity for q in ckt.Q], dtype=np.float64)
     q_kf = np.asarray([q.model.KF for q in ckt.Q], dtype=np.float64)
     q_af = np.asarray([q.model.AF for q in ckt.Q], dtype=np.float64)
+    q_chg = np.asarray(
+        [[q.model.TF, q.model.TR, q.model.CJE, q.model.VJE, q.model.MJE,
+          q.model.CJC, q.model.VJC, q.model.MJC, q.model.FC]
+         for q in ckt.Q], dtype=np.float64).reshape(-1, 9)
     q_names = tuple(q.name for q in ckt.Q)
 
     return CircuitTensors(
@@ -488,7 +500,8 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         m_polarity=m_polarity, m_kf=m_kf, m_af=m_af, m_names=m_names,
         t_idx=t_idx, t_z0=t_z0, t_td=t_td, t_names=t_names,
         q_idx=q_idx, q_is=q_is, q_bf=q_bf, q_br=q_br,
-        q_polarity=q_polarity, q_kf=q_kf, q_af=q_af, q_names=q_names,
+        q_polarity=q_polarity, q_kf=q_kf, q_af=q_af, q_chg=q_chg,
+        q_names=q_names,
     )
 
 
@@ -599,6 +612,27 @@ def bv_branch_rows(ckt: ParsedCircuit, dump: int) -> np.ndarray:
     rows = [[midx(b.n1), midx(b.n2), b.index]
             for b in ckt.B if b.kind == "v"]
     return np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+
+
+def qchg_arrays(tensors: CircuitTensors, dtype=None):
+    """BJT charge-storage pytree (None when every TF/TR/CJE/CJC is 0).
+
+    Per-junction parameter columns of tensors.q_chg, shaped for
+    diode_charge_cap reuse: the b-e junction uses (tf, cje, vje, mje),
+    the b-c junction (tr, cjc, vjc, mjc); fc is shared."""
+    import jax.numpy as jnp
+
+    if not tensors.has_q_charge:
+        return None
+    dt = jnp.float64 if dtype is None else dtype
+    g = tensors.q_chg
+    return {
+        "tf": jnp.asarray(g[:, 0], dt), "tr": jnp.asarray(g[:, 1], dt),
+        "cje": jnp.asarray(g[:, 2], dt), "vje": jnp.asarray(g[:, 3], dt),
+        "mje": jnp.asarray(g[:, 4], dt),
+        "cjc": jnp.asarray(g[:, 5], dt), "vjc": jnp.asarray(g[:, 6], dt),
+        "mjc": jnp.asarray(g[:, 7], dt), "fc": jnp.asarray(g[:, 8], dt),
+    }
 
 
 def dchg_arrays(tensors: CircuitTensors, dtype=None):

@@ -280,6 +280,17 @@ class BJTModel:
     Is: float = 1e-16
     Bf: float = 100.0
     Br: float = 1.0
+    # charge storage (extended; SPICE TF/TR transit times + CJE/CJC
+    # depletion caps — all-zero defaults keep the memoryless device)
+    TF: float = 0.0
+    TR: float = 0.0
+    CJE: float = 0.0
+    VJE: float = 0.75
+    MJE: float = 0.33
+    CJC: float = 0.0
+    VJC: float = 0.75
+    MJC: float = 0.33
+    FC: float = 0.5
     # flicker (1/f) noise parameters (extended dialect; used by .noise)
     KF: float = 0.0
     AF: float = 1.0
@@ -889,6 +900,12 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Bf = params["bf"]
             if "br" in params:
                 model.Br = params["br"]
+            for key, attr in (("tf", "TF"), ("tr", "TR"), ("cje", "CJE"),
+                              ("vje", "VJE"), ("mje", "MJE"),
+                              ("cjc", "CJC"), ("vjc", "VJC"),
+                              ("mjc", "MJC"), ("fc", "FC")):
+                if key in params:
+                    setattr(model, attr, params[key])
             if "kf" in params:
                 model.KF = params["kf"]
             if "af" in params:

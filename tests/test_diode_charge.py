@@ -151,3 +151,65 @@ dr1 a 0 dr
     # forward drop roughly one diode drop in every lane
     mask = (t > 0.5e-6) & (t < 0.9e-6)
     assert np.all(va[:, mask] > 0.5) and np.all(va[:, mask] < 0.9)
+
+
+# --- BJT junction charge (TF/TR/CJE/CJC) ---
+
+def test_bjt_charge_defaults_memoryless():
+    t = build_tensors(parse_netlist(
+        "x\n.model qn npn\nvc c 0 1\nib 0 b 1u\nq1 c b 0 qn\n",
+        dialect="extended"))
+    assert not t.has_q_charge
+    t2 = build_tensors(parse_netlist(
+        "x\n.model qn npn(cjc=1p)\nvc c 0 1\nib 0 b 1u\nq1 c b 0 qn\n",
+        dialect="extended"))
+    assert t2.has_q_charge
+
+
+def test_bjt_miller_bandwidth():
+    """CE stage: without junction caps the op-linearized gain is flat to
+    1 GHz; cjc+tf give a finite Miller-limited bandwidth."""
+    net = """x
+.model qn npn(is=1e-16 bf=100{extra})
+vcc p 0 dc 10
+rc p c 10k
+ib 0 b dc 2u ac 1u
+q1 c b 0 qn
+.ac dec 20 1k 1g
+"""
+    r0 = simulate(net.format(extra=""), dialect="extended",
+                  ac_linearize="op")
+    r1 = simulate(net.format(extra=" cjc=2p tf=1n"), dialect="extended",
+                  ac_linearize="op")
+    h0 = np.abs(np.asarray(r0.ac.node_voltages["c"]))
+    h1 = np.abs(np.asarray(r1.ac.node_voltages["c"]))
+    assert h0[-1] == pytest.approx(h0[0], rel=1e-6)      # flat w/o caps
+    assert h1[-1] < 0.01 * h1[0]                         # rolls off
+    assert h1[0] == pytest.approx(h0[0], rel=1e-3)       # same low-f gain
+
+
+def test_bjt_charge_slows_switching():
+    """Inverter edge: junction charge slows the collector transition."""
+    net = """x
+.model qn npn(is=1e-16 bf=100{extra})
+vcc p 0 dc 5
+rc p c 10k
+vb bb 0 PULSE(0 0.8 0.1u 1n 1n 1u 3u)
+rb bb b 10k
+q1 c b 0 qn
+.tran 2n 0.6u
+"""
+    t0 = simulate(net.format(extra=""), dialect="extended")
+    t1 = simulate(net.format(extra=" cjc=5p cje=5p tf=5n"),
+                  dialect="extended")
+    t = np.asarray(t0.tran.times)
+    k = np.argmin(np.abs(t - 0.12e-6))
+    vc0 = np.asarray(t0.tran.node_voltages["c"])[k]
+    vc1 = np.asarray(t1.tran.node_voltages["c"])[k]
+    assert vc1 > vc0 + 0.5   # with charge the fall is visibly slower
+    # the charged stage keeps falling monotonically TOWARD the memoryless
+    # settled level (the Miller time constant outlives this window)
+    vc0_end = np.asarray(t0.tran.node_voltages["c"])[-1]
+    vc1_end = np.asarray(t1.tran.node_voltages["c"])[-1]
+    assert vc0_end < vc1_end < vc1
+    assert vc0_end == pytest.approx(vc0, abs=0.05)  # memoryless settles fast
