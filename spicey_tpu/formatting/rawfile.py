@@ -91,8 +91,41 @@ def format_rawfile(result, title: str | None = None,
         result if type(result).__name__ == "ACResult" else None)
     tran = getattr(result, "tran", None) or (
         result if type(result).__name__ == "TranResult" else None)
+    op = getattr(result, "op", None)
+    dc = getattr(result, "dc", None)
 
     out = io.BytesIO()
+    if op is not None:
+        # ngspice writes the op as a one-point real plot
+        names = []
+        types = []
+        cols: list[np.ndarray] = []
+        for node, val in op.node_voltages.items():
+            names.append(f"v({node})")
+            types.append("voltage")
+            cols.append(np.asarray([val], np.float64))
+        for el in _source_branch_vars(op.element_currents, v_names):
+            names.append(f"{el}#branch")
+            types.append("current")
+            cols.append(np.asarray([op.element_currents[el]], np.float64))
+        head, body = _plot(title, "Operating Point", date, names, types,
+                           cols, is_complex=False,
+                           ascii_values=ascii_values)
+        out.write(head.encode())
+        out.write(body)
+    if dc is not None:
+        names = ["v(v-sweep)"]
+        types = ["voltage"]
+        cols = [np.asarray(dc.sweep, np.float64)]
+        for node, series in dc.node_voltages.items():
+            names.append(f"v({node})")
+            types.append("voltage")
+            cols.append(np.asarray(series, np.float64))
+        head, body = _plot(title, "DC transfer characteristic", date,
+                           names, types, cols, is_complex=False,
+                           ascii_values=ascii_values)
+        out.write(head.encode())
+        out.write(body)
     if ac is not None:
         names = ["frequency"]
         types = ["frequency"]

@@ -93,3 +93,26 @@ def test_cli_stdin_and_quiet(tmp_path):
     (name, series), = read_rawfile(raw.read_bytes())
     assert name == "AC Analysis"
     np.testing.assert_allclose(series["v(a)"], 1.0, rtol=1e-12)
+
+
+def test_rawfile_op_and_dc_plots():
+    """Extended-dialect op/dc results export as ngspice plots too."""
+    res = simulate("""the divider
+v1 in 0 dc 10
+r1 in out 6k
+r2 out 0 4k
+.op
+.dc v1 0 10 2
+""", dialect="extended")
+    plots = read_rawfile(format_rawfile(res, date="today",
+                                        ascii_values=False))
+    assert [p[0] for p in plots] == ["Operating Point",
+                                     "DC transfer characteristic"]
+    op_vars = plots[0][1]
+    np.testing.assert_allclose(op_vars["v(out)"], [4.0], rtol=1e-12)
+    np.testing.assert_allclose(op_vars["v1#branch"], [-10 / 10e3],
+                               rtol=1e-12)
+    dc_vars = plots[1][1]
+    np.testing.assert_allclose(dc_vars["v(v-sweep)"], np.arange(0, 12, 2))
+    np.testing.assert_allclose(dc_vars["v(out)"],
+                               np.arange(0, 12, 2) * 0.4, atol=1e-12)
