@@ -376,9 +376,15 @@ def simulate_tran_batch(
         dchg=dchg_arrays(tensors),
         qchg=qchg_arrays(tensors),
     )
+    xs = np.moveaxis(np.asarray(xs), 0, 1)
+    sw_states = np.moveaxis(np.asarray(sw_states), 0, 1)
+    tstart = getattr(ckt.tran, "tstart", 0.0)
+    if tstart > 0.0:  # extended record window (see tran.simulate_tran)
+        keep = times >= tstart - 1e-15
+        times, xs, sw_states = times[keep], xs[:, keep], sw_states[:, keep]
     return BatchTranResult(
         times=times, node_names=tensors.node_names,
-        xs=np.moveaxis(np.asarray(xs), 0, 1),
-        sw_states=np.moveaxis(np.asarray(sw_states), 0, 1),
+        xs=xs,
+        sw_states=sw_states,
         valid=np.asarray(valid),
     )

@@ -1144,6 +1144,15 @@ def simulate_tran(
             if name.upper() in upper
         }
 
+    # extended ngspice-style record window: integrate from 0, keep t >=
+    # tstart (resumed segments already start mid-run and keep everything)
+    tstart = getattr(ckt.tran, "tstart", 0.0)
+    if tstart > 0.0 and state is None:
+        keep = times >= tstart - EPS
+        times = times[keep]
+        node_voltages = {k: v[keep] for k, v in node_voltages.items()}
+        element_currents = {k: v[keep] for k, v in element_currents.items()}
+
     result = TranResult(
         times=times,
         node_voltages=node_voltages,

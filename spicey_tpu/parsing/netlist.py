@@ -480,6 +480,10 @@ class ACAnalysis:
 class TranAnalysis:
     dt: float
     tstop: float
+    # extended: ngspice's optional third ``.tran`` token — integrate from
+    # 0 but record only t >= tstart. 0 (and the reference dialect, which
+    # ignores extra tokens) keeps the full grid.
+    tstart: float = 0.0
 
 
 @dataclass
@@ -785,9 +789,16 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
     elif dir_name == ".tran":
         dt = parse_number_with_units(_require(tokens, 1, ".tran missing timestep"))
         tstop = parse_number_with_units(_require(tokens, 2, ".tran missing stop time"))
-        # Extra tokens (e.g. ngspice's `uic`) are silently ignored
-        # (parseNetlist.ts:180-187).
-        ckt.tran = TranAnalysis(dt=dt, tstop=tstop)
+        # Extra tokens (e.g. ngspice's `uic`) are silently ignored in the
+        # reference dialect (parseNetlist.ts:180-187); the extended dialect
+        # honors a numeric third token as ngspice's tstart (record window).
+        tstart = 0.0
+        if (dialect == "extended" and len(tokens) > 3
+                and re.match(r"^[\d.+-]", tokens[3])):
+            tstart = parse_number_with_units(tokens[3])
+            if not 0.0 <= tstart < tstop:
+                raise ValueError(".tran tstart must be in [0, tstop)")
+        ckt.tran = TranAnalysis(dt=dt, tstop=tstop, tstart=tstart)
     elif dir_name == ".print":
         analysis_type = _require(tokens, 1, ".print missing analysis type").lower()
         if analysis_type == "tran":
@@ -1383,7 +1394,7 @@ def parse_netlist(text: str, dialect: str = "spicey",
             text = _expand_includes(text, base_dir)
         gparams: dict = {}
         has_braces = "{" in text
-        if has_braces or re.search(r"^\s*\.param\b", text,
+        if has_braces or re.search(r"^\s*\.(param|func)\b", text,
                                    re.IGNORECASE | re.MULTILINE):
             from .params import apply_params
 

@@ -23,6 +23,13 @@ import re
 from .numbers import parse_number_with_units
 
 _PARAM_LINE_RE = re.compile(r"^\s*\.param\s+(.*)$", re.IGNORECASE)
+# .func name(a, b) expr   |   .func name(a, b) = expr   (ngspice-style
+# user function definitions, usable in any {expression})
+_FUNC_LINE_RE = re.compile(
+    r"^\s*\.func\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*=?\s*(.+?)\s*$",
+    re.IGNORECASE)
+_FUNC_MARK = "__func__"
+_MAX_FUNC_DEPTH = 20
 _ASSIGN_RE = re.compile(r"([A-Za-z_]\w*)\s*=\s*(\{[^}]*\}|\S+)")
 _BRACE_RE = re.compile(r"\{([^{}]*)\}")
 # engineering-suffixed literal inside an expression: digits followed by
@@ -45,8 +52,18 @@ _BINOPS = {
 _UNARYOPS = {ast.USub: lambda a: -a, ast.UAdd: lambda a: a}
 
 
-def eval_expr(expr: str, params: dict[str, float]) -> float:
-    """Evaluate one parameter expression against the current scope."""
+def eval_expr(expr: str, params: dict[str, float],
+              _depth: int = 0) -> float:
+    """Evaluate one parameter expression against the current scope.
+
+    ``params`` may also carry ``.func`` definitions (stored as
+    ("__func__", argnames, body) tuples under the function name) — a call
+    binds its evaluated arguments into a child scope and evaluates the
+    body, recursion capped at _MAX_FUNC_DEPTH."""
+    if _depth > _MAX_FUNC_DEPTH:
+        raise ValueError(
+            f".func recursion deeper than {_MAX_FUNC_DEPTH} evaluating "
+            f"{expr!r}")
     normalized = _ENG_NUM_RE.sub(
         lambda m: repr(parse_number_with_units(m.group(1))), expr)
     try:
@@ -60,8 +77,9 @@ def eval_expr(expr: str, params: dict[str, float]) -> float:
             return float(node.value)
         if isinstance(node, ast.Name):
             key = node.id.lower()
-            if key in params:
-                return params[key]
+            val = params.get(key)
+            if isinstance(val, (int, float)):
+                return float(val)
             raise ValueError(
                 f"unknown parameter {node.id!r} in expression {expr!r}")
         if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
@@ -69,9 +87,22 @@ def eval_expr(expr: str, params: dict[str, float]) -> float:
         if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
             return _UNARYOPS[type(node.op)](ev(node.operand))
         if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
-                and node.func.id.lower() in _FUNCS and not node.keywords):
-            return float(_FUNCS[node.func.id.lower()](
-                *[ev(a) for a in node.args]))
+                and not node.keywords):
+            fname = node.func.id.lower()
+            udef = params.get(fname)
+            if (isinstance(udef, tuple) and udef
+                    and udef[0] == _FUNC_MARK):
+                _, argnames, body = udef
+                if len(node.args) != len(argnames):
+                    raise ValueError(
+                        f".func {fname} takes {len(argnames)} argument(s),"
+                        f" got {len(node.args)} in {expr!r}")
+                child = dict(params)
+                for an, av in zip(argnames, node.args):
+                    child[an] = ev(av)
+                return eval_expr(body, child, _depth=_depth + 1)
+            if fname in _FUNCS:
+                return float(_FUNCS[fname](*[ev(a) for a in node.args]))
         raise ValueError(
             f"unsupported construct in parameter expression {expr!r}")
 
@@ -112,6 +143,16 @@ def apply_params(text: str, strict: bool = True):
     for raw in re.split(r"\r?\n", text):
         if not ended and re.match(r"^\s*\.end\b(?!s)", raw, re.IGNORECASE):
             ended = True
+        fm = None if ended else _FUNC_LINE_RE.match(raw)
+        if fm:
+            name = fm.group(1).lower()
+            argnames = [a.strip().lower() for a in fm.group(2).split(",")
+                        if a.strip()]
+            body = fm.group(3).strip()
+            if body.startswith("{") and body.endswith("}"):
+                body = body[1:-1]  # ngspice allows a braced body
+            params[name] = (_FUNC_MARK, argnames, body)
+            continue
         m = None if ended else _PARAM_LINE_RE.match(raw)
         if m:
             body = m.group(1)

@@ -167,3 +167,66 @@ x2 sig y2 clip lim=3
     assert r.op.node_voltages["y1"] == pytest.approx(np.tanh(2.0), rel=1e-9)
     assert r.op.node_voltages["y2"] == pytest.approx(3 * np.tanh(2.0),
                                                      rel=1e-9)
+
+
+# --- .func user functions + .tran tstart (extended) ---
+
+def test_func_definition_and_call():
+    from spicey_tpu import parse_netlist
+
+    ckt = parse_netlist("""x
+.param w=2u
+.func res(l, sheet) {sheet*l/w}
+r1 a 0 {res(10u, 50)}
+v1 a 0 dc 1
+""", dialect="extended")
+    assert ckt.R[0].R == pytest.approx(50 * 10e-6 / 2e-6)
+
+
+def test_func_composes_and_recursion_capped():
+    from spicey_tpu import parse_netlist
+
+    ckt = parse_netlist("""x
+.func sq(x) x*x
+.func quad(x) = sq(sq(x))
+r1 a 0 {quad(3)}
+v1 a 0 dc 1
+""", dialect="extended")
+    assert ckt.R[0].R == 81.0
+    with pytest.raises(ValueError, match="recursion"):
+        parse_netlist("x\n.func f(x) f(x)\nr1 a 0 {f(1)}\nv1 a 0 1\n",
+                      dialect="extended")
+
+
+def test_tran_tstart_window():
+    """.tran dt tstop tstart (extended): integrate from 0, record only
+    t >= tstart; the reference dialect ignores the extra token."""
+    import numpy as np
+
+    from spicey_tpu import parse_netlist, simulate, simulate_tran_batch
+
+    net = "x\nv1 a 0 PULSE(0 1 0 1n 1n 5u 20u)\nr1 a b 1k\nc1 b 0 1n\n" \
+          ".tran 0.1u 10u 4u\n"
+    res = simulate(net, dialect="extended")
+    t = np.asarray(res.tran.times)
+    assert t[0] == pytest.approx(4e-6)
+    assert t[-1] == pytest.approx(10e-6)
+    # the waveform carries the pre-window history: the 1 us RC has been
+    # charging since t=0, so at t=4u it sits near 1 - e^-4 ~ 0.98
+    assert np.asarray(res.tran.node_voltages["b"])[0] > 0.95
+    # reference dialect: extra token ignored, full grid kept
+    res0 = simulate(net)
+    assert np.asarray(res0.tran.times)[0] == 0.0
+    # batch path trims identically
+    ckt = parse_netlist(net, dialect="extended")
+    rb = simulate_tran_batch(ckt, {"r1": np.asarray([1e3, 2e3])})
+    assert rb.times[0] == pytest.approx(4e-6)
+    assert rb.xs.shape[1] == rb.times.shape[0]
+
+
+def test_tran_tstart_validation():
+    from spicey_tpu import parse_netlist
+
+    with pytest.raises(ValueError, match="tstart"):
+        parse_netlist("x\nv1 a 0 1\nr1 a 0 1\n.tran 1u 10u 20u\n",
+                      dialect="extended")
