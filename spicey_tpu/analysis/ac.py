@@ -327,28 +327,39 @@ def small_signal_rows(tensors: CircuitTensors, op):
 
 
 def _bsource_small_signal(ckt, tensors: CircuitTensors, op):
-    """Small-signal VCCS rows for I-kind behavioral sources at the .op
-    point: each reference partial dI/d(vref) is one 4-point
-    transconductance row. (V-kind sources stay 0 V shorts in AC.)"""
+    """Small-signal rows for behavioral sources at the .op point, shaped
+    as VCCS rows so they ride the existing ext["g_*"] stamping.
+
+    I-kind: each reference partial dI/d(vref) is one 4-point
+    transconductance row across the source's nodes. V-kind: the source
+    already owns a branch row (stamped as a 0 V short by the AC path,
+    v1 - v2 = 0); its gradient couplings -dF/d(vref) target THAT row,
+    expressed as a VCCS whose current rows are [branch, dump] — the dump
+    half is sliced off, leaving exactly A[br, ref±] -= g. This is what
+    makes op-linearized opamp macromodels (tanh output stages etc.) show
+    gain in AC instead of a dead short."""
     import jax
 
     from ..ir.circuit import bsrc_static
 
     x_pad = _op_voltage_pad(tensors, op)
+    dump = tensors.nvar
     # op branch currents are not part of the AC x_pad here; branch refs
     # read 0 — acceptable for the op-linearized gain of v-referenced
     # sources, the dominant behavioral use case
     rows: list[list[int]] = []
     vals: list[float] = []
-    for kind, fn, i1, i2, _br, refs in bsrc_static(ckt, tensors.nvar):
-        if kind != "i":
-            continue
+    for kind, fn, i1, i2, br, refs in bsrc_static(ckt, tensors.nvar):
         v = jnp.asarray([x_pad[a] - x_pad[b] for a, b in refs])
         for j, (a, b) in enumerate(refs):
             e = jnp.zeros_like(v).at[j].set(1.0)
             _, gj = jax.jvp(lambda vv: fn(vv, 0.0), (v,), (e,))
-            rows.append([i1, i2, a, b])
-            vals.append(float(gj))
+            if kind == "i":
+                rows.append([i1, i2, a, b])
+                vals.append(float(gj))
+            else:
+                rows.append([br, dump, a, b])
+                vals.append(-float(gj))
     if not rows:
         return np.zeros((0, 4), np.int32), np.zeros((0,))
     return (np.asarray(rows, np.int32), np.asarray(vals, np.float64))

@@ -79,7 +79,9 @@ def compile_bexpr(expr: str):
 
     substituted = _REF_RE.sub(_take_ref, expr)
     normalized = _ENG_NUM_RE.sub(
-        lambda m: repr(parse_number_with_units(m.group(1))), substituted)
+        lambda m: (m.group(0) if m.group(1) is None
+                   else repr(parse_number_with_units(m.group(1)))),
+        substituted)
     try:
         tree = ast.parse(normalized, mode="eval").body
     except SyntaxError as err:

@@ -62,6 +62,7 @@ _SUBCKT_RE = re.compile(r"^\.subckt\b", re.IGNORECASE)
 _ENDS_RE = re.compile(r"^\.ends\b", re.IGNORECASE)
 _X_NAME_RE = re.compile(r"^x\w*$", re.IGNORECASE)
 _PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
+_POLY_RE = re.compile(r"^poly\s*\(\s*(\d+)\s*\)$", re.IGNORECASE)
 _PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
 _ASSIGN_SPLIT_RE = re.compile(r"[\s,]+")
 
@@ -949,6 +950,86 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         ckt.skipped.append(line)
 
 
+def _poly_expr(xs: list[str], coeffs: list[float]) -> str:
+    """SPICE2 POLY(n) polynomial as a behavioral-expression string.
+
+    Term ordering (SPICE2 convention): constant p0; linear p_i*x_i; then
+    for POLY(1) arbitrary powers p_k*x^k, and for n >= 2 the quadratic
+    products in row-wise lower-triangle order (x1*x1, x2*x1, x2*x2,
+    x3*x1, x3*x2, x3*x3, ...). Coefficients beyond second order with
+    multiple controls raise (they are essentially unused in real decks).
+    """
+    terms = [f"({coeffs[0]!r})"]
+    k = 1
+    for x in xs:
+        if k >= len(coeffs):
+            break
+        terms.append(f"({coeffs[k]!r})*{x}")
+        k += 1
+    if len(xs) == 1:
+        order = 2
+        while k < len(coeffs):
+            terms.append(f"({coeffs[k]!r})*{xs[0]}**{order}")
+            k += 1
+            order += 1
+    else:
+        prods = [f"{xs[i]}*{xs[j]}"
+                 for i in range(len(xs)) for j in range(i + 1)]
+        for p in prods:
+            if k >= len(coeffs):
+                break
+            terms.append(f"({coeffs[k]!r})*{p}")
+            k += 1
+        if k < len(coeffs):
+            raise ValueError(
+                "POLY coefficients beyond second order are only "
+                "supported for POLY(1)")
+    return "+".join(terms)
+
+
+def _parse_poly_source(ckt: ParsedCircuit, name: str, type_char: str,
+                       tokens: list[str]) -> None:
+    """SPICE2 ``E/G/F/H name n+ n- POLY(nd) <controls> <coeffs>`` —
+    lowered onto a behavioral (B) source: the polynomial becomes a
+    compiled expression over v(a,b) / i(vname) references, so nonlinear
+    POLY sources (opamp macromodel limiters etc.) converge under the same
+    Newton machinery as any B element. E/H lower to V= sources (branch
+    unknown), G/F to I= sources."""
+    from .bexpr import compile_bexpr
+
+    nd = int(_POLY_RE.match(tokens[3]).group(1))
+    if nd < 1:
+        raise ValueError("POLY dimension must be >= 1")
+    if type_char in ("e", "g"):
+        need = 2 * nd
+        node_toks = tokens[4:4 + need]
+        if len(node_toks) < need:
+            raise ValueError(
+                f"POLY({nd}) needs {need} control node tokens")
+        for t in node_toks:
+            ckt.nodes.get_or_create(t)  # register control nodes
+        xs = [f"v({node_toks[2 * i]},{node_toks[2 * i + 1]})"
+              for i in range(nd)]
+        coeff_toks = tokens[4 + need:]
+    else:
+        ctl = tokens[4:4 + nd]
+        if len(ctl) < nd:
+            raise ValueError(
+                f"POLY({nd}) needs {nd} controlling source names")
+        xs = [f"i({c})" for c in ctl]
+        coeff_toks = tokens[4 + nd:]
+    coeffs = [parse_number_with_units(t) for t in coeff_toks]
+    if not coeffs:
+        raise ValueError("POLY source missing coefficients")
+    expr = _poly_expr(xs, coeffs)
+    n1 = ckt.nodes.get_or_create(tokens[1])
+    n2 = ckt.nodes.get_or_create(tokens[2])
+    kind = "v" if type_char in ("e", "h") else "i"
+    refs, fn = compile_bexpr(expr)
+    ckt.B.append(BSource(name=name, n1=n1, n2=n2, kind=kind,
+                         expr=expr, refs=refs, fn=fn))
+
+
 def js_parse_int(s: str) -> int:
     """JS ``parseInt(s, 10)``: longest decimal-integer prefix."""
     m = re.match(r"^\s*([+-]?\d+)", s)
@@ -1233,6 +1314,22 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
                 tail)
             out.append(" ".join([rename(first), map_node(m.group(2)),
                                  map_node(m.group(3)), tail]))
+            continue
+        if (tc in ("e", "g", "f", "h") and len(toks) > 3
+                and _POLY_RE.match(toks[3])):
+            # POLY sources: nd control node pairs (e/g) or nd controlling
+            # source names (f/h) follow the POLY token; coefficients pass
+            # through untouched
+            nd = int(_POLY_RE.match(toks[3]).group(1))
+            out_nodes = [map_node(toks[1]), map_node(toks[2])]
+            if tc in ("e", "g"):
+                ctl = [map_node(t) for t in toks[4:4 + 2 * nd]]
+                rest = toks[4 + 2 * nd:]
+            else:
+                ctl = [rename(t) for t in toks[4:4 + nd]]
+                rest = toks[4 + nd:]
+            out.append(" ".join([rename(first)] + out_nodes + [toks[3]]
+                                + ctl + rest))
             continue
         if tc == "m":
             # M d g s [bulk] model [k=v...]: bare tokens after the nodes are
@@ -1526,6 +1623,9 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.J.append(JFET(name=name, nd=nd, ng=ng, ns=ns,
                                   model_name=model_name.lower()))
             elif type_char in ("f", "h") and dialect == "extended":
+                if len(tokens) > 3 and _POLY_RE.match(tokens[3]):
+                    _parse_poly_source(ckt, name, type_char, tokens)
+                    continue
                 n1 = ckt.nodes.get_or_create(
                     _require(tokens, 1, "Controlled source missing node"))
                 n2 = ckt.nodes.get_or_create(
@@ -1541,6 +1641,9 @@ def parse_netlist(text: str, dialect: str = "spicey",
                     ckt.H.append(CCVS(name=name, n1=n1, n2=n2,
                                       ctrl_name=ctrl, r=val))
             elif type_char in ("g", "e") and dialect == "extended":
+                if len(tokens) > 3 and _POLY_RE.match(tokens[3]):
+                    _parse_poly_source(ckt, name, type_char, tokens)
+                    continue
                 n1 = ckt.nodes.get_or_create(
                     _require(tokens, 1, "Controlled source missing node"))
                 n2 = ckt.nodes.get_or_create(

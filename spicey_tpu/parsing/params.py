@@ -33,9 +33,14 @@ _MAX_FUNC_DEPTH = 20
 _ASSIGN_RE = re.compile(r"([A-Za-z_]\w*)\s*=\s*(\{[^}]*\}|\S+)")
 _BRACE_RE = re.compile(r"\{([^{}]*)\}")
 # engineering-suffixed literal inside an expression: digits followed by
-# letters (e.g. 10k, 3meg, 2.2u) — invalid Python syntax, so normalize first
+# letters (e.g. 10k, 3meg, 2.2u) — invalid Python syntax, so normalize
+# first. The FIRST alternative greedily consumes plain scientific notation
+# ("1e-3", "9.99e-06") so the suffix matcher cannot backtrack into
+# treating the bare "e" as a unit and orphaning the "-06"; the replacer
+# leaves those untouched (group 1 is None).
 _ENG_NUM_RE = re.compile(
-    r"(?<![\w.])(\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[A-Za-z]+)")
+    r"(?<![\w.])(?:\d+(?:\.\d*)?[eE][+-]?\d+(?![\w.])"
+    r"|(\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[A-Za-z]+))")
 
 _FUNCS = {
     "sqrt": math.sqrt, "exp": math.exp, "log": math.log,
@@ -65,7 +70,8 @@ def eval_expr(expr: str, params: dict[str, float],
             f".func recursion deeper than {_MAX_FUNC_DEPTH} evaluating "
             f"{expr!r}")
     normalized = _ENG_NUM_RE.sub(
-        lambda m: repr(parse_number_with_units(m.group(1))), expr)
+        lambda m: (m.group(0) if m.group(1) is None
+                   else repr(parse_number_with_units(m.group(1)))), expr)
     try:
         tree = ast.parse(normalized, mode="eval").body
     except SyntaxError as err:
