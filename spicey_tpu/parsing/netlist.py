@@ -49,7 +49,7 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # in element names (subcircuit flattening emits "r1.x1"-style names). X
 # instance lines are consumed by _flatten_subcircuits before this regex ever
 # sees them.
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbj][\w.]*$",
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbju][\w.]*$",
                                       re.IGNORECASE)
 # "t" is deliberately NOT in the title-leader set: titles beginning with
 # "the/test/transient..." are ubiquitous and SPICE decks always carry a
@@ -203,6 +203,19 @@ class CCVS:
     r: float
     ctrl_index: int = -1
     index: int = -1
+
+
+@dataclass
+class URCModel:
+    """Extended-dialect uniform distributed RC line model
+    (.model <name> URC(k rperl cperl [fmax])). ``isperl``/``rsperl``
+    (per-length diodes) are not supported and raise."""
+
+    name: str
+    K: float = 2.0        # lump-length geometric ratio (toward the middle)
+    Rperl: float = 1000.0  # ohms per meter
+    Cperl: float = 1e-15   # farads per meter
+    Fmax: float = 1e9      # used to size the default lump count
 
 
 @dataclass
@@ -400,6 +413,24 @@ class CSwitch:
 
 
 @dataclass
+class URCLine:
+    """Extended-dialect U element: ``U name n1 n2 ncommon model [l=len]
+    [n=lumps]`` — a uniform distributed RC line, expanded in the parser
+    post-pass into a ladder of ordinary R/C elements (series R along
+    n1..n2, shunt C to ncommon) with lump lengths in geometric progression
+    toward the middle (ngspice's URC construction). Internal nodes are
+    ``<name>#k``; generated elements ``<name>#rk`` / ``<name>#ck``."""
+
+    name: str
+    n1: int
+    n2: int
+    ncom: int
+    model_name: str
+    length: float = 1.0
+    lumps: int = 0  # 0 = size from the model's fmax
+
+
+@dataclass
 class TLine:
     """Extended-dialect T element: lossless transmission line,
     ``T name n1 n2 n3 n4 Z0=z [TD=td | F=f [NL=nl]]`` (ngspice syntax).
@@ -582,6 +613,7 @@ class ParsedCircuit:
     K: list[MutualCoupling] = field(default_factory=list)  # extended dialect
     B: list[BSource] = field(default_factory=list)  # extended dialect
     T: list[TLine] = field(default_factory=list)  # extended dialect
+    U: list[URCLine] = field(default_factory=list)  # extended dialect
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
@@ -596,6 +628,7 @@ class ParsedCircuit:
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
     nodeset: dict[str, float] = field(default_factory=dict)  # extended
     skipped: list[str] = field(default_factory=list)
+    urc_models: dict[str, URCModel] = field(default_factory=dict)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
     cswitch_models: dict[str, CSwitchModel] = field(default_factory=dict)
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
@@ -923,6 +956,21 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "af" in params:
                 model.AF = params["af"]
             ckt.bjt_models[name_token.lower()] = model
+        elif type_lower == "urc" and dialect == "extended":
+            umodel = URCModel(name=name_token)
+            params = _parse_model_params(params_str)
+            if "isperl" in params or "rsperl" in params:
+                raise ValueError(
+                    "URC isperl/rsperl (per-length diodes) not supported")
+            if "k" in params:
+                umodel.K = params["k"]
+            if "rperl" in params:
+                umodel.Rperl = params["rperl"]
+            if "cperl" in params:
+                umodel.Cperl = params["cperl"]
+            if "fmax" in params:
+                umodel.Fmax = params["fmax"]
+            ckt.urc_models[name_token.lower()] = umodel
         elif type_lower in ("njf", "pjf") and dialect == "extended":
             model = JFETModel(name=name_token,
                               polarity=1.0 if type_lower == "njf" else -1.0)
@@ -1144,6 +1192,7 @@ _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
     "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2, "t": 4,
     "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
+    "u": 3,
 }
 
 _MAX_SUBCKT_DEPTH = 20
@@ -1702,6 +1751,21 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.T.append(TLine(name=name, n1=nodes_t[0], n2=nodes_t[1],
                                    n3=nodes_t[2], n4=nodes_t[3],
                                    z0=z0, td=td))
+            elif type_char == "u" and dialect == "extended":
+                n1u = ckt.nodes.get_or_create(
+                    _require(tokens, 1, "URC line missing node"))
+                n2u = ckt.nodes.get_or_create(
+                    _require(tokens, 2, "URC line missing node"))
+                ncm = ckt.nodes.get_or_create(
+                    _require(tokens, 3, "URC line missing common node"))
+                umodel_name = _require(tokens, 4, "URC line missing model")
+                uparams = _parse_model_params(
+                    " ".join(t for t in tokens[5:] if "=" in t))
+                ckt.U.append(URCLine(
+                    name=name, n1=n1u, n2=n2u, ncom=ncm,
+                    model_name=umodel_name.lower(),
+                    length=uparams.get("l", 1.0),
+                    lumps=int(uparams.get("n", 0))))
             elif type_char == "k" and dialect == "extended":
                 l1 = _require(tokens, 1, "Coupling missing inductor name")
                 l2 = _require(tokens, 2, "Coupling missing inductor name")
@@ -1755,6 +1819,44 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.skipped.append(line)
         except ValueError as err:
             raise ValueError(f'Parse error on line: "{line}"\n{err}') from err
+
+    # URC lines expand into R/C ladders FIRST: their internal nodes must
+    # exist before the branch-index bookkeeping counts nodes
+    import math as _math
+
+    for u in ckt.U:
+        um = ckt.urc_models.get(u.model_name)
+        if um is None:
+            raise ValueError(
+                f"Unknown .model {u.model_name} referenced by URC line "
+                f"{u.name}")
+        n_lumps = u.lumps
+        if n_lumps <= 0:
+            # ngspice's sizing rule from fmax; floor 3, cap 100
+            arg = (um.Fmax * um.Rperl * um.Cperl * 2 * _math.pi
+                   * u.length ** 2 * ((um.K - 1) / um.K) ** 2
+                   if um.K > 1 else 0.0)
+            n_lumps = (max(3, _math.ceil(_math.log(arg) / _math.log(um.K)))
+                       if arg > 1 and um.K > 1 else 3)
+        n_lumps = min(n_lumps, 100)
+        w = [um.K ** min(i, n_lumps - 1 - i) for i in range(n_lumps)]
+        s_w = sum(w)
+        r_tot = um.Rperl * u.length
+        c_tot = um.Cperl * u.length
+        chain = ([u.n1]
+                 + [ckt.nodes.get_or_create(f"{u.name}#{k}")
+                    for k in range(1, n_lumps)]
+                 + [u.n2])
+        for i in range(n_lumps):
+            ckt.R.append(Resistor(name=f"{u.name}#r{i}", n1=chain[i],
+                                  n2=chain[i + 1], R=r_tot * w[i] / s_w))
+        caps = ([(u.n1, w[0] / 2.0)]
+                + [(chain[j], (w[j - 1] + w[j]) / 2.0)
+                   for j in range(1, n_lumps)]
+                + [(u.n2, w[n_lumps - 1] / 2.0)])
+        for k, (nd, wt) in enumerate(caps):
+            ckt.C.append(Capacitor(name=f"{u.name}#c{k}", n1=nd,
+                                   n2=u.ncom, C=c_tot * wt / s_w))
 
     # Post-pass (parseNetlist.ts:455-479)
     n_nodes = ckt.nodes.count() - 1

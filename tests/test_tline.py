@@ -242,3 +242,59 @@ rl b 0 50
     vb = np.asarray(res.tran.node_voltages["b"])
     assert vb[np.argmin(np.abs(t - 3e-9))] == pytest.approx(0.0, abs=1e-12)
     assert vb[np.argmin(np.abs(t - 8e-9))] == pytest.approx(0.5, abs=1e-9)
+
+
+# --- URC distributed RC lines (lowered to R/C ladders) ---
+
+def test_urc_expands_to_ladder():
+    ckt = parse_netlist("""x
+.model um urc(k=1.5 rperl=10k cperl=1n)
+v1 in 0 dc 1
+u1 in out 0 um l=1 n=5
+rl out 0 1meg
+""", dialect="extended")
+    rs = [r for r in ckt.R if r.name.startswith("u1#r")]
+    cs = [c for c in ckt.C if c.name.startswith("u1#c")]
+    assert len(rs) == 5 and len(cs) == 6
+    assert sum(r.R for r in rs) == pytest.approx(10e3, rel=1e-12)
+    assert sum(c.C for c in cs) == pytest.approx(1e-9, rel=1e-12)
+    # geometric toward the middle: middle lump longest
+    vals = [r.R for r in rs]
+    assert vals[2] > vals[0] and vals[2] > vals[4]
+    assert vals[0] == pytest.approx(vals[4], rel=1e-12)
+
+
+def test_urc_step_response_elmore():
+    """Distributed RC step response: t50 ~ 0.38*R*C (Elmore/diffusion),
+    settling to the full input level."""
+    r = simulate("""x
+.model um urc(k=1.5 rperl=10k cperl=1n)
+v1 in 0 PULSE(0 1 0 1n 1n 1m 2m)
+u1 in out 0 um l=1 n=20
+.tran 0.2u 60u
+""", dialect="extended")
+    t = np.asarray(r.tran.times)
+    vo = np.asarray(r.tran.node_voltages["out"])
+    t50 = t[np.argmax(vo > 0.5)]
+    assert t50 == pytest.approx(0.38 * 10e3 * 1e-9, rel=0.15)
+    assert vo[-1] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_urc_errors():
+    with pytest.raises(ValueError, match="isperl"):
+        parse_netlist("x\n.model um urc(isperl=1e-12)\n",
+                      dialect="extended")
+    with pytest.raises(ValueError, match="Unknown .model"):
+        parse_netlist("x\nv1 a 0 1\nu1 a b 0 nope l=1\nrl b 0 1k\n",
+                      dialect="extended")
+
+
+def test_urc_auto_lump_count_from_fmax():
+    ckt = parse_netlist("""x
+.model um urc(k=2 rperl=1k cperl=1p fmax=1g)
+v1 a 0 1
+u1 a b 0 um l=0.01
+rl b 0 1k
+""", dialect="extended")
+    n = sum(1 for r in ckt.R if r.name.startswith("u1#r"))
+    assert n >= 3
