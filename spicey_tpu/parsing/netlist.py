@@ -49,7 +49,7 @@ _ELEMENT_OR_TITLE_RE = re.compile(r"^[rclvgsmiqd]\w*$", re.IGNORECASE)
 # in element names (subcircuit flattening emits "r1.x1"-style names). X
 # instance lines are consumed by _flatten_subcircuits before this regex ever
 # sees them.
-_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbju][\w.]*$",
+_ELEMENT_OR_TITLE_EXT_RE = re.compile(r"^[rclvgsmiqdefhkwbjuz][\w.]*$",
                                       re.IGNORECASE)
 # "t" is deliberately NOT in the title-leader set: titles beginning with
 # "the/test/transient..." are ubiquitous and SPICE decks always carry a
@@ -971,9 +971,14 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "fmax" in params:
                 umodel.Fmax = params["fmax"]
             ckt.urc_models[name_token.lower()] = umodel
-        elif type_lower in ("njf", "pjf") and dialect == "extended":
-            model = JFETModel(name=name_token,
-                              polarity=1.0 if type_lower == "njf" else -1.0)
+        elif type_lower in ("njf", "pjf", "nmf", "pmf") \
+                and dialect == "extended":
+            # MESFETs (nmf/pmf, Z elements) share the level-1
+            # Shichman-Hodges square law and lower onto the same JFET
+            # machinery (MESFET defaults: beta=1e-4 matches)
+            model = JFETModel(
+                name=name_token,
+                polarity=1.0 if type_lower in ("njf", "nmf") else -1.0)
             params = _parse_model_params(params_str)
             if "vto" in params:
                 model.Vto = params["vto"]
@@ -996,6 +1001,19 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             ckt.skipped.append(line)
     else:
         ckt.skipped.append(line)
+
+
+def _flatten_poly_tokens(toks: list[str]) -> list[str]:
+    """Expand paren-grouped POLY control pairs — vendor decks write
+    ``(3,0)`` or ``( 3 0 )``, which the tokenizer keeps whole."""
+    flat: list[str] = []
+    for t in toks:
+        if t.startswith("(") and t.endswith(")"):
+            flat.extend(p for p in re.split(r"[\s,]+", t[1:-1].strip())
+                        if p)
+        else:
+            flat.append(t)
+    return flat
 
 
 def _poly_expr(xs: list[str], coeffs: list[float]) -> str:
@@ -1048,6 +1066,7 @@ def _parse_poly_source(ckt: ParsedCircuit, name: str, type_char: str,
     nd = int(_POLY_RE.match(tokens[3]).group(1))
     if nd < 1:
         raise ValueError("POLY dimension must be >= 1")
+    tokens = tokens[:4] + _flatten_poly_tokens(tokens[4:])
     if type_char in ("e", "g"):
         need = 2 * nd
         node_toks = tokens[4:4 + need]
@@ -1192,7 +1211,7 @@ _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
     "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2, "t": 4,
     "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
-    "u": 3,
+    "u": 3, "z": 3,
 }
 
 _MAX_SUBCKT_DEPTH = 20
@@ -1367,16 +1386,17 @@ def _expand_instance(inst_name: str, tokens: list[str], defs: dict,
         if (tc in ("e", "g", "f", "h") and len(toks) > 3
                 and _POLY_RE.match(toks[3])):
             # POLY sources: nd control node pairs (e/g) or nd controlling
-            # source names (f/h) follow the POLY token; coefficients pass
-            # through untouched
+            # source names (f/h) follow the POLY token (paren groups
+            # flattened first); coefficients pass through untouched
             nd = int(_POLY_RE.match(toks[3]).group(1))
+            flat4 = _flatten_poly_tokens(toks[4:])
             out_nodes = [map_node(toks[1]), map_node(toks[2])]
             if tc in ("e", "g"):
-                ctl = [map_node(t) for t in toks[4:4 + 2 * nd]]
-                rest = toks[4 + 2 * nd:]
+                ctl = [map_node(t) for t in flat4[:2 * nd]]
+                rest = flat4[2 * nd:]
             else:
-                ctl = [rename(t) for t in toks[4:4 + nd]]
-                rest = toks[4 + nd:]
+                ctl = [rename(t) for t in flat4[:nd]]
+                rest = flat4[nd:]
             out.append(" ".join([rename(first)] + out_nodes + [toks[3]]
                                 + ctl + rest))
             continue
@@ -1661,7 +1681,9 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 model_name = _require(tokens, 4, "BJT missing model")
                 ckt.Q.append(BJT(name=name, nc=nc, nb=nb, ne=ne,
                                  model_name=model_name.lower()))
-            elif type_char == "j" and dialect == "extended":
+            elif type_char in ("j", "z") and dialect == "extended":
+                # Z = MESFET: same terminals and square law, lowered onto
+                # the JFET machinery (model types nmf/pmf)
                 nd = ckt.nodes.get_or_create(
                     _require(tokens, 1, "JFET missing drain node"))
                 ng = ckt.nodes.get_or_create(

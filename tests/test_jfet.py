@@ -263,3 +263,17 @@ ikick 0 n1 PULSE(0 2m 0 1n 1n 3u 1)
 """, dialect="extended")
     v1 = np.asarray(res.tran.node_voltages["n1"])
     assert v1.min() < 1.0 and v1.max() > 4.0
+
+
+def test_mesfet_z_element_lowers_to_jfet():
+    """Z MESFETs (nmf/pmf) share the square law: same bias point as the
+    equivalent njf."""
+    res = simulate("""x
+.model zm nmf(vto=-2 beta=1e-4 lambda=0)
+vdd p 0 dc 10
+rd p d 10k
+z1 d 0 0 zm
+.op
+""", dialect="extended")
+    assert res.op.node_voltages["d"] == pytest.approx(6.0, abs=1e-6)
+    assert res.op.element_currents["z1"] == pytest.approx(4e-4, rel=1e-6)

@@ -173,3 +173,32 @@ rg fb 0 1k
 .op
 """, dialect="extended")
     assert 9.0 < r.op.node_voltages["out"] < 10.5
+
+
+def test_ua741_vendor_macromodel_unmodified():
+    """The industry-standard uA741 Boyle macromodel (tests/fixtures/
+    ua741.py) runs UNMODIFIED: POLY(2)/POLY(5) sources with paren control
+    pairs, BJT input pair, diode rail clamps, numeric nodes. Inverting
+    x10 on +-15 V rails: DC gain -10 (within the 741's finite open-loop
+    gain) and the closed-loop -3 dB near GBW/10 ~ 100 kHz."""
+    from tests.fixtures.ua741 import UA741
+
+    deck = UA741 + """
+vcc vcc 0 dc 15
+vee vee 0 dc -15
+vin in 0 dc 0.1 ac 1
+rin in minus 1k
+rfb minus out 10k
+xamp 0 minus vcc vee out ua741
+.op
+.ac dec 10 1 10meg
+"""
+    r = simulate(deck, dialect="extended", ac_linearize="op")
+    assert r.op.node_voltages["out"] == pytest.approx(-1.0, rel=5e-3)
+    h = np.abs(np.asarray(r.ac.node_voltages["out"]))
+    f = np.asarray(r.ac.freqs)
+    assert h[0] == pytest.approx(10.0, rel=1e-2)
+    k = np.argmax(h < 10.0 / np.sqrt(2))
+    f3 = np.interp(10 / np.sqrt(2), [h[k], h[k - 1]], [f[k], f[k - 1]])
+    assert 50e3 < f3 < 300e3   # the 741's GBW/10 ballpark
+    assert h[-1] < 0.1          # fully rolled off at 10 MHz
