@@ -249,6 +249,9 @@ class DiodeModel:
     name: str
     Is: float = 1e-14
     N: float = 1.0
+    # ohmic series resistance (extended; lowered to a real resistor +
+    # internal node in the parser post-pass)
+    RS: float = 0.0
     # charge storage (extended dialect; SPICE TT/CJO/VJ/M/FC — all-zero
     # defaults keep the reference's memoryless diode exactly)
     TT: float = 0.0
@@ -294,6 +297,10 @@ class BJTModel:
     Is: float = 1e-16
     Bf: float = 100.0
     Br: float = 1.0
+    # ohmic terminal resistances (extended; lowered to real resistors)
+    RB: float = 0.0
+    RC: float = 0.0
+    RE: float = 0.0
     # charge storage (extended; SPICE TF/TR transit times + CJE/CJC
     # depletion caps — all-zero defaults keep the memoryless device)
     TF: float = 0.0
@@ -897,6 +904,8 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "n" in params:
                 model.N = params["n"]
             if dialect == "extended":
+                if "rs" in params:
+                    model.RS = params["rs"]
                 # charge-storage parameters (reference dialect ignores
                 # unknown model keys, so these stay extended-only)
                 if "tt" in params:
@@ -945,7 +954,8 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Bf = params["bf"]
             if "br" in params:
                 model.Br = params["br"]
-            for key, attr in (("tf", "TF"), ("tr", "TR"), ("cje", "CJE"),
+            for key, attr in (("rb", "RB"), ("rc", "RC"), ("re", "RE"),
+                              ("tf", "TF"), ("tr", "TR"), ("cje", "CJE"),
                               ("vje", "VJE"), ("mje", "MJE"),
                               ("cjc", "CJC"), ("vjc", "VJC"),
                               ("mjc", "MJC"), ("fc", "FC")):
@@ -1841,6 +1851,32 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.skipped.append(line)
         except ValueError as err:
             raise ValueError(f'Parse error on line: "{line}"\n{err}') from err
+
+    # Device ohmic resistances (diode RS, BJT RB/RC/RE) lower to real
+    # resistors + internal nodes: the junction keeps its name (current
+    # recording unchanged) and is rewired behind the series element.
+    # Must run before node counting, like the URC expansion below.
+    for d_el in ckt.D:
+        model_d = ckt.diode_models.get(d_el.model_name)
+        if model_d is not None and getattr(model_d, "RS", 0.0) > 0.0:
+            internal = ckt.nodes.get_or_create(f"{d_el.name}#int")
+            ckt.R.append(Resistor(name=f"{d_el.name}#rs",
+                                  n1=d_el.n_plus, n2=internal,
+                                  R=model_d.RS))
+            d_el.n_plus = internal
+    for q_el in ckt.Q:
+        model_q = ckt.bjt_models.get(q_el.model_name)
+        if model_q is None:
+            continue
+        for attr, rattr in (("nb", "RB"), ("nc", "RC"), ("ne", "RE")):
+            rv = getattr(model_q, rattr, 0.0)
+            if rv > 0.0:
+                tag = attr[1]  # b / c / e
+                internal = ckt.nodes.get_or_create(f"{q_el.name}#{tag}")
+                ckt.R.append(Resistor(name=f"{q_el.name}#r{tag}",
+                                      n1=getattr(q_el, attr), n2=internal,
+                                      R=rv))
+                setattr(q_el, attr, internal)
 
     # URC lines expand into R/C ladders FIRST: their internal nodes must
     # exist before the branch-index bookkeeping counts nodes

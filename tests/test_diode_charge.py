@@ -213,3 +213,57 @@ q1 c b 0 qn
     vc1_end = np.asarray(t1.tran.node_voltages["c"])[-1]
     assert vc0_end < vc1_end < vc1
     assert vc0_end == pytest.approx(vc0, abs=0.05)  # memoryless settles fast
+
+
+# --- ohmic series resistances (RS / RB / RC / RE), lowered to resistors ---
+
+def test_diode_rs_series_drop():
+    """v(anode) = v_junction + I*RS, to machine precision (the junction is
+    rewired behind a real <name>#rs resistor)."""
+    from spicey_tpu.constants import VT_300K
+
+    r = simulate("""x
+.model dm d(is=1e-14 rs=2)
+v1 a 0 dc 5
+r1 a b 10
+d1 b 0 dm
+.op
+""", dialect="extended")
+    vb = r.op.node_voltages["b"]
+    i = r.op.element_currents["d1"]
+    vj = VT_300K * np.log(i / 1e-14 + 1)
+    assert vb == pytest.approx(vj + i * 2.0, rel=1e-12)
+    # KCL through the lowered resistor
+    assert r.op.element_currents["d1#rs"] == pytest.approx(i, rel=1e-12)
+
+
+def test_bjt_ohmic_resistances():
+    """RB/RC/RE lower to <name>#rb/rc/re resistors; active-region ic is
+    unchanged (ohmic drops only shift node voltages)."""
+    net = """x
+.model qn npn(is=1e-16 bf=100{extra})
+vcc p 0 dc 10
+rc p c 1k
+ib 0 b dc 10u
+q1 c b 0 qn
+.op
+"""
+    r0 = simulate(net.format(extra=""), dialect="extended")
+    r1 = simulate(net.format(extra=" rb=1k rc=10 re=1"),
+                  dialect="extended")
+    # active region (ic = 1 mA, vc = 9 V): ic = bf*ib regardless of the
+    # ohmic parasitics
+    assert r1.op.element_currents["q1"] == pytest.approx(
+        r0.op.element_currents["q1"], rel=1e-6)
+    # base node rises by ib*rb + (ib+ic)*re relative to the bare device
+    dv = r1.op.node_voltages["b"] - r0.op.node_voltages["b"]
+    assert dv == pytest.approx(10e-6 * 1e3 + 1.01e-3 * 1.0, rel=0.02)
+
+
+def test_rs_ignored_in_spicey_dialect():
+    """The reference d-model parse reads only is/n — rs stays inert."""
+    from spicey_tpu import parse_netlist
+
+    ckt = parse_netlist("t\n.model dm d(is=1e-14 rs=2)\nv1 a 0 5\n"
+                        "d1 a 0 dm\n")
+    assert not any(r.name.endswith("#rs") for r in ckt.R)
