@@ -276,6 +276,9 @@ class MOSModel:
     Vto: float = 0.0
     Kp: float = 2e-5
     Lambda: float = 0.0
+    # ohmic drain/source resistances (extended; lowered to real resistors)
+    RD: float = 0.0
+    RS: float = 0.0
     # gate-overlap capacitances per meter of width (SPICE CGSO/CGDO);
     # lowered to linear C entries cgso*W / cgdo*W at tensorization
     Cgso: float = 0.0
@@ -935,6 +938,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Kp = params["kp"]
             if "lambda" in params:
                 model.Lambda = params["lambda"]
+            if "rd" in params:
+                model.RD = params["rd"]
+            if "rs" in params:
+                model.RS = params["rs"]
             if "cgso" in params:
                 model.Cgso = params["cgso"]
             if "cgdo" in params:
@@ -1877,6 +1884,19 @@ def parse_netlist(text: str, dialect: str = "spicey",
                                       n1=getattr(q_el, attr), n2=internal,
                                       R=rv))
                 setattr(q_el, attr, internal)
+    for m_el in ckt.M:
+        model_m = ckt.mos_models.get(m_el.model_name)
+        if model_m is None:
+            continue
+        for attr, rattr in (("nd", "RD"), ("ns", "RS")):
+            rv = getattr(model_m, rattr, 0.0)
+            if rv > 0.0:
+                tag = attr[1]  # d / s
+                internal = ckt.nodes.get_or_create(f"{m_el.name}#{tag}")
+                ckt.R.append(Resistor(name=f"{m_el.name}#r{tag}",
+                                      n1=getattr(m_el, attr), n2=internal,
+                                      R=rv))
+                setattr(m_el, attr, internal)
 
     # URC lines expand into R/C ladders FIRST: their internal nodes must
     # exist before the branch-index bookkeeping counts nodes

@@ -267,3 +267,21 @@ def test_rs_ignored_in_spicey_dialect():
     ckt = parse_netlist("t\n.model dm d(is=1e-14 rs=2)\nv1 a 0 5\n"
                         "d1 a 0 dm\n")
     assert not any(r.name.endswith("#rs") for r in ckt.R)
+
+
+def test_mosfet_rd_ohmic():
+    """MOSFET RD lowers to a <name>#rd resistor: triode-region current
+    drops by the extra series resistance."""
+    net = """x
+.model mn nmos(vto=1 kp=10m{extra})
+vdd d 0 dc 0.2
+vg g 0 dc 5
+m1 d g 0 mn
+.op
+"""
+    r0 = simulate(net.format(extra=""), dialect="extended")
+    r1 = simulate(net.format(extra=" rd=50"), dialect="extended")
+    i0 = -r0.op.element_currents["vdd"]
+    i1 = -r1.op.element_currents["vdd"]
+    assert i1 < 0.8 * i0  # deep triode: ~ ron || (ron + 50) effect
+    assert "m1#rd" in r1.op.element_currents
