@@ -367,6 +367,17 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
             d_names_l.append(f"{j.name}#{tag}")
     d_idx = np.asarray(d_rows, dtype=np.int32).reshape(-1, 2)
     d_is = np.asarray(d_is_l, dtype=np.float64)
+    if ckt.D and temp_k != 300.0:
+        # SPICE Is(T) scaling (extended .temp): Is(T) = Is * (T/Tnom)^(XTI/N)
+        # * exp(-EG/(N*vt(T)) * (1 - T/Tnom)); at Tnom=300 it is exactly Is.
+        # Only real D elements scale (lowered JFET gate rows keep their Is).
+        n_real_d = len(ckt.D)
+        eg = np.asarray([d.model.EG for d in ckt.D])
+        xti = np.asarray([d.model.XTI for d in ckt.D])
+        n_em = np.asarray([d.model.N for d in ckt.D])
+        ratio = temp_k / 300.0
+        d_is[:n_real_d] = d_is[:n_real_d] * ratio ** (xti / n_em) * np.exp(
+            -eg / (n_em * vt) * (1.0 - ratio))
     # effective N * (T/300): engines compute v_th = d_n * VT_300K, so this
     # folds .temp into every diode path (see CircuitTensors docstring)
     d_n = np.asarray(d_n_l, dtype=np.float64) * (temp_k / 300.0)
@@ -461,6 +472,12 @@ def build_tensors(ckt: ParsedCircuit) -> CircuitTensors:
         dtype=np.int32,
     ).reshape(-1, 3)
     q_is = np.asarray([q.model.Is for q in ckt.Q], dtype=np.float64)
+    if ckt.Q and temp_k != 300.0:
+        # BJT Is(T): same SPICE law as the diode with emission N = 1
+        eg_q = np.asarray([q.model.EG for q in ckt.Q])
+        xti_q = np.asarray([q.model.XTI for q in ckt.Q])
+        ratio = temp_k / 300.0
+        q_is = q_is * ratio ** xti_q * np.exp(-eg_q / vt * (1.0 - ratio))
     q_bf = np.asarray([q.model.Bf for q in ckt.Q], dtype=np.float64)
     q_br = np.asarray([q.model.Br for q in ckt.Q], dtype=np.float64)
     q_polarity = np.asarray(

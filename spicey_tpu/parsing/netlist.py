@@ -252,6 +252,9 @@ class DiodeModel:
     # ohmic series resistance (extended; lowered to a real resistor +
     # internal node in the parser post-pass)
     RS: float = 0.0
+    # temperature model (extended; Is(T) scaling under .temp)
+    EG: float = 1.11
+    XTI: float = 3.0
     # charge storage (extended dialect; SPICE TT/CJO/VJ/M/FC — all-zero
     # defaults keep the reference's memoryless diode exactly)
     TT: float = 0.0
@@ -304,6 +307,9 @@ class BJTModel:
     RB: float = 0.0
     RC: float = 0.0
     RE: float = 0.0
+    # temperature model (extended; Is(T) scaling under .temp)
+    EG: float = 1.11
+    XTI: float = 3.0
     # charge storage (extended; SPICE TF/TR transit times + CJE/CJC
     # depletion caps — all-zero defaults keep the memoryless device)
     TF: float = 0.0
@@ -909,6 +915,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if dialect == "extended":
                 if "rs" in params:
                     model.RS = params["rs"]
+                if "eg" in params:
+                    model.EG = params["eg"]
+                if "xti" in params:
+                    model.XTI = params["xti"]
                 # charge-storage parameters (reference dialect ignores
                 # unknown model keys, so these stay extended-only)
                 if "tt" in params:
@@ -961,7 +971,8 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 model.Bf = params["bf"]
             if "br" in params:
                 model.Br = params["br"]
-            for key, attr in (("rb", "RB"), ("rc", "RC"), ("re", "RE"),
+            for key, attr in (("eg", "EG"), ("xti", "XTI"),
+                              ("rb", "RB"), ("rc", "RC"), ("re", "RE"),
                               ("tf", "TF"), ("tr", "TR"), ("cje", "CJE"),
                               ("vje", "VJE"), ("mje", "MJE"),
                               ("cjc", "CJC"), ("vjc", "VJC"),

@@ -97,13 +97,16 @@ d1x b 0 d1
                                            (-73.15, 200.0)])
 def test_temp_diode_kcl_self_consistent(temp_c, temp_k):
     """The .op diode solution satisfies its own nonlinear KCL at every
-    temperature: (5-vd)/R == Is*(exp(vd/(N*vt(T)))-1) within NR tol."""
+    temperature: (5-vd)/R == Is(T)*(exp(vd/(N*vt(T)))-1) within NR tol,
+    with the SPICE Is(T) EG/XTI law (defaults eg=1.11, xti=3)."""
     t_line = "" if temp_c is None else f".temp {temp_c}\n"
     r = simulate(DIODE_NET.format(T=t_line), dialect="extended")
     vd = r.op.node_voltages["b"]
-    vt = VT_300K * temp_k / 300.0
+    ratio = temp_k / 300.0
+    vt = VT_300K * ratio
+    is_t = 1e-14 * ratio ** 3 * np.exp(-1.11 / vt * (1.0 - ratio))
     lhs = (5 - vd) / 1e3
-    rhs = 1e-14 * (np.exp(vd / vt) - 1)
+    rhs = is_t * (np.exp(vd / vt) - 1)
     assert abs(lhs - rhs) / lhs < 5e-3, (vd, lhs, rhs)
 
 
@@ -118,8 +121,8 @@ def test_temp_default_matches_no_directive():
 
 
 def test_temp_bjt_vbe_shift():
-    """With Is fixed, vbe at constant bias current scales ~T/300 (our
-    model: only VT scales). Check direction and magnitude."""
+    """vbe at constant bias current DROPS with temperature (the Is(T)
+    growth outruns the VT increase — the classic ~-1.8 mV/K)."""
     net = """* bjt temp
 .model qn npn(is=1e-16 bf=100)
 vcc c 0 5
@@ -132,7 +135,8 @@ q1 c b 0 qn
     r360 = simulate(net.format(T=".temp 86.85\n"), dialect="extended")
     vbe300 = r300.op.node_voltages["b"]
     vbe360 = r360.op.node_voltages["b"]
-    assert abs(vbe360 / vbe300 - 1.2) < 0.01, (vbe300, vbe360)
+    dvdt = (vbe360 - vbe300) / 60.0
+    assert -0.0025 < dvdt < -0.0012, (vbe300, vbe360)
 
 
 def test_temp_scales_resistor_noise():
@@ -150,8 +154,8 @@ r2 b 0 1k
 
 
 def test_temp_tran_diode_waveform_shifts():
-    """A rectifier passes less of the waveform at higher temperature
-    (bigger diode drop at fixed Is) — end-to-end tran with .temp."""
+    """A rectifier passes MORE of the waveform at higher temperature
+    (the forward drop shrinks with Is(T)) — end-to-end tran with .temp."""
     net = """* rectifier
 .model d1 d
 v1 in 0 SIN(0 2 1k)
@@ -164,7 +168,7 @@ rl out 0 1k
     r400 = simulate(net.format(T=".temp 126.85\n"), dialect="extended")
     p300 = np.asarray(r300.tran.node_voltages["out"]).max()
     p400 = np.asarray(r400.tran.node_voltages["out"]).max()
-    assert p400 < p300 < 2.0
+    assert p300 < p400 < 2.0
 
 
 def test_resistor_tc_scales_with_temp():
@@ -179,3 +183,39 @@ def test_resistor_tc_scales_with_temp():
     # tc tokens are inert in the reference dialect (trailing tokens ignored)
     ref = parse_netlist("* tc\nv1 a 0 1\nr1 a 0 1k tc1=1m\n.end\n")
     assert ref.R[0].R == 1e3 and ref.R[0].tc1 == 0.0
+
+
+def test_diode_is_temperature_scaling():
+    """Extended .temp scales the saturation current with the SPICE EG/XTI
+    law, so the forward drop DECREASES ~1.7 mV/K (VT-only scaling would
+    wrongly increase it)."""
+    import numpy as np
+
+    from spicey_tpu.constants import VT_300K
+
+    net = ("x\n.model dm d(is=1e-14)\nv1 a 0 dc 5\nr1 a b 1k\n"
+           "d1 b 0 dm\n.op\n{t}")
+    r27 = simulate(net.format(t=".temp 26.85\n"), dialect="extended")
+    r75 = simulate(net.format(t=".temp 75\n"), dialect="extended")
+    v27 = r27.op.node_voltages["b"]
+    v75 = r75.op.node_voltages["b"]
+    dvdt = (v75 - v27) / (348.15 - 300.0)
+    assert -0.0022 < dvdt < -0.0012
+    # closed form at 348.15 K
+    T = 75 + 273.15
+    ratio = T / 300.0
+    vt = VT_300K * ratio
+    is_t = 1e-14 * ratio ** 3 * np.exp(-1.11 / vt * (1.0 - ratio))
+    i = r75.op.element_currents["d1"]
+    assert v75 == pytest.approx(vt * np.log(i / is_t + 1.0), abs=1e-9)
+
+
+def test_bjt_is_temperature_scaling():
+    """BJT vbe drops with temperature under .temp (Is(T) with N=1)."""
+    net = ("x\n.model qn npn(is=1e-16 bf=100)\nvcc p 0 dc 10\n"
+           "rc p c 1k\nib 0 b dc 10u\nq1 c b 0 qn\n.op\n{t}")
+    vb_cold = simulate(net.format(t=""),
+                       dialect="extended").op.node_voltages["b"]
+    vb_hot = simulate(net.format(t=".temp 75\n"),
+                      dialect="extended").op.node_voltages["b"]
+    assert vb_hot < vb_cold - 0.05   # ~ -1.8 mV/K * 48 K
