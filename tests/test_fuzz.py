@@ -5,7 +5,7 @@ analytic superposition). Fixed seeds keep runs deterministic."""
 import numpy as np
 import pytest
 
-from spicey_tpu import parse_netlist, simulate_ac, simulate_tran
+from spicey_tpu import parse_netlist, simulate, simulate_ac, simulate_tran
 from spicey_tpu.analysis.batch import simulate_ac_batch, simulate_tran_batch
 
 
@@ -111,3 +111,61 @@ def test_fuzz_tran_integrations_converge_to_same_settle(seed):
                         for n in res.node_voltages]))
     np.testing.assert_allclose(finals[0], finals[1], rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(finals[0], finals[2], rtol=1e-4, atol=1e-7)
+
+
+def test_fuzz_poly1_matches_explicit_bsource():
+    """Random POLY(1) polynomials must bias identically to a hand-written
+    behavioral source with the same polynomial."""
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        order = int(rng.integers(1, 5))
+        coeffs = np.round(rng.uniform(-2, 2, order + 1), 3)
+        coeffs[1:] *= 1e-3  # keep currents sane
+        vin = round(float(rng.uniform(0.5, 3.0)), 3)
+        cs = [float(c) for c in coeffs]
+        poly_coeffs = " ".join(repr(c) for c in cs)
+        expr = "+".join(f"({c!r})*v(in)**{k}" if k else f"({c!r})"
+                        for k, c in enumerate(cs))
+        base = """x
+v1 in 0 dc {vin}
+r0 in 0 1k
+{src}
+rl out 0 1k
+.op
+"""
+        rp = simulate(base.format(vin=vin,
+                                  src=f"g1 0 out POLY(1) in 0 {poly_coeffs}"),
+                      dialect="extended")
+        rb = simulate(base.format(vin=vin, src=f"b1 0 out i={expr}"),
+                      dialect="extended")
+        assert rp.op.node_voltages["out"] == pytest.approx(
+            rb.op.node_voltages["out"], rel=1e-9, abs=1e-12), (
+            trial, poly_coeffs)
+
+
+def test_tline_converges_to_lc_ladder():
+    """A lossless line is the N->inf limit of the LC ladder with
+    L_total = Z0*Td, C_total = Td/Z0: mid-band AC transfer of a 40-section
+    ladder approaches the exact Branin line."""
+    z0, td, f0 = 50.0, 5e-9, 30e6
+    n_sec = 40
+    lsec = z0 * td / n_sec
+    csec = td / z0 / n_sec
+    ladder = []
+    prev = "a"
+    for k in range(n_sec):
+        nxt = "b" if k == n_sec - 1 else f"m{k}"
+        ladder.append(f"l{k} {prev} {nxt} {lsec}")
+        ladder.append(f"c{k} {nxt} 0 {csec}")
+        prev = nxt
+    lad_net = ("x\nv1 in 0 dc 0 ac 1\nrs in a 50\n" + "\n".join(ladder)
+               + f"\nrl b 0 50\n.ac lin 3 {f0} {f0}\n")
+    tl_net = (f"x\nv1 in 0 dc 0 ac 1\nrs in a 50\n"
+              f"t1 a 0 b 0 z0={z0} td={td}\nrl b 0 50\n"
+              f".ac lin 3 {f0} {f0}\n")
+    h_lad = np.abs(np.asarray(
+        simulate(lad_net, dialect="extended").ac.node_voltages["b"]))[0]
+    h_tl = np.abs(np.asarray(
+        simulate(tl_net, dialect="extended").ac.node_voltages["b"]))[0]
+    assert h_tl == pytest.approx(0.5, rel=1e-9)   # matched: exactly half
+    assert h_lad == pytest.approx(h_tl, rel=0.03)  # ladder approximates
