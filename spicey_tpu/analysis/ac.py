@@ -502,6 +502,14 @@ def simulate_ac(
     node_voltages = {
         name: x[:, i] for i, name in enumerate(tensors.node_names)
     }
+    if getattr(ckt, "ac_probes", None):
+        # extended .print ac v(...): filter like the reference's tran
+        # probe filter (canonical-casing keys kept)
+        upper = {p.upper() for p in ckt.ac_probes}
+        node_voltages = {
+            name: series for name, series in node_voltages.items()
+            if name.upper() in upper
+        }
     element_currents = _element_currents(tensors, freqs, x)
     return ACResult(
         freqs=freqs,

@@ -1144,6 +1144,15 @@ def simulate_tran(
             if name.upper() in upper
         }
 
+    if getattr(ckt, "tran_iprobes", None):
+        # extended .print tran i(...): filter element currents (the
+        # reference recognizes only v() probes and leaves currents whole)
+        upper_i = {p.upper() for p in ckt.tran_iprobes}
+        element_currents = {
+            name: series for name, series in element_currents.items()
+            if name.upper() in upper_i
+        }
+
     # extended ngspice-style record window: integrate from 0, keep t >=
     # tstart (resumed segments already start mid-run and keep everything)
     tstart = getattr(ckt.tran, "tstart", 0.0)

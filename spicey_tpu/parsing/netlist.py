@@ -62,6 +62,7 @@ _SUBCKT_RE = re.compile(r"^\.subckt\b", re.IGNORECASE)
 _ENDS_RE = re.compile(r"^\.ends\b", re.IGNORECASE)
 _X_NAME_RE = re.compile(r"^x\w*$", re.IGNORECASE)
 _PROBE_RE = re.compile(r"^v\(([^)]+)\)$", re.IGNORECASE)
+_IPROBE_RE = re.compile(r"^i\(([^)]+)\)$", re.IGNORECASE)
 _POLY_RE = re.compile(r"^poly\s*\(\s*(\d+)\s*\)$", re.IGNORECASE)
 _PAREN_GROUP_RE = re.compile(r"^\(.*\)$")
 _ASSIGN_SPLIT_RE = re.compile(r"[\s,]+")
@@ -641,6 +642,8 @@ class ParsedCircuit:
     meas: list = field(default_factory=list)  # extended .meas tran specs
     op: bool = False  # extended dialect .op directive
     tran_probes: list[str] = field(default_factory=list)
+    tran_iprobes: list[str] = field(default_factory=list)  # extended i()
+    ac_probes: list[str] = field(default_factory=list)  # extended .print ac
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
     nodeset: dict[str, float] = field(default_factory=dict)  # extended
     skipped: list[str] = field(default_factory=list)
@@ -858,6 +861,26 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                     node_name = m.group(1)
                     if not any(p.upper() == node_name.upper() for p in ckt.tran_probes):
                         ckt.tran_probes.append(node_name)
+                    continue
+                # extended: i(<element>) filters recorded element currents
+                # (the reference recognizes only v() probes,
+                # parseNetlist.ts:188-211, and leaves currents unfiltered)
+                mi = _IPROBE_RE.match(token)
+                if mi and mi.group(1) and dialect == "extended":
+                    el = mi.group(1)
+                    if not any(p.upper() == el.upper()
+                               for p in ckt.tran_iprobes):
+                        ckt.tran_iprobes.append(el)
+        elif analysis_type == "ac" and dialect == "extended":
+            # extended: .print ac v(node)... filters the AC output the
+            # same way .print tran filters transient node voltages
+            for token in tokens[2:]:
+                m = _PROBE_RE.match(token)
+                if m and m.group(1):
+                    node_name = m.group(1)
+                    if not any(p.upper() == node_name.upper()
+                               for p in ckt.ac_probes):
+                        ckt.ac_probes.append(node_name)
         else:
             ckt.skipped.append(line)
     elif dir_name == ".model":

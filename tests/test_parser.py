@@ -241,3 +241,30 @@ rl out 0 1k
     b = np.asarray(tight.tran.node_voltages["out"])
     assert np.abs(a - b).max() > 0  # semantics differ...
     assert np.abs(a - b).max() < 0.3  # ...but stay close (knee region)
+
+
+def test_print_ac_and_current_probes_extended():
+    """Extended: .print ac v(...) filters AC node output; .print tran
+    i(...) filters element currents. The reference dialect skips .print ac
+    and ignores i() tokens entirely."""
+    from spicey_tpu import simulate
+
+    net = """x
+v1 in 0 dc 0 ac 1 PULSE(0 1 0 1n 1n 5u 20u)
+r1 in out 1k
+c1 out 0 1n
+.ac lin 3 100 1k
+.tran 1u 10u
+.print ac v(out)
+.print tran v(out) i(r1)
+"""
+    r = simulate(net, dialect="extended")
+    assert list(r.ac.node_voltages) == ["out"]
+    assert list(r.tran.node_voltages) == ["out"]
+    assert list(r.tran.element_currents) == ["r1"]
+    # reference dialect: .print ac -> skipped, i() token ignored
+    r0 = simulate(net)
+    assert set(r0.ac.node_voltages) == {"in", "out"}
+    assert set(r0.tran.element_currents) == {"r1", "c1", "v1"}
+    ckt0 = r0.circuit
+    assert any(".print ac" in s for s in ckt0.skipped)
