@@ -70,6 +70,13 @@ def simulate(netlist_text: str, method: str = "gj",
             tran_kw = dict(nr="converged", nr_tol=circuit.options["reltol"])
         if "itl4" in circuit.options:
             tran_kw["max_nr"] = int(circuit.options["itl4"])
+        # vntol/abstol: per-unknown convergence floors (imply Newton to
+        # convergence with ngspice's default reltol when not given)
+        if "vntol" in circuit.options or "abstol" in circuit.options:
+            tran_kw.setdefault("nr", "converged")
+            tran_kw.setdefault("nr_tol", circuit.options.get("reltol", 1e-3))
+            tran_kw["nr_vntol"] = circuit.options.get("vntol")
+            tran_kw["nr_abstol"] = circuit.options.get("abstol")
         tran = simulate_tran(circuit, tensors=tensors, method=method,
                              **tran_kw)
     with span("four"):

@@ -415,7 +415,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                batch: int | None = None, interpret: bool = False,
                record: int | None = None, init_state=None,
                resume: bool = False, bsrc=(), times=None,
-               tl=None, hist_len: int = 0, dchg=None, qchg=None):
+               tl=None, hist_len: int = 0, dchg=None, qchg=None,
+               nr_floor=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -598,10 +599,20 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
             switched = jnp.any(new_on != sw, axis=-1)  # per-lane
             if nr == "converged":
-                delta = jnp.max(jnp.abs(x_new - x), axis=-1) if nvar else 0.0
-                scale = (1.0 + jnp.max(jnp.abs(x_new), axis=-1)
-                         if nvar else 1.0)
-                settled = jnp.logical_and(~switched, delta <= nr_tol * scale)
+                if nr_floor is not None:
+                    # ngspice's per-unknown mixed criterion
+                    # (.options vntol/abstol): node-voltage rows get the
+                    # vntol floor, branch-current rows abstol
+                    conv = jnp.all(
+                        jnp.abs(x_new - x)
+                        <= nr_tol * jnp.abs(x_new) + nr_floor, axis=-1)
+                else:
+                    delta = (jnp.max(jnp.abs(x_new - x), axis=-1)
+                             if nvar else 0.0)
+                    scale = (1.0 + jnp.max(jnp.abs(x_new), axis=-1)
+                             if nvar else 1.0)
+                    conv = delta <= nr_tol * scale
+                settled = jnp.logical_and(~switched, conv)
             else:
                 settled = ~switched
             # masked commit: once done, the lane is frozen
@@ -1009,6 +1020,8 @@ def simulate_tran(
     interpret: bool = False,
     state: TranState | None = None,
     return_state: bool = False,
+    nr_vntol: float | None = None,
+    nr_abstol: float | None = None,
 ) -> TranResult | None:
     """Transient analysis. Defaults reproduce the reference; see _tran_core
     for the `integration`/`nr` improvement toggles.
@@ -1089,6 +1102,13 @@ def simulate_tran(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         nvar=tensors.nvar, method=method, integration=integration,
         nr=nr, nr_tol=nr_tol, max_nr=max_nr,
+        # .options vntol/abstol: ngspice's per-unknown convergence floors
+        # (node-voltage rows then branch-current rows)
+        nr_floor=(None if nr_vntol is None and nr_abstol is None
+                  else jnp.asarray(np.where(
+                      np.arange(tensors.nvar) < tensors.n_node_vars,
+                      1e-6 if nr_vntol is None else nr_vntol,
+                      1e-12 if nr_abstol is None else nr_abstol))),
         ext=ext_arrays(tensors), nl=nl_arrays(tensors),
         lk=lk_arrays(tensors),
         bsrc=bsrc_static(ckt, tensors.nvar),

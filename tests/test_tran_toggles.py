@@ -240,3 +240,33 @@ def test_gear2_segments_match_full_run():
         j = np.concatenate([a.element_currents[el], b.element_currents[el]])
         np.testing.assert_allclose(j, full.element_currents[el],
                                    rtol=1e-9, atol=1e-18)
+
+
+def test_options_vntol_abstol_mixed_criterion():
+    """.options vntol/abstol: ngspice's per-unknown convergence floors.
+    The result matches the scalar-criterion converged run to tight
+    tolerance on a diode circuit."""
+    import numpy as np
+
+    from spicey_tpu import simulate
+
+    base = """x
+.model dm d(is=1e-14)
+v1 in 0 PULSE(0 2 1u 1n 1n 5u 20u)
+r1 in a 100
+d1 a 0 dm
+.tran 0.1u 10u
+{opt}"""
+    r_opt = simulate(base.format(
+        opt=".options reltol=1e-6 vntol=1e-9 abstol=1e-15\n"),
+        dialect="extended")
+    r_ref = simulate(base.format(opt=".options reltol=1e-6\n"),
+                     dialect="extended")
+    np.testing.assert_allclose(
+        np.asarray(r_opt.tran.node_voltages["a"]),
+        np.asarray(r_ref.tran.node_voltages["a"]), rtol=1e-6, atol=1e-9)
+    # loose floors also converge (fewer iterations, same trajectory shape)
+    r_loose = simulate(base.format(opt=".options vntol=1m\n"),
+                       dialect="extended")
+    va = np.asarray(r_loose.tran.node_voltages["a"])
+    assert 0.5 < va.max() < 1.0
