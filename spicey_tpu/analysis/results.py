@@ -50,6 +50,21 @@ class TranResult:
 
 
 @dataclass
+class StepResult:
+    """Extended ``.step``: every step value is one lane of a batched run.
+
+    ``ac``/``tran``/``op`` are the Batch* results (lane order follows
+    ``values``); ``meas`` maps each .meas name to its per-step array."""
+
+    param: str
+    values: np.ndarray                 # (S,) step values
+    ac: object | None = None           # BatchACResult
+    tran: object | None = None         # BatchTranResult
+    op: object | None = None           # BatchOPResult
+    meas: dict | None = None           # {name: (S,)}
+
+
+@dataclass
 class SimulationResult:
     circuit: object
     ac: ACResult | None
@@ -62,3 +77,4 @@ class SimulationResult:
     meas: dict | None = None  # {name: value} when extended .meas lines ran
     pz: object | None = None  # PZResult when the extended .pz directive ran
     sens: object | None = None  # SensResult when the extended .sens ran
+    step: object | None = None  # StepResult when the extended .step ran

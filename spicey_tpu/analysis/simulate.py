@@ -83,6 +83,31 @@ def simulate(netlist_text: str, method: str = "gj",
         four = simulate_four(circuit, tran)
     with span("meas"):
         meas = simulate_meas(circuit, tran)
+    with span("step"):
+        # extended .step: each value is one lane of a batched run (one
+        # compiled call — the TPU-native realization of LTspice stepping).
+        # The single-circuit results above keep the base element values.
+        step = None
+        if circuit.step is not None:
+            import numpy as np
+
+            from .batch import simulate_ac_batch, simulate_tran_batch
+            from .meas import meas_batch
+            from .op import op_batch
+            from .results import StepResult
+
+            vals = np.asarray(circuit.step.values, dtype=np.float64)
+            ov = {circuit.step.param: vals}
+            s_ac = (simulate_ac_batch(circuit, ov, method=method)
+                    if circuit.ac is not None else None)
+            s_tran = (simulate_tran_batch(circuit, ov, method=method)
+                      if circuit.tran is not None else None)
+            s_op = (op_batch(circuit, ov, method=method)
+                    if circuit.op else None)
+            s_meas = (meas_batch(circuit, s_tran)
+                      if (circuit.meas and s_tran is not None) else None)
+            step = StepResult(param=circuit.step.param, values=vals,
+                              ac=s_ac, tran=s_tran, op=s_op, meas=s_meas)
     return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
                             tf=tf, four=four, noise=noise, meas=meas, pz=pz,
-                            sens=sens)
+                            sens=sens, step=step)

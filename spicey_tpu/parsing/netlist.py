@@ -585,6 +585,17 @@ class TFAnalysis:
 
 
 @dataclass
+class StepAnalysis:
+    """Extended-dialect ``.step [param] <name> <start> <stop> <incr>`` or
+    ``.step [param] <name> list v1 v2 ...`` (LTspice-style parameter
+    stepping): every value becomes one lane of a batched run — the
+    TPU-native realization of stepping (ONE compiled call, not a loop)."""
+
+    param: str
+    values: tuple  # float step values
+
+
+@dataclass
 class SensAnalysis:
     """Extended-dialect ``.sens v(out[,ref])``: DC sensitivities of the
     output voltage w.r.t. every circuit parameter (adjoint method)."""
@@ -637,6 +648,7 @@ class ParsedCircuit:
     tf: TFAnalysis | None = None  # extended dialect
     pz: PZAnalysis | None = None  # extended dialect
     sens: SensAnalysis | None = None  # extended dialect
+    step: StepAnalysis | None = None  # extended dialect
     four: FourAnalysis | None = None  # extended dialect
     noise: NoiseAnalysis | None = None  # extended dialect
     meas: list = field(default_factory=list)  # extended .meas tran specs
@@ -812,6 +824,30 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
         ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
                                   mode=mode, N=N, f1=f1, f2=f2)
+    elif dir_name == ".step" and dialect == "extended":
+        toks = tokens[1:]
+        if toks and toks[0].lower() == "param":
+            toks = toks[1:]
+        if not toks:
+            raise ValueError(".step missing parameter/element name")
+        pname = toks[0]
+        rest = toks[1:]
+        if rest and rest[0].lower() == "list":
+            vals = tuple(parse_number_with_units(t) for t in rest[1:])
+            if not vals:
+                raise ValueError(".step list needs at least one value")
+        else:
+            if len(rest) < 3:
+                raise ValueError(
+                    ".step needs <start> <stop> <incr> or list v1 v2 ...")
+            start = parse_number_with_units(rest[0])
+            stop = parse_number_with_units(rest[1])
+            incr = parse_number_with_units(rest[2])
+            if incr == 0 or (stop - start) * incr < 0:
+                raise ValueError(".step increment does not reach stop")
+            n_pts = int(abs((stop - start) / incr) + 1e-9) + 1
+            vals = tuple(start + k * incr for k in range(n_pts))
+        ckt.step = StepAnalysis(param=pname, values=vals)
     elif dir_name == ".sens" and dialect == "extended":
         out_tok = _require(tokens, 1, ".sens missing output spec")
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".sens", line)
