@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
             if res.meas:
                 for name, value in res.meas.items():
                     print(f"{name} = {value:.6g}")
+            if res.step is not None:
+                s = res.step
+                print(f"step {s.param}: "
+                      + ", ".join(f"{v:.6g}" for v in s.values))
+                for name, arr in (s.meas or {}).items():
+                    print(f"  {name} = "
+                          + ", ".join(f"{v:.6g}" for v in arr))
             if res.circuit.skipped:
                 print(f"* skipped {len(res.circuit.skipped)} line(s)",
                       file=sys.stderr)
