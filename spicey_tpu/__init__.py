@@ -34,7 +34,8 @@ if _cache_dir:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .analysis.ac import simulate_ac
-from .analysis.results import ACResult, SimulationResult, TranResult
+from .analysis.results import (ACResult, SimulationResult, StepResult,
+                               TranResult)
 from .analysis.simulate import simulate
 from .analysis.tran import TranState, simulate_tran
 from .constants import EPS, VT_300K

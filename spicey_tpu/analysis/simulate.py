@@ -59,6 +59,11 @@ def simulate(netlist_text: str, method: str = "gj",
         sens = simulate_sens(circuit, tensors=tensors, method=method,
                              op=op_point)
     with span("ac"):
+        # deck-level opt-in for op-linearized AC (.options acop) — the
+        # Python kwarg wins when given; the default keeps reference
+        # parity (nonlinear devices unstamped in AC)
+        if ac_linearize is None and circuit.options.get("acop"):
+            ac_linearize = "op"
         ac = simulate_ac(circuit, tensors=tensors, method=method,
                          linearize=ac_linearize)
     with span("tran"):

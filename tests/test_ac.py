@@ -156,3 +156,23 @@ def test_noise_oct_mode():
                                rtol=1e-12)
     np.testing.assert_allclose(r.noise.output_psd,
                                4 * K_BOLTZMANN * T_NOISE * 500.0, rtol=1e-9)
+
+
+def test_options_acop_linearizes_from_deck():
+    """.options acop: deck-level opt-in for op-linearized AC (the CLI path
+    to small-signal amplifier analysis)."""
+    from spicey_tpu import simulate
+
+    net = """x
+.model mn nmos(vto=1 kp=2m)
+vdd vdd 0 5
+vg gt 0 dc 2 ac 1
+rd vdd d 1k
+m1 d gt 0 mn
+.ac lin 3 10 1000
+{opt}"""
+    r0 = simulate(net.format(opt=""), dialect="extended")
+    r1 = simulate(net.format(opt=".options acop\n"), dialect="extended")
+    np.testing.assert_allclose(r0.ac.node_voltages["d"], 0.0, atol=1e-15)
+    np.testing.assert_allclose(np.real(r1.ac.node_voltages["d"]), -2.0,
+                               rtol=1e-6)
