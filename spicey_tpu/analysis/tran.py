@@ -1062,22 +1062,33 @@ def simulate_tran(
     init_state = None
     if state is not None:
         init_state = tuple(jnp.asarray(a) for a in state.carry)
-    elif ckt.initial_conditions:
+    elif (ckt.initial_conditions
+          or any(c.ic is not None for c in ckt.C)
+          or any(el.ic is not None for el in ckt.L)):
         # extended .ic: capacitor companion state starts at the specified
         # node voltages (unspecified nodes at 0), so the t=0 bootstrap pins
-        # each capacitor near its initial condition. The reference has no
-        # .ic/uic support at all (simulateTRAN.ts:149 starts from rest).
+        # each capacitor near its initial condition. Element-level ``ic=``
+        # overrides per element (and is the only way to seed an inductor
+        # CURRENT). The reference has no .ic/uic support at all
+        # (simulateTRAN.ts:149 starts from rest).
         ic = {k.upper(): v for k, v in ckt.initial_conditions.items()}
         node_v = np.zeros(tensors.nvar + 1)
         for i, name in enumerate(tensors.node_names):
             node_v[i] = ic.get(name.upper(), 0.0)
         v_ic = (node_v[tensors.c_idx[:, 0]]
                 - node_v[tensors.c_idx[:, 1]])
+        for k, c in enumerate(ckt.C):
+            if c.ic is not None:
+                v_ic[k] = c.ic
+        i_l0 = np.zeros(tensors.n_l)
+        for k, el in enumerate(ckt.L):
+            if el.ic is not None:
+                i_l0[k] = el.ic
         z = np.zeros
         parts = (
-            v_ic, z(tensors.n_c), z(tensors.n_l), z(tensors.n_l),
+            v_ic, z(tensors.n_c), i_l0, z(tensors.n_l),
             z(tensors.n_d), z((tensors.n_m, 2)), z((tensors.n_q, 2)),
-            np.zeros(tensors.n_s, bool), v_ic.copy(), z(tensors.n_l),
+            np.zeros(tensors.n_s, bool), v_ic.copy(), i_l0.copy(),
         )
         if tensors.has_d_charge:
             parts = parts + (z(tensors.n_d),)

@@ -96,6 +96,9 @@ class Capacitor:
     n1: int
     n2: int
     C: float
+    # extended element-level initial condition (``ic=v0``): seeds the
+    # transient companion state like a per-element .ic
+    ic: float | None = None
 
 
 @dataclass
@@ -104,6 +107,9 @@ class Inductor:
     n1: int
     n2: int
     L: float
+    # extended element-level initial condition (``ic=i0``): initial
+    # inductor current for the transient companion
+    ic: float | None = None
 
 
 @dataclass
@@ -1719,12 +1725,24 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Capacitor missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Capacitor missing node"))
                 val = parse_number_with_units(_require(tokens, 3, "Capacitor missing value"))
-                ckt.C.append(Capacitor(name=name, n1=n1, n2=n2, C=val))
+                cap = Capacitor(name=name, n1=n1, n2=n2, C=val)
+                if dialect == "extended":
+                    cparams = _parse_model_params(" ".join(
+                        t for t in tokens[4:] if "=" in t))
+                    if "ic" in cparams:
+                        cap.ic = cparams["ic"]
+                ckt.C.append(cap)
             elif type_char == "l":
                 n1 = ckt.nodes.get_or_create(_require(tokens, 1, "Inductor missing node"))
                 n2 = ckt.nodes.get_or_create(_require(tokens, 2, "Inductor missing node"))
                 val = parse_number_with_units(_require(tokens, 3, "Inductor missing value"))
-                ckt.L.append(Inductor(name=name, n1=n1, n2=n2, L=val))
+                ind = Inductor(name=name, n1=n1, n2=n2, L=val)
+                if dialect == "extended":
+                    lparams = _parse_model_params(" ".join(
+                        t for t in tokens[4:] if "=" in t))
+                    if "ic" in lparams:
+                        ind.ic = lparams["ic"]
+                ckt.L.append(ind)
             elif type_char == "v":
                 _parse_voltage_source(ckt, name, tokens, dialect=dialect)
             elif type_char == "i" and dialect == "extended":

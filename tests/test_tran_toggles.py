@@ -270,3 +270,41 @@ d1 a 0 dm
                        dialect="extended")
     va = np.asarray(r_loose.tran.node_voltages["a"])
     assert 0.5 < va.max() < 1.0
+
+
+def test_element_level_ic():
+    """Extended ic= on C and L elements: a pre-charged cap discharges from
+    its ic, a pre-fluxed inductor rings an LC tank from its current."""
+    import numpy as np
+
+    from spicey_tpu import simulate
+
+    # RC discharge from ic=5 (no sources at all)
+    r = simulate("""x
+rdummy a 0 1k
+c1 a 0 1u ic=5
+.tran 0.05m 5m
+""", dialect="extended")
+    t = np.asarray(r.tran.times)
+    va = np.asarray(r.tran.node_voltages["a"])
+    # t=0 is the BE bootstrap solve with the companion at ic:
+    # v0 = ic * (C/dt) / (C/dt + 1/R) = 5 * 20/21
+    assert va[0] == pytest.approx(5.0 * (1e-6 / 5e-5)
+                                  / (1e-6 / 5e-5 + 1e-3), rel=1e-9)
+    # source-free BE decay is exactly geometric: each step multiplies by
+    # 1/(1 + dt/RC) = 1/1.05
+    k = np.arange(len(t))
+    np.testing.assert_allclose(va, va[0] / 1.05 ** k, rtol=1e-9)
+
+    # LC tank rung by an initial inductor current: amplitude = i0*sqrt(L/C)
+    L, C, i0 = 1e-3, 1e-8, 2e-3
+    r2 = simulate(f"""x
+l1 a 0 {L} ic={i0}
+c1 a 0 {C}
+.tran 0.05u 60u
+""", dialect="extended")
+    t2 = np.asarray(r2.tran.times)
+    va2 = np.asarray(r2.tran.node_voltages["a"])
+    amp = i0 * np.sqrt(L / C)  # 0.632 V at 50.3 kHz (period ~19.9 us)
+    assert np.abs(va2[t2 < 15e-6]).max() == pytest.approx(amp, rel=0.05)
+    assert (np.diff(np.sign(va2)) != 0).sum() >= 4
