@@ -830,6 +830,25 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
         ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
                                   mode=mode, N=N, f1=f1, f2=f2)
+    elif dir_name == ".save" and dialect == "extended":
+        # ngspice vector selection: v() filters node output in BOTH tran
+        # and AC, i() filters recorded element currents
+        for token in tokens[1:]:
+            m = _PROBE_RE.match(token)
+            if m and m.group(1):
+                nm = m.group(1)
+                if not any(p.upper() == nm.upper()
+                           for p in ckt.tran_probes):
+                    ckt.tran_probes.append(nm)
+                if not any(p.upper() == nm.upper() for p in ckt.ac_probes):
+                    ckt.ac_probes.append(nm)
+                continue
+            mi = _IPROBE_RE.match(token)
+            if mi and mi.group(1):
+                el = mi.group(1)
+                if not any(p.upper() == el.upper()
+                           for p in ckt.tran_iprobes):
+                    ckt.tran_iprobes.append(el)
     elif dir_name == ".step" and dialect == "extended":
         toks = tokens[1:]
         if toks and toks[0].lower() == "param":

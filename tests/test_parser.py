@@ -268,3 +268,24 @@ c1 out 0 1n
     assert set(r0.tran.element_currents) == {"r1", "c1", "v1"}
     ckt0 = r0.circuit
     assert any(".print ac" in s for s in ckt0.skipped)
+
+
+def test_save_selects_vectors_extended():
+    """.save v()/i() (extended): selects node output in tran AND ac and
+    filters recorded element currents; the reference dialect skips it."""
+    from spicey_tpu import simulate
+
+    net = """x
+v1 in 0 dc 0 ac 1 PULSE(0 1 0 1n 1n 5u 20u)
+r1 in out 1k
+c1 out 0 1n
+.ac lin 3 100 1k
+.tran 1u 10u
+.save v(out) i(c1)
+"""
+    r = simulate(net, dialect="extended")
+    assert list(r.ac.node_voltages) == ["out"]
+    assert list(r.tran.node_voltages) == ["out"]
+    assert list(r.tran.element_currents) == ["c1"]
+    ckt0 = simulate(net).circuit
+    assert any(".save" in s for s in ckt0.skipped)
