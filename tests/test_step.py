@@ -69,3 +69,24 @@ r2 out 0 4k
 def test_step_unknown_param_raises():
     with pytest.raises(ValueError, match="unknown|consumed|override"):
         simulate(DECK + ".step param nope 1 3 1\n", dialect="extended")
+
+
+def test_step_sweeps_ua741_gain():
+    """Stepping the feedback resistor of the unmodified uA741 macromodel:
+    one batched call yields the whole closed-loop gain family."""
+    from tests.fixtures.ua741 import UA741
+
+    r = simulate(UA741 + """
+vcc vcc 0 dc 15
+vee vee 0 dc -15
+vin in 0 dc 0.05
+rin in minus 1k
+rfb minus out 10k
+xamp 0 minus vcc vee out ua741
+.op
+.step param rfb list 5k 10k 20k
+""", dialect="extended")
+    s = r.step
+    # inverting gain -rfb/rin: -5, -10, -20 (times 0.05 V)
+    np.testing.assert_allclose(s.op.node_voltage("out"),
+                               [-0.25, -0.5, -1.0], rtol=5e-3)
