@@ -26,12 +26,60 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-# opt-in persistent compile cache: first TPU compiles go through a remote
-# tunnel and can take 30-120 s; a cache directory makes repeat sessions warm
-_cache_dir = _os.environ.get("SPICEY_TPU_COMPILE_CACHE")
-if _cache_dir:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache, ON by default: cold XLA compiles of the sweep /
+# scan programs cost seconds locally and much more through remote-tunnel TPU
+# setups; caching them on disk makes every later process warm. Override the
+# location with SPICEY_TPU_COMPILE_CACHE=<dir>, or disable entirely with
+# SPICEY_TPU_COMPILE_CACHE="" (or "0"). Backends that bypass JAX's cache
+# (e.g. IFRT proxies with their own executable cache) simply ignore this.
+_cache_dir = _os.environ.get(
+    "SPICEY_TPU_COMPILE_CACHE",
+    _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME",
+                        _os.path.expanduser("~/.cache")),
+        "spicey_tpu", "xla",
+    ),
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass  # read-only home: run without a persistent cache
+
+
+def warmup(full: bool = False) -> float:
+    """Establish the device session before latency-sensitive work.
+
+    On remote-tunnel TPU backends the FIRST blocking device round trip in a
+    process pays a device-claim handshake whose cost is set by the far end
+    (measured 4-600 s on a shared axon relay; every later round trip is
+    ~30 ms). Nothing about that cost belongs to any particular analysis, so
+    interactive users and benchmarks should pay it here, up front, where it
+    is visible. Returns the handshake wall time in seconds.
+
+    ``full=True`` additionally compiles-and-runs a minimal AC + TRAN deck so
+    the flagship program shapes land in the persistent compile cache.
+    """
+    import time as _time
+
+    import numpy as _np
+
+    t0 = _time.perf_counter()
+    _np.asarray(_jax.numpy.zeros((1,)))
+    dt = _time.perf_counter() - t0
+    if full:
+        simulate(
+            "warmup deck\n"
+            "v1 1 0 dc 0 ac 1 PULSE(0 1 0 1n 1n 5u 10u)\n"
+            "r1 1 2 1k\n"
+            "c1 2 0 1u\n"
+            ".ac dec 10 1 100\n"
+            ".tran 1u 10u\n"
+            ".end\n"
+        )
+    return dt
 
 from .analysis.ac import simulate_ac
 from .analysis.results import (ACResult, SimulationResult, StepResult,
@@ -132,6 +180,7 @@ __all__ = [
     "pwl_value",
     "sharder",
     "simulate",
+    "warmup",
     "simulate_ac",
     "simulate_op",
     "OPResult",

@@ -163,6 +163,19 @@ def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     return x_re, x_im, valid
 
 
+@partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
+def _ac_sweep_packed(*args, **kwargs):
+    """``_ac_sweep_core`` with the host-boundary packing fused in.
+
+    Everything from assembly to the (F, 2N+1) packed result is ONE compiled
+    program, so ``simulate_ac`` dispatches exactly one executable and does
+    exactly one device->host transfer. Keeping the packing out of eager mode
+    matters on remote-tunnel backends where every dispatch is a round trip."""
+    x_re, x_im, valid = _ac_sweep_core.__wrapped__(*args, **kwargs)
+    return jnp.concatenate(
+        [x_re, x_im, valid[:, None].astype(x_re.dtype)], axis=1)
+
+
 def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray]:
     """Per-element current phasors, vectorized over the grid
     (simulateAC.ts:94-126). Host-side complex128 NumPy."""
@@ -478,7 +491,10 @@ def simulate_ac(
             c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
             c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
 
-    x_re, x_im, valid = _ac_sweep_core(
+    # one packed device->host transfer (round-trips cost ~30 ms each on
+    # remote-tunnel TPU setups), produced by ONE compiled program — no
+    # eager ops sit between the sweep and the host boundary
+    packed = np.asarray(_ac_sweep_packed(
         jnp.asarray(freqs),
         jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
         jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
@@ -489,11 +505,7 @@ def simulate_ac(
         i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
         lk=lk_arrays(tensors),
         tl=tl_arrays(tensors),
-    )
-    # one packed device->host transfer (round-trips cost ~30 ms each on
-    # remote-tunnel TPU setups)
-    packed = np.asarray(jnp.concatenate(
-        [x_re, x_im, valid[:, None].astype(x_re.dtype)], axis=1))
+    ))
     nv = tensors.nvar
     if not bool(np.all(packed[:, -1] > 0.5)):
         raise ValueError("Singular matrix in AC solve")

@@ -803,6 +803,15 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     return xs, sw_states, carry[-1], carry[:-1]
 
 
+@jax.jit
+def _pack_tran_result(xs, sw_states, valid):
+    """Fuse the host-boundary packing into one program (one dispatch):
+    [solution | switch states | validity] -> (steps+1, nvar + n_s + 1)."""
+    return jnp.concatenate(
+        [xs, sw_states.astype(xs.dtype),
+         jnp.full((xs.shape[0], 1), valid, xs.dtype)], axis=1)
+
+
 def _tline_hist_len(tensors: CircuitTensors, dt: float) -> int:
     """Circular-buffer length covering the longest line delay (+2 slots
     for the interpolation pair and the in-flight write). Static per run."""
@@ -1133,11 +1142,10 @@ def simulate_tran(
         qchg=qchg_arrays(tensors),
     )
     # one packed device->host transfer for the solution, switch states,
-    # and the validity flag (round-trips are ~30 ms each over the tunnel)
+    # and the validity flag (round-trips are ~30 ms each over the tunnel);
+    # packing runs as one jitted program, not three eager dispatches
     n_sw = tensors.n_s
-    packed = np.asarray(jnp.concatenate(
-        [xs, sw_states.astype(xs.dtype),
-         jnp.full((xs.shape[0], 1), valid, xs.dtype)], axis=1))
+    packed = np.asarray(_pack_tran_result(xs, sw_states, valid))
     xs = packed[:, :tensors.nvar]
     sw_states = packed[:, tensors.nvar:tensors.nvar + n_sw] > 0.5
     if not bool(packed[0, -1] > 0.5):
