@@ -20,6 +20,58 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# Long-running tests (>= ~3 s warm on a dev box; several times that on a
+# cold 2-vCPU CI runner) excluded from the PR-blocking gate via
+# ``-m "not slow"`` (pyproject.toml registers the marker; nightly.yml runs
+# the full suite). Centralized here so test files stay decorator-free and
+# the gate's contents are reviewable in one place. The core contract
+# checks (basics01 golden, dryrun_multichip) stay in the fast gate on
+# purpose. Parametrized cases inherit the mark via the base name.
+_SLOW = {
+    "test_adaptive_switch_circuit",
+    "test_ac_batch_2d_mesh_batch_by_freq",
+    "test_ac_batch_sharded_over_cpu_mesh",
+    "test_bsource_adaptive_and_noise",
+    "test_bsource_batched_paths",
+    "test_bv_amp_tf_gain",
+    "test_mc_stats_support_coupling",
+    "test_tran_transformer_steady_state_amplitude",
+    "test_bjt_charge_slows_switching",
+    "test_fit_ac_recovers_rc_product",
+    "test_fuzz_poly1_matches_explicit_bsource",
+    "test_fuzz_tran_integrations_converge_to_same_settle",
+    "test_mc_ac_chunked_matches_unchunked",
+    "test_mc_ac_f32_pallas_tier_close_to_f64",
+    "test_mc_ac_pallas_f64_refined",
+    "test_mc_ac_sampled_matches_host_draws",
+    "test_mosfet_channel_noise_regions",
+    "test_noise_differential_output_and_current_input",
+    "test_dc_sweep_mosfet_transfer",
+    "test_op_batch_matches_dc_sweep",
+    "test_refinement_guard_complex",
+    "test_switch_circuit_pallas_matches_gj",
+    "test_poly1_linear_matches_native_sources",
+    "test_ua741_vendor_macromodel_unmodified",
+    "test_step_sweeps_all_analyses",
+    "test_step_sweeps_ua741_gain",
+    "test_tf_differential_output",
+    "test_tf_vcvs_amplifier",
+    "test_matched_line_ac_delay_phase",
+    "test_matched_line_pure_delay",
+    "test_quarter_wave_transformer",
+    "test_gear2_segments_match_full_run",
+    "test_options_vntol_abstol_mixed_criterion",
+    "test_tran_segments_match_single_run",
+    "test_tran_segments_trap_and_nonlinear",
+    "test_trap_rlc_energy_behavior",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _cpu_default_device():
