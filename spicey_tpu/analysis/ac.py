@@ -258,6 +258,26 @@ def _op_voltage_pad(tensors: CircuitTensors, op) -> np.ndarray:
     return x_pad
 
 
+def ac_vsource_arrays(ckt: ParsedCircuit, tensors: CircuitTensors):
+    """(v_idx, v_re, v_im) for the AC sweep: independent V phasors
+    fromPolar(acMag, acPhaseDeg) (Complex.ts:16-19), plus V-kind behavioral
+    sources' branch rows stamped as 0 V small-signal shorts so the system
+    stays regular (matching the reference's policy of not stamping
+    nonlinear devices). Shared by simulate_ac, sensitivity_ac and fit_ac —
+    AC autodiff flows through exactly the same assembly."""
+    ph = tensors.v_ac_phase_deg * math.pi / 180.0
+    v_re = tensors.v_ac_mag * np.cos(ph)
+    v_im = tensors.v_ac_mag * np.sin(ph)
+    v_idx = tensors.v_idx
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0]:
+        v_idx = np.concatenate([tensors.v_idx, bv], axis=0)
+        z = np.zeros(bv.shape[0])
+        v_re = np.concatenate([v_re, z])
+        v_im = np.concatenate([v_im, z])
+    return v_idx, v_re, v_im
+
+
 def find_input_source(tensors: CircuitTensors, name: str,
                       directive: str) -> tuple[int | None, int | None]:
     """Locate a named independent source for .tf/.noise input referencing.
@@ -452,25 +472,12 @@ def simulate_ac(
         raise ValueError("linearize must be None or 'op'")
     freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
 
-    # V phasors: fromPolar(acMag, acPhaseDeg) (Complex.ts:16-19)
-    ph = tensors.v_ac_phase_deg * math.pi / 180.0
-    v_re = tensors.v_ac_mag * np.cos(ph)
-    v_im = tensors.v_ac_mag * np.sin(ph)
+    v_idx_ac, v_re, v_im = ac_vsource_arrays(ckt, tensors)
     iph = tensors.i_ac_phase_deg * math.pi / 180.0
     i_re = tensors.i_ac_mag * np.cos(iph)
     i_im = tensors.i_ac_mag * np.sin(iph)
 
     ext = ext_arrays(tensors)
-    # V-kind behavioral sources own MNA branch unknowns; the AC sweep
-    # stamps them as 0 V small-signal shorts so the system stays regular
-    # (matching the reference's policy of not stamping nonlinear devices).
-    v_idx_ac = tensors.v_idx
-    bv = bv_branch_rows(ckt, tensors.nvar)
-    if bv.shape[0]:
-        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
-        z = np.zeros(bv.shape[0])
-        v_re = np.concatenate([v_re, z])
-        v_im = np.concatenate([v_im, z])
     c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
     if linearize == "op":
         from .op import simulate_op

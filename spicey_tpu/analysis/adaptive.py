@@ -42,6 +42,7 @@ from ..ir.circuit import (
     ext_arrays,
     lk_arrays,
     nl_arrays,
+    tl_arrays,
 )
 from ..ir.sources import build_source_program, eval_sources
 from ..ops.linsolve import solve
@@ -66,7 +67,7 @@ class AdaptiveTranResult:
 def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                    r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
-                   d_idx, d_is, d_n, ext, nl, lk=None, bsrc=(),
+                   d_idx, d_is, d_n, ext, nl, lk=None, bsrc=(), tl=None,
                    nvar: int = 0, method: str = "gj", max_steps: int = 4096,
                    max_nr: int = 50, nr_tol: float = 1e-9):
     dtype = jnp.float64
@@ -84,11 +85,58 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
     n_m = nl["m_idx"].shape[0]
     n_q = nl["q_idx"].shape[0]
 
-    def newton(state, dt_step, t_eval, is_first):
+    # Transmission lines under a VARIABLE step grid: the fixed-step engine's
+    # circular buffer indexes history by step count (tran.py tline_read),
+    # which has no meaning here. Instead the accepted trajectory's port
+    # Thevenin waves w = v + Z0*i are recorded TIME-STAMPED — (h_t, h_w,
+    # h_cnt) append-only over the attempt budget — and each solve reads the
+    # delayed far-end values by linear interpolation at t_eval - Td,
+    # clamped to the newest accepted sample (the same causality clamp as
+    # the fixed grid's td >= 1 step) and to w = 0 before t = 0 (rest).
+    n_t = 0 if tl is None else tl["t_idx"].shape[0]
+    H = max_steps + 2
+
+    def tl_read(hist, t_eval):
+        h_t, h_w, h_cnt = hist
+        t_newest = jnp.take(h_t, jnp.maximum(h_cnt - 1, 0))
+        tq = jnp.minimum(t_eval - tl["td"], t_newest)      # (nT,)
+        written = jnp.arange(H) < h_cnt                    # (H,)
+        le = jnp.logical_and(written[:, None],
+                             h_t[:, None] <= tq[None, :])  # (H, nT)
+        k = jnp.sum(le, axis=0) - 1                        # (nT,)
+        before = k < 0
+        k_c = jnp.clip(k, 0, H - 1)
+        k1 = jnp.minimum(k_c + 1, jnp.maximum(h_cnt - 1, 0))
+        lines = jnp.arange(n_t)
+        w_k = h_w[k_c, lines, :]
+        w_k1 = h_w[k1, lines, :]
+        t_k = jnp.take(h_t, k_c)
+        t_k1 = jnp.take(h_t, k1)
+        frac = ((tq - t_k)
+                / jnp.maximum(t_k1 - t_k, EPS))[:, None]
+        frac = jnp.clip(frac, 0.0, 1.0)
+        w = jnp.where(before[:, None], 0.0,
+                      w_k * (1.0 - frac) + w_k1 * frac)    # (nT, 2)
+        # E1 mirrors the FAR end's w2; E2 the near end's w1
+        return jnp.stack([w[:, 1], w[:, 0]], axis=-1)
+
+    def tl_write(hist, t_new, x_pad):
+        h_t, h_w, h_cnt = hist
+        t_idx = tl["t_idx"]
+        w1 = (x_pad[..., t_idx[:, 0]] - x_pad[..., t_idx[:, 1]]
+              + tl["z0"] * x_pad[..., t_idx[:, 4]])
+        w2 = (x_pad[..., t_idx[:, 2]] - x_pad[..., t_idx[:, 3]]
+              + tl["z0"] * x_pad[..., t_idx[:, 5]])
+        return (h_t.at[h_cnt].set(t_new),
+                h_w.at[h_cnt].set(jnp.stack([w1, w2], axis=-1)),
+                h_cnt + 1)
+
+    def newton(state, dt_step, t_eval, is_first, hist=None):
         """One BE step of size dt_step evaluated at absolute time t_eval.
         Returns (x, new_state, ok)."""
         (v_prev_c, i_prev_l, vd_prev_d, vm_prev, vq_prev, sw_on) = state
         vs_t = eval_sources(prog, t_eval)
+        e_t = tl_read(hist, t_eval) if n_t else None
         zc = jnp.zeros((n_c,), dtype)
         zl = jnp.zeros((n_l,), dtype)
 
@@ -104,6 +152,7 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                 integration="be", is_first=is_first,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
                 bsrc=bsrc, t=t_eval,
+                tl=tl if n_t else None, e_t=e_t,
             )
             x_new, solve_ok = solve(A, b, method=method)
             x_pad = pad_solution(x_new, nvar)
@@ -153,18 +202,25 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         jnp.zeros((n_d,), dtype), jnp.zeros((n_m, 2), dtype),
         jnp.zeros((n_q, 2), dtype), jnp.zeros((n_s,), jnp.bool_),
     )
+    hist0 = (jnp.full((H,), jnp.inf, dtype),
+             jnp.zeros((H, n_t, 2), dtype),
+             jnp.asarray(0, jnp.int32)) if n_t else None
     dt_ic = tstop * 1e-12
     x0, state, ok0 = newton(state0, dt_ic, jnp.asarray(0.0),
-                            jnp.asarray(True))
+                            jnp.asarray(True), hist=hist0)
+    if n_t:
+        hist0 = tl_write(hist0, jnp.asarray(0.0, dtype),
+                         pad_solution(x0, nvar))
 
     def step(carry, _):
-        t, dt, st, done, ok = carry
+        t, dt, st, hist, done, ok = carry
         dt_eff = jnp.clip(jnp.minimum(dt, tstop - t), dt_min, dt_max)
         t_new = t + dt_eff
         nf = jnp.asarray(False)
-        x_f, st_f, ok_f = newton(st, dt_eff, t_new, nf)
-        x_h1, st_h, ok_h1 = newton(st, dt_eff / 2, t + dt_eff / 2, nf)
-        x_h, st_h2, ok_h2 = newton(st_h, dt_eff / 2, t_new, nf)
+        x_f, st_f, ok_f = newton(st, dt_eff, t_new, nf, hist=hist)
+        x_h1, st_h, ok_h1 = newton(st, dt_eff / 2, t + dt_eff / 2, nf,
+                                   hist=hist)
+        x_h, st_h2, ok_h2 = newton(st_h, dt_eff / 2, t_new, nf, hist=hist)
         err = jnp.max(jnp.abs(x_h - x_f) / (atol + rtol * jnp.abs(x_h))) \
             if nvar else jnp.asarray(0.0)
         # Richardson extrapolation: 2*half - full cancels BE's O(dt) term,
@@ -183,19 +239,23 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         dt_next = jnp.clip(dt_eff * fac, dt_min, dt_max)
         t_out = jnp.where(accept, t_new, t)
         st_out = select(accept, st_adv, st)
+        if n_t:
+            # record the Richardson-extrapolated port waves, accept-gated
+            hist_w = tl_write(hist, t_new, pad_solution(x_rec, nvar))
+            hist = select(accept, hist_w, hist)
         step_ok = jnp.logical_and(ok_h1, ok_h2)
         ok = jnp.logical_and(ok, jnp.logical_or(~accept, step_ok))
         finished = t_out >= tstop * (1.0 - 1e-12)
         done_out = jnp.logical_or(done, finished)
         rejected = jnp.logical_and(~accept, ~done)
-        return ((t_out, dt_next, st_out, done_out, ok),
+        return ((t_out, dt_next, st_out, hist, done_out, ok),
                 (t_out, x_rec, accept, rejected))
 
-    init = (jnp.asarray(0.0), jnp.asarray(dt0, dtype), state,
+    init = (jnp.asarray(0.0), jnp.asarray(dt0, dtype), state, hist0,
             jnp.asarray(False), ok0)
     carry, (ts, xs, acc, rej) = jax.lax.scan(step, init, None,
                                              length=max_steps)
-    t_end, _dt, _st, done, ok = carry
+    t_end, _dt, _st, _hist, done, ok = carry
     return x0, ts, xs, acc, rej, done, ok
 
 
@@ -216,11 +276,6 @@ def simulate_tran_adaptive(
     steps. Raises if the attempt budget is exhausted before tstop."""
     if ckt.tran is None:
         return None
-    if ckt.T:
-        # the Branin history buffer assumes a FIXED step grid; a variable
-        # step would need time-stamped interpolation of the delay line
-        raise NotImplementedError(
-            "transmission (T) lines are not supported in adaptive tran")
     if tensors is None:
         tensors = build_tensors(ckt)
     if tensors.has_d_charge or tensors.has_q_charge:
@@ -249,6 +304,7 @@ def simulate_tran_adaptive(
         jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
         ext_arrays(tensors), nl_arrays(tensors),
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
+        tl=tl_arrays(tensors),
         nvar=tensors.nvar, method=method, max_steps=max_steps,
         max_nr=max_nr, nr_tol=nr_tol,
     )

@@ -95,8 +95,12 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     # lk["k_vals"] arrives batched (B, nK); k_pairs closes over (replicated)
     kv_in = lk["k_vals"] if lk is not None else None
     kv_axis = 0 if lk is not None else None
+    # tl z0/td arrive batched (B, nT) when present (Z0/Td are sweepable —
+    # _batched_tl); t_idx replicates
+    tl_axes = ({"t_idx": None, "z0": 0, "td": 0}
+               if tl is not None else None)
 
-    def one(rv, cv, lv, vre, vim, ext_b, kv):
+    def one(rv, cv, lv, vre, vim, ext_b, kv, tl_b):
         if kv is not None:
             minv, mok = _mutual_inv(
                 lv, {"k_pairs": lk["k_pairs"], "k_vals": kv})
@@ -105,12 +109,12 @@ def _batch_ac_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                                 v_idx, vre, vim, nvar,
                                 ext=ext_b, i_re=i_re, i_im=i_im, minv=minv,
-                                tl=tl)
+                                tl=tl_b)
         return planes + (mok,)
 
     A_re, A_im, b_re, b_im, mok = jax.vmap(
-        one, in_axes=(0, 0, 0, 0, 0, ext_axes, kv_axis)
-    )(r_vals, c_vals, l_vals, v_re, v_im, ext, kv_in)
+        one, in_axes=(0, 0, 0, 0, 0, ext_axes, kv_axis, tl_axes)
+    )(r_vals, c_vals, l_vals, v_re, v_im, ext, kv_in, tl)
     x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im, method=method,
                                      interpret=interpret)
     if lk is not None:
@@ -181,6 +185,44 @@ def _batched_lk(tensors: CircuitTensors, overrides, B: int):
     }
 
 
+def _batched_tl(tensors: CircuitTensors, overrides, B: int, dtype=None):
+    """tl pytree with Z0/Td tiled to (B, nT) + overrides applied, or None
+    when the circuit has no T lines.
+
+    Transmission-line elements carry TWO sweepable parameters, so override
+    keys are suffixed: ``"t1.z0"`` sweeps the characteristic impedance,
+    ``"t1.td"`` the delay. The batched stamps/history machinery broadcasts
+    (B, nT) parameter planes (tran._hist_gather aligns the index batch
+    dims), so sweeping either is just another value axis."""
+    if tensors.n_t == 0:
+        return None
+    z0 = _batch_values(
+        tensors.t_z0, tuple(f"{n}.z0" for n in tensors.t_names),
+        overrides, B)
+    td = _batch_values(
+        tensors.t_td, tuple(f"{n}.td" for n in tensors.t_names),
+        overrides, B)
+    return {
+        "t_idx": jnp.asarray(tensors.t_idx),
+        "z0": jnp.asarray(z0, dtype),
+        "td": jnp.asarray(td, dtype),
+    }
+
+
+def _tl_hist_len_batched(tl, dt: float) -> int:
+    """Fixed-grid history length covering the LONGEST swept delay."""
+    if tl is None:
+        return 0
+    td_max = float(np.max(np.asarray(tl["td"])))
+    from ..constants import EPS as _EPS
+    return int(np.ceil(max(td_max / max(dt, _EPS), 1.0))) + 2
+
+
+def _tl_names(tensors: CircuitTensors) -> tuple[str, ...]:
+    """Override-addressable T-line parameter names (suffixed)."""
+    return tuple(f"{n}.{p}" for n in tensors.t_names for p in ("z0", "td"))
+
+
 def _batch_size(overrides: dict[str, np.ndarray]) -> int:
     sizes = {np.asarray(v).shape[0] for v in overrides.values()}
     if len(sizes) != 1:
@@ -219,7 +261,7 @@ def simulate_ac_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.k_names,
+               tensors.k_names, _tl_names(tensors),
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names], overrides)
 
@@ -268,7 +310,7 @@ def simulate_ac_batch(
         i_re, i_im, ext,
         nvar=tensors.nvar, method=method, interpret=interpret,
         lk=_batched_lk(tensors, overrides, B),
-        tl=tl_arrays(tensors),
+        tl=_batched_tl(tensors, overrides, B),
     )
     x = np.asarray(x_re) + 1j * np.asarray(x_im)
     return BatchACResult(
@@ -294,7 +336,7 @@ def simulate_tran_batch(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
-               tensors.k_names,
+               tensors.k_names, _tl_names(tensors),
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names,
                tensors.m_names, tensors.q_names], overrides)
@@ -304,6 +346,7 @@ def simulate_tran_batch(
     l_vals = _batch_values(tensors.l_vals, tensors.l_names, overrides, B)
     ext = _batched_ext(tensors, overrides, B)
     nl = _batched_nl(tensors, overrides, B)
+    tl_batched = _batched_tl(tensors, overrides, B)
     # MOSFET/BJT/behavioral Newton needs convergence iterations
     # (see tran.simulate_tran)
     nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
@@ -369,10 +412,11 @@ def simulate_tran_batch(
         ext=ext, nl=nl, lk=_batched_lk(tensors, overrides, B), batch=B,
         bsrc=bsrc_static(ckt, tensors.nvar),
         interpret=interpret,
-        # transmission lines: Z0/Td are not sweepable (unbatched (nT,)
-        # arrays broadcast against the lane axis inside the stamps)
-        tl=tl_arrays(tensors),
-        hist_len=_tline_hist_len(tensors, dt),
+        # transmission lines: Z0/Td sweep as "t<name>.z0"/".td" override
+        # keys; (B, nT) planes broadcast through the stamps and the
+        # batch-aligned history gather (tran._hist_gather)
+        tl=tl_batched,
+        hist_len=_tl_hist_len_batched(tl_batched, dt),
         dchg=dchg_arrays(tensors),
         qchg=qchg_arrays(tensors),
     )

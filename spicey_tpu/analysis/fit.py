@@ -92,17 +92,11 @@ def fit_ac(
     relative error; optimization in log-space via Adam."""
     import math as _math
 
-    from ..ir.circuit import ext_arrays
-    from .ac import _ac_sweep_core, build_frequency_array
+    from ..ir.circuit import ext_arrays, tl_arrays
+    from .ac import _ac_sweep_core, ac_vsource_arrays, build_frequency_array
 
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
-    if ckt.T:
-        raise NotImplementedError(
-            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -112,9 +106,10 @@ def fit_ac(
             f"target has {len(target_mag)} points, grid has {len(freqs)}")
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
 
-    ph = tensors.v_ac_phase_deg * _math.pi / 180.0
-    v_re = jnp.asarray(tensors.v_ac_mag * np.cos(ph))
-    v_im = jnp.asarray(tensors.v_ac_mag * np.sin(ph))
+    # B sources as 0 V small-signal shorts, T lines as phasor stamps —
+    # the same assembly simulate_ac jits (see sensitivity_ac)
+    v_idx_ac, v_re, v_im = ac_vsource_arrays(ckt, tensors)
+    v_re, v_im = jnp.asarray(v_re), jnp.asarray(v_im)
     iph = tensors.i_ac_phase_deg * _math.pi / 180.0
     i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph))
     i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph))
@@ -128,9 +123,10 @@ def fit_ac(
             jnp.asarray(tensors.r_idx), vals["r"],
             jnp.asarray(tensors.c_idx), vals["c"],
             jnp.asarray(tensors.l_idx), vals["l"],
-            jnp.asarray(tensors.v_idx), v_re, v_im,
+            jnp.asarray(v_idx_ac), v_re, v_im,
             nvar=tensors.nvar, method=method,
             ext=ext, i_re=i_re, i_im=i_im, lk=lk_arrays(tensors),
+            tl=tl_arrays(tensors),
         )
         mag = jnp.sqrt(x_re[:, node_idx] ** 2 + x_im[:, node_idx] ** 2)
         rel = (mag - target) / (jnp.abs(target) + 1e-12)
@@ -168,21 +164,19 @@ def fit_tran(
     """Fit element values so V(node, t) matches ``target`` over the .tran
     grid (steps+1 points). Forward-mode gradients through the scan."""
     from ..ir.circuit import (
+        bsrc_static,
+        dchg_arrays,
         effective_time_step,
         ext_arrays,
         nl_arrays,
+        qchg_arrays,
         sample_source_values,
+        tl_arrays,
     )
-    from .tran import _tran_core
+    from .tran import _tline_hist_len, _tran_core
 
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
-    if ckt.T:
-        raise NotImplementedError(
-            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -197,6 +191,13 @@ def fit_tran(
     nl = nl_arrays(tensors)
     if (tensors.n_m or tensors.n_q) and nr == "spicey":
         nr = "converged"
+    # B sources / T lines / junction charge through the same scan
+    bsrc = bsrc_static(ckt, tensors.nvar)
+    tl = tl_arrays(tensors)
+    hist_len = _tline_hist_len(tensors, dt)
+    dchg = dchg_arrays(tensors)
+    qchg = qchg_arrays(tensors)
+    times_j = jnp.asarray(times)
     tgt = jnp.asarray(np.asarray(target, np.float64))
     scale = jnp.maximum(jnp.max(jnp.abs(tgt)), 1e-12)
 
@@ -215,6 +216,8 @@ def fit_tran(
             jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
             nvar=tensors.nvar, method=method, integration=integration,
             nr=nr, ext=ext, nl=nl, lk=lk_arrays(tensors), record=node_idx,
+            bsrc=bsrc, times=times_j, tl=tl, hist_len=hist_len,
+            dchg=dchg, qchg=qchg,
         )
         rel = (xs - tgt) / scale
         return jnp.mean(rel * rel)

@@ -44,6 +44,9 @@ from .ac import _assemble_grid, build_frequency_array
 from .batch import (
     _batch_size,
     _batch_values,
+    _batched_tl,
+    _tl_hist_len_batched,
+    _tl_names,
     _batched_ext,
     _batched_nl,
     _consumed,
@@ -123,8 +126,12 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
+    # tl z0/td arrive batched (B, nT) when present (Z0/Td sweep via
+    # "t<name>.z0"/".td" override keys); t_idx replicates
+    tl_axes = ({"t_idx": None, "z0": 0, "td": 0}
+               if tl is not None else None)
 
-    def one(rv, cv, lv, vre, vim, ext_b):
+    def one(rv, cv, lv, vre, vim, ext_b, tl_b):
         if lk is not None:
             minv, mok = _mutual_inv(lv, lk)
         else:
@@ -132,16 +139,16 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         planes = _assemble_grid(freqs, r_idx, rv, c_idx, cv, l_idx, lv,
                                 v_idx, vre, vim, nvar,
                                 ext=ext_b, i_re=i_re, i_im=i_im, minv=minv,
-                                tl=tl)
+                                tl=tl_b)
         return planes + (mok,)
 
-    def solve_block(rv, cv, lv, vre, vim, ext_b):
+    def solve_block(rv, cv, lv, vre, vim, ext_b, tl_b):
         # assemble over (b, F); solve ONCE over the flattened block so the
         # Pallas kernel sees a single lane-dense grid instead of b tiny,
         # mostly-padding calls under vmap
         A_re, A_im, b_re, b_im, mok = jax.vmap(
-            one, in_axes=(0, 0, 0, 0, 0, ext_axes)
-        )(rv, cv, lv, vre, vim, ext_b)
+            one, in_axes=(0, 0, 0, 0, 0, ext_axes, tl_axes)
+        )(rv, cv, lv, vre, vim, ext_b, tl_b)
         x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
                                          method=method, interpret=interpret)
         if lk is not None:
@@ -151,7 +158,8 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
     B = r_vals.shape[0]
     if chunk is None or chunk >= B:
-        mag, valid = solve_block(r_vals, c_vals, l_vals, v_re, v_im, ext)
+        mag, valid = solve_block(r_vals, c_vals, l_vals, v_re, v_im, ext,
+                                 tl)
     else:
         # constant-memory tier for huge sweeps: only (chunk, F, 2N, 2N)
         # solve buffers are live at once; the (B, F) response is all that
@@ -164,15 +172,20 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         ext_fixed = {k: v for k, v in ext.items() if k.endswith("idx")}
         ext_vals = {k: resh(v) for k, v in ext.items()
                     if not k.endswith("idx")}
+        tl_vals = ({"z0": resh(tl["z0"]), "td": resh(tl["td"])}
+                   if tl is not None else None)
 
         def body(args):
-            rv, cv, lv, vre, vim, ev = args
-            return solve_block(rv, cv, lv, vre, vim, {**ext_fixed, **ev})
+            rv, cv, lv, vre, vim, ev, tv = args
+            tl_b = ({"t_idx": tl["t_idx"], **tv}
+                    if tl is not None else None)
+            return solve_block(rv, cv, lv, vre, vim, {**ext_fixed, **ev},
+                               tl_b)
 
         mag, valid = jax.lax.map(
             body,
             (resh(r_vals), resh(c_vals), resh(l_vals), resh(v_re),
-             resh(v_im), ext_vals),
+             resh(v_im), ext_vals, tl_vals),
         )
         mag = mag.reshape((B,) + mag.shape[2:])
         valid = valid.reshape((B,) + valid.shape[2:])
@@ -243,6 +256,7 @@ def mc_ac_stats(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               _tl_names(tensors),
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names], overrides)
     r_vals = _batch_values(tensors.r_vals, tensors.r_names, overrides, B)
@@ -265,6 +279,7 @@ def mc_ac_stats(
     iph = tensors.i_ac_phase_deg * math.pi / 180.0
     i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph), fdt)
     i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph), fdt)
+    tl_b = _batched_tl(tensors, overrides, B, dtype=fdt)
     n_pad = 0
     if chunk is not None and chunk < B:
         n_pad = (-B) % chunk
@@ -276,6 +291,10 @@ def mc_ac_stats(
         v_re, v_im = pad(v_re), pad(v_im)
         ext = {k: (v if k.endswith("idx") else jnp.asarray(pad(np.asarray(v))))
                for k, v in ext.items()}
+        if tl_b is not None:
+            tl_b = {"t_idx": tl_b["t_idx"],
+                    "z0": jnp.asarray(pad(np.asarray(tl_b["z0"])), fdt),
+                    "td": jnp.asarray(pad(np.asarray(tl_b["td"])), fdt)}
     r_vals = jnp.asarray(r_vals, fdt)
     c_vals = jnp.asarray(c_vals, fdt)
     l_vals = jnp.asarray(l_vals, fdt)
@@ -300,7 +319,7 @@ def mc_ac_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
-        tl=tl_arrays(tensors, dtype=fdt),
+        tl=tl_b,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
@@ -360,6 +379,7 @@ def mc_tran_stats(
         tensors = build_tensors(ckt)
     B = _batch_size(overrides)
     _consumed([tensors.r_names, tensors.c_names, tensors.l_names,
+               _tl_names(tensors),
                tensors.v_names, tensors.i_names, tensors.g_names,
                tensors.e_names, tensors.f_names, tensors.h_names,
                tensors.m_names, tensors.q_names], overrides)
@@ -398,6 +418,7 @@ def mc_tran_stats(
           for k, v in _batched_nl(tensors, overrides, B).items()}
     nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
           else "spicey")
+    tl_b = _batched_tl(tensors, overrides, B, dtype=fdt)
     r_vals = jnp.asarray(r_vals, fdt)
     c_vals = jnp.asarray(c_vals, fdt)
     l_vals = jnp.asarray(l_vals, fdt)
@@ -428,8 +449,8 @@ def mc_tran_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
-        tl=tl_arrays(tensors, dtype=fdt),
-        hist_len=_tline_hist_len(tensors, dt),
+        tl=tl_b,
+        hist_len=_tl_hist_len_batched(tl_b, dt),
         dchg=dchg_arrays(tensors, dtype=fdt),
         qchg=qchg_arrays(tensors, dtype=fdt),
     )

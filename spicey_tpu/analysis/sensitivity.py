@@ -37,9 +37,10 @@ from ..ir.circuit import (
     lk_arrays,
     nl_arrays,
     sample_source_values,
+    tl_arrays,
 )
 from ..parsing.netlist import ParsedCircuit
-from .ac import _ac_sweep_core, build_frequency_array
+from .ac import _ac_sweep_core, ac_vsource_arrays, build_frequency_array
 from .tran import _tran_core
 
 
@@ -92,21 +93,17 @@ def sensitivity_ac(
     """
     if ckt.ac is None:
         raise ValueError("netlist has no .ac analysis")
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
-    if ckt.T:
-        raise NotImplementedError(
-            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
     freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
 
-    ph = tensors.v_ac_phase_deg * math.pi / 180.0
-    v_re = jnp.asarray(tensors.v_ac_mag * np.cos(ph))
-    v_im = jnp.asarray(tensors.v_ac_mag * np.sin(ph))
+    # B sources ride as 0 V small-signal shorts and T lines as their exact
+    # phasor stamps — the same assembly simulate_ac jits, so jacfwd
+    # differentiates exactly what the engine computes
+    v_idx_ac, v_re, v_im = ac_vsource_arrays(ckt, tensors)
+    v_re, v_im = jnp.asarray(v_re), jnp.asarray(v_im)
     iph = tensors.i_ac_phase_deg * math.pi / 180.0
     i_re = jnp.asarray(tensors.i_ac_mag * np.cos(iph))
     i_im = jnp.asarray(tensors.i_ac_mag * np.sin(iph))
@@ -120,9 +117,10 @@ def sensitivity_ac(
             jnp.asarray(tensors.r_idx), vals["r"],
             jnp.asarray(tensors.c_idx), vals["c"],
             jnp.asarray(tensors.l_idx), vals["l"],
-            jnp.asarray(tensors.v_idx), v_re, v_im,
+            jnp.asarray(v_idx_ac), v_re, v_im,
             nvar=tensors.nvar, method=method,
             ext=ext, i_re=i_re, i_im=i_im, lk=lk_arrays(tensors),
+            tl=tl_arrays(tensors),
         )
         return jnp.sqrt(x_re[:, node_idx] ** 2 + x_im[:, node_idx] ** 2)
 
@@ -153,12 +151,6 @@ def sensitivity_tran(
     """
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
-    if ckt.B:
-        raise NotImplementedError(
-            "behavioral (B) sources are not supported in this analysis yet")
-    if ckt.T:
-        raise NotImplementedError(
-            "transmission (T) lines are not supported in this analysis yet")
     if tensors is None:
         tensors = build_tensors(ckt)
     slots = _wrt_slots(tensors, wrt)
@@ -173,6 +165,16 @@ def sensitivity_tran(
     nl = nl_arrays(tensors)
     if (tensors.n_m or tensors.n_q) and nr == "spicey":
         nr = "converged"
+    # B sources / T lines / junction charge flow through the same scan
+    # simulate_tran runs; forward-mode tangents ride the history carries
+    from ..ir.circuit import bsrc_static, dchg_arrays, qchg_arrays, tl_arrays
+    from .tran import _tline_hist_len
+    bsrc = bsrc_static(ckt, tensors.nvar)
+    tl = tl_arrays(tensors)
+    hist_len = _tline_hist_len(tensors, dt)
+    dchg = dchg_arrays(tensors)
+    qchg = qchg_arrays(tensors)
+    times_j = jnp.asarray(times)
 
     @partial(jax.jit, static_argnames=())
     def response(theta):
@@ -195,6 +197,8 @@ def sensitivity_tran(
             jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
             nvar=tensors.nvar, method=method, integration=integration,
             nr=nr, ext=ext, nl=nl, lk=lk_arrays(tensors), record=node_idx,
+            bsrc=bsrc, times=times_j, tl=tl, hist_len=hist_len,
+            dchg=dchg, qchg=qchg,
         )
         return xs  # (S+1,)
 

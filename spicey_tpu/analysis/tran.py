@@ -476,19 +476,30 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     # fixed grid), circular buffer of the port Thevenin values w = v + Z0*i
     n_t = 0 if tl is None else tl["t_idx"].shape[0]
     if n_t:
+        # td may be (nT,) or batch-swept (B, nT) — every consumer below
+        # broadcasts, and the history gather aligns index batch dims with
+        # the buffer's leading batch dims explicitly
         td_steps = jnp.maximum(tl["td"] / jnp.maximum(dt, EPS), 1.0)
-        t_line = jnp.arange(n_t)
+
+        def _hist_gather(w_hist, ki):
+            """w_hist: (..., H, nT, 2); ki: (nT,) or (..., nT) already
+            wrapped mod hist_len -> (..., nT, 2)."""
+            ki_b = jnp.broadcast_to(ki, w_hist.shape[:-3] + ki.shape[-1:])
+            idx = jnp.broadcast_to(
+                ki_b[..., None, :, None].astype(jnp.int32),
+                ki_b.shape[:-1] + (1, ki_b.shape[-1], w_hist.shape[-1]))
+            return jnp.take_along_axis(w_hist, idx, axis=-3)[..., 0, :, :]
 
         def tline_read(w_hist, cnt):
             """Delayed far-end Thevenin sources (..., nT, 2) = (E1, E2)
             at the step about to be solved, by linear interpolation on the
             circular buffer (zeros before the wave arrives)."""
-            p = cnt.astype(dtype) - td_steps          # (nT,)
+            p = cnt.astype(dtype) - td_steps          # ([B,] nT)
             k = jnp.floor(p)
             frac = (p - k)[..., None]
             ki = k.astype(jnp.int32)
-            w_k = w_hist[..., ki % hist_len, t_line, :]
-            w_k1 = w_hist[..., (ki + 1) % hist_len, t_line, :]
+            w_k = _hist_gather(w_hist, ki % hist_len)
+            w_k1 = _hist_gather(w_hist, (ki + 1) % hist_len)
             w_k = jnp.where((ki >= 0)[..., None], w_k, 0.0)
             w_k1 = jnp.where((ki >= -1)[..., None], w_k1, 0.0)
             w = w_k * (1.0 - frac) + w_k1 * frac      # (..., nT, 2)

@@ -62,13 +62,14 @@ def _plot(title: str, plotname: str, date: str, names: list[str],
     return head.getvalue(), buf.tobytes()
 
 
-def _source_branch_vars(element_currents: dict, v_names) -> list[str]:
+def _source_branch_vars(element_currents: dict,
+                        v_names: list[str]) -> list[str]:
     """ngspice exposes V-source branch currents as <name>#branch."""
     vset = {n.lower() for n in v_names}
     return [n for n in element_currents if n.lower() in vset]
 
 
-def format_rawfile(result, title: str | None = None,
+def format_rawfile(result: object, title: str | None = None,
                    ascii_values: bool = True,
                    date: str | None = None) -> bytes:
     """Serialize a SimulationResult (or a bare ACResult/TranResult) into
@@ -161,13 +162,13 @@ def format_rawfile(result, title: str | None = None,
     return out.getvalue()
 
 
-def write_rawfile(result, path: str, **kw) -> None:
+def write_rawfile(result: object, path: str, **kw: object) -> None:
     """format_rawfile straight to a file (bytes mode handles both forms)."""
     with open(path, "wb") as fh:
         fh.write(format_rawfile(result, **kw))
 
 
-def read_rawfile(data: bytes):
+def read_rawfile(data: bytes) -> list[tuple[str, dict]]:
     """Parse rawfile bytes back into [(plotname, {var: np.ndarray})...].
 
     Round-trip check for the writer and a convenience for comparing against

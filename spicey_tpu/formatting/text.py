@@ -13,9 +13,18 @@ from __future__ import annotations
 
 import math
 
+from typing import TYPE_CHECKING
+
 import numpy as np
 
 from .jsnum import to_precision
+
+if TYPE_CHECKING:  # import-cycle-free annotations only
+    from ..analysis.four import FourierResult
+    from ..analysis.noise import NoiseResult
+    from ..analysis.op import DCResult, OPResult
+    from ..analysis.results import ACResult, TranResult
+    from ..analysis.tf import TFResult
 
 
 def _abs_phase(z: complex) -> tuple[float, float]:
@@ -24,7 +33,7 @@ def _abs_phase(z: complex) -> tuple[float, float]:
     return mag, phase
 
 
-def format_ac_result(ac) -> str:
+def format_ac_result(ac: ACResult | None) -> str:
     if ac is None:
         return "No AC analysis.\n"
     nodes = list(ac.node_voltages.keys())
@@ -40,7 +49,7 @@ def format_ac_result(ac) -> str:
     return "\n".join(lines)
 
 
-def format_tran_result(tran) -> str:
+def format_tran_result(tran: TranResult | None) -> str:
     if tran is None:
         return "No TRAN analysis.\n"
     nodes = list(tran.node_voltages.keys())
@@ -55,7 +64,7 @@ def format_tran_result(tran) -> str:
     return "\n".join(lines)
 
 
-def format_dc_result(dc) -> str:
+def format_dc_result(dc: DCResult | None) -> str:
     """Text table for the extended-dialect .dc sweep (no reference analog;
     mirrors format_tran_result's 6-sig-fig layout with the swept value as
     the first column)."""
@@ -73,7 +82,7 @@ def format_dc_result(dc) -> str:
     return "\n".join(lines)
 
 
-def format_tf_result(tf) -> str:
+def format_tf_result(tf: TFResult | None) -> str:
     """Text summary for the extended-dialect .tf analysis (ngspice-style
     three-line report)."""
     if tf is None:
@@ -88,7 +97,7 @@ def format_tf_result(tf) -> str:
     ])
 
 
-def format_four_result(four) -> str:
+def format_four_result(four: FourierResult | None) -> str:
     """Text table for the extended-dialect .four Fourier analysis
     (ngspice-style per-probe harmonic table)."""
     if four is None:
@@ -113,7 +122,7 @@ def format_four_result(four) -> str:
     return "\n\n".join(blocks)
 
 
-def format_noise_result(noise) -> str:
+def format_noise_result(noise: NoiseResult | None) -> str:
     """Text table for the extended-dialect .noise analysis."""
     if noise is None:
         return "No NOISE analysis.\n"
@@ -136,7 +145,7 @@ def format_noise_result(noise) -> str:
     return "\n".join(lines)
 
 
-def format_op_result(op) -> str:
+def format_op_result(op: OPResult | None) -> str:
     """Text table for the extended-dialect .op operating point."""
     if op is None:
         return "No OP analysis.\n"

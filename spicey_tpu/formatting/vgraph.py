@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def spicey_tran_to_vgraphs(tran_result, ckt, simulation_experiment_id: str):
+def spicey_tran_to_vgraphs(tran_result: object, ckt: object,
+                           simulation_experiment_id: str) -> list[dict]:
     if tran_result is None or ckt.tran is None:
         return []
     dt = ckt.tran.dt
@@ -34,7 +35,8 @@ def spicey_tran_to_vgraphs(tran_result, ckt, simulation_experiment_id: str):
     return graphs
 
 
-def eec_engine_tran_to_vgraphs(tran_result, ckt, simulation_experiment_id: str):
+def eec_engine_tran_to_vgraphs(tran_result: dict, ckt: object,
+                               simulation_experiment_id: str) -> list[dict]:
     """ngspice-style {time_s, voltages} record -> vgraphs
     (formatToVGraph.ts:41-66)."""
     if ckt.tran is None:

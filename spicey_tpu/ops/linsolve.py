@@ -23,10 +23,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+Array = jax.Array
+
 from ..constants import EPS
 
 
-def gj_solve(A, b, eps: float = EPS):
+def gj_solve(A: Array, b: Array,
+             eps: float = EPS) -> tuple[Array, Array]:
     """Solve A x = b via one-hot-pivoted Gauss-Jordan.
 
     A: (N, N) real or complex; b: (N,). Returns (x, valid).
@@ -47,7 +50,7 @@ def gj_solve(A, b, eps: float = EPS):
     valid = jnp.asarray(True)
     rows = jnp.arange(N)
 
-    def body(k, state):
+    def body(k: Array, state: tuple) -> tuple:
         Ab, used, perm, valid = state
         col = lax.dynamic_slice_in_dim(Ab, k, 1, axis=1)[:, 0]  # (N,)
         mag = jnp.abs(col)
@@ -84,8 +87,8 @@ def gj_solve(A, b, eps: float = EPS):
     return x, valid
 
 
-def solve(A, b, method: str = "gj", eps: float = EPS,
-          interpret: bool = False):
+def solve(A: Array, b: Array, method: str = "gj", eps: float = EPS,
+          interpret: bool = False) -> tuple[Array, Array]:
     """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid)."""
     if method == "lax":
         x = jnp.linalg.solve(A, b[..., None])[..., 0]
@@ -111,7 +114,8 @@ def solve(A, b, method: str = "gj", eps: float = EPS,
     return fn(A, b, eps)
 
 
-def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
+def gj_solve_planes(A_re: Array, A_im: Array, b_re: Array, b_im: Array,
+                    eps: float = EPS) -> tuple[Array, Array, Array]:
     """Complex Gauss-Jordan directly on (re, im) planes, one system.
 
     Pivots by |pivot|^2 — the reference's complex-magnitude partial
@@ -133,7 +137,7 @@ def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
     rows = jnp.arange(N)
     eps2 = eps * eps
 
-    def body(k, state):
+    def body(k: Array, state: tuple) -> tuple:
         Ar, Ai, used, perm, valid = state
         cr = lax.dynamic_slice_in_dim(Ar, k, 1, axis=1)[:, 0]
         ci = lax.dynamic_slice_in_dim(Ai, k, 1, axis=1)[:, 0]
@@ -175,8 +179,9 @@ def gj_solve_planes(A_re, A_im, b_re, b_im, eps: float = EPS):
     return x_re, x_im, valid
 
 
-def solve_planes(A_re, A_im, b_re, b_im, method: str = "gj",
-                 eps: float = EPS, interpret: bool = False):
+def solve_planes(A_re: Array, A_im: Array, b_re: Array, b_im: Array,
+                 method: str = "gj", eps: float = EPS,
+                 interpret: bool = False) -> tuple[Array, Array, Array]:
     """Complex solve on (re, im) planes with method dispatch.
 
     method:
@@ -213,8 +218,9 @@ def solve_planes(A_re, A_im, b_re, b_im, method: str = "gj",
             valid.reshape(lead))
 
 
-def solve_complex_blocks(A_re, A_im, b_re, b_im, method: str = "gj",
-                         eps: float = EPS):
+def solve_complex_blocks(A_re: Array, A_im: Array, b_re: Array,
+                         b_im: Array, method: str = "gj",
+                         eps: float = EPS) -> tuple[Array, Array, Array]:
     """Solve (A_re + j*A_im) x = (b_re + j*b_im) without complex dtypes.
 
     TPU hardware has no complex support (C128 rejected by XLA:TPU), so the

@@ -55,10 +55,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPS
 
+Array = jax.Array
+
 _LANE = 128
 
 
-def _z():
+def _z() -> Array:
     # int32 zero for BlockSpec index maps: under x64 a literal 0 traces to
     # i64 and Mosaic fails to legalize the index-map function's return
     import jax.numpy as _jnp
@@ -73,7 +75,7 @@ def _tile_b(n: int, dtype_bytes: int, n_bufs: int) -> int:
     return int(max(_LANE, min(2048, tile)))
 
 
-def _first_match_onehot(score, rows_f, n):
+def _first_match_onehot(score: Array, rows_f: Array, n: int) -> Array:
     """Per-lane argmax over axis 0 as a one-hot, ties to the lowest row.
 
     Row indices live in FLOAT (exact for n << 2^24): under x64 mode Mosaic
@@ -87,7 +89,8 @@ def _first_match_onehot(score, rows_f, n):
     return rows_f == ridx
 
 
-def _extract_solution(colidx, rhs, rows2, n):
+def _extract_solution(colidx: Array, rhs: Array, rows2: Array,
+                      n: int) -> Array:
     """x[k, b] = rhs[r, b] where colidx[r, b] == k, as one masked reduction.
 
     ``colidx`` maps each row to the column it pivoted (float-encoded exact
@@ -98,7 +101,8 @@ def _extract_solution(colidx, rhs, rows2, n):
     return jnp.sum(jnp.where(eq, rhs[None, :, :], 0.0), axis=1)
 
 
-def _gj_real_kernel(ab_ref, x_ref, valid_ref, *, n: int, eps: float):
+def _gj_real_kernel(ab_ref: object, x_ref: object, valid_ref: object,
+                    *, n: int, eps: float) -> None:
     """One grid cell: solve TILE_B real systems laid out (N, N+1, TILE_B).
 
     The elimination runs as an in-kernel ``fori_loop`` (one step's
@@ -121,7 +125,7 @@ def _gj_real_kernel(ab_ref, x_ref, valid_ref, *, n: int, eps: float):
     cols3 = jax.lax.broadcasted_iota(
         jnp.int32, (n, n + 1, tb), 1).astype(dtype)
 
-    def body(k, carry):
+    def body(k: Array, carry: tuple) -> tuple:
         ab, used, valid, colidx = carry
         kf = k.astype(dtype)
         col = jnp.sum(jnp.where(cols3 == kf, ab, 0.0), axis=1)
@@ -153,8 +157,9 @@ def _gj_real_kernel(ab_ref, x_ref, valid_ref, *, n: int, eps: float):
     valid_ref[:] = valid
 
 
-def _gj_complex_kernel(abr_ref, abi_ref, xr_ref, xi_ref, valid_ref,
-                       *, n: int, eps: float):
+def _gj_complex_kernel(abr_ref: object, abi_ref: object, xr_ref: object,
+                       xi_ref: object, valid_ref: object,
+                       *, n: int, eps: float) -> None:
     """Complex GJ on (re, im) planes with |pivot|^2 pivoting.
 
     Same fori_loop + colidx structure as the real kernel (see there for the
@@ -170,7 +175,7 @@ def _gj_complex_kernel(abr_ref, abi_ref, xr_ref, xi_ref, valid_ref,
     cols3 = jax.lax.broadcasted_iota(
         jnp.int32, (n, n + 1, tb), 1).astype(dtype)
 
-    def body(k, carry):
+    def body(k: Array, carry: tuple) -> tuple:
         ar, ai, used, valid, colidx = carry
         kf = k.astype(dtype)
         cmask = cols3 == kf
@@ -213,7 +218,144 @@ def _gj_complex_kernel(abr_ref, abi_ref, xr_ref, xi_ref, valid_ref,
     valid_ref[:] = valid
 
 
-def _pad_batch(arr, tile):
+def _gj_inv_real_kernel(a_ref: object, m_ref: object, colidx_ref: object,
+                        valid_ref: object, *, n: int,
+                        eps: float) -> None:
+    """Gauss-Jordan INVERSE: reduce [A | I] so every later solve is a matvec.
+
+    Outputs M = R (the row-op matrix applied to I) and the pivot column map
+    ``colidx``; the true inverse is the row-unpermutation of M
+    (A^-1[i, :] = M[p_i, :], recovered outside the kernel with a one-hot
+    contraction). Refined f64 solves use this so the O(N^3) elimination runs
+    ONCE and each refinement round is an O(N^2) matvec — the previous
+    design re-eliminated the same matrix once per refinement round."""
+    a0 = a_ref[:]  # (N, N, TB)
+    tb = a0.shape[-1]
+    dtype = a0.dtype
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
+    eps_t = jnp.asarray(eps, dtype=dtype)
+    one = jnp.asarray(1.0, dtype=dtype)
+    zero = jnp.asarray(0.0, dtype=dtype)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 0)
+    cols3i = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 1)
+    cols3 = cols3i.astype(dtype)
+    m0 = jnp.where(rows3 == cols3i, one, zero)  # identity planes
+
+    def body(k: Array, carry: tuple) -> tuple:
+        a, m, used, valid, colidx = carry
+        kf = k.astype(dtype)
+        col = jnp.sum(jnp.where(cols3 == kf, a, 0.0), axis=1)  # (N, TB)
+        score = jnp.where(used > 0, -1.0, jnp.abs(col))
+        onehot = _first_match_onehot(score, rows2, n)
+        pv = jnp.sum(jnp.where(onehot, col, 0.0), axis=0, keepdims=True)
+        ok = jnp.abs(pv) >= eps_t
+        valid = valid * jnp.where(ok, one, zero)
+        inv_pv = 1.0 / jnp.where(ok, pv, 1.0)
+        prow_a = jnp.sum(
+            jnp.where(onehot[:, None, :], a, 0.0), axis=0) * inv_pv
+        prow_m = jnp.sum(
+            jnp.where(onehot[:, None, :], m, 0.0), axis=0) * inv_pv
+        factor = jnp.where(onehot, 0.0, col)
+        a = a - factor[:, None, :] * prow_a[None, :, :]
+        m = m - factor[:, None, :] * prow_m[None, :, :]
+        a = jnp.where(onehot[:, None, :], prow_a[None, :, :], a)
+        m = jnp.where(onehot[:, None, :], prow_m[None, :, :], m)
+        used = used + jnp.where(onehot, one, zero)
+        colidx = colidx + jnp.where(onehot, kf, zero)
+        return a, m, used, valid, colidx
+
+    init = (a0, m0, jnp.zeros((n, tb), dtype), jnp.ones((1, tb), dtype),
+            jnp.zeros((n, tb), dtype))
+    _a, m, _used, valid, colidx = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), body, init)
+    m_ref[:] = m
+    colidx_ref[:] = colidx
+    valid_ref[:] = valid
+
+
+def _gj_inv_complex_kernel(ar_ref: object, ai_ref: object, mr_ref: object,
+                           mi_ref: object, colidx_ref: object,
+                           valid_ref: object, *, n: int,
+                           eps: float) -> None:
+    """Complex GJ inverse on (re, im) planes (see ``_gj_inv_real_kernel``).
+
+    |pivot|^2 pivoting as in ``_gj_complex_kernel``; the column extraction
+    masks only touch the A planes, so the added M planes cost only their
+    own rank-1 update — one elimination over effective width 2N replaces
+    the old THREE eliminations over width N+1 in the refined f64 tier."""
+    ar0 = ar_ref[:]
+    ai0 = ai_ref[:]
+    tb = ar0.shape[-1]
+    dtype = ar0.dtype
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
+    eps2 = jnp.asarray(eps * eps, dtype=dtype)
+    one = jnp.asarray(1.0, dtype=dtype)
+    zero = jnp.asarray(0.0, dtype=dtype)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 0)
+    cols3i = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 1)
+    cols3 = cols3i.astype(dtype)
+    mr0 = jnp.where(rows3 == cols3i, one, zero)
+    mi0 = jnp.zeros((n, n, tb), dtype)
+
+    def body(k: Array, carry: tuple) -> tuple:
+        ar, ai, mr, mi, used, valid, colidx = carry
+        kf = k.astype(dtype)
+        cmask = cols3 == kf
+        cr = jnp.sum(jnp.where(cmask, ar, 0.0), axis=1)
+        ci = jnp.sum(jnp.where(cmask, ai, 0.0), axis=1)
+        mag2 = cr * cr + ci * ci
+        score = jnp.where(used > 0, -1.0, mag2)
+        onehot = _first_match_onehot(score, rows2, n)
+        pvr = jnp.sum(jnp.where(onehot, cr, 0.0), axis=0, keepdims=True)
+        pvi = jnp.sum(jnp.where(onehot, ci, 0.0), axis=0, keepdims=True)
+        d = pvr * pvr + pvi * pvi
+        ok = d >= eps2
+        valid = valid * jnp.where(ok, one, zero)
+        inv_d = 1.0 / jnp.where(ok, d, 1.0)
+
+        def prow(pr: Array, pi: Array) -> tuple[Array, Array]:
+            # (pivot row of [pr, pi]) / pivot, complex divide
+            sr = jnp.sum(jnp.where(onehot[:, None, :], pr, 0.0), axis=0)
+            si = jnp.sum(jnp.where(onehot[:, None, :], pi, 0.0), axis=0)
+            return ((sr * pvr + si * pvi) * inv_d,
+                    (si * pvr - sr * pvi) * inv_d)
+
+        par_r, par_i = prow(ar, ai)
+        pm_r, pm_i = prow(mr, mi)
+        fr = jnp.where(onehot, 0.0, cr)
+        fi = jnp.where(onehot, 0.0, ci)
+
+        def upd(p: Array, pr_r: Array, pr_i: Array,
+                real: bool) -> Array:
+            if real:
+                return p - (fr[:, None, :] * pr_r[None, :, :]
+                            - fi[:, None, :] * pr_i[None, :, :])
+            return p - (fr[:, None, :] * pr_i[None, :, :]
+                        + fi[:, None, :] * pr_r[None, :, :])
+
+        ar = upd(ar, par_r, par_i, True)
+        ai = upd(ai, par_r, par_i, False)
+        mr = upd(mr, pm_r, pm_i, True)
+        mi = upd(mi, pm_r, pm_i, False)
+        ar = jnp.where(onehot[:, None, :], par_r[None, :, :], ar)
+        ai = jnp.where(onehot[:, None, :], par_i[None, :, :], ai)
+        mr = jnp.where(onehot[:, None, :], pm_r[None, :, :], mr)
+        mi = jnp.where(onehot[:, None, :], pm_i[None, :, :], mi)
+        used = used + jnp.where(onehot, one, zero)
+        colidx = colidx + jnp.where(onehot, kf, zero)
+        return ar, ai, mr, mi, used, valid, colidx
+
+    init = (ar0, ai0, mr0, mi0, jnp.zeros((n, tb), dtype),
+            jnp.ones((1, tb), dtype), jnp.zeros((n, tb), dtype))
+    _ar, _ai, mr, mi, _used, valid, colidx = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n), body, init)
+    mr_ref[:] = mr
+    mi_ref[:] = mi
+    colidx_ref[:] = colidx
+    valid_ref[:] = valid
+
+
+def _pad_batch(arr: Array, tile: int) -> tuple[Array, int]:
     b = arr.shape[-1]
     pad = (-b) % tile
     if pad:
@@ -221,7 +363,8 @@ def _pad_batch(arr, tile):
     return arr, b
 
 
-def _solve_real_f32(A, b, eps: float, interpret: bool):
+def _solve_real_f32(A: Array, b: Array, eps: float,
+                    interpret: bool) -> tuple[Array, Array]:
     """Raw f32 batch-major kernel dispatch. A: (B, N, N) f32; b: (B, N) f32."""
     _, n, _ = A.shape
     dtype = A.dtype
@@ -260,7 +403,99 @@ def _solve_real_f32(A, b, eps: float, interpret: bool):
     return x, valid
 
 
-def _rel_residual(r_max, a_max, x_max, b_max):
+def _inverse_real_f32(A: Array, eps: float,
+                      interpret: bool) -> tuple[Array, Array, Array]:
+    """Dispatch ``_gj_inv_real_kernel``. A: (B, N, N) f32.
+    Returns (M: (B, N, N), colidx: (B, N), valid: (B,) bool)."""
+    _, n, _ = A.shape
+    dtype = A.dtype
+    a = jnp.moveaxis(A, 0, -1)  # (N, N, B)
+    tile = _tile_b(n, dtype.itemsize, 4)
+    a, b_orig = _pad_batch(a, tile)
+    bp = a.shape[-1]
+    kernel = functools.partial(_gj_inv_real_kernel, n=n, eps=eps)
+    m, colidx, valid = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[
+            pl.BlockSpec((n, n, tile), lambda i: (_z(), _z(), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, n, tile), lambda i: (_z(), _z(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (_z(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (_z(), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n, bp), dtype),
+            jax.ShapeDtypeStruct((n, bp), dtype),
+            jax.ShapeDtypeStruct((1, bp), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),  # see _solve_real_f32 note
+        interpret=interpret,
+    )(a)
+    return (jnp.moveaxis(m[..., :b_orig], -1, 0),
+            jnp.moveaxis(colidx[:, :b_orig], -1, 0),
+            valid[0, :b_orig] > 0)
+
+
+def _inverse_complex_f32(
+        Ar: Array, Ai: Array, eps: float,
+        interpret: bool) -> tuple[Array, Array, Array, Array]:
+    """Dispatch ``_gj_inv_complex_kernel``. Ar/Ai: (B, N, N) f32.
+    Returns (Mr, Mi: (B, N, N), colidx: (B, N), valid: (B,) bool)."""
+    _, n, _ = Ar.shape
+    dtype = Ar.dtype
+    ar = jnp.moveaxis(Ar, 0, -1)
+    ai = jnp.moveaxis(Ai, 0, -1)
+    tile = _tile_b(n, dtype.itemsize, 8)
+    ar, b_orig = _pad_batch(ar, tile)
+    ai, _ = _pad_batch(ai, tile)
+    bp = ar.shape[-1]
+    kernel = functools.partial(_gj_inv_complex_kernel, n=n, eps=eps)
+    mat_spec = pl.BlockSpec((n, n, tile), lambda i: (_z(), _z(), i),
+                            memory_space=pltpu.VMEM)
+    mr, mi, colidx, valid = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[mat_spec, mat_spec],
+        out_specs=[
+            mat_spec, mat_spec,
+            pl.BlockSpec((n, tile), lambda i: (_z(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (_z(), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n, bp), dtype),
+            jax.ShapeDtypeStruct((n, n, bp), dtype),
+            jax.ShapeDtypeStruct((n, bp), dtype),
+            jax.ShapeDtypeStruct((1, bp), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(ar, ai)
+    return (jnp.moveaxis(mr[..., :b_orig], -1, 0),
+            jnp.moveaxis(mi[..., :b_orig], -1, 0),
+            jnp.moveaxis(colidx[:, :b_orig], -1, 0),
+            valid[0, :b_orig] > 0)
+
+
+def _unperm_onehot(colidx: Array, n: int) -> Array:
+    """(B, N_row, N_col) one-hot with unperm[b, r, k] = [colidx[b, r] == k]:
+    row r of M is row colidx[r] of the true inverse (see the inverse-kernel
+    docstring), so x = einsum('brk,br->bk', unperm, M @ y)."""
+    cols = jnp.arange(n, dtype=colidx.dtype)
+    return (colidx[:, :, None] == cols[None, None, :]).astype(colidx.dtype)
+
+
+def _rel_residual(r_max: Array, a_max: Array, x_max: Array,
+                  b_max: Array) -> Array:
     """Per-system relative residual ||r|| / (||A||*||x|| + ||b||), inf-norms."""
     scale = jnp.maximum(a_max * x_max + b_max, jnp.finfo(r_max.dtype).tiny)
     return r_max / scale
@@ -270,56 +505,68 @@ def _rel_residual(r_max, a_max, x_max, b_max):
     jax.jit,
     static_argnames=("eps", "refine", "interpret", "rtol", "fallback"),
 )
-def pallas_gj_solve_real(A, b, eps: float = EPS, refine: int = 2,
-                         interpret: bool = False, rtol: float = 1e-12,
-                         fallback: bool = True):
+def pallas_gj_solve_real(A: Array, b: Array, eps: float = EPS,
+                         refine: int = 2, interpret: bool = False,
+                         rtol: float = 1e-12,
+                         fallback: bool = True) -> tuple[Array, Array]:
     """Solve A[i] x = b[i] for a batch. A: (B, N, N); b: (B, N).
 
-    Returns (x: (B, N), valid: (B,) bool) in the input dtype. Elimination
-    runs in the f32 Pallas kernel; `refine` rounds of f64 iterative
-    refinement recover full precision for reasonably conditioned systems.
-    Refined (f64-input) solves are residual-guarded: systems whose final
-    relative residual exceeds ``rtol`` are re-solved on the f64 gj path
-    (``fallback=True``) or flagged invalid (``fallback=False``).
+    Returns (x: (B, N), valid: (B,) bool) in the input dtype. f32 inputs run
+    the raw x-solve kernel. f64 inputs with ``refine`` > 0 run the INVERSE
+    kernel once (O(N^3)) and then do the initial solve plus every
+    refinement round as O(N^2) matvecs against the produced inverse — the
+    elimination is never repeated. Refined solves are residual-guarded:
+    systems whose final relative residual exceeds ``rtol`` are re-solved on
+    the f64 gj path (``fallback=True``) or flagged invalid
+    (``fallback=False``).
     """
     in_dtype = A.dtype
     A32 = A.astype(jnp.float32)
-    x32, valid = _solve_real_f32(A32, b.astype(jnp.float32), eps, interpret)
-    x = x32.astype(in_dtype)
-    if in_dtype != jnp.float32 and refine > 0:
-        for _ in range(refine):
-            # multiply+reduce, not einsum: f64 dots cannot lower to the MXU
-            r = b - jnp.sum(A * x[:, None, :], axis=-1)
-            dx, _ = _solve_real_f32(A32, r.astype(jnp.float32), eps, interpret)
-            x = x + dx.astype(in_dtype)
-        # residual guard: catch refinement divergence (cond(A) >~ 1e7).
-        # Only when refinement was requested — refine=0 with f64 inputs
-        # means the caller accepts raw-kernel (f32) accuracy.
+    if in_dtype == jnp.float32 or refine <= 0:
+        # refine=0 with f64 inputs: caller accepts raw-kernel f32 accuracy
+        x32, valid = _solve_real_f32(A32, b.astype(jnp.float32), eps,
+                                     interpret)
+        return x32.astype(in_dtype), valid
+    M, colidx, valid = _inverse_real_f32(A32, eps, interpret)
+    unperm = _unperm_onehot(colidx, A.shape[-1])
+
+    def apply_inv(r: Array) -> Array:
+        y = jnp.einsum("bij,bj->bi", M, r.astype(jnp.float32))
+        return jnp.einsum("brk,br->bk", unperm, y).astype(in_dtype)
+
+    x = apply_inv(b)
+    for _ in range(refine):
+        # multiply+reduce, not einsum: f64 dots cannot lower to the MXU
         r = b - jnp.sum(A * x[:, None, :], axis=-1)
-        rel = _rel_residual(
-            jnp.max(jnp.abs(r), axis=-1),
-            jnp.max(jnp.abs(A), axis=(-2, -1)),
-            jnp.max(jnp.abs(x), axis=-1),
-            jnp.max(jnp.abs(b), axis=-1),
+        x = x + apply_inv(r)
+    # residual guard: catch refinement divergence (cond(A) >~ 1e7)
+    r = b - jnp.sum(A * x[:, None, :], axis=-1)
+    rel = _rel_residual(
+        jnp.max(jnp.abs(r), axis=-1),
+        jnp.max(jnp.abs(A), axis=(-2, -1)),
+        jnp.max(jnp.abs(x), axis=-1),
+        jnp.max(jnp.abs(b), axis=-1),
+    )
+    bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
+    if fallback:
+        from .linsolve import gj_solve
+
+        def resolve_f64(_: None) -> tuple:
+            x64, v64 = jax.vmap(gj_solve, in_axes=(0, 0, None))(A, b, eps)
+            return (jnp.where(bad[:, None], x64, x),
+                    jnp.where(bad, v64, valid))
+
+        x, valid = jax.lax.cond(
+            jnp.any(bad), resolve_f64, lambda _: (x, valid), None
         )
-        bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
-        if fallback:
-            from .linsolve import gj_solve
-
-            def resolve_f64(_):
-                x64, v64 = jax.vmap(gj_solve, in_axes=(0, 0, None))(A, b, eps)
-                return (jnp.where(bad[:, None], x64, x),
-                        jnp.where(bad, v64, valid))
-
-            x, valid = jax.lax.cond(
-                jnp.any(bad), resolve_f64, lambda _: (x, valid), None
-            )
-        else:
-            valid = valid & ~bad
+    else:
+        valid = valid & ~bad
     return x, valid
 
 
-def _solve_complex_f32(Ar, Ai, br, bi, eps: float, interpret: bool):
+def _solve_complex_f32(Ar: Array, Ai: Array, br: Array, bi: Array,
+                       eps: float,
+                       interpret: bool) -> tuple[Array, Array, Array]:
     """Raw f32 complex-planes kernel dispatch."""
     _, n, _ = Ar.shape
     dtype = Ar.dtype
@@ -367,66 +614,80 @@ def _solve_complex_f32(Ar, Ai, br, bi, eps: float, interpret: bool):
     jax.jit,
     static_argnames=("eps", "refine", "interpret", "rtol", "fallback"),
 )
-def pallas_gj_solve_complex(Ar, Ai, br, bi, eps: float = EPS,
-                            refine: int = 2, interpret: bool = False,
-                            rtol: float = 1e-12, fallback: bool = True):
+def pallas_gj_solve_complex(
+        Ar: Array, Ai: Array, br: Array, bi: Array, eps: float = EPS,
+        refine: int = 2, interpret: bool = False, rtol: float = 1e-12,
+        fallback: bool = True) -> tuple[Array, Array, Array]:
     """Solve (Ar + j Ai) x = (br + j bi) batched on (re, im) planes.
 
     Ar/Ai: (B, N, N); br/bi: (B, N). Returns (xr, xi, valid) in the input
-    dtype, with f64 iterative refinement around the f32 kernel. Refined
-    solves are residual-guarded like ``pallas_gj_solve_real``: diverged
-    systems are re-solved on the f64 2N-real-block path (``fallback=True``)
-    or flagged invalid (``fallback=False``).
+    dtype. f32 inputs run the raw x-solve kernel; f64 inputs with
+    ``refine`` > 0 run the complex INVERSE kernel once and do the initial
+    solve plus every refinement round as O(N^2) matvecs (see
+    ``pallas_gj_solve_real``). Refined solves are residual-guarded:
+    diverged systems are re-solved on the f64 2N-real-block path
+    (``fallback=True``) or flagged invalid (``fallback=False``).
     """
     in_dtype = Ar.dtype
     f32 = jnp.float32
     Ar32, Ai32 = Ar.astype(f32), Ai.astype(f32)
-    xr32, xi32, valid = _solve_complex_f32(
-        Ar32, Ai32, br.astype(f32), bi.astype(f32), eps, interpret
-    )
-    xr = xr32.astype(in_dtype)
-    xi = xi32.astype(in_dtype)
-    if in_dtype != jnp.float32 and refine > 0:
-        # multiply+reduce (f64 dots cannot lower to the MXU)
-        mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
+    if in_dtype == jnp.float32 or refine <= 0:
+        xr32, xi32, valid = _solve_complex_f32(
+            Ar32, Ai32, br.astype(f32), bi.astype(f32), eps, interpret
+        )
+        return xr32.astype(in_dtype), xi32.astype(in_dtype), valid
 
-        def residual(xr, xi):
-            ax_r = mv(Ar, xr) - mv(Ai, xi)
-            ax_i = mv(Ar, xi) + mv(Ai, xr)
-            return br - ax_r, bi - ax_i
+    Mr, Mi, colidx, valid = _inverse_complex_f32(Ar32, Ai32, eps, interpret)
+    unperm = _unperm_onehot(colidx, Ar.shape[-1])
 
-        for _ in range(refine):
-            rr, ri = residual(xr, xi)
-            dxr, dxi, _ = _solve_complex_f32(
-                Ar32, Ai32, rr.astype(f32), ri.astype(f32), eps, interpret
-            )
-            xr = xr + dxr.astype(in_dtype)
-            xi = xi + dxi.astype(in_dtype)
-        # residual guard (inf-norms over max(|re|, |im|) — within 2x of the
-        # true complex magnitudes, ample for a divergence test)
+    def apply_inv(rr: Array, ri: Array) -> tuple[Array, Array]:
+        rr32, ri32 = rr.astype(f32), ri.astype(f32)
+        yr = (jnp.einsum("bij,bj->bi", Mr, rr32)
+              - jnp.einsum("bij,bj->bi", Mi, ri32))
+        yi = (jnp.einsum("bij,bj->bi", Mi, rr32)
+              + jnp.einsum("bij,bj->bi", Mr, ri32))
+        return (jnp.einsum("brk,br->bk", unperm, yr).astype(in_dtype),
+                jnp.einsum("brk,br->bk", unperm, yi).astype(in_dtype))
+
+    # multiply+reduce (f64 dots cannot lower to the MXU)
+    mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
+
+    def residual(xr: Array, xi: Array) -> tuple[Array, Array]:
+        ax_r = mv(Ar, xr) - mv(Ai, xi)
+        ax_i = mv(Ar, xi) + mv(Ai, xr)
+        return br - ax_r, bi - ax_i
+
+    xr, xi = apply_inv(br, bi)
+    for _ in range(refine):
         rr, ri = residual(xr, xi)
-        amax = lambda p, q, ax: jnp.maximum(
-            jnp.max(jnp.abs(p), axis=ax), jnp.max(jnp.abs(q), axis=ax)
-        )
-        rel = _rel_residual(
-            amax(rr, ri, -1), amax(Ar, Ai, (-2, -1)),
-            amax(xr, xi, -1), amax(br, bi, -1),
-        )
-        bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
-        if fallback:
-            from .linsolve import solve_complex_blocks
+        dxr, dxi = apply_inv(rr, ri)
+        xr = xr + dxr
+        xi = xi + dxi
+    # residual guard (inf-norms over max(|re|, |im|) — within 2x of the
+    # true complex magnitudes, ample for a divergence test)
+    rr, ri = residual(xr, xi)
+    amax = lambda p, q, ax: jnp.maximum(
+        jnp.max(jnp.abs(p), axis=ax), jnp.max(jnp.abs(q), axis=ax)
+    )
+    rel = _rel_residual(
+        amax(rr, ri, -1), amax(Ar, Ai, (-2, -1)),
+        amax(xr, xi, -1), amax(br, bi, -1),
+    )
+    bad = valid & (~jnp.isfinite(rel) | (rel > rtol))
+    if fallback:
+        from .linsolve import solve_complex_blocks
 
-            def resolve_f64(_):
-                xr64, xi64, v64 = solve_complex_blocks(
-                    Ar, Ai, br, bi, method="gj", eps=eps
-                )
-                return (jnp.where(bad[:, None], xr64, xr),
-                        jnp.where(bad[:, None], xi64, xi),
-                        jnp.where(bad, v64, valid))
-
-            xr, xi, valid = jax.lax.cond(
-                jnp.any(bad), resolve_f64, lambda _: (xr, xi, valid), None
+        def resolve_f64(_: None) -> tuple:
+            xr64, xi64, v64 = solve_complex_blocks(
+                Ar, Ai, br, bi, method="gj", eps=eps
             )
-        else:
-            valid = valid & ~bad
+            return (jnp.where(bad[:, None], xr64, xr),
+                    jnp.where(bad[:, None], xi64, xi),
+                    jnp.where(bad, v64, valid))
+
+        xr, xi, valid = jax.lax.cond(
+            jnp.any(bad), resolve_f64, lambda _: (xr, xi, valid), None
+        )
+    else:
+        valid = valid & ~bad
     return xr, xi, valid

@@ -16,10 +16,13 @@ Patterns:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+Array = jax.Array
 
-def stamp_admittance(A_pad, idx, y):
+
+def stamp_admittance(A_pad: Array, idx: Array, y: Array) -> Array:
     """Scatter ±y for each 2-terminal element.
 
     idx: (nE,2); y: (..., nE) broadcasting over any leading batch dims of
@@ -34,14 +37,15 @@ def stamp_admittance(A_pad, idx, y):
     return A_pad
 
 
-def stamp_current(b_pad, idx, current):
+def stamp_current(b_pad: Array, idx: Array, current: Array) -> Array:
     """RHS injection: b[i1] -= I, b[i2] += I. Batch dims broadcast."""
     b_pad = b_pad.at[..., idx[:, 0]].add(-current)
     b_pad = b_pad.at[..., idx[:, 1]].add(current)
     return b_pad
 
 
-def stamp_voltage_source(A_pad, b_pad, v_idx, volts):
+def stamp_voltage_source(A_pad: Array, b_pad: Array, v_idx: Array,
+                         volts: Array) -> tuple[Array, Array]:
     """±1 node/branch couplings and branch-row RHS voltage.
 
     v_idx: (nV,3) = [i1, i2, branch]; volts: (..., nV) real or complex.
@@ -57,7 +61,7 @@ def stamp_voltage_source(A_pad, b_pad, v_idx, volts):
     return A_pad, b_pad
 
 
-def stamp_mutual(A_pad, l_idx, G):
+def stamp_mutual(A_pad: Array, l_idx: Array, G: Array) -> Array:
     """Coupled-inductor companion matrix stamp (extended K lines).
 
     The current of inductor a is sum_b G[a,b] * (v[i1_b] - v[i2_b]), so
@@ -74,13 +78,13 @@ def stamp_mutual(A_pad, l_idx, G):
     return A_pad
 
 
-def pad_solution(x, nvar):
+def pad_solution(x: Array, nvar: int) -> Array:
     """Append the ground slot (0) so dump-mapped indices read 0 volts."""
     zero_shape = x.shape[:-1] + (1,)
     return jnp.concatenate([x, jnp.zeros(zero_shape, dtype=x.dtype)], axis=-1)
 
 
-def stamp_vccs(A_pad, idx, gm):
+def stamp_vccs(A_pad: Array, idx: Array, gm: Array) -> Array:
     """Voltage-controlled current source (extended dialect, no reference
     analog — parseNetlist.ts:444-446 skips G lines).
 
@@ -96,7 +100,7 @@ def stamp_vccs(A_pad, idx, gm):
     return A_pad
 
 
-def stamp_vcvs(A_pad, idx, gain):
+def stamp_vcvs(A_pad: Array, idx: Array, gain: Array) -> Array:
     """Voltage-controlled voltage source (extended dialect).
 
     idx: (nE, 5) = [i1, i2, branch, ic_pos, ic_neg]; gain: (..., nE).
@@ -114,7 +118,7 @@ def stamp_vcvs(A_pad, idx, gain):
     return A_pad
 
 
-def stamp_cccs(A_pad, idx, gain):
+def stamp_cccs(A_pad: Array, idx: Array, gain: Array) -> Array:
     """Current-controlled current source (extended dialect).
 
     idx: (nF, 3) = [i1, i2, ctrl_branch]; gain: (..., nF). Couples the
@@ -127,7 +131,7 @@ def stamp_cccs(A_pad, idx, gain):
     return A_pad
 
 
-def stamp_ccvs(A_pad, idx, r):
+def stamp_ccvs(A_pad: Array, idx: Array, r: Array) -> Array:
     """Current-controlled voltage source (extended dialect).
 
     idx: (nH, 4) = [i1, i2, branch, ctrl_branch]; r: (..., nH).
@@ -142,7 +146,7 @@ def stamp_ccvs(A_pad, idx, r):
     return A_pad
 
 
-def stamp_tline_ports(A_pad, t_idx, z0):
+def stamp_tline_ports(A_pad: Array, t_idx: Array, z0: Array) -> Array:
     """Transmission-line near-end pattern (Branin model; extended T lines).
 
     t_idx: (nT, 6) = [i1, i2, i3, i4, br1, br2]; z0: (..., nT). Each port's
@@ -162,7 +166,8 @@ def stamp_tline_ports(A_pad, t_idx, z0):
     return A_pad
 
 
-def stamp_tline_coupling(A_pad, t_idx, z0, c):
+def stamp_tline_coupling(A_pad: Array, t_idx: Array, z0: Array,
+                         c: Array) -> Array:
     """Far-end coupling rows with coefficient ``c`` (..., nT) per plane.
 
     Branch row br1 gains ``c`` times (v(i3) - v(i4) + Z0*i2) and br2 the
@@ -180,7 +185,7 @@ def stamp_tline_coupling(A_pad, t_idx, z0, c):
     return A_pad
 
 
-def stamp_extended(A_pad, ext):
+def stamp_extended(A_pad: Array, ext: dict) -> Array:
     """All linear extended-dialect controlled sources from an ext pytree
     (ir.circuit.ext_arrays): G/E/F/H. Independent I sources are RHS-only
     and handled by the callers."""

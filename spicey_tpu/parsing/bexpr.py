@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import ast
 import re
+from typing import Callable
 
 import jax.numpy as jnp
 
@@ -51,7 +52,7 @@ _REF_RE = re.compile(r"\b([vViI])\s*\(([^()]*)\)")
 _REF_PLACEHOLDER = re.compile(r"^__ref(\d+)__$")
 
 
-def compile_bexpr(expr: str):
+def compile_bexpr(expr: str) -> tuple[list[tuple], Callable]:
     """Compile one behavioral expression.
 
     Returns (refs, fn): ``refs`` is the ordered list of distinct
@@ -87,7 +88,7 @@ def compile_bexpr(expr: str):
     except SyntaxError as err:
         raise ValueError(f"malformed behavioral expression {expr!r}") from err
 
-    def build(node):
+    def build(node: ast.AST) -> Callable:
         """AST -> closure(vals, t); reference discovery happens up front."""
         if isinstance(node, ast.Constant) and isinstance(
                 node.value, (int, float)):

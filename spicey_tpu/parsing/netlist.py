@@ -696,15 +696,15 @@ class ParsedCircuit:
 
     # --- reference-shaped accessors (parseNetlist.ts:93-104) ---
     @property
-    def analyses(self):
+    def analyses(self) -> dict:
         return {"ac": self.ac, "tran": self.tran}
 
     @property
-    def probes(self):
+    def probes(self) -> dict:
         return {"tran": self.tran_probes}
 
     @property
-    def models(self):
+    def models(self) -> dict:
         return {"vswitch": self.vswitch_models, "diode": self.diode_models}
 
 
@@ -1217,7 +1217,7 @@ def js_parse_int(s: str) -> int:
     return int(m.group(1))
 
 
-def _scan_source_spec(vs, tokens: list[str],
+def _scan_source_spec(vs: object, tokens: list[str],
                       dialect: str = "spicey") -> None:
     """Shared dc/ac/PULSE/PWL keyword scanner (parseNetlist.ts:344-389),
     applied to VoltageSource and (extended dialect) CurrentSource. The

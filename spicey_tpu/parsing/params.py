@@ -77,7 +77,7 @@ def eval_expr(expr: str, params: dict[str, float],
     except SyntaxError as err:
         raise ValueError(f"malformed parameter expression {expr!r}") from err
 
-    def ev(node) -> float:
+    def ev(node: ast.AST) -> float:
         if isinstance(node, ast.Constant) and isinstance(
                 node.value, (int, float)):
             return float(node.value)
@@ -135,7 +135,8 @@ def substitute_braces(line: str, params: dict[str, float],
     return _BRACE_RE.sub(repl, line)
 
 
-def apply_params(text: str, strict: bool = True):
+def apply_params(text: str,
+                 strict: bool = True) -> tuple[str, dict[str, float]]:
     """Collect .param definitions (in order) and substitute every {expr}.
 
     Returns (text, params). .param lines are stripped from the output;

@@ -124,7 +124,7 @@ class Waveform:
 
 
 class PulseWaveform(Waveform):
-    def __init__(self, spec: PulseSpec):
+    def __init__(self, spec: PulseSpec) -> None:
         self.spec = spec
 
     def __call__(self, t: float) -> float:
@@ -150,7 +150,7 @@ class PulseWaveform(Waveform):
 
 
 class PwlWaveform(Waveform):
-    def __init__(self, pairs: list[tuple[float, float]]):
+    def __init__(self, pairs: list[tuple[float, float]]) -> None:
         self.pairs = pairs
 
     def __call__(self, t: float) -> float:
@@ -236,7 +236,7 @@ def parse_exp_args(token: str) -> ExpSpec:
 
 
 class SinWaveform(Waveform):
-    def __init__(self, spec: SinSpec):
+    def __init__(self, spec: SinSpec) -> None:
         self.spec = spec
 
     def sample(self, t: np.ndarray) -> np.ndarray:
@@ -254,7 +254,7 @@ class SinWaveform(Waveform):
 
 
 class ExpWaveform(Waveform):
-    def __init__(self, spec: ExpSpec):
+    def __init__(self, spec: ExpSpec) -> None:
         self.spec = spec
 
     def sample(self, t: np.ndarray) -> np.ndarray:
@@ -322,7 +322,7 @@ def parse_am_args(token: str) -> AmSpec:
 
 
 class SffmWaveform(Waveform):
-    def __init__(self, spec: SffmSpec):
+    def __init__(self, spec: SffmSpec) -> None:
         self.spec = spec
 
     def sample(self, t: np.ndarray) -> np.ndarray:
@@ -339,7 +339,7 @@ class SffmWaveform(Waveform):
 
 
 class AmWaveform(Waveform):
-    def __init__(self, spec: AmSpec):
+    def __init__(self, spec: AmSpec) -> None:
         self.spec = spec
 
     def sample(self, t: np.ndarray) -> np.ndarray:

@@ -1,0 +1,199 @@
+"""Feature-interaction coverage: B sources and T lines through autodiff
+sensitivity, fitting, and adaptive transient (VERDICT r2 do #6).
+
+Until round 3 these combinations raised NotImplementedError
+(fit.py / sensitivity.py / adaptive.py guards); now they run through the
+same compiled assembly the plain analyses use. Each test checks against
+either a finite-difference derivative of the public engine or the
+fixed-grid engine's trajectory — no special-cased math.
+"""
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate_ac, simulate_tran
+from spicey_tpu.analysis.adaptive import simulate_tran_adaptive
+from spicey_tpu.analysis.fit import fit_ac, fit_tran
+from spicey_tpu.analysis.sensitivity import sensitivity_ac, sensitivity_tran
+
+BSRC_AC = """x rc divider with a live behavioral load
+v1 in 0 dc 0 ac 1
+r1 in out 1k
+c1 out 0 100n
+b1 out 0 I=1m*v(out)
+.ac dec 10 100 10k
+.end
+"""
+
+BSRC_TRAN = """x rc with a nonlinear behavioral clamp
+v1 in 0 PULSE(0 5 0 1u 1u 40u 100u)
+r1 in out 1k
+c1 out 0 100n
+b1 out 0 I=1u*(exp(v(out))-1)
+.tran 1u 50u
+.end
+"""
+
+TLINE_AC = """x matched line driven through a source resistor
+v1 in 0 dc 0 ac 1
+rs in a 50
+t1 a 0 b 0 z0=50 td=5n
+rl b 0 50
+.ac lin 20 1meg 100meg
+.tran 0.5n 40n
+.end
+"""
+
+TLINE_TRAN = """x matched line, pulse launch
+v1 in 0 PULSE(0 1 0 1n 1n 50n 200n)
+rs in a 50
+t1 a 0 b 0 z0=50 td=5n
+rl b 0 50
+.tran 0.5n 40n
+.end
+"""
+
+
+def _fd_ac(net: str, node: str, elem: str, h_rel: float = 1e-6):
+    """Central finite difference of |V(node, f)| w.r.t. an element value."""
+    ckt = parse_netlist(net, dialect="extended")
+    tgt = next(e for e in ckt.R if e.name.upper() == elem.upper())
+    v0 = tgt.R
+    h = v0 * h_rel
+    tgt.R = v0 + h
+    hi = np.abs(simulate_ac(ckt).node_voltages[node])
+    tgt.R = v0 - h
+    lo = np.abs(simulate_ac(ckt).node_voltages[node])
+    tgt.R = v0
+    return (hi - lo) / (2 * h)
+
+
+def _fd_tran(net: str, node: str, elem: str, h_rel: float = 1e-6):
+    ckt = parse_netlist(net, dialect="extended")
+    tgt = next(e for e in ckt.R if e.name.upper() == elem.upper())
+    v0 = tgt.R
+    h = v0 * h_rel
+    tgt.R = v0 + h
+    hi = np.asarray(simulate_tran(ckt).node_voltages[node])
+    tgt.R = v0 - h
+    lo = np.asarray(simulate_tran(ckt).node_voltages[node])
+    tgt.R = v0
+    return (hi - lo) / (2 * h)
+
+
+def test_sensitivity_ac_with_bsource():
+    ckt = parse_netlist(BSRC_AC, dialect="extended")
+    sens = sensitivity_ac(ckt, "out", ["r1"])
+    fd = _fd_ac(BSRC_AC, "out", "r1")
+    np.testing.assert_allclose(sens["r1"], fd, rtol=1e-4, atol=1e-12)
+
+
+def test_sensitivity_tran_with_bsource():
+    ckt = parse_netlist(BSRC_TRAN, dialect="extended")
+    sens = sensitivity_tran(ckt, "out", ["r1"], nr="converged")
+    fd = _fd_tran(BSRC_TRAN, "out", "r1")
+    scale = np.max(np.abs(fd))
+    np.testing.assert_allclose(sens["r1"], fd, rtol=2e-3,
+                               atol=2e-4 * scale)
+
+
+def test_sensitivity_ac_with_tline():
+    ckt = parse_netlist(TLINE_AC, dialect="extended")
+    sens = sensitivity_ac(ckt, "b", ["rl"])
+    fd = _fd_ac(TLINE_AC, "b", "rl")
+    np.testing.assert_allclose(sens["rl"], fd, rtol=1e-4, atol=1e-12)
+
+
+def test_sensitivity_tran_with_tline():
+    ckt = parse_netlist(TLINE_TRAN, dialect="extended")
+    sens = sensitivity_tran(ckt, "b", ["rl"])
+    fd = _fd_tran(TLINE_TRAN, "b", "rl")
+    scale = max(np.max(np.abs(fd)), 1e-12)
+    np.testing.assert_allclose(sens["rl"], fd, rtol=2e-3,
+                               atol=2e-4 * scale)
+
+
+def test_fit_ac_with_tline_recovers_source_resistor():
+    ckt = parse_netlist(TLINE_AC, dialect="extended")
+    target = np.abs(simulate_ac(ckt).node_voltages["b"])
+    fit = fit_ac(ckt, "b", target, ["rs"], x0={"rs": 80.0},
+                 steps=120, lr=0.05)
+    assert fit.converged
+    assert fit.values["rs"] == pytest.approx(50.0, rel=0.05)
+
+
+def test_fit_tran_with_bsource_recovers_resistor():
+    ckt = parse_netlist(BSRC_TRAN, dialect="extended")
+    target = np.asarray(simulate_tran(ckt).node_voltages["out"])
+    fit = fit_tran(ckt, "out", target, ["r1"], x0={"r1": 1.6e3},
+                   steps=80, lr=0.05, nr="converged")
+    assert fit.converged
+    assert fit.values["r1"] == pytest.approx(1e3, rel=0.05)
+
+
+def test_adaptive_tran_with_tline_matches_fixed_grid():
+    """The time-stamped delay-line history must reproduce the fixed-grid
+    Branin trajectory: a matched 5 ns line delivers the half-amplitude
+    step at the far end 5 ns late, with no reflections."""
+    ckt = parse_netlist(TLINE_TRAN, dialect="extended")
+    fixed = simulate_tran(ckt)
+    adap = simulate_tran_adaptive(ckt, rtol=1e-5, atol=1e-9)
+    assert not adap.exhausted
+    t_f = np.asarray(fixed.times)
+    v_f = np.asarray(fixed.node_voltages["b"])
+    v_interp = np.interp(adap.times, t_f, v_f)
+    err = np.max(np.abs(np.asarray(adap.node_voltages["b"]) - v_interp))
+    assert err < 0.02  # 2% of the 1 V launch
+    # physics: far end quiet before the delay, half-amplitude plateau after
+    va = np.asarray(adap.node_voltages["b"])
+    ta = np.asarray(adap.times)
+    assert np.all(np.abs(va[ta < 4.5e-9]) < 1e-6)
+    plateau = va[(ta > 8e-9) & (ta < 40e-9)]
+    assert np.allclose(plateau, 0.5, atol=0.02)
+
+
+def test_batch_ac_sweeps_tline_td():
+    """Z0/Td are batch-sweepable via suffixed override keys ("t1.td"):
+    a matched line's far-end phase is exactly -360*f*Td degrees."""
+    from spicey_tpu.analysis.batch import simulate_ac_batch
+
+    tds = np.array([2e-9, 5e-9, 8e-9, 11e-9])
+    res = simulate_ac_batch(TLINE_AC, {"t1.td": tds}, dialect="extended")
+    assert res.valid.all()
+    f = res.freqs
+    vb = res.node_voltage("b")            # (B, F)
+    np.testing.assert_allclose(np.abs(vb), 0.5, rtol=1e-9)  # matched
+    for k, td in enumerate(tds):
+        expect = np.exp(-1j * 2 * np.pi * f * td) * 0.5
+        np.testing.assert_allclose(vb[k], expect, rtol=1e-9, atol=1e-12)
+
+
+def test_batch_tran_sweeps_tline_z0():
+    """Sweeping "t1.z0" changes the launch divider: the near-end step
+    amplitude is z0/(rs+z0) per variant."""
+    from spicey_tpu.analysis.batch import simulate_tran_batch
+
+    z0s = np.array([25.0, 50.0, 100.0])
+    res = simulate_tran_batch(TLINE_TRAN, {"t1.z0": z0s},
+                              dialect="extended")
+    assert res.valid.all()
+    t = res.times
+    va = res.node_voltage("a")            # (B, S+1)
+    win = (t > 2e-9) & (t < 9e-9)         # after rise, before reflection+2Td
+    for k, z0 in enumerate(z0s):
+        np.testing.assert_allclose(va[k][win], z0 / (50.0 + z0),
+                                   rtol=1e-6)
+
+
+def test_mc_ac_stats_sweeps_tline_td():
+    """The MC stats path accepts the same suffixed T overrides."""
+    from spicey_tpu.analysis.mc import mc_ac_stats
+
+    rng = np.random.default_rng(7)
+    tds = 5e-9 * (1 + 0.1 * rng.standard_normal(64))
+    stats = mc_ac_stats(TLINE_AC, {"t1.td": tds}, node="b",
+                        dialect="extended")
+    assert stats.n_valid == 64
+    # matched line: |V(b)| = 0.5 regardless of delay
+    np.testing.assert_allclose(stats.mean, 0.5, rtol=1e-9)
+    np.testing.assert_allclose(stats.max, 0.5, rtol=1e-9)

@@ -203,12 +203,15 @@ rl b 0 50
 """, dialect="extended")
 
 
-def test_adaptive_rejects_tlines():
+def test_adaptive_supports_tlines():
+    """Round 3: adaptive tran grew a time-stamped delay-line history
+    (adaptive.py tl_read/tl_write) — full trajectory parity is covered in
+    tests/test_feature_interactions.py; here just the smoke contract."""
     from spicey_tpu import simulate_tran_adaptive
 
     ckt = parse_netlist(MATCHED, dialect="extended")
-    with pytest.raises(NotImplementedError, match="transmission"):
-        simulate_tran_adaptive(ckt)
+    res = simulate_tran_adaptive(ckt)
+    assert res is not None and not res.exhausted
 
 
 # --- batch ---
