@@ -30,20 +30,20 @@ __version__ = "0.3.0"
 
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache, ON by default: cold XLA compiles of the sweep /
-# scan programs cost seconds locally and much more through remote-tunnel TPU
-# setups; caching them on disk makes every later process warm. Override the
-# location with SPICEY_TPU_COMPILE_CACHE=<dir>, or disable entirely with
-# SPICEY_TPU_COMPILE_CACHE="" (or "0"). Backends that bypass JAX's cache
-# (e.g. IFRT proxies with their own executable cache) simply ignore this.
-_cache_dir = _os.environ.get(
-    "SPICEY_TPU_COMPILE_CACHE",
-    _os.path.join(
-        _os.environ.get("XDG_CACHE_HOME",
-                        _os.path.expanduser("~/.cache")),
-        "spicey_tpu", "xla",
-    ),
-)
+# Persistent compile cache: OPT-IN via SPICEY_TPU_COMPILE_CACHE=<dir>.
+# Deliberately NOT on by default: XLA:CPU AOT cache entries are keyed
+# without the exact host-feature set the writer detected, and loading an
+# entry written by a process with different feature detection can SIGSEGV
+# (observed in this repo's round-3 CI hardening: a segfault inside
+# jax compilation_cache.get_executable_and_time during a suite run; the
+# cpu_aot_loader logs the feature mismatch as "could lead to execution
+# errors such as SIGILL" right before). Homogeneous single-process
+# environments (CI runners, dedicated TPU hosts) can and should opt in —
+# the repo's own CI does. Cold-start latency does NOT need this cache:
+# the engine's programs compile in single-digit seconds (see BASELINE.md
+# round-3 diagnosis — the historical "AC cold cliff" was a device-claim
+# handshake, not compile time, and warmup() pays that explicitly).
+_cache_dir = _os.environ.get("SPICEY_TPU_COMPILE_CACHE")
 if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

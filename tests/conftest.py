@@ -73,6 +73,27 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+_TESTS_RUN = 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_state():
+    """Clear JAX's executable caches every 64 tests.
+
+    A full-suite run accumulates hundreds of compiled programs in one
+    process; twice (round 3) the 480th-ish XLA:CPU compile then
+    segfaulted inside ``backend_compile_and_load`` while the same test
+    passed in isolation — a state-dependent compiler crash, not a test
+    bug. Periodic cache clearing bounds the accumulated state (and the
+    suite also runs fine under pytest-xdist workers, which bounds it
+    per-process)."""
+    global _TESTS_RUN
+    yield
+    _TESTS_RUN += 1
+    if _TESTS_RUN % 64 == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _cpu_default_device():
     """Force all test computation onto the host CPU backend.

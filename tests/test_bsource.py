@@ -144,13 +144,14 @@ def test_bsource_parse_and_path_errors():
                             "v1 n 0 1\nx1 n s\n.end\n", dialect="extended")
     assert ckt_sub.B[0].name == "b1.x1"
     assert ckt_sub.B[0].refs == [("v", "n", None)]
-    # still-guarded analysis paths refuse loudly
+    # round 3: sensitivity/fit accept B sources (full coverage in
+    # tests/test_feature_interactions.py); smoke the path here
     from spicey_tpu.analysis.sensitivity import sensitivity_tran
 
-    with pytest.raises(NotImplementedError, match="behavioral"):
-        sensitivity_tran(parse_netlist(
-            "t\nv1 in 0 1\nbl a 0 I=v(a)\nr1 in a 1\n.tran 1u 10u\n.end\n",
-            dialect="extended"), node="a", wrt=["r1"])
+    sens = sensitivity_tran(parse_netlist(
+        "t\nv1 in 0 1\nbl a 0 I=v(a)\nr1 in a 1\n.tran 1u 10u\n.end\n",
+        dialect="extended"), node="a", wrt=["r1"], nr="converged")
+    assert np.isfinite(sens["r1"]).all()
     # reference dialect: B lines land in `skipped`
     ckt = parse_netlist("the title\nb1 a 0 I=5\nv1 a 0 1\nr1 a 0 1\n.end\n")
     assert any(line.startswith("b1") for line in ckt.skipped)
