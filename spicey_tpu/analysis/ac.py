@@ -140,6 +140,118 @@ def _assemble_grid(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
     return assemble(freqs)
 
 
+def _assemble_grid_batchlast(freqs, r_idx, r_vals, c_idx, c_vals,
+                             l_idx, l_vals, v_idx, v_re, v_im, nvar,
+                             ext=None, i_re=None, i_im=None):
+    """Batch-last MNA assembly: augmented (re, im) planes laid out
+    (nvar, nvar+1, B*F) — the exact layout the Pallas kernel tiles.
+
+    The general path assembles (B, F, N, N) systems and then relayouts
+    them batch-last before the kernel; at small N that transpose plus the
+    batch-major scatters dominate end-to-end MC time (the N=8 solve
+    kernel alone sustains ~1M systems/s while the full pipeline did
+    ~180k). Here every scatter writes a full (nE, B, F) lane-major slab
+    and the kernel consumes the result with NO relayout.
+
+    Value arrays lead with a variants axis B: r/c/l_vals (B, nE),
+    v_re/v_im (B, nV); ext value arrays (B, nX); i_re/i_im (nI,)
+    replicated. Scalar inductors only (no K coupling) and no T lines —
+    callers gate on that and fall back to the general path."""
+    F = freqs.shape[0]
+    B = r_vals.shape[0]
+    dtype = r_vals.dtype
+    n = nvar
+    A_re = jnp.zeros((n + 1, n + 1, B, F), dtype)
+    A_im = jnp.zeros((n + 1, n + 1, B, F), dtype)
+    b_re = jnp.zeros((n + 1, B, F), dtype)
+    b_im = jnp.zeros((n + 1, B, F), dtype)
+
+    def adm(A, idx, y):
+        # y: (nE, B, F) lane-major contribution slabs
+        i1, i2 = idx[:, 0], idx[:, 1]
+        A = A.at[i1, i1].add(y)
+        A = A.at[i2, i2].add(y)
+        A = A.at[i1, i2].add(-y)
+        A = A.at[i2, i1].add(-y)
+        return A
+
+    w = (2.0 * jnp.pi) * freqs.astype(dtype)          # (F,)
+    y_r = (1.0 / r_vals).T[:, :, None]                # (nR, B, 1)
+    A_re = adm(A_re, r_idx, jnp.broadcast_to(y_r, (r_idx.shape[0], B, F)))
+    y_c = c_vals.T[:, :, None] * w[None, None, :]     # (nC, B, F)
+    A_im = adm(A_im, c_idx, y_c)
+    wl = l_vals.T[:, :, None] * w[None, None, :]      # (nL, B, F)
+    small = jnp.abs(wl) < EPS
+    y_l = jnp.where(small, 0.0, -1.0 / jnp.where(small, 1.0, wl))
+    A_im = adm(A_im, l_idx, y_l)
+
+    i1, i2, j = v_idx[:, 0], v_idx[:, 1], v_idx[:, 2]
+    one = jnp.ones((v_idx.shape[0], B, F), dtype)
+    A_re = A_re.at[i1, j].add(one)
+    A_re = A_re.at[j, i1].add(one)
+    A_re = A_re.at[i2, j].add(-one)
+    A_re = A_re.at[j, i2].add(-one)
+    b_re = b_re.at[j].add(jnp.broadcast_to(
+        v_re.T[:, :, None], (v_idx.shape[0], B, F)))
+    b_im = b_im.at[j].add(jnp.broadcast_to(
+        v_im.T[:, :, None], (v_idx.shape[0], B, F)))
+
+    if ext is not None:
+        ii = ext["i_idx"]
+
+        def inj(b_p, vals):
+            y = jnp.broadcast_to(
+                vals.astype(dtype)[:, None, None], (ii.shape[0], B, F))
+            b_p = b_p.at[ii[:, 0]].add(-y)
+            return b_p.at[ii[:, 1]].add(y)
+
+        b_re = inj(b_re, i_re)
+        b_im = inj(b_im, i_im)
+        # controlled sources: frequency-independent real stamps
+        gi = ext["g_idx"]
+        g = jnp.broadcast_to(
+            jnp.asarray(ext["g_gm"], dtype).T[:, :, None],
+            (gi.shape[0], B, F))
+        A_re = A_re.at[gi[:, 0], gi[:, 2]].add(g)
+        A_re = A_re.at[gi[:, 0], gi[:, 3]].add(-g)
+        A_re = A_re.at[gi[:, 1], gi[:, 2]].add(-g)
+        A_re = A_re.at[gi[:, 1], gi[:, 3]].add(g)
+        ei = ext["e_idx"]
+        ge = jnp.broadcast_to(
+            jnp.asarray(ext["e_gain"], dtype).T[:, :, None],
+            (ei.shape[0], B, F))
+        onee = jnp.ones_like(ge)
+        A_re = A_re.at[ei[:, 0], ei[:, 2]].add(onee)
+        A_re = A_re.at[ei[:, 1], ei[:, 2]].add(-onee)
+        A_re = A_re.at[ei[:, 2], ei[:, 0]].add(onee)
+        A_re = A_re.at[ei[:, 2], ei[:, 1]].add(-onee)
+        A_re = A_re.at[ei[:, 2], ei[:, 3]].add(-ge)
+        A_re = A_re.at[ei[:, 2], ei[:, 4]].add(ge)
+        fi = ext["f_idx"]
+        gf = jnp.broadcast_to(
+            jnp.asarray(ext["f_gain"], dtype).T[:, :, None],
+            (fi.shape[0], B, F))
+        A_re = A_re.at[fi[:, 0], fi[:, 2]].add(gf)
+        A_re = A_re.at[fi[:, 1], fi[:, 2]].add(-gf)
+        hi = ext["h_idx"]
+        gh = jnp.broadcast_to(
+            jnp.asarray(ext["h_r"], dtype).T[:, :, None],
+            (hi.shape[0], B, F))
+        oneh = jnp.ones_like(gh)
+        A_re = A_re.at[hi[:, 0], hi[:, 2]].add(oneh)
+        A_re = A_re.at[hi[:, 1], hi[:, 2]].add(-oneh)
+        A_re = A_re.at[hi[:, 2], hi[:, 0]].add(oneh)
+        A_re = A_re.at[hi[:, 2], hi[:, 1]].add(-oneh)
+        A_re = A_re.at[hi[:, 2], hi[:, 3]].add(-gh)
+
+    # augmented planes, dump slot sliced off, flat batch axis last
+    ab_re = jnp.concatenate(
+        [A_re[:n, :n], b_re[:n][:, None]], axis=1).reshape(n, n + 1, B * F)
+    ab_im = jnp.concatenate(
+        [A_im[:n, :n], b_im[:n][:, None]], axis=1).reshape(n, n + 1, B * F)
+    return ab_re, ab_im
+
+
 @partial(jax.jit, static_argnames=("nvar", "method", "interpret"))
 def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar: int, method: str = "gj",

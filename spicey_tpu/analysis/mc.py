@@ -41,6 +41,7 @@ from ..ir.circuit import (
 )
 from ..parsing.netlist import ParsedCircuit
 from .ac import _assemble_grid, build_frequency_array
+from ..constants import EPS as _EPS
 from .batch import (
     _batch_size,
     _batch_values,
@@ -142,7 +143,28 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                                 tl=tl_b)
         return planes + (mok,)
 
+    # lane-major fast path: f32 pallas solves with no K/T assemble DIRECTLY
+    # in the kernel's (N, N+1, b*F) batch-last layout — no batch-major
+    # scatters, no relayout before the kernel, no solution moveaxis after.
+    # At small N the general pipeline is dominated by exactly those (the
+    # N=8 kernel alone sustains ~1M systems/s; the general path ~180k).
+    batchlast = (method == "pallas" and lk is None and tl is None
+                 and r_vals.dtype == jnp.float32)
+
     def solve_block(rv, cv, lv, vre, vim, ext_b, tl_b):
+        if batchlast:
+            from ..analysis.ac import _assemble_grid_batchlast
+            from ..ops.pallas_gj import _solve_complex_f32_batchlast
+
+            b = rv.shape[0]
+            ab_re, ab_im = _assemble_grid_batchlast(
+                freqs, r_idx, rv, c_idx, cv, l_idx, lv, v_idx, vre, vim,
+                nvar, ext=ext_b, i_re=i_re, i_im=i_im)
+            xr, xi, valid = _solve_complex_f32_batchlast(
+                ab_re, ab_im, _EPS, interpret)
+            mag = jnp.sqrt(xr[node_idx] ** 2 + xi[node_idx] ** 2)
+            return (mag.reshape(b, freqs.shape[0]),
+                    valid.reshape(b, freqs.shape[0]))
         # assemble over (b, F); solve ONCE over the flattened block so the
         # Pallas kernel sees a single lane-dense grid instead of b tiny,
         # mostly-padding calls under vmap

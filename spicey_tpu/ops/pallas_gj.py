@@ -574,14 +574,17 @@ def pallas_gj_solve_real(A: Array, b: Array, eps: float = EPS,
     return x, valid
 
 
-def _solve_complex_f32(Ar: Array, Ai: Array, br: Array, bi: Array,
-                       eps: float,
-                       interpret: bool) -> tuple[Array, Array, Array]:
-    """Raw f32 complex-planes kernel dispatch."""
-    _, n, _ = Ar.shape
-    dtype = Ar.dtype
-    abr = jnp.moveaxis(jnp.concatenate([Ar, br[:, :, None]], axis=2), 0, -1)
-    abi = jnp.moveaxis(jnp.concatenate([Ai, bi[:, :, None]], axis=2), 0, -1)
+def _solve_complex_f32_batchlast(
+        abr: Array, abi: Array, eps: float,
+        interpret: bool) -> tuple[Array, Array, Array]:
+    """Kernel dispatch on ALREADY batch-last augmented planes.
+
+    abr/abi: (N, N+1, M) f32. Returns batch-last (xr, xi: (N, M),
+    valid: (M,)) — no relayout on either side, which is the whole point:
+    callers that assemble lane-major (analysis/ac._assemble_grid_batchlast)
+    feed the kernel and read the probed row without a single transpose."""
+    n = abr.shape[0]
+    dtype = abr.dtype
     tile = _tile_b(n, dtype.itemsize, 4)
     abr, b_orig = _pad_batch(abr, tile)
     abi, _ = _pad_batch(abi, tile)
@@ -616,10 +619,17 @@ def _solve_complex_f32(Ar: Array, Ai: Array, br: Array, bi: Array,
             vmem_limit_bytes=64 * 1024 * 1024),  # see real kernel note
         interpret=interpret,
     )(abr, abi)
-    xr = jnp.moveaxis(xr[:, :b_orig], -1, 0)
-    xi = jnp.moveaxis(xi[:, :b_orig], -1, 0)
-    valid = valid[0, :b_orig] > 0
-    return xr, xi, valid
+    return xr[:, :b_orig], xi[:, :b_orig], valid[0, :b_orig] > 0
+
+
+def _solve_complex_f32(Ar: Array, Ai: Array, br: Array, bi: Array,
+                       eps: float,
+                       interpret: bool) -> tuple[Array, Array, Array]:
+    """Raw f32 complex-planes kernel dispatch. Ar/Ai: (B, N, N)."""
+    abr = jnp.moveaxis(jnp.concatenate([Ar, br[:, :, None]], axis=2), 0, -1)
+    abi = jnp.moveaxis(jnp.concatenate([Ai, bi[:, :, None]], axis=2), 0, -1)
+    xr, xi, valid = _solve_complex_f32_batchlast(abr, abi, eps, interpret)
+    return jnp.moveaxis(xr, -1, 0), jnp.moveaxis(xi, -1, 0), valid
 
 
 @functools.partial(
