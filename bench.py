@@ -60,28 +60,53 @@ def timed(fn, reps: int = 5) -> dict:
 
 
 def measure_vpu_peak_gflops() -> float:
-    """Measured f32 VPU elementwise throughput: a 64-deep FMA chain over an
-    8M-element array (each step z = z*a + b is one fused multiply-add = 2
-    flops/elem). This anchors the solver roofline to what THIS chip's VPU
-    actually sustains, instead of a spec-sheet guess."""
+    """Measured f32 VPU elementwise throughput via a VMEM-resident Pallas
+    FMA loop: each grid cell runs an 8192-deep z = z*a + b chain over a
+    (512, 1024) block held in VMEM (2 flops/elem/step), so the number is
+    compute-bound — neither HBM bandwidth (an XLA-level chain streams the
+    array from HBM every step) nor the ~30 ms remote-dispatch latency (a
+    too-small chain measures the tunnel round trip; that bug made round-3's
+    first rooflines read >100%). Anchors the solver roofline to what THIS
+    chip's VPU actually sustains, instead of a spec-sheet guess."""
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    n = 8 * 1024 * 1024
-    depth = 64
+    rows, cols, depth, grid = 512, 1024, 8192, 8
 
-    @jax.jit
-    def chain(z, a, b):
-        return lax.fori_loop(
-            0, depth, lambda i, z: z * a + b, z)
+    def kernel(a_ref, b_ref, o_ref):
+        a = a_ref[:]
+        b = b_ref[:]
 
-    z = jnp.ones((n,), jnp.float32)
-    a = jnp.full((n,), 0.9999999, jnp.float32)
-    b = jnp.full((n,), 1e-7, jnp.float32)
-    chain(z, a, b).block_until_ready()  # compile
-    t = timed(lambda: chain(z, a, b).block_until_ready(), reps=5)
-    return 2.0 * depth * n / t["median"] / 1e9
+        def body(i, z):
+            return z * a + b
+
+        o_ref[:] = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(depth), body, a)
+
+    def _z0():
+        # i32 zero built INSIDE the index map (captured constants are
+        # rejected; under x64 a literal 0 would trace as i64)
+        return jnp.asarray(0, jnp.int32)
+
+    run = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows, cols), lambda i: (_z0(), _z0()),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((rows, cols), lambda i: (_z0(), _z0()),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+    )
+    a = jnp.full((rows, cols), 0.9999999, jnp.float32)
+    b = jnp.full((rows, cols), 1e-7, jnp.float32)
+    f = jax.jit(functools.partial(run))
+    f(a, b).block_until_ready()  # compile
+    t = timed(lambda: f(a, b).block_until_ready(), reps=5)
+    return 2.0 * depth * rows * cols * grid / t["median"] / 1e9
 
 
 def gj_complex_flops(n: int) -> float:
@@ -187,7 +212,8 @@ def main() -> None:
     # --- f64 fidelity tier: fused batched solve + on-device reduction ---
     stats = mc_ac_stats(ckt, overrides, node="2", tensors=tensors)  # warm up
     f64_t = timed(
-        lambda: mc_ac_stats(ckt, overrides, node="2", tensors=tensors))
+        lambda: mc_ac_stats(ckt, overrides, node="2", tensors=tensors),
+        reps=9)
     f64_elapsed = f64_t["median"]
     assert stats.n_valid == B
 
@@ -200,7 +226,7 @@ def main() -> None:
     # --- headline: fast tier — f32 assembly + batch-major Pallas kernel ---
     fast = dict(node="2", tensors=tensors, precision="f32", method="pallas")
     stats32 = mc_ac_stats(ckt, overrides, **fast)  # warm up
-    f32_t = timed(lambda: mc_ac_stats(ckt, overrides, **fast))
+    f32_t = timed(lambda: mc_ac_stats(ckt, overrides, **fast), reps=9)
     assert stats32.n_valid == B
     np.testing.assert_allclose(stats32.mean, h.mean(axis=0), rtol=2e-4)
     np.testing.assert_allclose(stats32.max, h.max(axis=0), rtol=2e-4)
@@ -247,7 +273,7 @@ def main() -> None:
 
     tfast = dict(node="2", tensors=ttens, precision="f32", method="pallas")
     tstats = mc_tran_stats(tckt, t_over, **tfast)  # warm up
-    tran_t = timed(lambda: mc_tran_stats(tckt, t_over, **tfast))
+    tran_t = timed(lambda: mc_tran_stats(tckt, t_over, **tfast), reps=9)
     tran_vps = B / tran_t["median"]
     assert tstats.n_valid == B
     # correctness vs the analytic BE recurrence is covered by tests; here a
