@@ -113,7 +113,8 @@ from .analysis.batch import (
     simulate_ac_batch,
     simulate_tran_batch,
 )
-from .analysis.mc import MCStats, mc_ac_sampled, mc_ac_stats, mc_tran_stats
+from .analysis.mc import (MCStats, mc_ac_sampled, mc_ac_stats,
+                          mc_tran_sampled, mc_tran_stats)
 from .analysis.sensitivity import sensitivity_ac, sensitivity_tran
 from .analysis.fit import FitResult, fit_ac, fit_tran
 from .analysis.adaptive import AdaptiveTranResult, simulate_tran_adaptive
@@ -173,7 +174,9 @@ __all__ = [
     "format_tf_result",
     "format_tran_result",
     "make_mesh",
+    "mc_ac_sampled",
     "mc_ac_stats",
+    "mc_tran_sampled",
     "mc_tran_stats",
     "MCStats",
     "parse_netlist",

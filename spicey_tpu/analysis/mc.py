@@ -349,25 +349,50 @@ def mc_ac_stats(
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "nr", "interpret", "bsrc", "hist_len"))
+                                   "nr", "interpret", "bsrc", "hist_len",
+                                   "chunk", "n_real"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
                         interpret: bool = False, lk=None, bsrc=(),
-                        tl=None, hist_len: int = 0, dchg=None, qchg=None):
+                        tl=None, hist_len: int = 0, dchg=None, qchg=None,
+                        chunk: int | None = None, n_real: int | None = None):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
     # (S+1, B, nvar) trajectory never materializes in HBM.
-    xs, _sw, valid, _state = _tran_core(
-        vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
-        s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
-        nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk, bsrc=bsrc,
-        batch=r_vals.shape[0], interpret=interpret, record=node_idx,
-        tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg,
-    )
-    v_node = jnp.moveaxis(xs, 0, 1)  # (B, S+1)
+    def run_block(rv, cv, lv):
+        xs, _sw, valid, _state = _tran_core(
+            vs_grid, dt, r_idx, rv, c_idx, cv, l_idx, lv, v_idx,
+            s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
+            nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk,
+            bsrc=bsrc,
+            batch=rv.shape[0], interpret=interpret, record=node_idx,
+            tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg,
+        )
+        return jnp.moveaxis(xs, 0, 1), valid  # (b, S+1), (b,)
+
+    B = r_vals.shape[0]
+    if chunk is None or chunk >= B:
+        v_node, valid = run_block(r_vals, c_vals, l_vals)
+    else:
+        # constant-memory tier (see _mc_ac_stats_core): only one chunk's
+        # scan buffers live at once; requires UNBATCHED ext/nl/tl/vs_grid
+        # (the sampled path satisfies that — only R/C/L values are drawn)
+        C = B // chunk
+
+        def resh(a):
+            return a.reshape((C, chunk) + a.shape[1:])
+
+        v_node, valid = jax.lax.map(
+            lambda args: run_block(*args),
+            (resh(r_vals), resh(c_vals), resh(l_vals)),
+        )
+        v_node = v_node.reshape((B,) + v_node.shape[2:])
+        valid = valid.reshape((B,))
+    if n_real is not None and n_real < B:
+        valid = jnp.logical_and(valid, jnp.arange(B) < n_real)
     stats = _stats_of(v_node, valid, qs)
     return _pack_stats(stats, jnp.sum(valid))
 
@@ -584,5 +609,83 @@ def mc_ac_sampled(
         tl=tl_arrays(tensors, dtype=fdt),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
+    res.n_total = B
+    return res
+
+
+def mc_tran_sampled(
+    circuit: ParsedCircuit | str,
+    spreads: dict[str, float],
+    B: int,
+    node: str,
+    key: int = 0,
+    dist: str = "lognormal",
+    quantiles: tuple[float, ...] = (5.0, 50.0, 95.0),
+    tensors=None,
+    method: str = "gj",
+    precision: str = "f64",
+    chunk: int | None = None,
+    dialect: str = "spicey",
+) -> MCStats:
+    """Transient yield analysis with ON-DEVICE parameter sampling — the
+    time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
+    element names to relative sigmas; B variants are drawn by the device
+    PRNG (no (B, nE) host arrays), then ONE batch-native scan computes
+    per-timestep distribution statistics of V(node). ``chunk`` bounds the
+    live scan buffers for very large B."""
+    ckt = _resolve(circuit, dialect=dialect)
+    if ckt.tran is None:
+        raise ValueError("netlist has no .tran analysis")
+    if tensors is None:
+        tensors = build_tensors(ckt)
+    if precision not in ("f64", "f32"):
+        raise ValueError("precision must be 'f64' or 'f32'")
+    fdt = jnp.float32 if precision == "f32" else jnp.float64
+    vals = _sampled_values(tensors, spreads, B, key, dist)
+    node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
+
+    dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
+    times = np.arange(steps + 1, dtype=np.float64) * dt
+    vs_grid = sample_source_values(ckt, times)  # (S+1, nSrc), unbatched
+    ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+           for k, v in ext_arrays(tensors).items()}
+    from ..ir.circuit import nl_arrays
+    nl = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
+          for k, v in nl_arrays(tensors).items()}
+    nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
+          else "spicey")
+
+    n_pad = 0
+    if chunk is not None and chunk < B:
+        n_pad = (-B) % chunk
+
+        def pad(a):
+            return jnp.concatenate([a, jnp.repeat(a[-1:], n_pad, 0)],
+                                   axis=0) if n_pad else a
+
+        vals = {g: pad(v) for g, v in vals.items()}
+
+    tl = tl_arrays(tensors, dtype=fdt)
+    packed = _mc_tran_stats_core(
+        jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
+        jnp.asarray(tensors.r_idx), jnp.asarray(vals["r"], fdt),
+        jnp.asarray(tensors.c_idx), jnp.asarray(vals["c"], fdt),
+        jnp.asarray(tensors.l_idx), jnp.asarray(vals["l"], fdt),
+        jnp.asarray(tensors.v_idx),
+        jnp.asarray(tensors.s_idx),
+        jnp.asarray(tensors.s_ron, fdt), jnp.asarray(tensors.s_roff, fdt),
+        jnp.asarray(tensors.s_von, fdt), jnp.asarray(tensors.s_voff, fdt),
+        jnp.asarray(tensors.d_idx),
+        jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
+        ext, nl,
+        nvar=tensors.nvar, node_idx=node_idx, method=method,
+        qs=tuple(float(q) for q in quantiles), nr=nr,
+        lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
+        tl=tl, hist_len=_tl_hist_len_batched(tl, dt),
+        dchg=dchg_arrays(tensors, dtype=fdt),
+        qchg=qchg_arrays(tensors, dtype=fdt),
+        chunk=chunk, n_real=B if n_pad else None,
+    )
+    res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
     return res

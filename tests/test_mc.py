@@ -213,3 +213,48 @@ def test_mc_ac_sampled_unknown_element_raises():
 
     with pytest.raises(ValueError, match="unknown sampled element"):
         mc_ac_sampled(netlists.BASICS01_AC, {"nope": 0.1}, 8, "2")
+
+
+def test_mc_tran_sampled_matches_host_draw_stats():
+    """mc_tran_sampled (on-device draws + batch-native scan) must agree
+    with mc_tran_stats fed the SAME draws from the host side."""
+    import jax
+    import jax.numpy as jnp
+
+    from spicey_tpu.analysis.mc import (_sampled_values, mc_tran_sampled,
+                                        mc_tran_stats)
+    from spicey_tpu import build_tensors, parse_netlist
+
+    net = ("x sampled tran\n"
+           "V1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+           "R1 1 2 1k\n"
+           "C1 2 0 1u\n"
+           ".tran 0.2u 20u\n"
+           ".end\n")
+    B = 64
+    st = mc_tran_sampled(net, {"R1": 0.1, "C1": 0.1}, B, "2", key=3)
+    assert st.n_valid == B
+
+    ckt = parse_netlist(net)
+    t = build_tensors(ckt)
+    vals = _sampled_values(t, {"R1": 0.1, "C1": 0.1}, B, 3, "lognormal")
+    ref = mc_tran_stats(net, {"R1": np.asarray(vals["r"][:, 0]),
+                              "C1": np.asarray(vals["c"][:, 0])}, "2")
+    np.testing.assert_allclose(st.mean, ref.mean, rtol=1e-9)
+    np.testing.assert_allclose(st.max, ref.max, rtol=1e-9)
+
+
+def test_mc_tran_sampled_chunked_matches_unchunked():
+    net = ("x sampled tran chunk\n"
+           "V1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+           "R1 1 2 1k\n"
+           "C1 2 0 1u\n"
+           ".tran 0.2u 20u\n"
+           ".end\n")
+    from spicey_tpu.analysis.mc import mc_tran_sampled
+
+    full = mc_tran_sampled(net, {"R1": 0.1}, 60, "2", key=5)
+    chk = mc_tran_sampled(net, {"R1": 0.1}, 60, "2", key=5, chunk=16)
+    assert chk.n_valid == 60
+    np.testing.assert_allclose(chk.mean, full.mean, rtol=1e-12)
+    np.testing.assert_allclose(chk.std, full.std, rtol=1e-9, atol=1e-15)
