@@ -290,12 +290,18 @@ def main() -> None:
     lad_over = {"r1": 101.0 * (1 + 0.2 * rng.random(LB))}
     # chunked: at N=64 the unchunked (B, F, 2N, 2N) solve buffers exceed
     # one chip's HBM; the constant-memory tier streams 256-variant blocks
+    # chunk sizes bound live HBM, but a too-small chunk serializes the
+    # pipeline into lax.map micro-steps (measured 3.8x at N=8 with
+    # chunk=128): size chunks to the biggest block that fits, not the
+    # smallest that works. At N=64, f32 planes for the whole 2048x51
+    # batch are ~3.5 GB (fits); the f64 tiers carry f64 residual/GJ
+    # buffers so they stream 1024-variant blocks.
     n64 = {}
     for label, kw in (
-        ("f32_pallas", dict(precision="f32", method="pallas", chunk=256)),
+        ("f32_pallas", dict(precision="f32", method="pallas")),
         ("f64_pallas_refined", dict(precision="f64", method="pallas",
-                                    chunk=128)),
-        ("f64_gj", dict(precision="f64", method="gj", chunk=128)),
+                                    chunk=1024)),
+        ("f64_gj", dict(precision="f64", method="gj", chunk=1024)),
     ):
         s = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, **kw)
         assert s.n_valid == LB, (label, s.n_valid)
@@ -305,11 +311,11 @@ def main() -> None:
     # cross-tier correctness at N=64: guarded-pallas f32 tracks f64 means,
     # and the refined-pallas f64 tier matches the pure-f64 path tightly
     s32 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
-                      precision="f32", method="pallas", chunk=256)
-    s64 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, chunk=128)
+                      precision="f32", method="pallas")
+    s64 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, chunk=1024)
     np.testing.assert_allclose(s32.mean, s64.mean, rtol=5e-3, atol=1e-7)
     s64r = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
-                       precision="f64", method="pallas", chunk=128)
+                       precision="f64", method="pallas", chunk=1024)
     np.testing.assert_allclose(s64r.mean, s64.mean, rtol=1e-9)
 
     # --- solver tier sweep: systems/s, achieved GFLOP/s, and roofline
@@ -327,11 +333,11 @@ def main() -> None:
         node = f"n{n - 2}"
         entry = {}
         for label, kw in (
-            ("pallas_f32", dict(precision="f32", method="pallas",
-                                chunk=128)),
-            ("pallas_f64_refined", dict(precision="f64", method="pallas",
-                                        chunk=128)),
-            ("gj_f64", dict(precision="f64", method="gj", chunk=128)),
+            # B=512 x 51 freqs fits unchunked at every N for every tier
+            ("pallas_f32", dict(precision="f32", method="pallas")),
+            ("pallas_f64_refined", dict(precision="f64",
+                                        method="pallas")),
+            ("gj_f64", dict(precision="f64", method="gj")),
         ):
             mc_ac_stats(lad, over, node=node, tensors=lt, **kw)  # warm
             t = timed(lambda: mc_ac_stats(lad, over, node=node,
