@@ -258,3 +258,39 @@ def test_mc_tran_sampled_chunked_matches_unchunked():
     assert chk.n_valid == 60
     np.testing.assert_allclose(chk.mean, full.mean, rtol=1e-12)
     np.testing.assert_allclose(chk.std, full.std, rtol=1e-9, atol=1e-15)
+
+
+def test_mc_ac_batchlast_stamps_all_controlled_sources():
+    """The lane-major (batch-last) f32 assembly re-implements every stamp
+    pattern; drive G/E/F/H/I elements through it and require agreement
+    with the general-path f64 tier."""
+    from spicey_tpu.analysis.mc import mc_ac_stats
+
+    net = ("x controlled-source zoo\n"
+           "v1 in 0 dc 0 ac 1\n"
+           "r1 in a 1k\n"
+           "c1 a 0 100n\n"
+           "g1 a 0 in 0 0.5m\n"          # VCCS load
+           "e1 b 0 a 0 2\n"              # VCVS x2 buffer
+           "rb b c 2k\n"
+           "f1 0 c v1 0.1\n"             # CCCS from v1's branch
+           "h1 d 0 v1 100\n"             # CCVS sense
+           "rd d 0 1k\n"
+           "i1 0 a ac 1m\n"              # independent AC current source
+           ".ac dec 5 10 10k\n"
+           ".end\n")
+    B = 24
+    rng = np.random.default_rng(11)
+    over = {"r1": 1e3 * (1 + 0.2 * rng.random(B)),
+            "g1": 0.5e-3 * (1 + 0.2 * rng.random(B)),
+            "e1": 2.0 * (1 + 0.1 * rng.random(B)),
+            "f1": 0.1 * (1 + 0.1 * rng.random(B)),
+            "h1": 100.0 * (1 + 0.1 * rng.random(B))}
+    for node in ("a", "b", "c", "d"):
+        fast = mc_ac_stats(net, over, node=node, dialect="extended",
+                           precision="f32", method="pallas",
+                           interpret=True)
+        ref = mc_ac_stats(net, over, node=node, dialect="extended")
+        assert fast.n_valid == B
+        np.testing.assert_allclose(fast.mean, ref.mean, rtol=2e-4)
+        np.testing.assert_allclose(fast.max, ref.max, rtol=2e-4)
