@@ -100,10 +100,13 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         h_t, h_w, h_cnt = hist
         t_newest = jnp.take(h_t, jnp.maximum(h_cnt - 1, 0))
         tq = jnp.minimum(t_eval - tl["td"], t_newest)      # (nT,)
-        written = jnp.arange(H) < h_cnt                    # (H,)
-        le = jnp.logical_and(written[:, None],
-                             h_t[:, None] <= tq[None, :])  # (H, nT)
-        k = jnp.sum(le, axis=0) - 1                        # (nT,)
+        # h_t is globally sorted: the written prefix [0, h_cnt) is the
+        # strictly increasing accepted-time sequence, slot h_cnt may hold
+        # a speculative time > prefix (see the step loop's ungated write),
+        # and the tail is +inf — so the bracketing sample is one
+        # O(nT log H) searchsorted, not an O(H x nT) masked reduction
+        # (which dominated every Newton solve; round-3 review)
+        k = jnp.searchsorted(h_t, tq, side="right") - 1    # (nT,)
         before = k < 0
         k_c = jnp.clip(k, 0, H - 1)
         k1 = jnp.minimum(k_c + 1, jnp.maximum(h_cnt - 1, 0))
@@ -120,16 +123,23 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         # E1 mirrors the FAR end's w2; E2 the near end's w1
         return jnp.stack([w[:, 1], w[:, 0]], axis=-1)
 
-    def tl_write(hist, t_new, x_pad):
+    def tl_write(hist, t_new, x_pad, advance=None):
+        """Write the port waves into slot h_cnt; advance the count by
+        ``advance`` (bool; default always). Writing UNCONDITIONALLY and
+        gating only the count keeps the buffer sorted (the speculative
+        slot's time exceeds the prefix and reads never reach it, since
+        queries clamp to h_t[h_cnt-1]) and avoids blending the whole
+        H-sized buffer through a select every step."""
         h_t, h_w, h_cnt = hist
         t_idx = tl["t_idx"]
         w1 = (x_pad[..., t_idx[:, 0]] - x_pad[..., t_idx[:, 1]]
               + tl["z0"] * x_pad[..., t_idx[:, 4]])
         w2 = (x_pad[..., t_idx[:, 2]] - x_pad[..., t_idx[:, 3]]
               + tl["z0"] * x_pad[..., t_idx[:, 5]])
+        inc = 1 if advance is None else advance.astype(jnp.int32)
         return (h_t.at[h_cnt].set(t_new),
                 h_w.at[h_cnt].set(jnp.stack([w1, w2], axis=-1)),
-                h_cnt + 1)
+                h_cnt + inc)
 
     def newton(state, dt_step, t_eval, is_first, hist=None):
         """One BE step of size dt_step evaluated at absolute time t_eval.
@@ -240,9 +250,11 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         t_out = jnp.where(accept, t_new, t)
         st_out = select(accept, st_adv, st)
         if n_t:
-            # record the Richardson-extrapolated port waves, accept-gated
-            hist_w = tl_write(hist, t_new, pad_solution(x_rec, nvar))
-            hist = select(accept, hist_w, hist)
+            # record the Richardson-extrapolated port waves; the slot
+            # write is unconditional, only the count is accept-gated
+            # (a rejected write is overwritten by the next accept)
+            hist = tl_write(hist, t_new, pad_solution(x_rec, nvar),
+                            advance=accept)
         step_ok = jnp.logical_and(ok_h1, ok_h2)
         ok = jnp.logical_and(ok, jnp.logical_or(~accept, step_ok))
         finished = t_out >= tstop * (1.0 - 1e-12)

@@ -582,6 +582,10 @@ def mc_ac_sampled(
            for k, v in _batched_ext(tensors, {}, B).items()}
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
 
+    # T-line z0/td ride the core's vmapped tl axes, so they must be tiled
+    # to (B, nT) exactly like mc_ac_stats does (an unbatched (nT,) plane
+    # trips the vmap size check — caught in round-3 review)
+    tl_b = _batched_tl(tensors, {}, B, dtype=fdt)
     n_pad = 0
     if chunk is not None and chunk < B:
         n_pad = (-B) % chunk
@@ -594,6 +598,9 @@ def mc_ac_sampled(
         v_re, v_im = pad(v_re), pad(v_im)
         ext = {k: (v if k.endswith("idx") else pad(v))
                for k, v in ext.items()}
+        if tl_b is not None:
+            tl_b = {"t_idx": tl_b["t_idx"],
+                    "z0": pad(tl_b["z0"]), "td": pad(tl_b["td"])}
 
     packed = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
@@ -606,7 +613,7 @@ def mc_ac_sampled(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
-        tl=tl_arrays(tensors, dtype=fdt),
+        tl=tl_b,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B

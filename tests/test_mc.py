@@ -294,3 +294,23 @@ def test_mc_ac_batchlast_stamps_all_controlled_sources():
         assert fast.n_valid == B
         np.testing.assert_allclose(fast.mean, ref.mean, rtol=2e-4)
         np.testing.assert_allclose(fast.max, ref.max, rtol=2e-4)
+
+
+def test_mc_ac_sampled_with_tline():
+    """Regression (round-3 review): mc_ac_sampled on a T-line circuit must
+    tile z0/td to (B, nT) for the vmapped tl axes, chunked or not."""
+    from spicey_tpu.analysis.mc import mc_ac_sampled
+
+    net = ("x matched line sampled\n"
+           "v1 in 0 dc 0 ac 1\n"
+           "rs in a 50\n"
+           "t1 a 0 b 0 z0=50 td=5n\n"
+           "rl b 0 50\n"
+           ".ac lin 10 1meg 100meg\n"
+           ".end\n")
+    st = mc_ac_sampled(net, {"rs": 0.05}, 8, "b", dialect="extended")
+    assert st.n_valid == 8
+    np.testing.assert_allclose(st.mean, 0.5, rtol=0.1)  # ~matched
+    st_c = mc_ac_sampled(net, {"rs": 0.05}, 8, "b", dialect="extended",
+                         chunk=4)
+    np.testing.assert_allclose(st_c.mean, st.mean, rtol=1e-12)
