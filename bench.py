@@ -324,7 +324,10 @@ def main() -> None:
     # elementwise throughput MEASURED on this chip (see
     # measure_vpu_peak_gflops), not a spec-sheet number. ---
     vpu_peak_gflops = measure_vpu_peak_gflops()
-    SB = 512
+    # SB x 51 systems per call: sized so each call's compute is several
+    # times the ~30-40 ms remote-dispatch round trip — at SB=512 the
+    # small-N entries measured tunnel latency, not the solver
+    SB = 2048
     sweep = {}
     for n in (8, 16, 32, 64):
         lad = parse_netlist(rc_ladder_netlist(n - 2))
@@ -333,11 +336,14 @@ def main() -> None:
         node = f"n{n - 2}"
         entry = {}
         for label, kw in (
-            # B=512 x 51 freqs fits unchunked at every N for every tier
+            # f32 fits unchunked at every N; the f64 tiers carry f64
+            # residual/GJ buffers (~7 GB unchunked at N=64), so they
+            # stream 1024-variant blocks — big enough to amortize the
+            # lax.map step (2 chunks), small enough for HBM
             ("pallas_f32", dict(precision="f32", method="pallas")),
-            ("pallas_f64_refined", dict(precision="f64",
-                                        method="pallas")),
-            ("gj_f64", dict(precision="f64", method="gj")),
+            ("pallas_f64_refined", dict(precision="f64", method="pallas",
+                                        chunk=1024)),
+            ("gj_f64", dict(precision="f64", method="gj", chunk=1024)),
         ):
             mc_ac_stats(lad, over, node=node, tensors=lt, **kw)  # warm
             t = timed(lambda: mc_ac_stats(lad, over, node=node,

@@ -64,6 +64,15 @@ _SLOW = {
     "test_tran_segments_match_single_run",
     "test_tran_segments_trap_and_nonlinear",
     "test_trap_rlc_energy_behavior",
+    # round-3 additions
+    "test_mc_ac_batchlast_stamps_all_controlled_sources",
+    "test_mc_tran_sampled_matches_host_draw_stats",
+    "test_mc_tran_sampled_chunked_matches_unchunked",
+    "test_sensitivity_tran_with_bsource",
+    "test_sensitivity_tran_with_tline",
+    "test_fit_ac_with_tline_recovers_source_resistor",
+    "test_fit_tran_with_bsource_recovers_resistor",
+    "test_sensitivity_with_poly_source",
 }
 
 
