@@ -75,14 +75,19 @@ def measure_vpu_peak_gflops() -> float:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rows, cols, depth, grid = 512, 1024, 8192, 8
+    rows, cols, depth, unroll, grid = 512, 1024, 2048, 8, 8
 
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
 
         def body(i, z):
-            return z * a + b
+            # unrolled x8 so fori_loop bookkeeping is <2% of the work —
+            # with depth alone the probe under-read by ~15% and the GJ
+            # kernel's roofline fraction exceeded 100%
+            for _ in range(unroll):
+                z = z * a + b
+            return z
 
         o_ref[:] = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(depth), body, a)
@@ -106,7 +111,7 @@ def measure_vpu_peak_gflops() -> float:
     f = jax.jit(functools.partial(run))
     f(a, b).block_until_ready()  # compile
     t = timed(lambda: f(a, b).block_until_ready(), reps=5)
-    return 2.0 * depth * rows * cols * grid / t["median"] / 1e9
+    return 2.0 * depth * unroll * rows * cols * grid / t["median"] / 1e9
 
 
 def gj_complex_flops(n: int) -> float:
