@@ -70,7 +70,40 @@ class MCStats:
     n_total: int
 
 
-def _stats_of(resp, valid, qs):
+def _bisect_quantiles(resp, valid, qs, lo, hi, iters: int = 30):
+    """Approximate quantiles by bisection on the empirical CDF: each
+    iteration evaluates count(resp <= mid) for every (quantile, grid
+    point) threshold as ONE fused compare-and-reduce over the batch —
+    no per-grid-point sort (the exact nanpercentile cost ~27% of the
+    1M-variant headline) and no scatter (a histogram's colliding
+    scatter-adds serialize on TPU; measured slower than the sort).
+    30 halvings converge to ~span/2^30, i.e. f32-ULP-level — the
+    remaining difference from nanpercentile is its linear interpolation
+    between adjacent order statistics (visible only in sparse tails).
+    resp: (B, F); valid: (B, F) mask; qs: static tuple of percentiles.
+    Returns (nQ, F)."""
+    qarr = jnp.asarray(qs, resp.dtype)[:, None] / 100.0   # (nQ, 1)
+    n = jnp.maximum(jnp.sum(valid, axis=0), 1.0)          # (F,)
+    lo_q = jnp.broadcast_to(lo[None, :], (len(qs), lo.shape[0]))
+    hi_q = jnp.broadcast_to(hi[None, :], lo_q.shape)
+
+    def body(_, carry):
+        lo_q, hi_q = carry
+        mid = 0.5 * (lo_q + hi_q)                         # (nQ, F)
+        le = jnp.logical_and(valid[:, None, :],
+                             resp[:, None, :] <= mid[None, :, :])
+        frac = jnp.sum(le, axis=0) / n[None, :]           # (nQ, F)
+        # frac(mid) >= q: the quantile lies in [lo, mid] -> shrink hi;
+        # otherwise it lies in (mid, hi] -> raise lo
+        hit = frac >= qarr
+        return (jnp.where(hit, lo_q, mid),
+                jnp.where(hit, mid, hi_q))
+
+    lo_q, hi_q = jax.lax.fori_loop(0, iters, body, (lo_q, hi_q))
+    return 0.5 * (lo_q + hi_q)
+
+
+def _stats_of(resp, valid, qs, q_method: str = "exact"):
     """resp: (B, F); valid: (B,) or (B, F) -> stacked stats, each (F,)."""
     if valid.ndim == 1:
         valid = valid[:, None]
@@ -87,10 +120,15 @@ def _stats_of(resp, valid, qs):
         "max": jnp.max(small, axis=0),
     }
     if qs:
-        # quantiles over the full batch (masking invalid as NaN-free approx:
-        # invalid variants are rare failure cases; nanpercentile handles them)
-        masked = jnp.where(valid, resp, jnp.nan)
-        out["q"] = jnp.nanpercentile(masked, jnp.asarray(qs), axis=0)
+        if q_method == "approx":
+            vmask = jnp.broadcast_to(valid, resp.shape)
+            out["q"] = _bisect_quantiles(resp, vmask, qs,
+                                         out["min"], out["max"])
+        else:
+            # exact quantiles over the full batch (masking invalid as NaN:
+            # invalid variants are rare; nanpercentile handles them)
+            masked = jnp.where(valid, resp, jnp.nan)
+            out["q"] = jnp.nanpercentile(masked, jnp.asarray(qs), axis=0)
     return out
 
 
@@ -118,12 +156,14 @@ def _unpack_stats(packed: np.ndarray, quantiles, grid) -> "MCStats":
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "interpret", "chunk", "n_real"))
+                                   "interpret", "chunk", "n_real",
+                                   "q_method"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
                       interpret: bool = False, chunk: int | None = None,
-                      n_real: int | None = None, lk=None, tl=None):
+                      n_real: int | None = None, lk=None, tl=None,
+                      q_method: str = "exact"):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -216,7 +256,7 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         valid = jnp.logical_and(
             valid, (jnp.arange(B) < n_real)[:, None]
         )
-    stats = _stats_of(mag, valid, qs)
+    stats = _stats_of(mag, valid, qs, q_method=q_method)
     n_valid = jnp.sum(jnp.all(valid, axis=-1))
     return _pack_stats(stats, n_valid)
 
@@ -252,6 +292,7 @@ def mc_ac_stats(
     dialect: str = "spicey",
     chunk: int | None = None,
     device_put=None,
+    quantile_method: str = "exact",
 ) -> MCStats:
     """Distribution of |V(node)| per frequency across parameter variants.
 
@@ -341,7 +382,7 @@ def mc_ac_stats(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
-        tl=tl_b,
+        tl=tl_b, q_method=quantile_method,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
@@ -350,14 +391,15 @@ def mc_ac_stats(
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "nr", "interpret", "bsrc", "hist_len",
-                                   "chunk", "n_real"))
+                                   "chunk", "n_real", "q_method"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
                         method: str, qs: tuple, nr: str = "spicey",
                         interpret: bool = False, lk=None, bsrc=(),
                         tl=None, hist_len: int = 0, dchg=None, qchg=None,
-                        chunk: int | None = None, n_real: int | None = None):
+                        chunk: int | None = None, n_real: int | None = None,
+                        q_method: str = "exact"):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -393,7 +435,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
         valid = valid.reshape((B,))
     if n_real is not None and n_real < B:
         valid = jnp.logical_and(valid, jnp.arange(B) < n_real)
-    stats = _stats_of(v_node, valid, qs)
+    stats = _stats_of(v_node, valid, qs, q_method=q_method)
     return _pack_stats(stats, jnp.sum(valid))
 
 
@@ -408,6 +450,7 @@ def mc_tran_stats(
     interpret: bool = False,
     dialect: str = "spicey",
     device_put=None,
+    quantile_method: str = "exact",
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
 
@@ -495,6 +538,7 @@ def mc_tran_stats(
         ext, nl,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
+        q_method=quantile_method,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
         tl=tl_b,
         hist_len=_tl_hist_len_batched(tl_b, dt),
@@ -552,6 +596,7 @@ def mc_ac_sampled(
     precision: str = "f64",
     chunk: int | None = None,
     dialect: str = "spicey",
+    quantile_method: str = "exact",
 ) -> MCStats:
     """Yield analysis with ON-DEVICE parameter sampling: ``spreads`` maps
     R/C/L element names to relative sigmas; B variants are drawn from a
@@ -613,7 +658,7 @@ def mc_ac_sampled(
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles),
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
-        tl=tl_b,
+        tl=tl_b, q_method=quantile_method,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
@@ -633,6 +678,7 @@ def mc_tran_sampled(
     precision: str = "f64",
     chunk: int | None = None,
     dialect: str = "spicey",
+    quantile_method: str = "exact",
 ) -> MCStats:
     """Transient yield analysis with ON-DEVICE parameter sampling — the
     time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
@@ -687,6 +733,7 @@ def mc_tran_sampled(
         ext, nl,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
         qs=tuple(float(q) for q in quantiles), nr=nr,
+        q_method=quantile_method,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
         tl=tl, hist_len=_tl_hist_len_batched(tl, dt),
         dchg=dchg_arrays(tensors, dtype=fdt),

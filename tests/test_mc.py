@@ -314,3 +314,25 @@ def test_mc_ac_sampled_with_tline():
     st_c = mc_ac_sampled(net, {"rs": 0.05}, 8, "b", dialect="extended",
                          chunk=4)
     np.testing.assert_allclose(st_c.mean, st.mean, rtol=1e-12)
+
+
+def test_approx_quantiles_close_to_exact():
+    """quantile_method='approx' (CDF bisection) must track the exact sort
+    to within the local order-statistic spacing."""
+    from spicey_tpu.analysis.mc import mc_ac_stats
+
+    B = 4000
+    rng = np.random.default_rng(2)
+    over = {"r1": 30.0 * (1 + 0.2 * rng.random(B)),
+            "c1": 100e-6 * (1 + 0.2 * rng.random(B))}
+    net = ("x q\nv1 1 0 dc 0 ac 1\nr1 1 2 30\nc1 2 0 100u\n"
+           ".ac dec 10 1 100\n.end\n")
+    exact = mc_ac_stats(net, over, node="2")
+    hist = mc_ac_stats(net, over, node="2", quantile_method="approx")
+    assert hist.n_valid == B
+    for q in (5.0, 50.0, 95.0):
+        # bisection converges to an order-statistic boundary; the exact
+        # path linearly interpolates between adjacent order statistics,
+        # so the difference is bounded by the local sample spacing
+        tol = 5.0 * (exact.max - exact.min) / 4096 + 1e-12
+        assert np.all(np.abs(hist.quantiles[q] - exact.quantiles[q]) <= tol)
