@@ -61,8 +61,9 @@ def timed(fn, reps: int = 5) -> dict:
 
 def measure_vpu_peak_gflops() -> float:
     """Measured f32 VPU elementwise throughput via a VMEM-resident Pallas
-    FMA loop: each grid cell runs an 8192-deep z = z*a + b chain over a
-    (512, 1024) block held in VMEM (2 flops/elem/step), so the number is
+    FMA loop: each grid cell runs a 16384-deep z = z*a + b chain (2048
+    fori_loop rounds x 8-way unroll) over a (512, 1024) block held in
+    VMEM (2 flops/elem/step), so the number is
     compute-bound — neither HBM bandwidth (an XLA-level chain streams the
     array from HBM every step) nor the ~30 ms remote-dispatch latency (a
     too-small chain measures the tunnel round trip; that bug made round-3's
@@ -251,15 +252,16 @@ def main() -> None:
     big_t = timed(lambda: mc_ac_sampled(ckt, **big_kw))
     big_vps = BIG / big_t["median"]
 
-    # same workload with histogram quantiles (quantile_method="approx"):
-    # the exact per-grid-point sort is ~27% of the headline's wall time;
-    # the 4096-bin histogram path trades <=bin-width quantile error for
-    # most of that back. Reported separately — the headline metric keeps
-    # exact quantiles for cross-round comparability.
-    big_hist_kw = dict(big_kw, quantile_method="approx")
-    mc_ac_sampled(ckt, **big_hist_kw)  # warm up
-    big_hist_vps = BIG / timed(
-        lambda: mc_ac_sampled(ckt, **big_hist_kw))["median"]
+    # same workload with approximate quantiles (quantile_method="approx"
+    # = fused CDF bisection, see mc._bisect_quantiles): the exact
+    # per-grid-point sort is ~27% of the headline's wall time; bisection
+    # recovers most of it at order-statistic-level accuracy. Reported
+    # separately — the headline metric keeps exact quantiles for
+    # cross-round comparability.
+    big_approx_kw = dict(big_kw, quantile_method="approx")
+    mc_ac_sampled(ckt, **big_approx_kw)  # warm up
+    big_approx_vps = BIG / timed(
+        lambda: mc_ac_sampled(ckt, **big_approx_kw))["median"]
 
     # --- transient MC: 201-step RC pulse, 10k variants in one scan ---
     tran_net = (
@@ -334,8 +336,8 @@ def main() -> None:
     np.testing.assert_allclose(s64r.mean, s64.mean, rtol=1e-9)
 
     # --- solver tier sweep: systems/s, achieved GFLOP/s, and roofline
-    # fraction at N in {8, 16, 32, 64} (B=512 variants x 51 freqs = 26k
-    # complex systems per call). The roofline anchor is the VPU f32
+    # fraction at N in {8, 16, 32, 64} (SB=2048 variants x 51 freqs =
+    # 104k complex systems per call). The roofline anchor is the VPU f32
     # elementwise throughput MEASURED on this chip (see
     # measure_vpu_peak_gflops), not a spec-sheet number. ---
     vpu_peak_gflops = measure_vpu_peak_gflops()
@@ -380,7 +382,7 @@ def main() -> None:
                 "sampling + stats, f32 Pallas tier, chunked)",
         "vs_baseline": round(big_vps / baseline_vps, 1),
         "value_spread_pct": big_t["spread_pct"],
-        "b1m_approx_quantiles_variants_per_sec": round(big_hist_vps, 1),
+        "b1m_approx_quantiles_variants_per_sec": round(big_approx_vps, 1),
         "b10k_variants_per_sec": round(batched_vps, 1),
         "b10k_spread_pct": f32_t["spread_pct"],
         "f64_tier_variants_per_sec": round(B / f64_elapsed, 1),

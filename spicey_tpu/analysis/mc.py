@@ -336,6 +336,8 @@ def mc_ac_stats(
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
+    if quantile_method not in ("exact", "approx"):
+        raise ValueError("quantile_method must be 'exact' or 'approx'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
     ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
            for k, v in _batched_ext(tensors, overrides, B).items()}
@@ -501,6 +503,8 @@ def mc_tran_stats(
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
+    if quantile_method not in ("exact", "approx"):
+        raise ValueError("quantile_method must be 'exact' or 'approx'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
     ext = {k: (v if k.endswith("idx") else jnp.asarray(v, fdt))
            for k, v in _batched_ext(tensors, overrides, B).items()}
@@ -611,6 +615,8 @@ def mc_ac_sampled(
         tensors = build_tensors(ckt)
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
+    if quantile_method not in ("exact", "approx"):
+        raise ValueError("quantile_method must be 'exact' or 'approx'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
     vals = _sampled_values(tensors, spreads, B, key, dist)
 
@@ -693,6 +699,8 @@ def mc_tran_sampled(
         tensors = build_tensors(ckt)
     if precision not in ("f64", "f32"):
         raise ValueError("precision must be 'f64' or 'f32'")
+    if quantile_method not in ("exact", "approx"):
+        raise ValueError("quantile_method must be 'exact' or 'approx'")
     fdt = jnp.float32 if precision == "f32" else jnp.float64
     vals = _sampled_values(tensors, spreads, B, key, dist)
     node_idx = [n.upper() for n in tensors.node_names].index(node.upper())

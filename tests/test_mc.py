@@ -333,6 +333,8 @@ def test_approx_quantiles_close_to_exact():
     for q in (5.0, 50.0, 95.0):
         # bisection converges to an order-statistic boundary; the exact
         # path linearly interpolates between adjacent order statistics,
-        # so the difference is bounded by the local sample spacing
-        tol = 5.0 * (exact.max - exact.min) / 4096 + 1e-12
+        # so the difference is bounded by the local spacing of the B
+        # order statistics — allow a few times the MEAN spacing, which
+        # covers the sparser tails for this smooth distribution
+        tol = 5.0 * (exact.max - exact.min) / B + 1e-12
         assert np.all(np.abs(hist.quantiles[q] - exact.quantiles[q]) <= tol)
