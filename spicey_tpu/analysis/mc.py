@@ -453,6 +453,7 @@ def mc_tran_stats(
     dialect: str = "spicey",
     device_put=None,
     quantile_method: str = "exact",
+    time_parallel: str = "auto",
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
 
@@ -463,6 +464,12 @@ def mc_tran_stats(
     method="pallas" for the batch-major kernel tier. Fine for yield
     statistics under percent-level spreads; the reference-fidelity contract
     needs the default f64.
+
+    ``time_parallel``: "auto" (default) evaluates LINEAR circuits with the
+    parallel-in-time affine-map core (analysis/timeparallel.py — the time
+    axis collapses into an associative scan, O(log S) depth); "never"
+    forces the sequential scan. Nonlinear/T-line/K/sharded runs always
+    take the sequential core.
     """
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
@@ -516,6 +523,29 @@ def mc_tran_stats(
     r_vals = jnp.asarray(r_vals, fdt)
     c_vals = jnp.asarray(c_vals, fdt)
     l_vals = jnp.asarray(l_vals, fdt)
+    from .timeparallel import eligible as _tp_eligible
+    if (time_parallel == "auto" and device_put is None
+            and _tp_eligible(tensors, ckt, nr, "be")
+            and (steps + 1) * 32 > B):
+        # linear circuit: the whole time axis in one associative scan.
+        # The (S+1)*32 > B guard targets the regime where the sequential
+        # scan under-utilizes the chip (long horizons / modest batches —
+        # measured 2.2x at S=100k, B=16); at huge B with short S the
+        # sequential scan is already throughput-saturated and the affine
+        # compositions' extra flops don't pay.
+        packed = _mc_tran_tp_core(
+            jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
+            jnp.asarray(tensors.r_idx), r_vals,
+            jnp.asarray(tensors.c_idx), c_vals,
+            jnp.asarray(tensors.l_idx), l_vals,
+            jnp.asarray(tensors.v_idx), ext,
+            nvar=tensors.nvar, node_idx=node_idx, method=method,
+            qs=tuple(float(q) for q in quantiles),
+            q_method=quantile_method, interpret=interpret,
+        )
+        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+        res.n_total = B
+        return res
     if device_put is not None:
         # shard only (B, nX) arrays; rank-1 per-device params replicate
         put = lambda a: (device_put(a, ("batch", None))
@@ -685,6 +715,7 @@ def mc_tran_sampled(
     chunk: int | None = None,
     dialect: str = "spicey",
     quantile_method: str = "exact",
+    time_parallel: str = "auto",
 ) -> MCStats:
     """Transient yield analysis with ON-DEVICE parameter sampling — the
     time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
@@ -726,6 +757,25 @@ def mc_tran_sampled(
 
         vals = {g: pad(v) for g, v in vals.items()}
 
+    from .timeparallel import eligible as _tp_eligible
+    if (time_parallel == "auto" and _tp_eligible(tensors, ckt, nr, "be")
+            and chunk is None and (steps + 1) * 32 > B):
+        # see mc_tran_stats for the regime guard rationale
+        node_idx2 = node_idx
+        packed = _mc_tran_tp_core(
+            jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
+            jnp.asarray(tensors.r_idx), jnp.asarray(vals["r"], fdt),
+            jnp.asarray(tensors.c_idx), jnp.asarray(vals["c"], fdt),
+            jnp.asarray(tensors.l_idx), jnp.asarray(vals["l"], fdt),
+            jnp.asarray(tensors.v_idx), ext,
+            nvar=tensors.nvar, node_idx=node_idx2, method=method,
+            qs=tuple(float(q) for q in quantiles),
+            q_method=quantile_method,
+        )
+        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+        res.n_total = B
+        return res
+
     tl = tl_arrays(tensors, dtype=fdt)
     packed = _mc_tran_stats_core(
         jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
@@ -751,3 +801,65 @@ def mc_tran_sampled(
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
     return res
+
+
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
+                                   "q_method", "interpret"))
+def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
+                     l_vals, v_idx, ext, nvar: int, node_idx: int,
+                     method: str, qs: tuple, q_method: str = "exact",
+                     interpret: bool = False):
+    """Parallel-in-time linear transient MC (see analysis/timeparallel.py):
+    ONE affine-map assembly per variant + an associative scan over the
+    time axis — O(log S) depth instead of S sequential solve dispatches.
+
+    vs_grid: (S+1, m) shared or (S+1, B, m) per-variant source grid;
+    value arrays (B, nE). Returns packed stats like the sequential core.
+    """
+    from ..constants import EPS
+    from ..ops.linsolve import gj_solve
+    from ..ops.stamps import (stamp_admittance, stamp_extended,
+                              stamp_voltage_source)
+    from .timeparallel import linear_tran_maps, linear_tran_solutions
+
+    B = r_vals.shape[0]
+    dtype = r_vals.dtype
+    dt_c = jnp.maximum(dt, EPS)
+
+    A = jnp.zeros((B, nvar + 1, nvar + 1), dtype)
+    A = stamp_admittance(A, r_idx, 1.0 / r_vals)
+    A = stamp_admittance(A, c_idx, c_vals / dt_c)
+    A = stamp_admittance(A, l_idx, dt_c / l_vals)
+    b_dummy = jnp.zeros((B, nvar + 1), dtype)
+    A, _ = stamp_voltage_source(A, b_dummy, v_idx,
+                                jnp.zeros((v_idx.shape[0],), dtype))
+    A = stamp_extended(A, ext)
+    A = A[:, :nvar, :nvar]
+
+    if method == "pallas" and dtype == jnp.float32:
+        from ..ops.pallas_gj import _inverse_real_f32, _unperm_onehot
+
+        M, colidx, valid = _inverse_real_f32(A, float(EPS), interpret)
+        # A^-1 = unperm rows of M (see the inverse-kernel docstring)
+        Ainv = jnp.einsum("brk,brc->bkc", _unperm_onehot(colidx, nvar), M)
+    else:
+        def inv_of(Ab):
+            def col(e):
+                return gj_solve(Ab, e, EPS)
+
+            X, oks = jax.vmap(col, out_axes=(-1, 0))(
+                jnp.eye(nvar, dtype=dtype))
+            return X, jnp.all(oks)
+
+        Ainv, valid = jax.vmap(inv_of)(A)
+
+    T, R, X, Y = linear_tran_maps(
+        Ainv, r_idx, c_idx, c_vals, l_idx, l_vals, v_idx, ext["i_idx"],
+        dt_c, nvar)
+    u = vs_grid if vs_grid.ndim == 3 else jnp.broadcast_to(
+        vs_grid[:, None, :], (vs_grid.shape[0], B, vs_grid.shape[1]))
+    xs = linear_tran_solutions(T, R, X, Y, u.astype(dtype),
+                               record_row=node_idx)   # (S+1, B)
+    v_node = jnp.moveaxis(xs, 0, 1)                   # (B, S+1)
+    stats = _stats_of(v_node, valid, qs, q_method=q_method)
+    return _pack_stats(stats, jnp.sum(valid))

@@ -338,3 +338,57 @@ def test_approx_quantiles_close_to_exact():
         # covers the sparser tails for this smooth distribution
         tol = 5.0 * (exact.max - exact.min) / B + 1e-12
         assert np.all(np.abs(hist.quantiles[q] - exact.quantiles[q]) <= tol)
+
+
+def test_time_parallel_matches_sequential_scan():
+    """The parallel-in-time affine-map core must reproduce the sequential
+    BE scan bit-closely on a linear RLC Monte-Carlo (same recurrence,
+    different association order)."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    net = ("x rlc mc\n"
+           "V1 in 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+           "R1 in a 100\n"
+           "L1 a b 1m\n"
+           "C1 b 0 1u\n"
+           "R2 b 0 2k\n"
+           "g1 0 b in 0 0.1m\n"
+           ".tran 0.2u 30u\n"
+           ".end\n")
+    B = 48
+    rng = np.random.default_rng(9)
+    over = {"R1": 100.0 * (1 + 0.2 * rng.random(B)),
+            "C1": 1e-6 * (1 + 0.2 * rng.random(B))}
+    tp = mc_tran_stats(net, over, node="b", dialect="extended")
+    seq = mc_tran_stats(net, over, node="b", dialect="extended",
+                        time_parallel="never")
+    assert tp.n_valid == B
+    np.testing.assert_allclose(tp.mean, seq.mean, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(tp.max, seq.max, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(tp.std, seq.std, rtol=1e-7, atol=1e-12)
+
+    # f32 pallas tier (inverse kernel) agrees at f32 level
+    tp32 = mc_tran_stats(net, over, node="b", dialect="extended",
+                         precision="f32", method="pallas", interpret=True)
+    scale = float(np.max(np.abs(seq.mean)))
+    np.testing.assert_allclose(tp32.mean, seq.mean, rtol=2e-3,
+                               atol=2e-4 * scale)
+
+
+def test_time_parallel_dc_source_override():
+    """DC overrides on waveform-less sources batch the source grid; the
+    time-parallel path consumes the batched (S+1, B, m) grid directly."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    net = ("x rc dc sweep\nV1 in 0 DC 5\nR1 in a 1k\nC1 a 0 1u\n"
+           ".tran 0.5u 20u\n.end\n")
+    vs = np.array([1.0, 2.0, 4.0, 8.0])
+    tp = mc_tran_stats(net, {"V1": vs}, node="a")
+    seq = mc_tran_stats(net, {"V1": vs}, node="a", time_parallel="never")
+    np.testing.assert_allclose(tp.mean, seq.mean, rtol=1e-9)
+    np.testing.assert_allclose(tp.max, seq.max, rtol=1e-9)
+    # physics (BE discretization, incl. the reference's step-0 bootstrap
+    # solve): after S+1 = 41 applications of v' = (v + h*V)/(1+h) with
+    # h = dt/tau = 5e-4, v = V*(1 - (1+h)^-(S+1))
+    expect = 8.0 * (1 - (1 + 0.5e-6 / 1e-3) ** -41)
+    assert tp.max[-1] == pytest.approx(expect, rel=1e-9)
