@@ -524,15 +524,14 @@ def mc_tran_stats(
     c_vals = jnp.asarray(c_vals, fdt)
     l_vals = jnp.asarray(l_vals, fdt)
     from .timeparallel import eligible as _tp_eligible
+    from .timeparallel import worthwhile as _tp_worthwhile
+    if time_parallel not in ("auto", "never"):
+        raise ValueError("time_parallel must be 'auto' or 'never'")
     if (time_parallel == "auto" and device_put is None
             and _tp_eligible(tensors, ckt, nr, "be")
-            and (steps + 1) * 32 > B):
-        # linear circuit: the whole time axis in one associative scan.
-        # The (S+1)*32 > B guard targets the regime where the sequential
-        # scan under-utilizes the chip (long horizons / modest batches —
-        # measured 2.2x at S=100k, B=16); at huge B with short S the
-        # sequential scan is already throughput-saturated and the affine
-        # compositions' extra flops don't pay.
+            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize)):
+        # linear circuit in the right regime (see timeparallel.worthwhile):
+        # the whole time axis in one associative scan
         packed = _mc_tran_tp_core(
             jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
             jnp.asarray(tensors.r_idx), r_vals,
@@ -722,7 +721,9 @@ def mc_tran_sampled(
     element names to relative sigmas; B variants are drawn by the device
     PRNG (no (B, nE) host arrays), then ONE batch-native scan computes
     per-timestep distribution statistics of V(node). ``chunk`` bounds the
-    live scan buffers for very large B."""
+    live scan buffers for very large B. ``time_parallel`` as in
+    mc_tran_stats (auto-enabled parallel-in-time core for linear circuits
+    in the long-horizon/modest-batch regime)."""
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
@@ -758,17 +759,20 @@ def mc_tran_sampled(
         vals = {g: pad(v) for g, v in vals.items()}
 
     from .timeparallel import eligible as _tp_eligible
+    from .timeparallel import worthwhile as _tp_worthwhile
+    if time_parallel not in ("auto", "never"):
+        raise ValueError("time_parallel must be 'auto' or 'never'")
     if (time_parallel == "auto" and _tp_eligible(tensors, ckt, nr, "be")
-            and chunk is None and (steps + 1) * 32 > B):
-        # see mc_tran_stats for the regime guard rationale
-        node_idx2 = node_idx
+            and chunk is None
+            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize)):
+        # see timeparallel.worthwhile for the regime guard
         packed = _mc_tran_tp_core(
             jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
             jnp.asarray(tensors.r_idx), jnp.asarray(vals["r"], fdt),
             jnp.asarray(tensors.c_idx), jnp.asarray(vals["c"], fdt),
             jnp.asarray(tensors.l_idx), jnp.asarray(vals["l"], fdt),
             jnp.asarray(tensors.v_idx), ext,
-            nvar=tensors.nvar, node_idx=node_idx2, method=method,
+            nvar=tensors.nvar, node_idx=node_idx, method=method,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method,
         )
@@ -818,23 +822,18 @@ def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
     """
     from ..constants import EPS
     from ..ops.linsolve import gj_solve
-    from ..ops.stamps import (stamp_admittance, stamp_extended,
-                              stamp_voltage_source)
     from .timeparallel import linear_tran_maps, linear_tran_solutions
+    from .tran import linear_system_matrix
 
     B = r_vals.shape[0]
     dtype = r_vals.dtype
     dt_c = jnp.maximum(dt, EPS)
 
-    A = jnp.zeros((B, nvar + 1, nvar + 1), dtype)
-    A = stamp_admittance(A, r_idx, 1.0 / r_vals)
-    A = stamp_admittance(A, c_idx, c_vals / dt_c)
-    A = stamp_admittance(A, l_idx, dt_c / l_vals)
-    b_dummy = jnp.zeros((B, nvar + 1), dtype)
-    A, _ = stamp_voltage_source(A, b_dummy, v_idx,
-                                jnp.zeros((v_idx.shape[0],), dtype))
-    A = stamp_extended(A, ext)
-    A = A[:, :nvar, :nvar]
+    # the SAME assembly the sequential factor-once path uses (tran.py) —
+    # one place owns the BE-linear stamp conventions
+    A = linear_system_matrix(nvar, (B,), dtype, r_idx, r_vals,
+                             c_idx, c_vals / dt_c, l_idx, dt_c,
+                             l_vals, v_idx, ext)
 
     if method == "pallas" and dtype == jnp.float32:
         from ..ops.pallas_gj import _inverse_real_f32, _unperm_onehot
@@ -854,7 +853,7 @@ def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
         Ainv, valid = jax.vmap(inv_of)(A)
 
     T, R, X, Y = linear_tran_maps(
-        Ainv, r_idx, c_idx, c_vals, l_idx, l_vals, v_idx, ext["i_idx"],
+        Ainv, c_idx, c_vals, l_idx, l_vals, v_idx, ext["i_idx"],
         dt_c, nvar)
     u = vs_grid if vs_grid.ndim == 3 else jnp.broadcast_to(
         vs_grid[:, None, :], (vs_grid.shape[0], B, vs_grid.shape[1]))

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def linear_tran_maps(Ainv: Array, r_idx, c_idx, c_vals, l_idx, l_vals,
+def linear_tran_maps(Ainv: Array, c_idx, c_vals, l_idx, l_vals,
                      v_idx, i_idx, dt, nvar: int):
     """Build (T, R, X, Y) for the BE affine recurrence.
 
@@ -150,3 +150,20 @@ def eligible(tensors, ckt, nr: str, integration: str) -> bool:
     return (tensors.n_s == 0 and tensors.n_d == 0 and tensors.n_m == 0
             and tensors.n_q == 0 and tensors.n_t == 0 and tensors.n_k == 0
             and not ckt.B and integration == "be" and nr == "spicey")
+
+
+def worthwhile(tensors, steps: int, B: int, itemsize: int,
+               mem_budget_bytes: float = 2e9) -> bool:
+    """Is the parallel-in-time path the right REGIME for this workload?
+
+    Two conditions: (a) the sequential scan under-utilizes the chip —
+    (S+1)*32 > B (measured: 2.2x at S=100k/B=16, a wash-or-worse at
+    S=201/B=10k where the scan is already throughput-saturated); and
+    (b) the associative scan's materialized intermediates fit — it holds
+    O((S+1) * B * k^2) composed maps (~3x for the scan temporaries),
+    while the sequential scan only ever holds one step. Without (b), an
+    admissible-looking long-horizon run with k reactive elements and a
+    large B would OOM where the sequential core runs fine."""
+    k = tensors.n_c + tensors.n_l
+    mem = 3.0 * (steps + 1) * B * (k * k + k) * itemsize
+    return (steps + 1) * 32 > B and mem < mem_budget_bytes

@@ -397,6 +397,27 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     return A[..., :nvar, :nvar], b[..., :nvar]
 
 
+def linear_system_matrix(nvar, lead, dtype, r_idx, r_vals, c_idx, g_c,
+                         l_idx, c_l, l_vals, v_idx, ext, minv=None,
+                         tl=None):
+    """Assemble the (sliced) time-invariant LINEAR system matrix:
+    R + C-companion (g_c) + L-companion (c_l/L) + V-source rows + extended
+    controlled sources (+ T-line port rows). Shared by _tran_core's
+    factor-once path and the parallel-in-time core
+    (analysis/timeparallel.py) so the stamp conventions live in ONE place."""
+    A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
+    A = stamp_admittance(A, r_idx, 1.0 / r_vals)
+    A = stamp_admittance(A, c_idx, g_c)
+    A = _l_stamp(A, l_idx, c_l, l_vals, minv)
+    b_dummy = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
+    A, _ = stamp_voltage_source(
+        A, b_dummy, v_idx, jnp.zeros(v_idx.shape[:1], dtype=dtype))
+    A = stamp_extended(A, ext)
+    if tl is not None:  # lines are linear: Z0 port rows are time-invariant
+        A = stamp_tline_ports(A, tl["t_idx"], tl["z0"])
+    return A[..., :nvar, :nvar]
+
+
 def _switch_update(s_idx, s_von, s_voff, sw_on, x_pad):
     """Hysteresis state transition (simulateTRAN.ts:108-128)."""
     vctrl = x_pad[..., s_idx[:, 2]] - x_pad[..., s_idx[:, 3]]
@@ -527,8 +548,6 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         dt_cf = jnp.maximum(dt, EPS)
 
         def assemble_A(first, second):
-            A = jnp.zeros(lead + (nvar + 1, nvar + 1), dtype=dtype)
-            A = stamp_admittance(A, r_idx, 1.0 / r_vals)
             if integration == "trap":
                 g_c = jnp.where(first, c_vals / dt_cf, 2.0 * c_vals / dt_cf)
                 c_l = jnp.where(first, dt_cf, dt_cf / 2.0)
@@ -539,16 +558,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             else:
                 g_c = c_vals / dt_cf
                 c_l = dt_cf
-            A = stamp_admittance(A, c_idx, g_c)
-            A = _l_stamp(A, l_idx, c_l, l_vals, minv)
-            b_dummy = jnp.zeros(lead + (nvar + 1,), dtype=dtype)
-            A, _ = stamp_voltage_source(
-                A, b_dummy, v_idx,
-                jnp.zeros(v_idx.shape[:1], dtype=dtype))
-            A = stamp_extended(A, ext)
-            if n_t:  # lines are linear: Z0 port rows are time-invariant
-                A = stamp_tline_ports(A, tl["t_idx"], tl["z0"])
-            return A[..., :nvar, :nvar]
+            return linear_system_matrix(
+                nvar, lead, dtype, r_idx, r_vals, c_idx, g_c,
+                l_idx, c_l, l_vals, v_idx, ext, minv=minv,
+                tl=tl if n_t else None)
 
         def inv_of(A):
             def col(e):
