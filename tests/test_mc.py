@@ -392,3 +392,21 @@ def test_time_parallel_dc_source_override():
     # h = dt/tau = 5e-4, v = V*(1 - (1+h)^-(S+1))
     expect = 8.0 * (1 - (1 + 0.5e-6 / 1e-3) ** -41)
     assert tp.max[-1] == pytest.approx(expect, rel=1e-9)
+
+
+def test_time_parallel_regime_guard():
+    """worthwhile() must reject both the throughput-saturated regime
+    (short S, huge B) and memory-infeasible long-horizon runs."""
+    from types import SimpleNamespace
+
+    from spicey_tpu.analysis.timeparallel import worthwhile
+
+    small = SimpleNamespace(n_c=1, n_l=1)
+    # long horizon, modest batch: the measured-win regime
+    assert worthwhile(small, steps=100_000, B=16, itemsize=8)
+    # short horizon, huge batch: sequential scan already saturates
+    assert not worthwhile(small, steps=200, B=10_000, itemsize=8)
+    # admissible flops regime but the composed maps would blow memory
+    many_reactive = SimpleNamespace(n_c=4, n_l=1)
+    assert not worthwhile(many_reactive, steps=5_000, B=100_000,
+                          itemsize=8)
