@@ -59,6 +59,12 @@ Array = jax.Array
 
 _LANE = 128
 
+# Largest N for which the Gauss-Jordan INVERSE kernels fit in scoped VMEM
+# (four (N, N, 128) matrix blocks + double-buffering; the x-solve kernels
+# carry only two (N, N+1, 128) blocks and reach N=128). Beyond this the
+# refined tier re-eliminates per refinement round instead.
+_INV_KERNEL_MAX_N = 96
+
 
 def _z() -> Array:
     # int32 zero for BlockSpec index maps: under x64 a literal 0 traces to
@@ -73,6 +79,15 @@ def _tile_b(n: int, dtype_bytes: int, n_bufs: int) -> int:
     per_lane = n * (n + 2) * dtype_bytes * n_bufs + 8 * dtype_bytes
     tile = budget // (per_lane * _LANE) * _LANE
     return int(max(_LANE, min(2048, tile)))
+
+
+def _vmem_limit(n: int) -> int:
+    """Scoped-VMEM limit for the GJ kernels. v5e has 128 MB of VMEM; the
+    compiler's default 16 MB scoped limit rejects the N=64 blocks
+    (planes + loop double-buffer ~ 20 MB), and N >= ~96 needs ~80 MB
+    (two input planes + two scratch planes at (N, N+1, 128) f32, each
+    double-buffered) — measured 78.5 MB at N=128."""
+    return (100 if n >= 96 else 64) * 1024 * 1024
 
 
 def _first_match_onehot(score: Array, rows_f: Array, n: int) -> Array:
@@ -399,10 +414,8 @@ def _solve_real_f32(A: Array, b: Array, eps: float,
             jax.ShapeDtypeStruct((1, bp), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((n, n + 1, tile), dtype)],
-        # v5e has 128 MB VMEM; the compiler's default 16 MB scoped limit
-        # rejects the N=64 block (planes + loop double-buffer ~ 20 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(n)),  # see _vmem_limit
         interpret=interpret,
     )(ab)
     x = jnp.moveaxis(x[:, :b_orig], -1, 0)  # (B, N)
@@ -443,7 +456,7 @@ def _inverse_real_f32(A: Array, eps: float,
         ],
         scratch_shapes=[pltpu.VMEM((n, n, tile), dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),  # see _solve_real_f32 note
+            vmem_limit_bytes=_vmem_limit(n)),  # see _vmem_limit
         interpret=interpret,
     )(a)
     return (jnp.moveaxis(m[..., :b_orig], -1, 0),
@@ -487,7 +500,7 @@ def _inverse_complex_f32(
         scratch_shapes=[pltpu.VMEM((n, n, tile), dtype),
                         pltpu.VMEM((n, n, tile), dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(n)),
         interpret=interpret,
     )(ar, ai)
     return (jnp.moveaxis(mr[..., :b_orig], -1, 0),
@@ -537,14 +550,27 @@ def pallas_gj_solve_real(A: Array, b: Array, eps: float = EPS,
         x32, valid = _solve_real_f32(A32, b.astype(jnp.float32), eps,
                                      interpret)
         return x32.astype(in_dtype), valid
-    M, colidx, valid = _inverse_real_f32(A32, eps, interpret)
-    unperm = _unperm_onehot(colidx, A.shape[-1])
+    if A.shape[-1] > _INV_KERNEL_MAX_N:
+        # the inverse kernel's four matrix blocks exceed scoped VMEM at
+        # large N; re-eliminate per refinement round with the (narrower)
+        # x-solve kernel instead — still far ahead of the pure-f64 path
+        x32, valid = _solve_real_f32(A32, b.astype(jnp.float32), eps,
+                                     interpret)
+        x = x32.astype(in_dtype)
 
-    def apply_inv(r: Array) -> Array:
-        y = jnp.einsum("bij,bj->bi", M, r.astype(jnp.float32))
-        return jnp.einsum("brk,br->bk", unperm, y).astype(in_dtype)
+        def apply_inv(r: Array) -> Array:
+            dx, _ = _solve_real_f32(A32, r.astype(jnp.float32), eps,
+                                    interpret)
+            return dx.astype(in_dtype)
+    else:
+        M, colidx, valid = _inverse_real_f32(A32, eps, interpret)
+        unperm = _unperm_onehot(colidx, A.shape[-1])
 
-    x = apply_inv(b)
+        def apply_inv(r: Array) -> Array:
+            y = jnp.einsum("bij,bj->bi", M, r.astype(jnp.float32))
+            return jnp.einsum("brk,br->bk", unperm, y).astype(in_dtype)
+
+        x = apply_inv(b)
     for _ in range(refine):
         # multiply+reduce, not einsum: f64 dots cannot lower to the MXU
         r = b - jnp.sum(A * x[:, None, :], axis=-1)
@@ -616,7 +642,7 @@ def _solve_complex_f32_batchlast(
         scratch_shapes=[pltpu.VMEM((n, n + 1, tile), dtype),
                         pltpu.VMEM((n, n + 1, tile), dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),  # see real kernel note
+            vmem_limit_bytes=_vmem_limit(n)),  # see _vmem_limit
         interpret=interpret,
     )(abr, abi)
     return xr[:, :b_orig], xi[:, :b_orig], valid[0, :b_orig] > 0
@@ -659,17 +685,30 @@ def pallas_gj_solve_complex(
         )
         return xr32.astype(in_dtype), xi32.astype(in_dtype), valid
 
-    Mr, Mi, colidx, valid = _inverse_complex_f32(Ar32, Ai32, eps, interpret)
-    unperm = _unperm_onehot(colidx, Ar.shape[-1])
+    if Ar.shape[-1] > _INV_KERNEL_MAX_N:
+        # see pallas_gj_solve_real: VMEM-infeasible inverse at large N —
+        # re-eliminate per refinement round with the x-solve kernel
+        xr0, xi0, valid = _solve_complex_f32(
+            Ar32, Ai32, br.astype(f32), bi.astype(f32), eps, interpret)
 
-    def apply_inv(rr: Array, ri: Array) -> tuple[Array, Array]:
-        rr32, ri32 = rr.astype(f32), ri.astype(f32)
-        yr = (jnp.einsum("bij,bj->bi", Mr, rr32)
-              - jnp.einsum("bij,bj->bi", Mi, ri32))
-        yi = (jnp.einsum("bij,bj->bi", Mi, rr32)
-              + jnp.einsum("bij,bj->bi", Mr, ri32))
-        return (jnp.einsum("brk,br->bk", unperm, yr).astype(in_dtype),
-                jnp.einsum("brk,br->bk", unperm, yi).astype(in_dtype))
+        def apply_inv(rr: Array, ri: Array) -> tuple[Array, Array]:
+            dxr, dxi, _ = _solve_complex_f32(
+                Ar32, Ai32, rr.astype(f32), ri.astype(f32), eps, interpret)
+            return dxr.astype(in_dtype), dxi.astype(in_dtype)
+    else:
+        xr0 = xi0 = None
+        Mr, Mi, colidx, valid = _inverse_complex_f32(Ar32, Ai32, eps,
+                                                     interpret)
+        unperm = _unperm_onehot(colidx, Ar.shape[-1])
+
+        def apply_inv(rr: Array, ri: Array) -> tuple[Array, Array]:
+            rr32, ri32 = rr.astype(f32), ri.astype(f32)
+            yr = (jnp.einsum("bij,bj->bi", Mr, rr32)
+                  - jnp.einsum("bij,bj->bi", Mi, ri32))
+            yi = (jnp.einsum("bij,bj->bi", Mi, rr32)
+                  + jnp.einsum("bij,bj->bi", Mr, ri32))
+            return (jnp.einsum("brk,br->bk", unperm, yr).astype(in_dtype),
+                    jnp.einsum("brk,br->bk", unperm, yi).astype(in_dtype))
 
     # multiply+reduce (f64 dots cannot lower to the MXU)
     mv = lambda M, v: jnp.sum(M * v[:, None, :], axis=-1)
@@ -679,7 +718,10 @@ def pallas_gj_solve_complex(
         ax_i = mv(Ar, xi) + mv(Ai, xr)
         return br - ax_r, bi - ax_i
 
-    xr, xi = apply_inv(br, bi)
+    if xr0 is not None:
+        xr, xi = xr0.astype(in_dtype), xi0.astype(in_dtype)
+    else:
+        xr, xi = apply_inv(br, bi)
     for _ in range(refine):
         rr, ri = residual(xr, xi)
         dxr, dxi = apply_inv(rr, ri)

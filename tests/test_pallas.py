@@ -182,3 +182,30 @@ def test_switch_circuit_pallas_matches_gj():
     got = simulate_tran_batch(VSWITCH_PWL, overrides, method="pallas",
                               interpret=True)
     np.testing.assert_allclose(got.xs, ref.xs, rtol=1e-6, atol=1e-9)
+
+
+def test_large_n_refined_falls_back_to_resolve():
+    """Above _INV_KERNEL_MAX_N the refined f64 tier re-eliminates per
+    refinement round (the inverse kernel's blocks exceed scoped VMEM);
+    accuracy must still reach f64 level under the residual guard."""
+    N, B = 100, 4
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((B, N, N)) + N * np.eye(N)[None]
+    b = rng.standard_normal((B, N))
+    x, valid = pallas_gj_solve_real(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True)
+    assert bool(np.asarray(valid).all())
+    ref = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-9, atol=1e-11)
+
+    Ar = rng.standard_normal((B, N, N)) + N * np.eye(N)[None]
+    Ai = rng.standard_normal((B, N, N))
+    br = rng.standard_normal((B, N))
+    bi = rng.standard_normal((B, N))
+    xr, xi, valid = pallas_gj_solve_complex(
+        jnp.asarray(Ar), jnp.asarray(Ai), jnp.asarray(br),
+        jnp.asarray(bi), interpret=True)
+    assert bool(np.asarray(valid).all())
+    refc = np.linalg.solve(Ar + 1j * Ai, (br + 1j * bi)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xr) + 1j * np.asarray(xi), refc,
+                               rtol=1e-9, atol=1e-11)
