@@ -24,9 +24,11 @@ import os as _os
 
 import jax as _jax
 
-# Keep in sync with pyproject.toml [project] version (the analog of the
-# reference's package.json:3 "version" field).
-__version__ = "0.3.0"
+# Single source of truth for the package version (the analog of the
+# reference's package.json:3 "version" field). pyproject.toml must carry the
+# same string — tests/test_version.py pins the two together, and the release
+# workflow's wheel smoke test prints this attribute.
+__version__ = "0.4.0"
 
 _jax.config.update("jax_enable_x64", True)
 
@@ -217,5 +219,3 @@ __all__ = [
     "spicey_tran_to_vgraphs",
     "to_precision",
 ]
-
-__version__ = "0.1.0"
