@@ -422,8 +422,26 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
         v_node, valid = run_block(r_vals, c_vals, l_vals)
     else:
         # constant-memory tier (see _mc_ac_stats_core): only one chunk's
-        # scan buffers live at once; requires UNBATCHED ext/nl/tl/vs_grid
-        # (the sampled path satisfies that — only R/C/L values are drawn)
+        # scan buffers live at once; requires UNBATCHED ext/nl/tl/vs_grid —
+        # run_block closes over them whole while reshaping only r/c/l (the
+        # sampled path satisfies that: only R/C/L values are drawn). Guard
+        # it explicitly so a future batched caller gets a clear error here
+        # instead of an opaque shape mismatch deep inside the scan.
+        def _batched_leaves(tree) -> bool:
+            if tree is None:
+                return False
+            return any(
+                hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] == B
+                for k, v in tree.items() if not k.endswith("idx")
+            )
+
+        if (vs_grid.ndim == 3 or _batched_leaves(ext) or _batched_leaves(nl)
+                or _batched_leaves(tl)):
+            raise ValueError(
+                "chunked mc_tran tier requires unbatched ext/nl/tl/vs_grid "
+                "(these are closed over whole, not chunked); drop chunk= or "
+                "the batched overrides"
+            )
         C = B // chunk
 
         def resh(a):
@@ -454,6 +472,8 @@ def mc_tran_stats(
     device_put=None,
     quantile_method: str = "exact",
     time_parallel: str = "auto",
+    tp_crossover: float | None = None,
+    tp_mem_budget: float | None = None,
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
 
@@ -468,8 +488,10 @@ def mc_tran_stats(
     ``time_parallel``: "auto" (default) evaluates LINEAR circuits with the
     parallel-in-time affine-map core (analysis/timeparallel.py — the time
     axis collapses into an associative scan, O(log S) depth); "never"
-    forces the sequential scan. Nonlinear/T-line/K/sharded runs always
-    take the sequential core.
+    forces the sequential scan. Nonlinear/T-line/sharded runs always take
+    the sequential core. ``tp_crossover``/``tp_mem_budget`` tune the
+    "auto" regime guard for non-v5e hardware (see timeparallel.worthwhile;
+    env vars SPICEY_TPU_TP_CROSSOVER / SPICEY_TPU_TP_MEM_BUDGET work too).
     """
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
@@ -529,7 +551,8 @@ def mc_tran_stats(
         raise ValueError("time_parallel must be 'auto' or 'never'")
     if (time_parallel == "auto" and device_put is None
             and _tp_eligible(tensors, ckt, nr, "be")
-            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize)):
+            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
+                               tp_mem_budget, tp_crossover)):
         # linear circuit in the right regime (see timeparallel.worthwhile):
         # the whole time axis in one associative scan
         packed = _mc_tran_tp_core(
@@ -715,15 +738,18 @@ def mc_tran_sampled(
     dialect: str = "spicey",
     quantile_method: str = "exact",
     time_parallel: str = "auto",
+    tp_crossover: float | None = None,
+    tp_mem_budget: float | None = None,
 ) -> MCStats:
     """Transient yield analysis with ON-DEVICE parameter sampling — the
     time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
     element names to relative sigmas; B variants are drawn by the device
     PRNG (no (B, nE) host arrays), then ONE batch-native scan computes
     per-timestep distribution statistics of V(node). ``chunk`` bounds the
-    live scan buffers for very large B. ``time_parallel`` as in
-    mc_tran_stats (auto-enabled parallel-in-time core for linear circuits
-    in the long-horizon/modest-batch regime)."""
+    live scan buffers for very large B. ``time_parallel`` /
+    ``tp_crossover`` / ``tp_mem_budget`` as in mc_tran_stats (auto-enabled
+    parallel-in-time core for linear circuits in the
+    long-horizon/modest-batch regime)."""
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
@@ -764,7 +790,8 @@ def mc_tran_sampled(
         raise ValueError("time_parallel must be 'auto' or 'never'")
     if (time_parallel == "auto" and _tp_eligible(tensors, ckt, nr, "be")
             and chunk is None
-            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize)):
+            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
+                               tp_mem_budget, tp_crossover)):
         # see timeparallel.worthwhile for the regime guard
         packed = _mc_tran_tp_core(
             jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
@@ -835,7 +862,13 @@ def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                              c_idx, c_vals / dt_c, l_idx, dt_c,
                              l_vals, v_idx, ext)
 
-    if method == "pallas" and dtype == jnp.float32:
+    from ..ops.pallas_gj import _INV_KERNEL_MAX_N
+
+    if (method == "pallas" and dtype == jnp.float32
+            and nvar <= _INV_KERNEL_MAX_N):
+        # the inverse kernel's VMEM blocks only fit up to _INV_KERNEL_MAX_N;
+        # larger circuits take the vmapped gj inverse below (same guard as
+        # pallas_gj_solve_real's large-N tier)
         from ..ops.pallas_gj import _inverse_real_f32, _unperm_onehot
 
         M, colidx, valid = _inverse_real_f32(A, float(EPS), interpret)

@@ -152,18 +152,60 @@ def eligible(tensors, ckt, nr: str, integration: str) -> bool:
             and not ckt.B and integration == "be" and nr == "spicey")
 
 
+def default_mem_budget() -> float:
+    """Memory budget for the associative scan's intermediates.
+
+    Resolution order: SPICEY_TPU_TP_MEM_BUDGET env var (bytes), else 1/4 of
+    the default device's reported HBM (memory_stats — present on TPU, absent
+    on CPU), else a 2 GB fallback calibrated on v5e (16 GB HBM)."""
+    import os
+
+    env = os.environ.get("SPICEY_TPU_TP_MEM_BUDGET")
+    if env:
+        return float(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") if stats else None
+        if limit:
+            return float(limit) / 4.0
+    except Exception:
+        pass
+    return 2e9
+
+
+def default_crossover() -> float:
+    """Sequential-scan-underutilization crossover factor (see worthwhile);
+    overridable via SPICEY_TPU_TP_CROSSOVER for non-v5e hardware."""
+    import os
+
+    env = os.environ.get("SPICEY_TPU_TP_CROSSOVER")
+    return float(env) if env else 32.0
+
+
 def worthwhile(tensors, steps: int, B: int, itemsize: int,
-               mem_budget_bytes: float = 2e9) -> bool:
+               mem_budget_bytes: float | None = None,
+               crossover: float | None = None) -> bool:
     """Is the parallel-in-time path the right REGIME for this workload?
 
     Two conditions: (a) the sequential scan under-utilizes the chip —
-    (S+1)*32 > B (measured: 2.2x at S=100k/B=16, a wash-or-worse at
-    S=201/B=10k where the scan is already throughput-saturated); and
-    (b) the associative scan's materialized intermediates fit — it holds
-    O((S+1) * B * k^2) composed maps (~3x for the scan temporaries),
-    while the sequential scan only ever holds one step. Without (b), an
-    admissible-looking long-horizon run with k reactive elements and a
-    large B would OOM where the sequential core runs fine."""
+    (S+1)*crossover > B (measured on v5e: 2.2x at S=100k/B=16, a
+    wash-or-worse at S=201/B=10k where the scan is already
+    throughput-saturated); and (b) the associative scan's materialized
+    intermediates fit — it holds O((S+1) * B * k^2) composed maps (~3x for
+    the scan temporaries), while the sequential scan only ever holds one
+    step. Without (b), an admissible-looking long-horizon run with k
+    reactive elements and a large B would OOM where the sequential core
+    runs fine.
+
+    Both knobs are tunable for other TPU generations: pass them explicitly
+    (plumbed through mc_tran_stats/mc_tran_sampled as tp_crossover /
+    tp_mem_budget), or set SPICEY_TPU_TP_CROSSOVER /
+    SPICEY_TPU_TP_MEM_BUDGET; the budget otherwise derives from the
+    device's reported HBM (default_mem_budget)."""
+    if mem_budget_bytes is None:
+        mem_budget_bytes = default_mem_budget()
+    if crossover is None:
+        crossover = default_crossover()
     k = tensors.n_c + tensors.n_l
     mem = 3.0 * (steps + 1) * B * (k * k + k) * itemsize
-    return (steps + 1) * 32 > B and mem < mem_budget_bytes
+    return (steps + 1) * crossover > B and mem < mem_budget_bytes

@@ -410,3 +410,103 @@ def test_time_parallel_regime_guard():
     many_reactive = SimpleNamespace(n_c=4, n_l=1)
     assert not worthwhile(many_reactive, steps=5_000, B=100_000,
                           itemsize=8)
+
+
+def test_time_parallel_regime_guard_tunable(monkeypatch):
+    """The crossover factor and memory budget are per-hardware knobs:
+    explicit kwargs and env vars must both override the v5e defaults."""
+    from types import SimpleNamespace
+
+    from spicey_tpu.analysis import timeparallel as tp
+
+    small = SimpleNamespace(n_c=1, n_l=1)
+    # default crossover rejects short-S/huge-B ...
+    assert not tp.worthwhile(small, steps=200, B=10_000, itemsize=8)
+    # ... a larger explicit crossover admits it
+    assert tp.worthwhile(small, steps=200, B=10_000, itemsize=8,
+                         crossover=2000.0)
+    # memory-infeasible by default, admitted under an explicit huge budget
+    many = SimpleNamespace(n_c=4, n_l=1)
+    assert not tp.worthwhile(many, steps=5_000, B=100_000, itemsize=8)
+    assert tp.worthwhile(many, steps=5_000, B=100_000, itemsize=8,
+                         mem_budget_bytes=1e15)
+    # env-var overrides feed the defaults
+    monkeypatch.setenv("SPICEY_TPU_TP_CROSSOVER", "2000")
+    monkeypatch.setenv("SPICEY_TPU_TP_MEM_BUDGET", "1e15")
+    assert tp.default_crossover() == 2000.0
+    assert tp.default_mem_budget() == 1e15
+    assert tp.worthwhile(small, steps=200, B=10_000, itemsize=8)
+    assert tp.worthwhile(many, steps=5_000, B=100_000, itemsize=8)
+
+
+def test_time_parallel_large_n_avoids_inverse_kernel(monkeypatch):
+    """nvar > _INV_KERNEL_MAX_N must NOT dispatch the Pallas inverse kernel
+    (its VMEM blocks don't fit at large N — on hardware that is a Mosaic
+    compile error); the tp core takes the vmapped gj inverse instead."""
+    import spicey_tpu.ops.pallas_gj as pg
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    stages = pg._INV_KERNEL_MAX_N + 6  # nvar = stages + 2 > max N
+    lines = ["x big ladder", "V1 n0 0 PULSE(0 5 0 1n 1n 5u 10u)"]
+    for i in range(stages):
+        lines.append(f"R{i} n{i} n{i+1} 100")
+        lines.append(f"C{i} n{i+1} 0 1n")
+    lines += [".tran 0.5u 5u", ".end"]
+    net = "\n".join(lines) + "\n"
+
+    def boom(*a, **k):
+        raise AssertionError("inverse kernel dispatched at large N")
+
+    monkeypatch.setattr(pg, "_inverse_real_f32", boom)
+    B = 4
+    rng = np.random.default_rng(2)
+    over = {"R0": 100.0 * (1 + 0.1 * rng.random(B))}
+    tp = mc_tran_stats(net, over, node="n1", precision="f32",
+                       method="pallas", interpret=True)
+    seq = mc_tran_stats(net, over, node="n1", time_parallel="never")
+    assert tp.n_valid == B
+    scale = float(np.max(np.abs(seq.mean))) + 1e-30
+    np.testing.assert_allclose(tp.mean, seq.mean, rtol=5e-3,
+                               atol=5e-4 * scale)
+
+
+def test_mc_tran_chunked_rejects_batched_closures():
+    """The chunked mc_tran tier closes over ext/nl/tl/vs_grid whole; a
+    batched source grid with chunk set must fail with a clear error, not
+    an opaque shape mismatch inside the scan."""
+    import jax.numpy as jnp
+
+    from spicey_tpu.analysis.mc import _mc_tran_stats_core
+    from spicey_tpu.ir.circuit import (bsrc_static, build_tensors,
+                                       dchg_arrays, effective_time_step,
+                                       ext_arrays, lk_arrays, nl_arrays,
+                                       qchg_arrays, sample_source_values)
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    ckt = parse_netlist(netlists.RC_PULSE)
+    t = build_tensors(ckt)
+    dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
+    times = np.arange(steps + 1) * dt
+    vs = sample_source_values(ckt, times)
+    B = 8
+    vs_batched = jnp.broadcast_to(
+        jnp.asarray(vs)[:, None, :], (vs.shape[0], B, vs.shape[1]))
+    ext = ext_arrays(t)
+    nl = nl_arrays(t)
+    rv = jnp.broadcast_to(jnp.asarray(t.r_vals), (B,) + t.r_vals.shape)
+    cv = jnp.broadcast_to(jnp.asarray(t.c_vals), (B,) + t.c_vals.shape)
+    lv = jnp.broadcast_to(jnp.asarray(t.l_vals), (B,) + t.l_vals.shape)
+    with pytest.raises(ValueError, match="unbatched"):
+        _mc_tran_stats_core(
+            vs_batched, jnp.asarray(dt),
+            jnp.asarray(t.r_idx), rv, jnp.asarray(t.c_idx), cv,
+            jnp.asarray(t.l_idx), lv, jnp.asarray(t.v_idx),
+            jnp.asarray(t.s_idx), jnp.asarray(t.s_ron),
+            jnp.asarray(t.s_roff), jnp.asarray(t.s_von),
+            jnp.asarray(t.s_voff), jnp.asarray(t.d_idx),
+            jnp.asarray(t.d_is), jnp.asarray(t.d_n), ext, nl,
+            nvar=t.nvar, node_idx=0, method="gj", qs=(), nr="spicey",
+            lk=lk_arrays(t), bsrc=bsrc_static(ckt, t.nvar), tl=None,
+            hist_len=0, dchg=dchg_arrays(t), qchg=qchg_arrays(t),
+            chunk=4,
+        )
