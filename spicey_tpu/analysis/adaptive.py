@@ -34,21 +34,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import EPS
+from ..constants import (DIODE_VD_MAX, DIODE_VD_MIN, EPS, GMIN,
+                         VT_300K)
 from ..ir.circuit import (
     CircuitTensors,
     bsrc_static,
     build_tensors,
+    dchg_arrays,
     ext_arrays,
     lk_arrays,
     nl_arrays,
+    qchg_arrays,
     tl_arrays,
 )
 from ..ir.sources import build_source_program, eval_sources
 from ..ops.linsolve import solve
 from ..ops.stamps import pad_solution
 from ..parsing.netlist import ParsedCircuit
-from .tran import (_l_mv, _mutual_inv, _stamp_system,
+from .tran import (_bjt_junction_charge, _l_mv, _mutual_inv, _stamp_system,
                    _switch_update, _vdrop)
 
 
@@ -68,6 +71,7 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                    r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                    d_idx, d_is, d_n, ext, nl, lk=None, bsrc=(), tl=None,
+                   dchg=None, qchg=None,
                    nvar: int = 0, method: str = "gj", max_steps: int = 4096,
                    max_nr: int = 50, nr_tol: float = 1e-9):
     dtype = jnp.float64
@@ -144,7 +148,8 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
     def newton(state, dt_step, t_eval, is_first, hist=None):
         """One BE step of size dt_step evaluated at absolute time t_eval.
         Returns (x, new_state, ok)."""
-        (v_prev_c, i_prev_l, vd_prev_d, vm_prev, vq_prev, sw_on) = state
+        (v_prev_c, i_prev_l, vd_prev_d, vm_prev, vq_prev,
+         q_prev_d, q_prev_q, sw_on) = state
         vs_t = eval_sources(prog, t_eval)
         e_t = tl_read(hist, t_eval) if n_t else None
         zc = jnp.zeros((n_c,), dtype)
@@ -163,6 +168,8 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                 nl=nl, vm_prev=vm_prev, vq_prev=vq_prev,
                 bsrc=bsrc, t=t_eval,
                 tl=tl if n_t else None, e_t=e_t,
+                dchg=dchg, q_prev_d=q_prev_d,
+                qchg=qchg, q_prev_q=q_prev_q,
             )
             x_new, solve_ok = solve(A, b, method=method)
             x_pad = pad_solution(x_new, nvar)
@@ -182,11 +189,35 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         )
         x_pad = pad_solution(x, nvar)
         dt_c = jnp.maximum(dt_step, EPS)
+        vd_new = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
+        if dchg is not None:
+            # commit the diode junction charge at the accepted solution —
+            # diffusion at the clamped voltage (companion consistency with
+            # the stamping), depletion at the TRUE voltage (mirrors
+            # tran.py's fixed-step commit)
+            from ..models.devices import diode_charge_cap
+
+            tsc = 1.0 if nl is None else nl["vt"] / VT_300K
+            vd_c = jnp.clip(vd_new, DIODE_VD_MIN * tsc, DIODE_VD_MAX * tsc)
+            v_th_d = d_n * VT_300K
+            ev_c = jnp.exp(vd_c / v_th_d)
+            q_d_new, _ = diode_charge_cap(
+                vd_new, d_is * (ev_c - 1.0),
+                jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
+                dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"], dchg["fc"])
+        else:
+            q_d_new = q_prev_d
+        if qchg is not None:
+            q_be_n, _, q_bc_n, _, _, _ = _bjt_junction_charge(
+                x_pad, nl, qchg, nl["q_idx"])
+            q_q_new = jnp.stack([q_be_n, q_bc_n], axis=-1)
+        else:
+            q_q_new = q_prev_q
         new_state = (
             _vdrop(x_pad, c_idx) if n_c else v_prev_c,
             (i_prev_l + _l_mv(dt_c, l_vals, minv, _vdrop(x_pad, l_idx)))
             if n_l else i_prev_l,
-            _vdrop(x_pad, d_idx) if n_d else vd_prev_d,
+            vd_new,
             jnp.stack(
                 [x_pad[..., nl["m_idx"][:, 1]] - x_pad[..., nl["m_idx"][:, 2]],
                  x_pad[..., nl["m_idx"][:, 0]] - x_pad[..., nl["m_idx"][:, 2]]],
@@ -195,6 +226,8 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
                 [x_pad[..., nl["q_idx"][:, 1]] - x_pad[..., nl["q_idx"][:, 2]],
                  x_pad[..., nl["q_idx"][:, 1]] - x_pad[..., nl["q_idx"][:, 0]]],
                 axis=-1) if n_q else vq_prev,
+            q_d_new,
+            q_q_new,
             sw_new,
         )
         return x, new_state, ok
@@ -210,7 +243,10 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
     state0 = (
         jnp.zeros((n_c,), dtype), jnp.zeros((n_l,), dtype),
         jnp.zeros((n_d,), dtype), jnp.zeros((n_m, 2), dtype),
-        jnp.zeros((n_q, 2), dtype), jnp.zeros((n_s,), jnp.bool_),
+        jnp.zeros((n_q, 2), dtype),
+        jnp.zeros((n_d,), dtype),      # diode junction charge (rest: q=0)
+        jnp.zeros((n_q, 2), dtype),    # BJT junction charges (b-e, b-c)
+        jnp.zeros((n_s,), jnp.bool_),
     )
     hist0 = (jnp.full((H,), jnp.inf, dtype),
              jnp.zeros((H, n_t, 2), dtype),
@@ -237,11 +273,17 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
         # making the advanced trajectory (and the recorded point) globally
         # second-order while the error estimate still bounds the raw BE LTE
         x_rec = 2.0 * x_h - x_f
-        st_adv = jax.tree.map(
-            lambda h, f: (2.0 * h - f
-                          if jnp.issubdtype(h.dtype, jnp.floating) else h),
-            st_h2, st_f,
-        )
+        # Richardson-extrapolate only the LINEAR companion states (capacitor
+        # voltage, inductor current), where 2*half - full cancels BE's O(dt)
+        # term. The nonlinear-device states — vd/vm/vq NR seeds and the
+        # junction charges — must stay a CONSISTENT (v, q(v)) pair from the
+        # half-step chain: extrapolating q and v separately injects a
+        # spurious companion current (q(v) - q_prev)/dt that GROWS as dt
+        # shrinks, which pins the LTE controller at dt_min (death spiral).
+        (vc_h, il_h, vd_h, vm_h, vq_h, qd_h, qq_h, sw_h) = st_h2
+        (vc_f, il_f) = st_f[0], st_f[1]
+        st_adv = (2.0 * vc_h - vc_f, 2.0 * il_h - il_f,
+                  vd_h, vm_h, vq_h, qd_h, qq_h, sw_h)
         at_floor = dt_eff <= dt_min * 1.0000001
         accept = jnp.logical_and(
             jnp.logical_or(err <= 1.0, at_floor), ~done)
@@ -290,10 +332,6 @@ def simulate_tran_adaptive(
         return None
     if tensors is None:
         tensors = build_tensors(ckt)
-    if tensors.has_d_charge or tensors.has_q_charge:
-        raise NotImplementedError(
-            "device charge storage (TT/CJO/TF/CJE/CJC) is not supported "
-            "in adaptive tran yet")
     tstop = ckt.tran.tstop
     dt0 = ckt.tran.dt if ckt.tran.dt > EPS else tstop / 1000.0
     if dt_min is None:
@@ -317,6 +355,7 @@ def simulate_tran_adaptive(
         ext_arrays(tensors), nl_arrays(tensors),
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
         tl=tl_arrays(tensors),
+        dchg=dchg_arrays(tensors), qchg=qchg_arrays(tensors),
         nvar=tensors.nvar, method=method, max_steps=max_steps,
         max_nr=max_nr, nr_tol=nr_tol,
     )

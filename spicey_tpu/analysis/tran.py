@@ -193,37 +193,44 @@ def _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev, vq_lim=None):
 
 
 def _bjt_junction_charge(x_pad, nl, qchg, q_idx):
-    """Physical junction charges/capacitances at the transient-clamped
-    voltages: (q_be, c_be, q_bc, c_bc, vbe_lim_phys, vbc_lim_phys).
+    """Physical junction charges/capacitances:
+    (q_be, c_be, q_bc, c_bc, cv_be, cv_bc).
 
     Each junction reuses the diode charge model (models/devices.py):
     b-e with (TF, CJE, VJE, MJE), b-c with (TR, CJC, VJC, MJC); reflected
-    frame for PNP, charges flip back with the polarity sign."""
+    frame for PNP, charges flip back with the polarity sign. The
+    exponential (diffusion) pieces evaluate at the CLAMPED junction
+    voltage; the depletion piece at the TRUE voltage (a ~5 V
+    reverse-biased collector junction is far outside the clamp window —
+    clamping its charge freezes the committed state, see
+    diode_charge_cap). ``cv_*`` is the split Newton anchor inner product
+    in the stamped frame — the b-stamp is
+    ``(q - q_prev)/dt - cv/dt`` with the A-stamp ``c/dt``."""
     from ..models.devices import diode_charge_cap
 
     s = nl["q_pol"]
     vt = nl["vt"]
     tscale = vt / VT_300K
-    vbe_r = jnp.clip(
-        s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]]),
-        DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
-    vbc_r = jnp.clip(
-        s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]]),
-        DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
+    u_be = s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 2]])
+    u_bc = s * (x_pad[..., q_idx[:, 1]] - x_pad[..., q_idx[:, 0]])
+    lo = DIODE_VD_MIN * tscale
+    hi = DIODE_VD_MAX * tscale
     i_s = nl["q_is"]
 
-    def one(v_r, tt, cjo, vj, m):
-        ev = jnp.exp(v_r / vt)
-        q_r, c = diode_charge_cap(v_r, i_s * (ev - 1.0),
-                                  jnp.maximum(i_s / vt * ev, GMIN),
+    def one(u, tt, cjo, vj, m):
+        u_lim = jnp.clip(u, lo, hi)
+        ev = jnp.exp(u_lim / vt)
+        g_diff = jnp.maximum(i_s / vt * ev, GMIN)
+        q_r, c = diode_charge_cap(u, i_s * (ev - 1.0), g_diff,
                                   tt, cjo, vj, m, qchg["fc"])
-        return s * q_r, c
+        cv = tt * g_diff * (s * u_lim) + (c - tt * g_diff) * (s * u)
+        return s * q_r, c, cv
 
-    q_be, c_be = one(vbe_r, qchg["tf"], qchg["cje"], qchg["vje"],
-                     qchg["mje"])
-    q_bc, c_bc = one(vbc_r, qchg["tr"], qchg["cjc"], qchg["vjc"],
-                     qchg["mjc"])
-    return q_be, c_be, q_bc, c_bc, s * vbe_r, s * vbc_r
+    q_be, c_be, cv_be = one(u_be, qchg["tf"], qchg["cje"], qchg["vje"],
+                            qchg["mje"])
+    q_bc, c_bc, cv_bc = one(u_bc, qchg["tr"], qchg["cjc"], qchg["vjc"],
+                            qchg["mjc"])
+    return q_be, c_be, q_bc, c_bc, cv_be, cv_bc
 
 
 def _stamp_bsources(A, b, bsrc, x_pad, t):
@@ -364,34 +371,40 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     A = stamp_admittance(A, d_idx, g_d)
     b = stamp_current(b, d_idx, ieq)
     if dchg is not None:
-        # charge-storage companion (BE): i = (q(v) - q_prev)/dt, Newton-
-        # linearized at vd_lim -> G = C(vd_lim)/dt (extended TT/CJO; the
-        # reference diode is memoryless)
+        # charge-storage companion (BE): i = (q(v) - q_prev)/dt (extended
+        # TT/CJO; the reference diode is memoryless). Split Newton anchor:
+        # the diffusion (exponential) part linearizes at vd_lim, the
+        # depletion part at the TRUE vd — the depletion charge must see
+        # voltages beyond the clamp window or the junction can never
+        # discharge past it (see models/devices.py diode_charge_cap)
         from ..models.devices import diode_charge_cap
 
-        q_d, c_d = diode_charge_cap(vd_lim, i_d, g_d, dchg["tt"],
+        q_d, c_d = diode_charge_cap(vd, i_d, g_d, dchg["tt"],
                                     dchg["cjo"], dchg["vj"], dchg["m"],
                                     dchg["fc"])
         g_q = c_d / dt_c
+        c_dep = c_d - dchg["tt"] * g_d
         A = stamp_admittance(A, d_idx, g_q)
-        b = stamp_current(b, d_idx,
-                          (q_d - q_prev_d) / dt_c - g_q * vd_lim)
+        b = stamp_current(
+            b, d_idx,
+            (q_d - q_prev_d
+             - dchg["tt"] * g_d * vd_lim - c_dep * vd) / dt_c)
     if nl is not None:
         A, b = _stamp_nonlinear(A, b, nl, x_pad, it, vm_prev, vq_prev)
     if qchg is not None:
-        # BJT junction-charge companions (BE), one per junction
-        q_be, c_be, q_bc, c_bc, vbe_lp, vbc_lp = _bjt_junction_charge(
+        # BJT junction-charge companions (BE), one per junction; cv_* are
+        # the split-anchor products (diffusion at clamped v, depletion at
+        # true v — see _bjt_junction_charge)
+        q_be, c_be, q_bc, c_bc, cv_be, cv_bc = _bjt_junction_charge(
             x_pad, nl, qchg, nl["q_idx"])
         be = nl["q_idx"][:, jnp.asarray([1, 2])]
         bc = nl["q_idx"][:, jnp.asarray([1, 0])]
-        g_be = c_be / dt_c
-        g_bc = c_bc / dt_c
-        A = stamp_admittance(A, be, g_be)
+        A = stamp_admittance(A, be, c_be / dt_c)
         b = stamp_current(
-            b, be, (q_be - q_prev_q[..., 0]) / dt_c - g_be * vbe_lp)
-        A = stamp_admittance(A, bc, g_bc)
+            b, be, (q_be - q_prev_q[..., 0] - cv_be) / dt_c)
+        A = stamp_admittance(A, bc, c_bc / dt_c)
         b = stamp_current(
-            b, bc, (q_bc - q_prev_q[..., 1]) / dt_c - g_bc * vbc_lp)
+            b, bc, (q_bc - q_prev_q[..., 1] - cv_bc) / dt_c)
     if bsrc:
         A, b = _stamp_bsources(A, b, bsrc, x_pad, t)
     return A[..., :nvar, :nvar], b[..., :nvar]
@@ -742,8 +755,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             i_prev2_l = i_prev2_l_new
         vd_prev_d = _vdrop(x_pad, d_idx) if n_d else vd_prev_d
         if dchg is not None:
-            # commit the charge at the accepted solution, evaluated with
-            # the same clamp the stamping used (companion consistency)
+            # commit the charge at the accepted solution — diffusion part
+            # at the clamped voltage (companion consistency with the
+            # stamping), depletion at the TRUE voltage (so reverse swings
+            # past the clamp window keep accumulating drained charge)
             from ..models.devices import diode_charge_cap
 
             tsc = 1.0 if nl is None else nl["vt"] / VT_300K
@@ -752,7 +767,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             v_th_d = d_n * VT_300K
             ev_c = jnp.exp(vd_c / v_th_d)
             q_prev_d, _ = diode_charge_cap(
-                vd_c, d_is * (ev_c - 1.0),
+                vd_prev_d, d_is * (ev_c - 1.0),
                 jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
                 dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"], dchg["fc"])
         if qchg is not None:
@@ -971,15 +986,15 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             i_d = tensors.d_is[None, :] * (np.exp(vd / v_th) - 1.0)
         if tensors.has_d_charge:
             # capacitive current (q_k - q_{k-1})/dt on top of the Shockley
-            # part; q evaluated at the SAME clamped voltage the scan
-            # committed (companion consistency)
+            # part; q evaluated the SAME way the scan committed it
+            # (diffusion at the clamped voltage, depletion at the true one)
             from ..models.devices import diode_charge_cap
 
             tsc = tensors.vt / VT_300K
             vd_c = np.clip(vd, DIODE_VD_MIN * tsc, DIODE_VD_MAX * tsc)
             ev_c = np.exp(vd_c / v_th)
             q, _ = diode_charge_cap(
-                vd_c, tensors.d_is[None, :] * (ev_c - 1.0),
+                vd, tensors.d_is[None, :] * (ev_c - 1.0),
                 np.maximum(tensors.d_is[None, :] / v_th * ev_c, GMIN),
                 tensors.d_tt[None, :], tensors.d_cjo[None, :],
                 tensors.d_vj[None, :], tensors.d_m[None, :],

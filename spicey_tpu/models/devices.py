@@ -83,8 +83,17 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
 def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc):
     """SPICE diode charge q(vd) and capacitance C(vd) = dq/dvd.
 
-    Diffusion charge TT*i_d (C = TT*g_d; pass the Shockley current and
-    conductance already evaluated at the limited junction voltage) plus
+    ``vd`` is the TRUE junction voltage: the depletion model is
+    polynomial and needs no Newton limiting — and it must see the real
+    reverse voltage. Evaluating it at the clamped voltage freezes the
+    committed charge at q(DIODE_VD_MIN) once the junction swings past
+    the clamp window, so the discharge current never accumulates and a
+    reverse-recovery transient pins at the clamp (LTE steppers then
+    crawl at dt_min forever). Only the exponential pieces are limited:
+    pass ``i_d``/``g_d`` (Shockley current and conductance) already
+    evaluated at the limited voltage.
+
+    Diffusion charge TT*i_d plus
     the depletion charge: below fc*vj the closed form
     ``CJO*VJ/(1-M)*(1-(1-v/VJ)^(1-M))``, above it SPICE's quadratic
     extension (C is linear in v there), continuous in both q and C at the
