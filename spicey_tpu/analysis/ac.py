@@ -612,19 +612,25 @@ def simulate_ac(
 
     # one packed device->host transfer (round-trips cost ~30 ms each on
     # remote-tunnel TPU setups), produced by ONE compiled program — no
-    # eager ops sit between the sweep and the host boundary
-    packed = np.asarray(_ac_sweep_packed(
-        jnp.asarray(freqs),
-        jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-        jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-        jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-        jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
-        nvar=tensors.nvar, method=method, interpret=interpret,
-        ext=ext,
-        i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
-        lk=lk_arrays(tensors),
-        tl=tl_arrays(tensors),
-    ))
+    # eager ops sit between the sweep and the host boundary. Tiny sweeps
+    # (the reference's interactive use case) run on the HOST CPU backend:
+    # F * Nvar^3 ops of work cannot amortize even one accelerator round
+    # trip (utils/placement.py)
+    from ..utils.placement import exec_device
+
+    with exec_device(8.0 * len(freqs) * tensors.nvar ** 3):
+        packed = np.asarray(_ac_sweep_packed(
+            jnp.asarray(freqs),
+            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+            jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+            jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
+            nvar=tensors.nvar, method=method, interpret=interpret,
+            ext=ext,
+            i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
+            lk=lk_arrays(tensors),
+            tl=tl_arrays(tensors),
+        ))
     nv = tensors.nvar
     if not bool(np.all(packed[:, -1] > 0.5)):
         raise ValueError("Singular matrix in AC solve")

@@ -1148,43 +1148,50 @@ def simulate_tran(
                              np.int32(0))
         init_state = tuple(jnp.asarray(a) for a in parts)
 
-    xs, sw_states, valid, fin_state = _tran_core(
-        jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
-        jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-        jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
-        jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-        jnp.asarray(tensors.v_idx),
-        jnp.asarray(tensors.s_idx),
-        jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
-        jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
-        jnp.asarray(tensors.d_idx),
-        jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-        nvar=tensors.nvar, method=method, integration=integration,
-        nr=nr, nr_tol=nr_tol, max_nr=max_nr,
-        # .options vntol/abstol: ngspice's per-unknown convergence floors
-        # (node-voltage rows then branch-current rows)
-        nr_floor=(None if nr_vntol is None and nr_abstol is None
-                  else jnp.asarray(np.where(
-                      np.arange(tensors.nvar) < tensors.n_node_vars,
-                      1e-6 if nr_vntol is None else nr_vntol,
-                      1e-12 if nr_abstol is None else nr_abstol))),
-        ext=ext_arrays(tensors), nl=nl_arrays(tensors),
-        lk=lk_arrays(tensors),
-        bsrc=bsrc_static(ckt, tensors.nvar),
-        times=jnp.asarray(times),
-        interpret=interpret,
-        init_state=init_state,
-        resume=state is not None,
-        tl=tl_arrays(tensors),
-        hist_len=_tline_hist_len(tensors, dt),
-        dchg=dchg_arrays(tensors),
-        qchg=qchg_arrays(tensors),
-    )
-    # one packed device->host transfer for the solution, switch states,
-    # and the validity flag (round-trips are ~30 ms each over the tunnel);
-    # packing runs as one jitted program, not three eager dispatches
-    n_sw = tensors.n_s
-    packed = np.asarray(_pack_tran_result(xs, sw_states, valid))
+    # tiny transients (the reference's interactive use case) run on the
+    # HOST CPU backend: S * NR * Nvar^3 ops cannot amortize an
+    # accelerator round trip (utils/placement.py)
+    from ..utils.placement import exec_device
+
+    with exec_device(24.0 * (steps + 1) * tensors.nvar ** 3):
+        xs, sw_states, valid, fin_state = _tran_core(
+            jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
+            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+            jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+            jnp.asarray(tensors.v_idx),
+            jnp.asarray(tensors.s_idx),
+            jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+            jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+            jnp.asarray(tensors.d_idx),
+            jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+            nvar=tensors.nvar, method=method, integration=integration,
+            nr=nr, nr_tol=nr_tol, max_nr=max_nr,
+            # .options vntol/abstol: ngspice's per-unknown convergence
+            # floors (node-voltage rows then branch-current rows)
+            nr_floor=(None if nr_vntol is None and nr_abstol is None
+                      else jnp.asarray(np.where(
+                          np.arange(tensors.nvar) < tensors.n_node_vars,
+                          1e-6 if nr_vntol is None else nr_vntol,
+                          1e-12 if nr_abstol is None else nr_abstol))),
+            ext=ext_arrays(tensors), nl=nl_arrays(tensors),
+            lk=lk_arrays(tensors),
+            bsrc=bsrc_static(ckt, tensors.nvar),
+            times=jnp.asarray(times),
+            interpret=interpret,
+            init_state=init_state,
+            resume=state is not None,
+            tl=tl_arrays(tensors),
+            hist_len=_tline_hist_len(tensors, dt),
+            dchg=dchg_arrays(tensors),
+            qchg=qchg_arrays(tensors),
+        )
+        # one packed device->host transfer for the solution, switch
+        # states, and the validity flag (round-trips are ~30 ms each over
+        # the tunnel); packing runs as one jitted program, not three
+        # eager dispatches
+        n_sw = tensors.n_s
+        packed = np.asarray(_pack_tran_result(xs, sw_states, valid))
     xs = packed[:, :tensors.nvar]
     sw_states = packed[:, tensors.nvar:tensors.nvar + n_sw] > 0.5
     if not bool(packed[0, -1] > 0.5):
