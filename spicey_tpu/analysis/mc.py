@@ -393,7 +393,8 @@ def mc_ac_stats(
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "nr", "interpret", "bsrc", "hist_len",
-                                   "chunk", "n_real", "q_method"))
+                                   "chunk", "n_real", "q_method",
+                                   "integration"))
 def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         l_vals, v_idx, s_idx, s_ron, s_roff, s_von, s_voff,
                         d_idx, d_is, d_n, ext, nl, nvar: int, node_idx: int,
@@ -401,7 +402,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         interpret: bool = False, lk=None, bsrc=(),
                         tl=None, hist_len: int = 0, dchg=None, qchg=None,
                         chunk: int | None = None, n_real: int | None = None,
-                        q_method: str = "exact"):
+                        q_method: str = "exact", integration: str = "be"):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -411,7 +412,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
             vs_grid, dt, r_idx, rv, c_idx, cv, l_idx, lv, v_idx,
             s_idx, s_ron, s_roff, s_von, s_voff, d_idx, d_is, d_n,
             nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk,
-            bsrc=bsrc,
+            bsrc=bsrc, integration=integration,
             batch=rv.shape[0], interpret=interpret, record=node_idx,
             tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg,
         )
@@ -474,6 +475,7 @@ def mc_tran_stats(
     time_parallel: str = "auto",
     tp_crossover: float | None = None,
     tp_mem_budget: float | None = None,
+    integration: str = "be",
 ) -> MCStats:
     """Distribution of V(node) per timestep across parameter variants.
 
@@ -488,10 +490,16 @@ def mc_tran_stats(
     ``time_parallel``: "auto" (default) evaluates LINEAR circuits with the
     parallel-in-time affine-map core (analysis/timeparallel.py — the time
     axis collapses into an associative scan, O(log S) depth); "never"
-    forces the sequential scan. Nonlinear/T-line/sharded runs always take
-    the sequential core. ``tp_crossover``/``tp_mem_budget`` tune the
-    "auto" regime guard for non-v5e hardware (see timeparallel.worthwhile;
-    env vars SPICEY_TPU_TP_CROSSOVER / SPICEY_TPU_TP_MEM_BUDGET work too).
+    forces the sequential scan. Nonlinear/T-line runs always take the
+    sequential core; sharded runs (``device_put``) take whichever core the
+    regime guard picks, SPMD over the variants axis either way.
+    ``tp_crossover``/``tp_mem_budget`` tune the "auto" regime guard for
+    non-v5e hardware (see timeparallel.worthwhile; env vars
+    SPICEY_TPU_TP_CROSSOVER / SPICEY_TPU_TP_MEM_BUDGET work too).
+
+    ``integration``: "be" (reference backward-Euler semantics,
+    simulateTRAN.ts:41-53), "trap", or "gear2" — the same second-order
+    toggles simulate_tran exposes, batched.
     """
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
@@ -549,25 +557,8 @@ def mc_tran_stats(
     from .timeparallel import worthwhile as _tp_worthwhile
     if time_parallel not in ("auto", "never"):
         raise ValueError("time_parallel must be 'auto' or 'never'")
-    if (time_parallel == "auto" and device_put is None
-            and _tp_eligible(tensors, ckt, nr, "be")
-            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
-                               tp_mem_budget, tp_crossover)):
-        # linear circuit in the right regime (see timeparallel.worthwhile):
-        # the whole time axis in one associative scan
-        packed = _mc_tran_tp_core(
-            jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
-            jnp.asarray(tensors.r_idx), r_vals,
-            jnp.asarray(tensors.c_idx), c_vals,
-            jnp.asarray(tensors.l_idx), l_vals,
-            jnp.asarray(tensors.v_idx), ext,
-            nvar=tensors.nvar, node_idx=node_idx, method=method,
-            qs=tuple(float(q) for q in quantiles),
-            q_method=quantile_method, interpret=interpret,
-        )
-        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
-        res.n_total = B
-        return res
+    if integration not in ("be", "trap", "gear2"):
+        raise ValueError("integration must be 'be', 'trap' or 'gear2'")
     if device_put is not None:
         # shard only (B, nX) arrays; rank-1 per-device params replicate
         put = lambda a: (device_put(a, ("batch", None))
@@ -580,6 +571,28 @@ def mc_tran_stats(
         if vs_batched:
             vs_in = device_put(jnp.asarray(vs_in, fdt),
                                (None, "batch", None))
+    if (time_parallel == "auto"
+            and _tp_eligible(tensors, ckt, nr, integration)
+            and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
+                               tp_mem_budget, tp_crossover, integration)):
+        # linear circuit in the right regime (see timeparallel.worthwhile):
+        # the whole time axis in one associative scan — SPMD over the
+        # variants axis when sharded (batched matmuls + the associative
+        # scan are batch-parallel throughout)
+        packed = _mc_tran_tp_core(
+            jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
+            jnp.asarray(tensors.r_idx), r_vals,
+            jnp.asarray(tensors.c_idx), c_vals,
+            jnp.asarray(tensors.l_idx), l_vals,
+            jnp.asarray(tensors.v_idx), ext,
+            nvar=tensors.nvar, node_idx=node_idx, method=method,
+            qs=tuple(float(q) for q in quantiles),
+            q_method=quantile_method, interpret=interpret,
+            lk=lk_arrays(tensors), integration=integration,
+        )
+        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+        res.n_total = B
+        return res
     packed = _mc_tran_stats_core(
         jnp.asarray(vs_in, fdt), jnp.asarray(dt, fdt),
         jnp.asarray(tensors.r_idx), r_vals,
@@ -600,6 +613,7 @@ def mc_tran_stats(
         hist_len=_tl_hist_len_batched(tl_b, dt),
         dchg=dchg_arrays(tensors, dtype=fdt),
         qchg=qchg_arrays(tensors, dtype=fdt),
+        integration=integration,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -740,6 +754,7 @@ def mc_tran_sampled(
     time_parallel: str = "auto",
     tp_crossover: float | None = None,
     tp_mem_budget: float | None = None,
+    integration: str = "be",
 ) -> MCStats:
     """Transient yield analysis with ON-DEVICE parameter sampling — the
     time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
@@ -747,9 +762,9 @@ def mc_tran_sampled(
     PRNG (no (B, nE) host arrays), then ONE batch-native scan computes
     per-timestep distribution statistics of V(node). ``chunk`` bounds the
     live scan buffers for very large B. ``time_parallel`` /
-    ``tp_crossover`` / ``tp_mem_budget`` as in mc_tran_stats (auto-enabled
-    parallel-in-time core for linear circuits in the
-    long-horizon/modest-batch regime)."""
+    ``tp_crossover`` / ``tp_mem_budget`` / ``integration`` as in
+    mc_tran_stats (auto-enabled parallel-in-time core for linear circuits
+    in the long-horizon/modest-batch regime; BE/trap/gear2 companions)."""
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
@@ -788,10 +803,13 @@ def mc_tran_sampled(
     from .timeparallel import worthwhile as _tp_worthwhile
     if time_parallel not in ("auto", "never"):
         raise ValueError("time_parallel must be 'auto' or 'never'")
-    if (time_parallel == "auto" and _tp_eligible(tensors, ckt, nr, "be")
+    if integration not in ("be", "trap", "gear2"):
+        raise ValueError("integration must be 'be', 'trap' or 'gear2'")
+    if (time_parallel == "auto"
+            and _tp_eligible(tensors, ckt, nr, integration)
             and chunk is None
             and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
-                               tp_mem_budget, tp_crossover)):
+                               tp_mem_budget, tp_crossover, integration)):
         # see timeparallel.worthwhile for the regime guard
         packed = _mc_tran_tp_core(
             jnp.asarray(vs_grid, fdt), jnp.asarray(dt, fdt),
@@ -802,6 +820,7 @@ def mc_tran_sampled(
             nvar=tensors.nvar, node_idx=node_idx, method=method,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method,
+            lk=lk_arrays(tensors), integration=integration,
         )
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
@@ -828,6 +847,7 @@ def mc_tran_sampled(
         dchg=dchg_arrays(tensors, dtype=fdt),
         qchg=qchg_arrays(tensors, dtype=fdt),
         chunk=chunk, n_real=B if n_pad else None,
+        integration=integration,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -835,46 +855,57 @@ def mc_tran_sampled(
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "q_method", "interpret"))
+                                   "q_method", "interpret", "integration"))
 def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                      l_vals, v_idx, ext, nvar: int, node_idx: int,
                      method: str, qs: tuple, q_method: str = "exact",
-                     interpret: bool = False):
+                     interpret: bool = False, lk=None,
+                     integration: str = "be"):
     """Parallel-in-time linear transient MC (see analysis/timeparallel.py):
     ONE affine-map assembly per variant + an associative scan over the
     time axis — O(log S) depth instead of S sequential solve dispatches.
 
     vs_grid: (S+1, m) shared or (S+1, B, m) per-variant source grid;
-    value arrays (B, nE). Returns packed stats like the sequential core.
+    value arrays (B, nE). ``lk``: mutual-coupling pytree (K lines; the
+    matrix companion Gamma = c * M^{-1} rides the affine maps).
+    ``integration``: "be" or "trap" (trap carries the doubled companion
+    state and the engine's BE bootstrap step — timeparallel.py docstring).
+    Returns packed stats like the sequential core.
     """
     from ..constants import EPS
     from ..ops.linsolve import gj_solve
-    from .timeparallel import linear_tran_maps, linear_tran_solutions
-    from .tran import linear_system_matrix
+    from .timeparallel import (
+        linear_tran_maps,
+        linear_tran_maps_trap,
+        linear_tran_solutions,
+    )
+    from .tran import _mutual_inv, linear_system_matrix
 
     B = r_vals.shape[0]
     dtype = r_vals.dtype
     dt_c = jnp.maximum(dt, EPS)
 
-    # the SAME assembly the sequential factor-once path uses (tran.py) —
-    # one place owns the BE-linear stamp conventions
-    A = linear_system_matrix(nvar, (B,), dtype, r_idx, r_vals,
-                             c_idx, c_vals / dt_c, l_idx, dt_c,
-                             l_vals, v_idx, ext)
+    minv = None
+    minv_ok = None
+    if lk is not None and lk["k_pairs"].shape[0]:
+        minv, minv_ok = _mutual_inv(l_vals, lk)       # (B, nL, nL), (B,)
 
     from ..ops.pallas_gj import _INV_KERNEL_MAX_N
 
-    if (method == "pallas" and dtype == jnp.float32
-            and nvar <= _INV_KERNEL_MAX_N):
-        # the inverse kernel's VMEM blocks only fit up to _INV_KERNEL_MAX_N;
-        # larger circuits take the vmapped gj inverse below (same guard as
-        # pallas_gj_solve_real's large-N tier)
-        from ..ops.pallas_gj import _inverse_real_f32, _unperm_onehot
+    def invert(A):
+        if (method == "pallas" and dtype == jnp.float32
+                and nvar <= _INV_KERNEL_MAX_N):
+            # the inverse kernel's VMEM blocks only fit up to
+            # _INV_KERNEL_MAX_N; larger circuits take the vmapped gj
+            # inverse below (same guard as pallas_gj_solve_real's
+            # large-N tier)
+            from ..ops.pallas_gj import _inverse_real_f32, _unperm_onehot
 
-        M, colidx, valid = _inverse_real_f32(A, float(EPS), interpret)
-        # A^-1 = unperm rows of M (see the inverse-kernel docstring)
-        Ainv = jnp.einsum("brk,brc->bkc", _unperm_onehot(colidx, nvar), M)
-    else:
+            M, colidx, ok = _inverse_real_f32(A, float(EPS), interpret)
+            # A^-1 = unperm rows of M (see the inverse-kernel docstring)
+            return jnp.einsum("brk,brc->bkc",
+                              _unperm_onehot(colidx, nvar), M), ok
+
         def inv_of(Ab):
             def col(e):
                 return gj_solve(Ab, e, EPS)
@@ -883,15 +914,36 @@ def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                 jnp.eye(nvar, dtype=dtype))
             return X, jnp.all(oks)
 
-        Ainv, valid = jax.vmap(inv_of)(A)
+        return jax.vmap(inv_of)(A)
 
-    T, R, X, Y = linear_tran_maps(
-        Ainv, c_idx, c_vals, l_idx, l_vals, v_idx, ext["i_idx"],
-        dt_c, nvar)
+    # the SAME assembly the sequential factor-once path uses (tran.py) —
+    # one place owns the BE/trap-linear stamp conventions
+    def assemble(g_c_scale, c_l):
+        return linear_system_matrix(nvar, (B,), dtype, r_idx, r_vals,
+                                    c_idx, c_vals * g_c_scale, l_idx, c_l,
+                                    l_vals, v_idx, ext, minv=minv)
+
     u = vs_grid if vs_grid.ndim == 3 else jnp.broadcast_to(
         vs_grid[:, None, :], (vs_grid.shape[0], B, vs_grid.shape[1]))
-    xs = linear_tran_solutions(T, R, X, Y, u.astype(dtype),
-                               record_row=node_idx)   # (S+1, B)
+    u = u.astype(dtype)
+    if integration == "trap":
+        Ainv_start, ok_s = invert(assemble(1.0 / dt_c, dt_c))
+        Ainv_main, ok_m = invert(assemble(2.0 / dt_c, dt_c / 2.0))
+        valid = jnp.logical_and(ok_s, ok_m)
+        T, R, X, Y, R_start, Y_start = linear_tran_maps_trap(
+            Ainv_start, Ainv_main, c_idx, c_vals, l_idx, l_vals,
+            v_idx, ext["i_idx"], dt_c, nvar, minv=minv)
+        xs = linear_tran_solutions(T, R, X, Y, u, record_row=node_idx,
+                                   R_start=R_start, Y_start=Y_start)
+    else:
+        Ainv, valid = invert(assemble(1.0 / dt_c, dt_c))
+        T, R, X, Y = linear_tran_maps(
+            Ainv, c_idx, c_vals, l_idx, l_vals, v_idx, ext["i_idx"],
+            dt_c, nvar, minv=minv)
+        xs = linear_tran_solutions(T, R, X, Y, u,
+                                   record_row=node_idx)   # (S+1, B)
+    if minv_ok is not None:
+        valid = jnp.logical_and(valid, minv_ok)
     v_node = jnp.moveaxis(xs, 0, 1)                   # (B, S+1)
     stats = _stats_of(v_node, valid, qs, q_method=q_method)
     return _pack_stats(stats, jnp.sum(valid))

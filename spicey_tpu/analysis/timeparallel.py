@@ -28,8 +28,19 @@ differences from the sequential path are float reassociation only
 
 Eligibility (callers fall back to the sequential core otherwise): linear
 elements only (no switches/diodes/MOS/BJT/behavioral), no transmission
-lines, no K coupling (the matrix companion is linear too — future work),
-backward Euler, reference inner-loop semantics.
+lines, backward-Euler or trapezoidal integration, reference inner-loop
+semantics. K-coupled inductors ARE eligible: the mutual companion is
+linear too — the state-update rows use Gamma = dt * M^{-1}
+(tran._mutual_inv) instead of the scalar dt/L.
+
+Trapezoidal runs carry the doubled companion state
+s = [v_prev_C | i_prev_C | i_prev_L | v_prev_L] (trap's formulas need the
+companion current/voltage history the BE state does not — tran.py's trap
+commit), and the engine's non-self-starting bootstrap (the t=0 record is
+a backward-Euler solve; tran._stamp_system is_first) maps exactly onto
+the affine chain because s_0 = 0: only the step-0 offset R_start @ u_0
+and output Y_start @ u_0 come from the BE-matrix maps, every later step
+composes the trap maps.
 """
 
 from __future__ import annotations
@@ -40,14 +51,47 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _sel(rows_idx, n_items, nvar: int, dtype):
+    """(N, n_items) selection: column j = e_{i1(j)} - e_{i2(j)} with
+    the ground dump slot dropped."""
+    S = jnp.zeros((nvar + 1, n_items), dtype)
+    cols = jnp.arange(n_items)
+    S = S.at[rows_idx[:, 0], cols].add(1.0)
+    S = S.at[rows_idx[:, 1], cols].add(-1.0)
+    return S[:nvar]
+
+
+def _source_matrix(v_idx, i_idx, nvar: int, dtype):
+    """Bu: (N, m) mapping u = [V volts | I amps] to RHS injections —
+    V: b[branch row] += u; I sources go through stamp_current(b, idx, u)
+    (b[i1] -= u, b[i2] += u)."""
+    n_v = v_idx.shape[0]
+    Bu_v = jnp.zeros((nvar + 1, n_v), dtype)
+    Bu_v = Bu_v.at[v_idx[:, 2], jnp.arange(n_v)].add(1.0)
+    Bu_v = Bu_v[:nvar]
+    Bu_i = -_sel(i_idx, i_idx.shape[0], nvar, dtype)
+    return jnp.concatenate([Bu_v, Bu_i], axis=-1)
+
+
+def _gamma_rows(Dl, c_l, l_vals, minv):
+    """c_l * M^{-1} @ Dl — the inductor state-update rows (..., nL, N):
+    scalar c_l/L per element, or the matrix companion with K coupling
+    (tran._l_mv on the vdrop selector)."""
+    if minv is None:
+        return (c_l / l_vals)[..., :, None] * Dl
+    return c_l * (minv @ Dl)
+
+
 def linear_tran_maps(Ainv: Array, c_idx, c_vals, l_idx, l_vals,
-                     v_idx, i_idx, dt, nvar: int):
+                     v_idx, i_idx, dt, nvar: int, minv=None):
     """Build (T, R, X, Y) for the BE affine recurrence.
 
     Ainv: (..., N, N) inverse of the BE system matrix (R + C/dt + dt/L
     conductances + V-source rows). c_vals/l_vals: (..., nC)/(..., nL)
     (leading batch dims allowed). u = [V-source volts | I-source amps]
-    ordered as the engine's source grid. Returns
+    ordered as the engine's source grid. ``minv``: (..., nL, nL) inverse
+    inductance matrix when K couplings are present (tran._mutual_inv) —
+    the commit rows become dt * M^{-1} @ Dl. Returns
     T: (..., k, k), R: (..., k, m), X: (..., N, k), Y: (..., N, m)
     with k = nC + nL, m = nV + nI.
     """
@@ -55,48 +99,30 @@ def linear_tran_maps(Ainv: Array, c_idx, c_vals, l_idx, l_vals,
     lead = Ainv.shape[:-2]
     n_c = c_idx.shape[0]
     n_l = l_idx.shape[0]
-    n_v = v_idx.shape[0]
-    n_i = i_idx.shape[0]
     k = n_c + n_l
-    m = n_v + n_i
-
-    def sel(rows_idx, n_items):
-        """(N, n_items) selection: column j = e_{i1(j)} - e_{i2(j)} with
-        the ground dump slot dropped."""
-        S = jnp.zeros((nvar + 1, n_items), dtype)
-        cols = jnp.arange(n_items)
-        S = S.at[rows_idx[:, 0], cols].add(1.0)
-        S = S.at[rows_idx[:, 1], cols].add(-1.0)
-        return S[:nvar]
+    m = v_idx.shape[0] + i_idx.shape[0]
 
     # b(s, u) = Bs @ s + Bu @ u  (RHS injections; tran._stamp_system BE):
     #   C: Ieq = -(C/dt) v_prev  via stamp_current -> b += (C/dt) v_prev
     #      on the (i1, i2) pattern;
-    #   L: Isrc = +i_prev        -> b -= i_prev on the pattern;
-    #   V: b[branch] += u;  I: b += u on the pattern (stamp_current(-u)).
+    #   L: Isrc = +i_prev        -> b -= i_prev on the pattern.
     g_c = c_vals / dt                                     # (..., nC)
-    Bs_c = sel(c_idx, n_c) * g_c[..., None, :]            # (..., N, nC)
-    Bs_l = -sel(l_idx, n_l)                               # (N, nL)
+    Bs_c = _sel(c_idx, n_c, nvar, dtype) * g_c[..., None, :]
+    Bs_l = -_sel(l_idx, n_l, nvar, dtype)                 # (N, nL)
     Bs = jnp.concatenate(
         [jnp.broadcast_to(Bs_c, lead + (nvar, n_c)),
          jnp.broadcast_to(Bs_l, lead + (nvar, n_l))], axis=-1)
-
-    Bu_v = jnp.zeros((nvar + 1, n_v), dtype)
-    Bu_v = Bu_v.at[v_idx[:, 2], jnp.arange(n_v)].add(1.0)
-    Bu_v = Bu_v[:nvar]
-    # I sources go through stamp_current(b, idx, u): b[i1] -= u, b[i2] += u
-    Bu_i = -sel(i_idx, n_i)
-    Bu = jnp.broadcast_to(jnp.concatenate([Bu_v, Bu_i], axis=-1),
+    Bu = jnp.broadcast_to(_source_matrix(v_idx, i_idx, nvar, dtype),
                           lead + (nvar, m))
 
     X = Ainv @ Bs                                         # (..., N, k)
     Y = Ainv @ Bu                                         # (..., N, m)
 
     # s' = Sx @ x + Ss @ s:
-    #   v_prev' = vdrop_C(x);  i_prev' = i_prev + (dt/L) vdrop_L(x)
-    Dc = jnp.swapaxes(sel(c_idx, n_c), -1, -2)            # (nC, N)
-    Dl = jnp.swapaxes(sel(l_idx, n_l), -1, -2)            # (nL, N)
-    Sx_l = (dt / l_vals)[..., :, None] * Dl               # (..., nL, N)
+    #   v_prev' = vdrop_C(x);  i_prev' = i_prev + dt * M^{-1} vdrop_L(x)
+    Dc = jnp.swapaxes(_sel(c_idx, n_c, nvar, dtype), -1, -2)  # (nC, N)
+    Dl = jnp.swapaxes(_sel(l_idx, n_l, nvar, dtype), -1, -2)  # (nL, N)
+    Sx_l = _gamma_rows(Dl, dt, l_vals, minv)              # (..., nL, N)
     Sx = jnp.concatenate(
         [jnp.broadcast_to(Dc, lead + (n_c, nvar)),
          jnp.broadcast_to(Sx_l, lead + (n_l, nvar))], axis=-2)
@@ -106,6 +132,95 @@ def linear_tran_maps(Ainv: Array, c_idx, c_vals, l_idx, l_vals,
     T = Sx @ X + Ss                                       # (..., k, k)
     R = Sx @ Y                                            # (..., k, m)
     return T, R, X, Y
+
+
+def linear_tran_maps_trap(Ainv_start: Array, Ainv_main: Array, c_idx,
+                          c_vals, l_idx, l_vals, v_idx, i_idx, dt,
+                          nvar: int, minv=None):
+    """Affine maps for TRAPEZOIDAL integration with the engine's BE
+    bootstrap step (tran._stamp_system integration="trap").
+
+    State s = [v_prev_C | i_prev_C | i_prev_L | v_prev_L], k = 2(nC+nL).
+    Steps >= 1 use the trap companions
+        C: G = 2C/dt,  b += sel_C (G v_prev + i_prev_C)
+        L: G = (dt/2) M^{-1},  b -= sel_L (i_prev_L + (dt/2) M^{-1} v_prev_L)
+    and commit (tran.py trap branch)
+        v_C' = Dc x;  i_C' = G (Dc x - v_C) - i_C
+        i_L' = i_L + (dt/2) M^{-1} (v_L + Dl x);  v_L' = Dl x.
+    Step 0 solves the BE matrix (Ainv_start) and commits with the is_first
+    branches (i_C' = (C/dt) Dc x, i_L' = i_L + dt M^{-1} Dl x). Because
+    s_0 = 0, only its input map matters: R_start = Sx_start @ Y_start.
+
+    Returns (T, R, X, Y, R_start, Y_start) — main-step maps plus the
+    step-0 offset/output maps for linear_tran_solutions' trap mode.
+    """
+    dtype = Ainv_main.dtype
+    lead = Ainv_main.shape[:-2]
+    n_c = c_idx.shape[0]
+    n_l = l_idx.shape[0]
+    k = 2 * (n_c + n_l)
+    m = v_idx.shape[0] + i_idx.shape[0]
+    half = dt / 2.0
+
+    sel_c = _sel(c_idx, n_c, nvar, dtype)                 # (N, nC)
+    sel_l = _sel(l_idx, n_l, nvar, dtype)                 # (N, nL)
+    Dc = jnp.swapaxes(sel_c, -1, -2)                      # (nC, N)
+    Dl = jnp.swapaxes(sel_l, -1, -2)                      # (nL, N)
+    g_c = 2.0 * c_vals / dt                               # (..., nC)
+
+    # Bs over [v_C | i_C | i_L | v_L]
+    Bs_vc = sel_c * g_c[..., None, :]                     # (..., N, nC)
+    Bs_ic = jnp.broadcast_to(sel_c, lead + (nvar, n_c))
+    Bs_il = jnp.broadcast_to(-sel_l, lead + (nvar, n_l))
+    # b -= sel_L (dt/2) M^{-1} v_L  ->  -sel_L @ ((dt/2) M^{-1})
+    if minv is None:
+        Bs_vl = -sel_l * (half / l_vals)[..., None, :]
+    else:
+        Bs_vl = -(sel_l @ (half * minv))
+    Bs = jnp.concatenate(
+        [jnp.broadcast_to(Bs_vc, lead + (nvar, n_c)), Bs_ic, Bs_il,
+         jnp.broadcast_to(Bs_vl, lead + (nvar, n_l))], axis=-1)
+    Bu = jnp.broadcast_to(_source_matrix(v_idx, i_idx, nvar, dtype),
+                          lead + (nvar, m))
+
+    X = Ainv_main @ Bs                                    # (..., N, k)
+    Y = Ainv_main @ Bu                                    # (..., N, m)
+    Y_start = Ainv_start @ Bu
+
+    # Sx: coefficient of x in s' (rows ordered as the state)
+    gamma_half = _gamma_rows(Dl, half, l_vals, minv)      # (..., nL, N)
+    Sx = jnp.concatenate(
+        [jnp.broadcast_to(Dc, lead + (n_c, nvar)),
+         g_c[..., :, None] * Dc,
+         jnp.broadcast_to(gamma_half, lead + (n_l, nvar)),
+         jnp.broadcast_to(Dl, lead + (n_l, nvar))], axis=-2)
+    # Ss: coefficient of s in s'
+    Ss = jnp.zeros(lead + (k, k), dtype)
+    rc = jnp.arange(n_c)
+    rl = jnp.arange(n_l)
+    # i_C' rows: -G on v_C, -1 on i_C
+    Ss = Ss.at[..., n_c + rc, rc].add(-g_c)
+    Ss = Ss.at[..., n_c + rc, n_c + rc].add(-1.0)
+    # i_L' rows: +1 on i_L, (dt/2) M^{-1} on v_L
+    Ss = Ss.at[..., 2 * n_c + rl, 2 * n_c + rl].add(1.0)
+    if minv is None:
+        Ss = Ss.at[..., 2 * n_c + rl, 2 * n_c + n_l + rl].add(half / l_vals)
+    else:
+        Ss = Ss.at[..., 2 * n_c + rl[:, None],
+                   2 * n_c + n_l + rl[None, :]].add(half * minv)
+
+    T = Sx @ X + Ss                                       # (..., k, k)
+    R = Sx @ Y                                            # (..., k, m)
+
+    # step-0 commit: BE branches (is_first) applied to x_0 = Y_start u_0
+    gamma_full = _gamma_rows(Dl, dt, l_vals, minv)
+    Sx_start = jnp.concatenate(
+        [jnp.broadcast_to(Dc, lead + (n_c, nvar)),
+         (c_vals / dt)[..., :, None] * Dc,
+         jnp.broadcast_to(gamma_full, lead + (n_l, nvar)),
+         jnp.broadcast_to(Dl, lead + (n_l, nvar))], axis=-2)
+    R_start = Sx_start @ Y_start                          # (..., k, m)
+    return T, R, X, Y, R_start, Y_start
 
 
 def affine_prefix_states(T: Array, Ru: Array):
@@ -129,27 +244,48 @@ def affine_prefix_states(T: Array, Ru: Array):
     return jnp.concatenate([zeros, cc[:-1]], axis=0)      # s_t for t=0..S
 
 
-def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None):
+def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None,
+                          R_start=None, Y_start=None):
     """Evaluate x_t for all steps. u_grid: (S+1, ..., m). With
     ``record_row`` (an int), returns that solution row only: (S+1, ...).
-    Otherwise the full (S+1, ..., N)."""
+    Otherwise the full (S+1, ..., N).
+
+    ``R_start``/``Y_start`` (trap mode): step 0 is the engine's BE
+    bootstrap solve — its offset into s_1 uses R_start and its recorded
+    output uses Y_start (s_0 = 0, so no X_start term exists)."""
     Ru = (R[None] @ u_grid[..., None])[..., 0]            # (S+1, ..., k)
+    if R_start is not None:
+        Ru0 = (R_start @ u_grid[0, ..., None])[..., 0]
+        Ru = jnp.concatenate([Ru0[None], Ru[1:]], axis=0)
     s = affine_prefix_states(T, Ru)                       # (S+1, ..., k)
     if record_row is not None:
         Xr = X[..., record_row, :]                        # (..., k)
         Yr = Y[..., record_row, :]
-        return (jnp.sum(Xr[None] * s, axis=-1)
-                + jnp.sum(Yr[None] * u_grid, axis=-1))
+        x = (jnp.sum(Xr[None] * s, axis=-1)
+             + jnp.sum(Yr[None] * u_grid, axis=-1))
+        if Y_start is not None:
+            x0 = jnp.sum(Y_start[..., record_row, :] * u_grid[0], axis=-1)
+            x = jnp.concatenate([x0[None], x[1:]], axis=0)
+        return x
     x = (X[None] @ s[..., None])[..., 0]
     x = x + (Y[None] @ u_grid[..., None])[..., 0]
+    if Y_start is not None:
+        x0 = (Y_start @ u_grid[0, ..., None])[..., 0]
+        x = jnp.concatenate([x0[None], x[1:]], axis=0)
     return x
 
 
 def eligible(tensors, ckt, nr: str, integration: str) -> bool:
-    """Can this run take the parallel-in-time path?"""
+    """Can this run take the parallel-in-time path? Linear circuits only
+    (K-coupled inductors ARE linear — their matrix companion rides the
+    affine map), BE or trapezoidal integration, reference inner-loop
+    semantics. gear2's two-step history would triple the state for a
+    scheme whose damping exists for circuits (stiff switching) that are
+    nonlinear anyway — it stays on the sequential core."""
     return (tensors.n_s == 0 and tensors.n_d == 0 and tensors.n_m == 0
-            and tensors.n_q == 0 and tensors.n_t == 0 and tensors.n_k == 0
-            and not ckt.B and integration == "be" and nr == "spicey")
+            and tensors.n_q == 0 and tensors.n_t == 0
+            and not ckt.B and integration in ("be", "trap")
+            and nr == "spicey")
 
 
 def default_mem_budget() -> float:
@@ -184,7 +320,8 @@ def default_crossover() -> float:
 
 def worthwhile(tensors, steps: int, B: int, itemsize: int,
                mem_budget_bytes: float | None = None,
-               crossover: float | None = None) -> bool:
+               crossover: float | None = None,
+               integration: str = "be") -> bool:
     """Is the parallel-in-time path the right REGIME for this workload?
 
     Two conditions: (a) the sequential scan under-utilizes the chip —
@@ -207,5 +344,7 @@ def worthwhile(tensors, steps: int, B: int, itemsize: int,
     if crossover is None:
         crossover = default_crossover()
     k = tensors.n_c + tensors.n_l
+    if integration == "trap":
+        k *= 2  # s = [v_C | i_C | i_L | v_L] (linear_tran_maps_trap)
     mem = 3.0 * (steps + 1) * B * (k * k + k) * itemsize
     return (steps + 1) * crossover > B and mem < mem_budget_bytes

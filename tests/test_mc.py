@@ -510,3 +510,123 @@ def test_mc_tran_chunked_rejects_batched_closures():
             hist_len=0, dchg=dchg_arrays(t), qchg=qchg_arrays(t),
             chunk=4,
         )
+
+
+_RLC_TP_NET = ("x rlc tp\n"
+               "V1 in 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+               "R1 in a 100\n"
+               "L1 a b 1m\n"
+               "C1 b 0 1u\n"
+               "R2 b 0 2k\n"
+               ".tran 0.2u 30u\n"
+               ".end\n")
+
+_XFMR_TP_NET = ("x transformer tp\n"
+                "V1 in 0 PULSE(0 5 0 1n 1n 20u 40u)\n"
+                "R1 in p 10\n"
+                "L1 p 0 1m\n"
+                "L2 s 0 4m\n"
+                "K1 L1 L2 0.9\n"
+                "RLOAD s 0 100\n"
+                "C2 s 0 10n\n"
+                ".tran 0.2u 60u\n"
+                ".end\n")
+
+
+def test_time_parallel_trap_matches_sequential():
+    """Trapezoidal integration through the parallel-in-time core: the
+    doubled companion state [v_C | i_C | i_L | v_L] plus the BE bootstrap
+    step must reproduce the sequential trap scan (same recurrence,
+    different association order)."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    B = 24
+    rng = np.random.default_rng(11)
+    over = {"R1": 100.0 * (1 + 0.2 * rng.random(B)),
+            "C1": 1e-6 * (1 + 0.2 * rng.random(B))}
+    tp = mc_tran_stats(_RLC_TP_NET, over, node="b", integration="trap")
+    seq = mc_tran_stats(_RLC_TP_NET, over, node="b", integration="trap",
+                        time_parallel="never")
+    assert tp.n_valid == B
+    np.testing.assert_allclose(tp.mean, seq.mean, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(tp.max, seq.max, rtol=1e-9, atol=1e-12)
+    # trap is genuinely 2nd-order: it must differ from BE on this
+    # underdamped RLC (guards against both paths silently running BE)
+    be = mc_tran_stats(_RLC_TP_NET, over, node="b")
+    assert np.max(np.abs(np.asarray(tp.mean) - np.asarray(be.mean))) > 1e-4
+
+
+def test_time_parallel_k_coupling_matches_sequential():
+    """K-coupled inductors are linear: the affine-map core carries the
+    matrix companion Gamma = dt * M^{-1} and must match the sequential
+    engine on a transformer transient, for BE and trap alike."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    B = 16
+    rng = np.random.default_rng(12)
+    over = {"RLOAD": 100.0 * (1 + 0.2 * rng.random(B))}
+    for integ in ("be", "trap"):
+        tp = mc_tran_stats(_XFMR_TP_NET, over, node="s",
+                           dialect="extended", integration=integ)
+        seq = mc_tran_stats(_XFMR_TP_NET, over, node="s",
+                            dialect="extended", integration=integ,
+                            time_parallel="never")
+        assert tp.n_valid == B, integ
+        scale = float(np.max(np.abs(np.asarray(seq.mean)))) + 1e-30
+        np.testing.assert_allclose(tp.mean, seq.mean, rtol=1e-9,
+                                   atol=1e-11 * scale, err_msg=integ)
+        np.testing.assert_allclose(tp.max, seq.max, rtol=1e-9,
+                                   atol=1e-11 * scale, err_msg=integ)
+
+
+def test_time_parallel_sharded_over_cpu_mesh():
+    """The parallel-in-time core is SPMD over the variants axis: sharding
+    it over a mesh must reproduce the single-device run (the associative
+    scan and the batched matmuls are batch-parallel throughout)."""
+    import jax
+
+    from spicey_tpu.analysis.mc import mc_tran_stats
+    from spicey_tpu.analysis.timeparallel import eligible, worthwhile
+    from spicey_tpu.ir.circuit import build_tensors, effective_time_step
+    from spicey_tpu.parallel.mesh import make_mesh, sharder
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    # regime sanity: this workload must actually take the tp path
+    ckt = parse_netlist(_RLC_TP_NET)
+    t = build_tensors(ckt)
+    _, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
+    B = 32
+    assert eligible(t, ckt, "spicey", "be")
+    assert worthwhile(t, steps, B, 8)
+
+    mesh = make_mesh({"batch": 8}, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(13)
+    over = {"R1": 100.0 * (1 + 0.2 * rng.random(B)),
+            "C1": 1e-6 * (1 + 0.2 * rng.random(B))}
+    a = mc_tran_stats(_RLC_TP_NET, over, node="b")
+    b = mc_tran_stats(_RLC_TP_NET, over, node="b",
+                      device_put=sharder(mesh))
+    assert b.n_valid == B
+    np.testing.assert_allclose(b.mean, a.mean, rtol=1e-12)
+    np.testing.assert_allclose(b.quantiles[95.0], a.quantiles[95.0],
+                               rtol=1e-10)
+    # approx-quantile CDF bisection sharded: pure count-reductions, SPMD
+    c = mc_tran_stats(_RLC_TP_NET, over, node="b",
+                      device_put=sharder(mesh), quantile_method="approx")
+    tol = 5.0 * float(np.max(a.max - a.min)) / B + 1e-12
+    assert np.max(np.abs(np.asarray(c.quantiles[50.0])
+                         - np.asarray(a.quantiles[50.0]))) <= tol
+
+
+def test_time_parallel_trap_worthwhile_doubles_state():
+    """worthwhile() must budget trap's doubled companion state."""
+    from types import SimpleNamespace
+
+    from spicey_tpu.analysis.timeparallel import worthwhile
+
+    t = SimpleNamespace(n_c=2, n_l=2)
+    # sized so BE fits the budget but trap's 4x map area does not
+    budget = 3.0 * 5001 * 64 * (4 * 4 + 4) * 8 * 2.0
+    assert worthwhile(t, 5000, 64, 8, mem_budget_bytes=budget)
+    assert not worthwhile(t, 5000, 64, 8, mem_budget_bytes=budget,
+                          integration="trap")
