@@ -154,7 +154,7 @@ def _mxu_gj_real_kernel(a_ref: object, meta_ref: object, t_s: object,
     init = (used0, jnp.ones((1, _LANE), dtype),
             jnp.full((1, _LANE), -1.0, dtype))
 
-    def panel_step(k0: int):
+    def panel_step(k0: int) -> object:
         def body(j: Array, carry: tuple) -> tuple:
             used, valid, colidx = carry
             jj = jnp.asarray(k0, jnp.int32) + j
@@ -237,7 +237,7 @@ def _mxu_gj_complex_kernel(ar_ref: object, ai_ref: object, meta_ref: object,
     init = (used0, jnp.ones((1, _LANE), dtype),
             jnp.full((1, _LANE), -1.0, dtype))
 
-    def panel_step(k0: int):
+    def panel_step(k0: int) -> object:
         def body(j: Array, carry: tuple) -> tuple:
             used, valid, colidx = carry
             jj = jnp.asarray(k0, jnp.int32) + j
