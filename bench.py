@@ -443,6 +443,42 @@ def main() -> None:
     ring_t = timed(lambda: mc_tran_stats(rckt, ring_over, **rfast))
     ring_vps = NB / ring_t["median"]
 
+    # --- parallel-in-time linear transient (the engine's own
+    # differentiator — analysis/timeparallel.py): long-horizon RLC MC,
+    # S = 100k steps x B = 16 variants, the regime where the sequential
+    # scan under-utilizes the chip. Same workload through the sequential
+    # core (time_parallel="never") is the baseline; the affine-map
+    # associative scan collapses the time axis to O(log S) depth. ---
+    tp_net = (
+        "x long-horizon rlc\n"
+        "V1 in 0 PULSE(0 5 0 1n 1n 50u 100u)\n"
+        "R1 in a 100\n"
+        "L1 a b 1m\n"
+        "C1 b 0 1u\n"
+        "R2 b 0 2k\n"
+        ".tran 1u 100m\n"
+        ".end\n"
+    )
+    tp_ckt = parse_netlist(tp_net)
+    tp_tens = build_tensors(tp_ckt)
+    TB = 16
+    tp_over = {"R1": 100.0 * (1 + 0.2 * rng.random(TB)),
+               "C1": 1e-6 * (1 + 0.2 * rng.random(TB))}
+    tp_kw = dict(node="b", tensors=tp_tens)
+    tp_stats = mc_tran_stats(tp_ckt, tp_over, **tp_kw)  # warm (auto=tp)
+    mc_tran_stats(tp_ckt, tp_over, time_parallel="never", **tp_kw)  # warm
+    assert tp_stats.n_valid == TB
+    tp_pair = timed_interleaved({
+        "tp": lambda: mc_tran_stats(tp_ckt, tp_over, **tp_kw),
+        "seq": lambda: mc_tran_stats(tp_ckt, tp_over,
+                                     time_parallel="never", **tp_kw),
+    }, reps=5)
+    tp_t, tp_seq_t = tp_pair["tp"], tp_pair["seq"]
+    # exactness: same recurrence, reassociated — must agree tightly
+    tp_seq_stats = mc_tran_stats(tp_ckt, tp_over, time_parallel="never",
+                                 **tp_kw)
+    np.testing.assert_allclose(tp_stats.mean, tp_seq_stats.mean, rtol=1e-7)
+
     # --- solver-bound workload: Nvar=64 RC-ladder MC (the Nvar=3 README
     # circuit mostly measures assembly/dispatch; at N=64 the N^3 solve
     # dominates and the batch-major Pallas layout claims are actually
@@ -564,6 +600,11 @@ def main() -> None:
         "nonlinear_tran_vs_baseline": round(ring_vps / ring_baseline_vps, 1),
         "nonlinear_tran_spread_pct": ring_t["spread_pct"],
         **{f"nonlinear_tran_{k}": v for k, v in noisy(ring_t).items()},
+        "time_parallel_100k_steps_s": round(tp_t["median"], 3),
+        "time_parallel_speedup_vs_sequential_scan": round(
+            tp_seq_t["median"] / tp_t["median"], 2),
+        "time_parallel_spread_pct": tp_t["spread_pct"],
+        **{f"time_parallel_{k}": v for k, v in noisy(tp_t).items()},
         "n64_ladder_f32_variants_per_sec": round(n64["f32_pallas"], 1),
         "n64_ladder_f64_variants_per_sec": round(n64["f64_gj"], 1),
         "n64_ladder_f64_refined_variants_per_sec": round(

@@ -327,8 +327,14 @@ def simulate_tran_batch(
     device_put=None,
     interpret: bool = False,
     dialect: str = "spicey",
+    time_parallel: str = "auto",
 ) -> BatchTranResult:
-    """One compiled batched transient run over all parameter variants."""
+    """One compiled batched transient run over all parameter variants.
+
+    ``time_parallel``: "auto" (default) evaluates LINEAR circuits in the
+    long-horizon/modest-batch regime with the parallel-in-time affine-map
+    core (analysis/timeparallel.py) — full trajectories, O(log S) depth;
+    "never" forces the sequential scan."""
     ckt = _resolve(circuit, dialect=dialect)
     if ckt.tran is None:
         raise ValueError("netlist has no .tran analysis")
@@ -396,6 +402,40 @@ def simulate_tran_batch(
             arrays[key] = device_put(arrays[key], ("batch", None))
         if vs_batched is not None:
             arrays["vs"] = device_put(arrays["vs"], (None, "batch", None))
+
+    from .timeparallel import eligible as _tp_eligible
+    from .timeparallel import worthwhile as _tp_worthwhile
+    if time_parallel not in ("auto", "never"):
+        raise ValueError("time_parallel must be 'auto' or 'never'")
+    if (time_parallel == "auto" and _tp_eligible(tensors, ckt, nr, "be")
+            and _tp_worthwhile(tensors, steps, B, 8)):
+        # linear circuit in the parallel-in-time regime: full trajectories
+        # from the affine-map associative scan (mc._tp_solutions), SPMD
+        # over the variants axis when sharded
+        from .mc import _tran_tp_full_core
+
+        xs_tp, valid = _tran_tp_full_core(
+            arrays["vs"], jnp.asarray(dt, jnp.float64),
+            jnp.asarray(tensors.r_idx), arrays["r_vals"],
+            jnp.asarray(tensors.c_idx), arrays["c_vals"],
+            jnp.asarray(tensors.l_idx), arrays["l_vals"],
+            jnp.asarray(tensors.v_idx),
+            {k: (v if k.endswith("idx") else jnp.asarray(v))
+             for k, v in ext.items()},
+            nvar=tensors.nvar, method=method, interpret=interpret,
+            lk=_batched_lk(tensors, overrides, B),
+        )
+        xs = np.moveaxis(np.asarray(xs_tp), 0, 1)     # (B, S+1, N)
+        sw_states = np.zeros((B, steps + 1, 0), bool)
+        tstart = getattr(ckt.tran, "tstart", 0.0)
+        if tstart > 0.0:
+            keep = times >= tstart - 1e-15
+            times, xs = times[keep], xs[:, keep]
+            sw_states = sw_states[:, keep]
+        return BatchTranResult(
+            times=times, node_names=tensors.node_names,
+            xs=xs, sw_states=sw_states, valid=np.asarray(valid),
+        )
 
     xs, sw_states, valid, _state = _tran_core(
         arrays["vs"], jnp.asarray(dt, jnp.float64),

@@ -854,23 +854,25 @@ def mc_tran_sampled(
     return res
 
 
-@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
-                                   "q_method", "interpret", "integration"))
-def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
-                     l_vals, v_idx, ext, nvar: int, node_idx: int,
-                     method: str, qs: tuple, q_method: str = "exact",
-                     interpret: bool = False, lk=None,
-                     integration: str = "be"):
-    """Parallel-in-time linear transient MC (see analysis/timeparallel.py):
+def _tp_solutions(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
+                  l_vals, v_idx, ext, nvar: int, node_idx: int | None,
+                  method: str, interpret: bool = False, lk=None,
+                  integration: str = "be"):
+    """Parallel-in-time linear transient (see analysis/timeparallel.py):
     ONE affine-map assembly per variant + an associative scan over the
     time axis — O(log S) depth instead of S sequential solve dispatches.
 
     vs_grid: (S+1, m) shared or (S+1, B, m) per-variant source grid;
     value arrays (B, nE). ``lk``: mutual-coupling pytree (K lines; the
-    matrix companion Gamma = c * M^{-1} rides the affine maps).
-    ``integration``: "be" or "trap" (trap carries the doubled companion
-    state and the engine's BE bootstrap step — timeparallel.py docstring).
-    Returns packed stats like the sequential core.
+    matrix companion Gamma = c * M^{-1} rides the affine maps —
+    per-variant k_vals broadcast through). ``integration``: "be" or "trap"
+    (trap carries the doubled companion state and the engine's BE
+    bootstrap step — timeparallel.py docstring).
+
+    Returns (xs, valid): xs is (S+1, B) for the single probed row
+    ``node_idx``, or the full (S+1, B, N) when ``node_idx`` is None.
+    Shared by the MC stats cores and simulate_tran_batch's linear
+    fast path.
     """
     from ..constants import EPS
     from ..ops.linsolve import gj_solve
@@ -944,6 +946,38 @@ def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                                    record_row=node_idx)   # (S+1, B)
     if minv_ok is not None:
         valid = jnp.logical_and(valid, minv_ok)
+    return xs, valid
+
+
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
+                                   "q_method", "interpret", "integration"))
+def _mc_tran_tp_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
+                     l_vals, v_idx, ext, nvar: int, node_idx: int,
+                     method: str, qs: tuple, q_method: str = "exact",
+                     interpret: bool = False, lk=None,
+                     integration: str = "be"):
+    """Stats wrapper over :func:`_tp_solutions` — fused on-device
+    reduction of the probed node's trajectory (packed like the
+    sequential core's output)."""
+    xs, valid = _tp_solutions(
+        vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+        ext, nvar, node_idx, method, interpret=interpret, lk=lk,
+        integration=integration)
     v_node = jnp.moveaxis(xs, 0, 1)                   # (B, S+1)
     stats = _stats_of(v_node, valid, qs, q_method=q_method)
     return _pack_stats(stats, jnp.sum(valid))
+
+
+@partial(jax.jit, static_argnames=("nvar", "method", "interpret",
+                                   "integration"))
+def _tran_tp_full_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
+                       l_vals, v_idx, ext, nvar: int, method: str,
+                       interpret: bool = False, lk=None,
+                       integration: str = "be"):
+    """Full-trajectory wrapper over :func:`_tp_solutions` for
+    simulate_tran_batch's linear fast path: returns
+    (xs: (S+1, B, N), valid: (B,))."""
+    return _tp_solutions(
+        vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+        ext, nvar, None, method, interpret=interpret, lk=lk,
+        integration=integration)

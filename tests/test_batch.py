@@ -171,3 +171,46 @@ def test_ac_batch_pallas_interpret_close_to_gj():
     pal = simulate_ac_batch(netlists.BASICS01_AC, overrides,
                             method="pallas", interpret=True)
     np.testing.assert_allclose(pal.x, ref.x, rtol=1e-9)
+
+
+def test_tran_batch_time_parallel_full_trajectories():
+    """simulate_tran_batch routes linear circuits in the parallel-in-time
+    regime through the affine-map core (full trajectories, not just
+    stats); results match the sequential scan bit-closely, including
+    per-variant K-coupling overrides (the matrix companion rides the
+    affine maps)."""
+    from spicey_tpu.analysis.batch import simulate_tran_batch
+
+    net = ("x rlc batch tp\nV1 in 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+           "R1 in a 100\nL1 a b 1m\nC1 b 0 1u\nR2 b 0 2k\n"
+           ".tran 0.2u 30u\n.end\n")
+    B = 12
+    rng = np.random.default_rng(0)
+    over = {"R1": 100.0 * (1 + 0.2 * rng.random(B))}
+
+    import spicey_tpu.analysis.mc as mc
+    called = []
+    orig = mc._tran_tp_full_core
+
+    def spy(*a, **k):
+        called.append(1)
+        return orig(*a, **k)
+
+    mc._tran_tp_full_core = spy
+    try:
+        tp = simulate_tran_batch(net, over)
+    finally:
+        mc._tran_tp_full_core = orig
+    assert called, "linear long-horizon batch did not take the tp path"
+    seq = simulate_tran_batch(net, over, time_parallel="never")
+    assert tp.valid.all() and seq.valid.all()
+    np.testing.assert_allclose(tp.xs, seq.xs, rtol=1e-9, atol=1e-12)
+
+    xnet = ("x xfmr batch\nV1 in 0 PULSE(0 5 0 1n 1n 20u 40u)\n"
+            "R1 in p 10\nL1 p 0 1m\nL2 s 0 4m\nK1 L1 L2 0.9\n"
+            "RLOAD s 0 100\nC2 s 0 10n\n.tran 0.2u 60u\n.end\n")
+    kover = {"K1": np.array([0.5, 0.7, 0.9, 0.95])}
+    tpx = simulate_tran_batch(xnet, kover, dialect="extended")
+    sqx = simulate_tran_batch(xnet, kover, dialect="extended",
+                              time_parallel="never")
+    np.testing.assert_allclose(tpx.xs, sqx.xs, rtol=1e-9, atol=1e-12)
