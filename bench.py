@@ -241,17 +241,13 @@ def main() -> None:
     from spicey_tpu.analysis.mc import mc_ac_stats
     from spicey_tpu.ir.circuit import build_tensors
 
-    # --- device-session init: the FIRST blocking round trip in a process
-    # pays a device-claim handshake set entirely by the backend/tunnel
-    # (measured 4-600 s on a shared axon relay; diagnosis in BASELINE.md).
-    # It is paid here, once, on a 1-element transfer, so the analysis
-    # latencies below measure the engine rather than the relay queue.
-    device_init_s = spicey_tpu.warmup()
-
     # --- single-circuit latency: what an interactive reference user feels.
     # Cold = first-call wall time (parse + trace + XLA compile + dispatch);
-    # warm = steady-state repeat call. Measured FIRST so no engine program
-    # or shape is cached (only the 1-element warmup transfer precedes it).
+    # warm = steady-state repeat call. Measured FIRST, BEFORE the device
+    # claim: tiny analyses run on the host CPU backend (utils/placement.py)
+    # and an interactive user never touches the TPU at all — and an active
+    # axon device claim itself taxes host dispatch ~2-3 ms/call (measured),
+    # which would misstate the interactive number.
     basics01 = (
         "Demo of a simple AC circuit\n"
         "v1 1 0 dc 0 ac 1\n"
@@ -278,6 +274,13 @@ def main() -> None:
     simulate(transient01)
     tran_cold_s = time.perf_counter() - t0
     tran_warm_s = best_of(lambda: simulate(transient01))
+
+    # --- device-session init: the FIRST blocking round trip in a process
+    # pays a device-claim handshake set entirely by the backend/tunnel
+    # (measured 4-600 s on a shared axon relay; diagnosis in BASELINE.md).
+    # It is paid here, once, on a 1-element transfer, so the batched
+    # analyses below measure the engine rather than the relay queue.
+    device_init_s = spicey_tpu.warmup()
 
     net = (
         "AC bench\n"

@@ -223,25 +223,40 @@ def linear_tran_maps_trap(Ainv_start: Array, Ainv_main: Array, c_idx,
     return T, R, X, Y, R_start, Y_start
 
 
-def affine_prefix_states(T: Array, Ru: Array):
-    """All companion states s_t for t = 0..S from s_0 = 0.
+def affine_prefix_states(T: Array, Ru_tl: Array):
+    """All companion states s_t for t = 0..S from s_0 = 0, TIME-LAST.
 
-    T: (..., k, k) constant per variant; Ru: (S+1, ..., k) per-step affine
-    offsets R @ u_t. Returns s: (S+1, ..., k) where s_0 = 0 and
-    s_{t+1} = T s_t + Ru_t — every prefix composed by associative_scan in
-    O(log S) depth."""
-    S1 = Ru.shape[0]
-    Ts = jnp.broadcast_to(T[None], (S1,) + T.shape)
+    T: (..., k, k) constant per variant; Ru_tl: (..., k, S+1) per-step
+    affine offsets R @ u_t with the time axis LAST. Returns
+    s: (..., k, S+1) where s_0 = 0 and s_{t+1} = T s_t + Ru_t — every
+    prefix composed by associative_scan in O(log S) depth.
+
+    LAYOUT (the whole ballgame on TPU): the scan runs over elements
+    (..., k, k, S+1) / (..., k, S+1). TPU tiles the trailing two dims to
+    (8, 128); the naive time-major (S+1, ..., k, k) layout puts the tiny
+    (k, k) matrix dims in the tile, padding k=2 to (2, 128) — a 64x
+    memory/bandwidth blowup that made the scan HBM-bound on padding and
+    OOM'd at S=300k (observed: a 19.6 GB allocation for 0.3 GB of
+    payload). Time-last keeps the 128-lane dim on the huge S axis (exact)
+    and pads only k -> 8 sublanes."""
+    S1 = Ru_tl.shape[-1]
+    Ts = jnp.broadcast_to(T[..., None], T.shape + (S1,))
+    # offsets carry a dummy column axis so both scan leaves share rank
+    # (associative_scan applies ONE axis index to every leaf)
+    rus = Ru_tl[..., :, None, :]               # (..., k, 1, S+1)
 
     def combine(a, b):
-        Ma, ca = a
+        Ma, ca = a                         # (..., k, k, s) / (..., k, 1, s)
         Mb, cb = b
-        return Mb @ Ma, (Mb @ ca[..., None])[..., 0] + cb
+        M = jnp.einsum("...ijs,...jks->...iks", Mb, Ma)
+        c = jnp.einsum("...ijs,...jus->...ius", Mb, ca) + cb
+        return M, c
 
-    Mc, cc = jax.lax.associative_scan(combine, (Ts, Ru), axis=0)
-    # cc[t] = s_{t+1} (cumulative affine applied to s_0 = 0)
-    zeros = jnp.zeros_like(Ru[:1])
-    return jnp.concatenate([zeros, cc[:-1]], axis=0)      # s_t for t=0..S
+    Mc, cc = jax.lax.associative_scan(combine, (Ts, rus), axis=-1)
+    cc = cc[..., :, 0, :]                      # (..., k, S+1)
+    # cc[..., t] = s_{t+1} (cumulative affine applied to s_0 = 0)
+    return jnp.concatenate(
+        [jnp.zeros_like(cc[..., :1]), cc[..., :-1]], axis=-1)
 
 
 def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None,
@@ -252,27 +267,32 @@ def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None,
 
     ``R_start``/``Y_start`` (trap mode): step 0 is the engine's BE
     bootstrap solve — its offset into s_1 uses R_start and its recorded
-    output uses Y_start (s_0 = 0, so no X_start term exists)."""
-    Ru = (R[None] @ u_grid[..., None])[..., 0]            # (S+1, ..., k)
+    output uses Y_start (s_0 = 0, so no X_start term exists).
+
+    All intermediates are TIME-LAST (see affine_prefix_states); only the
+    returned array is time-major, one output-side transpose."""
+    u_tl = jnp.moveaxis(u_grid, 0, -1)                    # (..., m, S+1)
+    Ru = jnp.einsum("...km,...ms->...ks", R, u_tl)        # (..., k, S+1)
     if R_start is not None:
-        Ru0 = (R_start @ u_grid[0, ..., None])[..., 0]
-        Ru = jnp.concatenate([Ru0[None], Ru[1:]], axis=0)
-    s = affine_prefix_states(T, Ru)                       # (S+1, ..., k)
+        Ru0 = jnp.einsum("...km,...m->...k", R_start, u_grid[0])
+        Ru = jnp.concatenate([Ru0[..., None], Ru[..., 1:]], axis=-1)
+    s = affine_prefix_states(T, Ru)                       # (..., k, S+1)
     if record_row is not None:
         Xr = X[..., record_row, :]                        # (..., k)
         Yr = Y[..., record_row, :]
-        x = (jnp.sum(Xr[None] * s, axis=-1)
-             + jnp.sum(Yr[None] * u_grid, axis=-1))
+        x = (jnp.einsum("...k,...ks->...s", Xr, s)
+             + jnp.einsum("...m,...ms->...s", Yr, u_tl))  # (..., S+1)
         if Y_start is not None:
-            x0 = jnp.sum(Y_start[..., record_row, :] * u_grid[0], axis=-1)
-            x = jnp.concatenate([x0[None], x[1:]], axis=0)
-        return x
-    x = (X[None] @ s[..., None])[..., 0]
-    x = x + (Y[None] @ u_grid[..., None])[..., 0]
+            x0 = jnp.einsum("...m,...m->...",
+                            Y_start[..., record_row, :], u_grid[0])
+            x = jnp.concatenate([x0[..., None], x[..., 1:]], axis=-1)
+        return jnp.moveaxis(x, -1, 0)                     # (S+1, ...)
+    x = (jnp.einsum("...nk,...ks->...ns", X, s)
+         + jnp.einsum("...nm,...ms->...ns", Y, u_tl))     # (..., N, S+1)
     if Y_start is not None:
-        x0 = (Y_start @ u_grid[0, ..., None])[..., 0]
-        x = jnp.concatenate([x0[None], x[1:]], axis=0)
-    return x
+        x0 = jnp.einsum("...nm,...m->...n", Y_start, u_grid[0])
+        x = jnp.concatenate([x0[..., None], x[..., 1:]], axis=-1)
+    return jnp.moveaxis(x, -1, 0)                         # (S+1, ..., N)
 
 
 def eligible(tensors, ckt, nr: str, integration: str) -> bool:
@@ -346,5 +366,9 @@ def worthwhile(tensors, steps: int, B: int, itemsize: int,
     k = tensors.n_c + tensors.n_l
     if integration == "trap":
         k *= 2  # s = [v_C | i_C | i_L | v_L] (linear_tran_maps_trap)
-    mem = 3.0 * (steps + 1) * B * (k * k + k) * itemsize
+    # the scan's (..., k, k, S+1) elements tile the SECOND-TO-LAST dim to
+    # 8 sublanes (time-last layout, affine_prefix_states) — account for
+    # the padding or long-horizon runs OOM where the model said "fits"
+    k_pad = -(-k // 8) * 8
+    mem = 3.0 * (steps + 1) * B * (k + 1.0) * k_pad * itemsize
     return (steps + 1) * crossover > B and mem < mem_budget_bytes

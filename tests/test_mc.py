@@ -625,8 +625,9 @@ def test_time_parallel_trap_worthwhile_doubles_state():
     from spicey_tpu.analysis.timeparallel import worthwhile
 
     t = SimpleNamespace(n_c=2, n_l=2)
-    # sized so BE fits the budget but trap's 4x map area does not
-    budget = 3.0 * 5001 * 64 * (4 * 4 + 4) * 8 * 2.0
+    # sized between BE's padded map area (k=4 -> k_pad=8: ~307 MB) and
+    # trap's doubled-state one (k=8: ~553 MB)
+    budget = 4.0e8
     assert worthwhile(t, 5000, 64, 8, mem_budget_bytes=budget)
     assert not worthwhile(t, 5000, 64, 8, mem_budget_bytes=budget,
                           integration="trap")
