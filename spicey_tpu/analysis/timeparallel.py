@@ -248,8 +248,18 @@ def affine_prefix_states(T: Array, Ru_tl: Array):
     def combine(a, b):
         Ma, ca = a                         # (..., k, k, s) / (..., k, 1, s)
         Mb, cb = b
-        M = jnp.einsum("...ijs,...jks->...iks", Mb, Ma)
-        c = jnp.einsum("...ijs,...jus->...ius", Mb, ca) + cb
+        # k x k composition as broadcast-multiply-reduce, NOT einsum:
+        # einsum lowers to dot_general with s as a batch dim, and XLA
+        # canonicalizes batch dims LEADING — materializing transposed
+        # (..., s, k, k) operands whose trailing k=2..8 dims tile to
+        # (8, 128), the exact 64x padding blowup time-last exists to
+        # avoid (observed: a 26 GB broadcast at B=64, S=100k). The
+        # explicit form keeps s on the lanes through every op and the
+        # multiply fuses into the reduction.
+        M = jnp.sum(Mb[..., :, :, None, :] * Ma[..., None, :, :, :],
+                    axis=-3)
+        c = jnp.sum(Mb[..., :, :, None, :] * ca[..., None, :, :, :],
+                    axis=-3) + cb
         return M, c
 
     Mc, cc = jax.lax.associative_scan(combine, (Ts, rus), axis=-1)
@@ -270,9 +280,14 @@ def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None,
     output uses Y_start (s_0 = 0, so no X_start term exists).
 
     All intermediates are TIME-LAST (see affine_prefix_states); only the
-    returned array is time-major, one output-side transpose."""
+    returned array is time-major, one output-side transpose. Every
+    s-carrying contraction is written as broadcast-multiply-reduce, not
+    einsum/matmul — dot_general would put the batch s dim leading and
+    materialize (s, tiny, tiny)-trailing transposes that pad 64x under
+    TPU tiling (see affine_prefix_states.combine)."""
     u_tl = jnp.moveaxis(u_grid, 0, -1)                    # (..., m, S+1)
-    Ru = jnp.einsum("...km,...ms->...ks", R, u_tl)        # (..., k, S+1)
+    Ru = jnp.sum(R[..., :, :, None] * u_tl[..., None, :, :],
+                 axis=-2)                                 # (..., k, S+1)
     if R_start is not None:
         Ru0 = jnp.einsum("...km,...m->...k", R_start, u_grid[0])
         Ru = jnp.concatenate([Ru0[..., None], Ru[..., 1:]], axis=-1)
@@ -280,15 +295,16 @@ def linear_tran_solutions(T, R, X, Y, u_grid, record_row=None,
     if record_row is not None:
         Xr = X[..., record_row, :]                        # (..., k)
         Yr = Y[..., record_row, :]
-        x = (jnp.einsum("...k,...ks->...s", Xr, s)
-             + jnp.einsum("...m,...ms->...s", Yr, u_tl))  # (..., S+1)
+        x = (jnp.sum(Xr[..., :, None] * s, axis=-2)
+             + jnp.sum(Yr[..., :, None] * u_tl, axis=-2))  # (..., S+1)
         if Y_start is not None:
             x0 = jnp.einsum("...m,...m->...",
                             Y_start[..., record_row, :], u_grid[0])
             x = jnp.concatenate([x0[..., None], x[..., 1:]], axis=-1)
         return jnp.moveaxis(x, -1, 0)                     # (S+1, ...)
-    x = (jnp.einsum("...nk,...ks->...ns", X, s)
-         + jnp.einsum("...nm,...ms->...ns", Y, u_tl))     # (..., N, S+1)
+    x = (jnp.sum(X[..., :, :, None] * s[..., None, :, :], axis=-2)
+         + jnp.sum(Y[..., :, :, None] * u_tl[..., None, :, :],
+                   axis=-2))                              # (..., N, S+1)
     if Y_start is not None:
         x0 = jnp.einsum("...nm,...m->...n", Y_start, u_grid[0])
         x = jnp.concatenate([x0[..., None], x[..., 1:]], axis=-1)

@@ -84,6 +84,13 @@ def test_fuzz_tran_batch_matches_singles(seed):
     B = 3
     r_name = ckt.R[0].name
     vals = ckt.R[0].R * (1 + 0.5 * rng.random(B))
+    # the sequential core is the SAME program as the single-run engine
+    # vmapped — bit-exact. The default path may route LINEAR circuits
+    # through the parallel-in-time core (analysis/timeparallel.py), whose
+    # O(log S) composition is the same algebra under float reassociation
+    # only — tight-tolerance, not bit-equal.
+    batch_seq = simulate_tran_batch(ckt, {r_name: vals},
+                                    time_parallel="never")
     batch = simulate_tran_batch(ckt, {r_name: vals})
     for k in range(B):
         ck = parse_netlist(net)
@@ -91,7 +98,11 @@ def test_fuzz_tran_batch_matches_singles(seed):
         single = simulate_tran(ck)
         for i, node in enumerate(single.node_voltages):
             np.testing.assert_array_equal(
-                batch.xs[k, :, i], single.node_voltages[node]
+                batch_seq.xs[k, :, i], single.node_voltages[node]
+            )
+            np.testing.assert_allclose(
+                batch.xs[k, :, i], single.node_voltages[node],
+                rtol=1e-9, atol=1e-11,
             )
 
 
