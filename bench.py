@@ -26,6 +26,8 @@ same hardware.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -266,13 +268,50 @@ def main() -> None:
         ".tran 0.1u 20u\n"
         ".end\n"
     )
-    t0 = time.perf_counter()
-    simulate(basics01)
-    ac_cold_s = time.perf_counter() - t0
+    # Cold runs in FRESH subprocesses, min-of-3. The DEFAULT path for
+    # these reference-dialect circuits is the NumPy interp tier
+    # (analysis/interp.py): no XLA compile, no jax backend init, so cold
+    # is import + parse + interpret and the min is stable. The engine
+    # figure (SPICEY_TPU_INTERP=0) additionally pays the jitted tiny
+    # path's costs: XLA compile at backend-opt 0 plus the sporadic axon
+    # PJRT-client-creation stall (0.1-70 s relay lottery on the first
+    # jax backend touch, diagnosed round 4 with faulthandler — relay
+    # state, not engine cost; min-of-3 discards it).
+    import subprocess
+
+    def cold_subprocess(net: str, env_extra: dict, reps: int = 3) -> float:
+        snippet = (
+            "import sys, time\n"
+            f"sys.path.insert(0, {os.getcwd()!r})\n"
+            "import spicey_tpu\n"
+            "from spicey_tpu import simulate\n"
+            "t0 = time.perf_counter()\n"
+            f"simulate({net!r})\n"
+            "print('COLD_S', time.perf_counter() - t0)\n"
+        )
+        ts = []
+        env = dict(os.environ, **env_extra)
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, "-c", snippet], env=env,
+                capture_output=True, text=True, timeout=600)
+            for line in out.stdout.splitlines():
+                if line.startswith("COLD_S "):
+                    ts.append(float(line.split()[1]))
+        if not ts:
+            raise RuntimeError(f"cold subprocess produced no timing: "
+                               f"{out.stderr[-2000:]}")
+        return min(ts)
+
+    _no_cache = {"SPICEY_TPU_COMPILE_CACHE": "0"}
+    ac_cold_s = cold_subprocess(basics01, _no_cache)
+    tran_cold_s = cold_subprocess(transient01, _no_cache)
+    _engine = dict(_no_cache, SPICEY_TPU_INTERP="0")
+    ac_cold_engine_s = cold_subprocess(basics01, _engine)
+    tran_cold_engine_s = cold_subprocess(transient01, _engine)
+    simulate(basics01)  # first in-process call before the warm timing
     ac_warm_s = best_of(lambda: simulate(basics01))
-    t0 = time.perf_counter()
     simulate(transient01)
-    tran_cold_s = time.perf_counter() - t0
     tran_warm_s = best_of(lambda: simulate(transient01))
 
     # --- device-session init: the FIRST blocking round trip in a process
@@ -618,8 +657,10 @@ def main() -> None:
         "single_circuit_latency": {
             "device_session_init_s": round(device_init_s, 3),
             "ac_cold_s": round(ac_cold_s, 3),
+            "ac_cold_engine_s": round(ac_cold_engine_s, 3),
             "ac_warm_ms": round(ac_warm_s * 1e3, 2),
             "tran_cold_s": round(tran_cold_s, 3),
+            "tran_cold_engine_s": round(tran_cold_engine_s, 3),
             "tran_warm_ms": round(tran_warm_s * 1e3, 2),
         },
     }))

@@ -28,7 +28,7 @@ import jax as _jax
 # reference's package.json:3 "version" field). pyproject.toml must carry the
 # same string — tests/test_version.py pins the two together, and the release
 # workflow's wheel smoke test prints this attribute.
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 _jax.config.update("jax_enable_x64", True)
 
@@ -39,18 +39,27 @@ _jax.config.update("jax_enable_x64", True)
 # (observed in this repo's round-3 CI hardening: a segfault inside
 # jax compilation_cache.get_executable_and_time during a suite run; the
 # cpu_aot_loader logs the feature mismatch as "could lead to execution
-# errors such as SIGILL" right before). Homogeneous single-process
+# errors such as SIGILL" right before). A round-4 attempt to re-enable it
+# behind a host-feature-keyed directory (hash of /proc/cpuinfo flags +
+# jax/jaxlib versions) REPRODUCED the mismatch on a single machine: the
+# loader complained about `+prefer-no-scatter`/`+prefer-no-gather` —
+# XLA-internal tuning features that never appear in /proc/cpuinfo, so no
+# host-side key can discriminate them. Homogeneous single-process
 # environments (CI runners, dedicated TPU hosts) can and should opt in —
-# the repo's own CI does. Cold-start latency does NOT need this cache:
-# the engine's programs compile in single-digit seconds (see BASELINE.md
-# round-3 diagnosis — the historical "AC cold cliff" was a device-claim
-# handshake, not compile time, and warmup() pays that explicitly).
+# the repo's own CI does. Interactive cold-start latency does NOT need
+# this cache: reference-dialect single-circuit calls run on the NumPy
+# interp tier with no compile step at all (analysis/interp.py), and the
+# remaining compiled programs build in single-digit seconds.
 _cache_dir = _os.environ.get("SPICEY_TPU_COMPILE_CACHE")
 if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # low floor on purpose: the tiny-path programs compile in ~0.9 s
+        # (placement.py opt level 0) — a 1.0 s floor would exclude
+        # exactly the programs whose compile latency a user feels
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.1)
     except OSError:
         pass  # read-only home: run without a persistent cache
 

@@ -288,6 +288,16 @@ def _ac_sweep_packed(*args, **kwargs):
         [x_re, x_im, valid[:, None].astype(x_re.dtype)], axis=1)
 
 
+# compile-latency-first clone for the tiny host-CPU path (see
+# utils/placement.TINY_COMPILER_OPTIONS): identical program, ~4x faster
+# XLA:CPU compile — the dominant cost of an interactive cold call
+from ..utils.placement import TINY_COMPILER_OPTIONS as _TINY_OPTS
+
+_ac_sweep_packed_tiny = partial(
+    jax.jit, static_argnames=("nvar", "method", "interpret"),
+    compiler_options=_TINY_OPTS)(_ac_sweep_packed.__wrapped__)
+
+
 def _element_currents(tensors: CircuitTensors, freqs, x) -> dict[str, np.ndarray]:
     """Per-element current phasors, vectorized over the grid
     (simulateAC.ts:94-126). Host-side complex128 NumPy."""
@@ -585,56 +595,71 @@ def simulate_ac(
     freqs = build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2)
 
     v_idx_ac, v_re, v_im = ac_vsource_arrays(ckt, tensors)
-    iph = tensors.i_ac_phase_deg * math.pi / 180.0
-    i_re = tensors.i_ac_mag * np.cos(iph)
-    i_im = tensors.i_ac_mag * np.sin(iph)
-
-    ext = ext_arrays(tensors)
-    c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
-    if linearize == "op":
-        from .op import simulate_op
-
-        op = simulate_op(ckt, tensors=tensors, method=method)
-        ss_idx, ss_g = small_signal_rows(tensors, op)
-        if ckt.B:
-            bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
-            ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
-            ss_g = np.concatenate([ss_g, bs_g], axis=0)
-        ext["g_idx"] = jnp.concatenate(
-            [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
-        ext["g_gm"] = jnp.concatenate(
-            [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
-        # diode junction capacitances at the op point join the C stamps
-        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
-        if cj_idx.shape[0]:
-            c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
-            c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
 
     # one packed device->host transfer (round-trips cost ~30 ms each on
     # remote-tunnel TPU setups), produced by ONE compiled program — no
     # eager ops sit between the sweep and the host boundary. Tiny sweeps
-    # (the reference's interactive use case) run on the HOST CPU backend:
-    # F * Nvar^3 ops of work cannot amortize even one accelerator round
-    # trip (utils/placement.py)
-    from ..utils.placement import exec_device
+    # (the reference's interactive use case) skip jax entirely and run
+    # on the host NumPy interp tier when reference-dialect (no compile,
+    # no accelerator handshake — analysis/interp.py; the branch runs
+    # BEFORE ext_arrays, whose jnp conversions would initialize every
+    # jax backend), else on the HOST CPU backend: F * Nvar^3 ops of
+    # work cannot amortize even one accelerator round trip
+    # (utils/placement.py)
+    from ..utils.placement import exec_device, is_tiny, is_tiny_work
+    from .interp import interp_ac, interp_eligible, interp_enabled
 
-    with exec_device(8.0 * len(freqs) * tensors.nvar ** 3):
-        packed = np.asarray(_ac_sweep_packed(
-            jnp.asarray(freqs),
-            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-            jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-            jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
-            nvar=tensors.nvar, method=method, interpret=interpret,
-            ext=ext,
-            i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
-            lk=lk_arrays(tensors),
-            tl=tl_arrays(tensors),
-        ))
-    nv = tensors.nvar
-    if not bool(np.all(packed[:, -1] > 0.5)):
-        raise ValueError("Singular matrix in AC solve")
-    x = packed[:, :nv] + 1j * packed[:, nv:2 * nv]  # (F, nvar) complex128
+    _work = 8.0 * len(freqs) * tensors.nvar ** 3
+    if (linearize is None and is_tiny_work(_work) and interp_enabled()
+            and interp_eligible(ckt)):
+        x, _ok = interp_ac(tensors, freqs, v_re, v_im)
+        if not _ok:
+            raise ValueError("Singular matrix in AC solve")
+    else:
+        iph = tensors.i_ac_phase_deg * math.pi / 180.0
+        i_re = tensors.i_ac_mag * np.cos(iph)
+        i_im = tensors.i_ac_mag * np.sin(iph)
+
+        ext = ext_arrays(tensors)
+        c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
+        if linearize == "op":
+            from .op import simulate_op
+
+            op = simulate_op(ckt, tensors=tensors, method=method)
+            ss_idx, ss_g = small_signal_rows(tensors, op)
+            if ckt.B:
+                bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+                ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+                ss_g = np.concatenate([ss_g, bs_g], axis=0)
+            ext["g_idx"] = jnp.concatenate(
+                [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
+            ext["g_gm"] = jnp.concatenate(
+                [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
+            # diode junction capacitances at the op point join the C stamps
+            cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+            if cj_idx.shape[0]:
+                c_idx_eff = np.concatenate(
+                    [tensors.c_idx, cj_idx], axis=0)
+                c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
+
+        _core = _ac_sweep_packed_tiny if is_tiny(_work) else _ac_sweep_packed
+        with exec_device(_work):
+            packed = np.asarray(_core(
+                jnp.asarray(freqs),
+                jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+                jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+                jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+                jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
+                nvar=tensors.nvar, method=method, interpret=interpret,
+                ext=ext,
+                i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
+                lk=lk_arrays(tensors),
+                tl=tl_arrays(tensors),
+            ))
+        nv = tensors.nvar
+        if not bool(np.all(packed[:, -1] > 0.5)):
+            raise ValueError("Singular matrix in AC solve")
+        x = packed[:, :nv] + 1j * packed[:, nv:2 * nv]  # (F, nvar) c128
 
     node_voltages = {
         name: x[:, i] for i, name in enumerate(tensors.node_names)

@@ -851,6 +851,20 @@ def _pack_tran_result(xs, sw_states, valid):
          jnp.full((xs.shape[0], 1), valid, xs.dtype)], axis=1)
 
 
+# compile-latency-first clones for the tiny host-CPU path (see
+# utils/placement.TINY_COMPILER_OPTIONS): identical programs, much
+# faster XLA:CPU compile — the dominant cost of an interactive cold call
+from ..utils.placement import TINY_COMPILER_OPTIONS as _TINY_OPTS
+
+_tran_core_tiny = partial(
+    jax.jit, static_argnames=("nvar", "method", "integration", "nr",
+                              "nr_tol", "max_nr", "batch", "interpret",
+                              "record", "resume", "bsrc", "hist_len"),
+    compiler_options=_TINY_OPTS)(_tran_core.__wrapped__)
+_pack_tran_result_tiny = jax.jit(
+    _pack_tran_result.__wrapped__, compiler_options=_TINY_OPTS)
+
+
 def _tline_hist_len(tensors: CircuitTensors, dt: float) -> int:
     """Circular-buffer length covering the longest line delay (+2 slots
     for the interpolation pair and the in-flight write). Static per run."""
@@ -1148,13 +1162,34 @@ def simulate_tran(
                              np.int32(0))
         init_state = tuple(jnp.asarray(a) for a in parts)
 
-    # tiny transients (the reference's interactive use case) run on the
-    # HOST CPU backend: S * NR * Nvar^3 ops cannot amortize an
-    # accelerator round trip (utils/placement.py)
-    from ..utils.placement import exec_device
+    # tiny transients (the reference's interactive use case) skip jax
+    # entirely on the host NumPy interp tier when the run is the exact
+    # reference contract (analysis/interp.py), else run on the HOST CPU
+    # backend: S * NR * Nvar^3 ops cannot amortize an accelerator round
+    # trip (utils/placement.py)
+    from ..utils.placement import exec_device, is_tiny, is_tiny_work
+    from .interp import interp_eligible, interp_enabled, interp_tran
 
-    with exec_device(24.0 * (steps + 1) * tensors.nvar ** 3):
-        xs, sw_states, valid, fin_state = _tran_core(
+    _work = 24.0 * (steps + 1) * tensors.nvar ** 3
+    if (integration == "be" and nr == "spicey" and state is None
+            and not return_state and init_state is None
+            and nr_vntol is None and nr_abstol is None
+            and steps + 1 <= 4097 and is_tiny_work(_work)
+            and interp_enabled() and interp_eligible(ckt)):
+        from ..constants import MAX_NR_ITERS as _MAXNR
+
+        xs, sw_states, _ok = interp_tran(
+            tensors, vs_grid, dt, max_nr if max_nr is not None else _MAXNR)
+        if not _ok:
+            raise ValueError("Singular matrix in TRAN solve")
+        return _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid,
+                              dt, integration, state, return_state=False,
+                              fin_state=None)
+    _tiny = is_tiny(_work)
+    _core = _tran_core_tiny if _tiny else _tran_core
+    _pack = _pack_tran_result_tiny if _tiny else _pack_tran_result
+    with exec_device(_work):
+        xs, sw_states, valid, fin_state = _core(
             jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
             jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
             jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
@@ -1191,12 +1226,20 @@ def simulate_tran(
         # the tunnel); packing runs as one jitted program, not three
         # eager dispatches
         n_sw = tensors.n_s
-        packed = np.asarray(_pack_tran_result(xs, sw_states, valid))
+        packed = np.asarray(_pack(xs, sw_states, valid))
     xs = packed[:, :tensors.nvar]
     sw_states = packed[:, tensors.nvar:tensors.nvar + n_sw] > 0.5
     if not bool(packed[0, -1] > 0.5):
         raise ValueError("Singular matrix in TRAN solve")
+    return _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid, dt,
+                          integration, state, return_state, fin_state)
 
+
+def _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid, dt,
+                   integration, state, return_state, fin_state):
+    """Host-side result assembly shared by the compiled engine and the
+    NumPy interp tier: element-current recovery, probe filters, record
+    window, checkpoint packaging."""
     node_voltages = {
         name: xs[:, i] for i, name in enumerate(tensors.node_names)
     }

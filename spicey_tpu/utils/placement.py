@@ -60,18 +60,43 @@ def _cpu() -> object | None:
     return _cpu_device or None
 
 
-def exec_device(work: float):
-    """Context manager: host CPU for tiny work, default device otherwise."""
+def is_tiny_work(work: float) -> bool:
+    """Threshold-only tiny check — touches NO jax API, so callers (the
+    NumPy interp tier, analysis/interp.py) can gate on it without
+    triggering backend initialization (``jax.devices`` initializes every
+    registered platform, including the remote accelerator handshake)."""
     thr = _threshold()
-    if thr <= 0 or work >= thr:
+    return thr > 0 and work < thr
+
+
+def is_tiny(work: float) -> bool:
+    """Is ``work`` under the tiny-workload threshold (and a host CPU
+    available to run it)? Callers use this to pick the compile-latency-
+    first program variant (``TINY_COMPILER_OPTIONS``) alongside
+    ``exec_device``'s placement decision."""
+    return is_tiny_work(work) and _cpu() is not None
+
+
+def exec_device(work: float):
+    """Context manager: host CPU for tiny work, default device otherwise.
+
+    Deliberately never asks what the default backend IS: ``jax.devices()``
+    would force creation of the accelerator client, and on the remote
+    relay that is the multi-second (worst-case multi-minute) device-claim
+    handshake — the exact cost the tiny path exists to avoid. Pinning to
+    the host CPU when the session's default already is the CPU is a
+    semantic no-op, so the check is unnecessary as well as harmful.
+    """
+    if not is_tiny(work):
         return nullcontext()
-    cpu = _cpu()
-    if cpu is None:
-        return nullcontext()
-    try:
-        default = jax.devices()[0]
-    except RuntimeError:
-        return nullcontext()
-    if default.platform == "cpu":
-        return nullcontext()
-    return jax.default_device(cpu)
+    return jax.default_device(_cpu())
+
+
+# XLA:CPU spends ~1 s of LLVM optimization on the tiny AC program whose
+# runtime is ~1 ms — for the interactive one-netlist path, compile
+# LATENCY is the product metric, not steady-state throughput. Opt level
+# 0 compiles the same program ~4x faster with bit-identical results
+# (measured: lower+compile 1.82 s -> 0.76 s, run 1.0 -> 1.6 ms on the
+# basics01 sweep). Applied ONLY to the tiny-path variants picked via
+# is_tiny(); batched/accelerator programs keep full optimization.
+TINY_COMPILER_OPTIONS = {"xla_backend_optimization_level": 0}

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The NumPy interp tier (analysis/interp.py) is the DEFAULT path for tiny
+# reference-dialect circuits — which describes most test fixtures. Disable
+# it suite-wide so every end-to-end test keeps exercising the compiled
+# engine; tests/test_interp.py re-enables it per-test via monkeypatch to
+# cover the interp tier itself.
+os.environ.setdefault("SPICEY_TPU_INTERP", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)

@@ -143,11 +143,17 @@ def test_tran_batch_sharded_over_cpu_mesh():
     )
 
 
-def test_tran_batch_nonlinear_matches_single_runs():
+def test_tran_batch_nonlinear_matches_single_runs(monkeypatch):
     """Batch-native scan (per-lane Newton/switch masking) must be bit-exact
-    against independent single-circuit runs on the diode+switch converter."""
+    against independent single-circuit runs on the diode+switch converter.
+
+    Bit-exactness is a same-program contract: disable the tiny-workload
+    compile-latency variant (backend-opt 0 reorders fusions at rounding
+    level) so the single runs execute the same fully-optimized core the
+    batch engine builds on."""
     from spicey_tpu.parsing.netlist import parse_netlist
 
+    monkeypatch.setenv("SPICEY_TPU_CPU_THRESHOLD", "0")
     B = 6
     rng = np.random.default_rng(9)
     r = 1e3 * (1 + 0.3 * rng.random(B))

@@ -75,7 +75,10 @@ def test_fuzz_ac_batch_matches_singles(seed):
 
 
 @pytest.mark.parametrize("seed", [8, 9, 10])
-def test_fuzz_tran_batch_matches_singles(seed):
+def test_fuzz_tran_batch_matches_singles(seed, monkeypatch):
+    # bit-exactness below is a same-program contract: keep the single
+    # runs on the fully-optimized core, not the tiny opt-0 variant
+    monkeypatch.setenv("SPICEY_TPU_CPU_THRESHOLD", "0")
     rng = np.random.default_rng(seed)
     net = _random_netlist(
         rng, directives=".tran 1u 200u\n"

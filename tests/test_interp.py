@@ -1,0 +1,189 @@
+"""NumPy interp tier (analysis/interp.py): the interactive-latency path.
+
+The suite runs with SPICEY_TPU_INTERP=0 (conftest.py) so every other test
+exercises the compiled engine; here we re-enable the tier per-test and
+check (a) it is actually selected for reference-dialect tiny circuits,
+(b) its results agree with the compiled engine on every reference
+fixture to rounding level, (c) the basics01 golden stays char-exact
+through it, and (d) extended circuits / non-default modes fall back to
+the compiled engine.
+"""
+
+import numpy as np
+import pytest
+
+import spicey_tpu.analysis.interp as interp_mod
+from spicey_tpu import format_ac_result, parse_netlist, simulate
+from spicey_tpu.analysis.tran import simulate_tran
+from tests.fixtures import netlists
+
+
+@pytest.fixture
+def interp_on(monkeypatch):
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+
+
+@pytest.fixture
+def interp_counter(monkeypatch):
+    """Count interp-core invocations without changing behavior."""
+    calls = {"ac": 0, "tran": 0}
+    real_ac = interp_mod.interp_ac
+    real_tran = interp_mod.interp_tran
+
+    def count_ac(*a, **k):
+        calls["ac"] += 1
+        return real_ac(*a, **k)
+
+    def count_tran(*a, **k):
+        calls["tran"] += 1
+        return real_tran(*a, **k)
+
+    monkeypatch.setattr(interp_mod, "interp_ac", count_ac)
+    monkeypatch.setattr(interp_mod, "interp_tran", count_tran)
+    return calls
+
+
+def _series_close(a: dict, b: dict, rtol=1e-9):
+    assert set(a) == set(b)
+    for k in a:
+        x, y = np.asarray(a[k]), np.asarray(b[k])
+        fx, fy = np.isfinite(x), np.isfinite(y)
+        # unclamped Shockley recording can overflow to inf in BOTH paths
+        # (reference behavior, simulateTRAN.ts:207-219) — positions must
+        # agree, finite parts must agree
+        assert np.array_equal(fx, fy), k
+        scale = max(np.max(np.abs(y[fy]), initial=0.0), 1e-30)
+        np.testing.assert_allclose(x[fx], y[fy], rtol=rtol,
+                                   atol=rtol * scale, err_msg=k)
+
+
+def _run_both(netlist: str, monkeypatch):
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+    r_interp = simulate(netlist)
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    r_engine = simulate(netlist)
+    return r_interp, r_engine
+
+
+def test_basics01_golden_exact_through_interp(
+        fixtures_dir, interp_on, interp_counter):
+    import os
+
+    golden = open(os.path.join(fixtures_dir, "basics01_golden.txt")).read()
+    result = simulate(netlists.BASICS01_AC)
+    assert interp_counter["ac"] == 1  # the tier actually ran
+    assert format_ac_result(result.ac) == golden
+
+
+def test_ac_matches_engine_rlc(monkeypatch):
+    net = """AC series RLC
+V1 in 0 ac 2 45
+R1 in mid 50
+L1 mid out 1m
+C1 out 0 100n
+R2 out 0 1k
+.ac lin 40 100 1e6
+.end
+"""
+    ri, re_ = _run_both(net, monkeypatch)
+    _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
+    _series_close(ri.ac.element_currents, re_.ac.element_currents,
+                  rtol=1e-12)
+    np.testing.assert_array_equal(ri.ac.freqs, re_.ac.freqs)
+
+
+@pytest.mark.parametrize("name", [
+    "RC_PULSE", "TWO_PROBES", "BOOST_CONVERTER", "DIODE_SWITCH",
+    "SWITCH_VT_VH", "VSWITCH_PWL", "CASE_INSENSITIVE", "SERIES_RLC",
+])
+def test_tran_matches_engine_on_reference_fixtures(name, monkeypatch):
+    ri, re_ = _run_both(getattr(netlists, name), monkeypatch)
+    assert (ri.tran is None) == (re_.tran is None)
+    if ri.tran is None:
+        return
+    np.testing.assert_allclose(ri.tran.times, re_.tran.times, rtol=0,
+                               atol=0)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.element_currents, re_.tran.element_currents)
+
+
+def test_extended_devices_fall_back(interp_on, interp_counter):
+    # current source => not reference dialect => compiled engine
+    net = """an extended-dialect deck
+I1 0 out 1m ac 1
+R1 out 0 1k
+C1 out 0 1u
+.ac dec 10 1 1e5
+.tran 10u 1m
+.end
+"""
+    # NOTE: the default "spicey" dialect SKIPS current-source lines
+    # (parseNetlist.ts:444-446), which keeps the deck reference-pure and
+    # interp-eligible — only the extended dialect actually parses I1
+    r = simulate(net, dialect="extended")
+    assert interp_counter["ac"] == 0
+    assert interp_counter["tran"] == 0
+    assert r.ac is not None and r.tran is not None
+
+
+def test_non_default_tran_modes_fall_back(interp_on, interp_counter):
+    ckt = parse_netlist(netlists.RC_PULSE)
+    simulate_tran(ckt, integration="trap")
+    simulate_tran(ckt, nr="converged")
+    simulate_tran(ckt, return_state=True)
+    assert interp_counter["tran"] == 0
+    simulate_tran(ckt)
+    assert interp_counter["tran"] == 1
+
+
+def test_large_work_falls_back(interp_on, interp_counter, monkeypatch):
+    monkeypatch.setenv("SPICEY_TPU_CPU_THRESHOLD", "0")
+    simulate(netlists.BASICS01_AC)
+    assert interp_counter["ac"] == 0
+
+
+def test_singular_raises_like_engine(interp_on):
+    # two voltage sources forcing the same node pair disagree => the
+    # branch rows are linearly dependent => reference-singular
+    net = """degenerate deck
+V1 a 0 1
+V2 a 0 2
+R1 a 0 1k
+.ac dec 10 1 1e3
+.end
+"""
+    with pytest.raises(ValueError, match="Singular"):
+        simulate(net)
+
+
+def test_interp_probe_filter_and_casing(monkeypatch):
+    ri, re_ = _run_both(netlists.CASE_INSENSITIVE, monkeypatch)
+    assert list(ri.tran.node_voltages) == list(re_.tran.node_voltages)
+
+
+def test_interp_route_never_initializes_jax_backends():
+    """The whole point of the tier: an interactive reference-dialect call
+    must not trigger jax backend initialization (on remote-relay setups
+    the client-creation handshake costs 0.1 s-minutes). Checked in a
+    fresh subprocess because this suite's fixtures initialize backends."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snippet = (
+        f"import sys; sys.path.insert(0, {repo!r});"
+        f"sys.path.insert(1, {os.path.join(repo, 'tests')!r})\n"
+        "from spicey_tpu import simulate, format_ac_result\n"
+        "from fixtures import netlists\n"
+        "simulate(netlists.BASICS01_AC)\n"
+        "simulate(netlists.RC_PULSE)\n"
+        "simulate(netlists.BOOST_CONVERTER)\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb.backends_are_initialized(), 'backend touched'\n"
+        "print('JAX_FREE_OK')\n"
+    )
+    env = dict(os.environ, SPICEY_TPU_INTERP="1")
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "JAX_FREE_OK" in out.stdout, out.stderr[-2000:]
