@@ -280,27 +280,37 @@ def main() -> None:
     import subprocess
 
     def cold_subprocess(net: str, env_extra: dict, reps: int = 3) -> float:
+        # the timer starts BEFORE `import spicey_tpu`: for the interp
+        # tier the import IS the dominant cold cost, and excluding it
+        # would make cold indistinguishable from warm
         snippet = (
             "import sys, time\n"
             f"sys.path.insert(0, {os.getcwd()!r})\n"
-            "import spicey_tpu\n"
-            "from spicey_tpu import simulate\n"
             "t0 = time.perf_counter()\n"
+            "from spicey_tpu import simulate\n"
             f"simulate({net!r})\n"
             "print('COLD_S', time.perf_counter() - t0)\n"
         )
         ts = []
+        failures = []
         env = dict(os.environ, **env_extra)
         for _ in range(reps):
             out = subprocess.run(
                 [sys.executable, "-c", snippet], env=env,
                 capture_output=True, text=True, timeout=600)
+            if out.returncode != 0:
+                failures.append(
+                    f"exit {out.returncode}: {out.stderr[-500:]}")
+                continue
             for line in out.stdout.splitlines():
                 if line.startswith("COLD_S "):
                     ts.append(float(line.split()[1]))
         if not ts:
-            raise RuntimeError(f"cold subprocess produced no timing: "
-                               f"{out.stderr[-2000:]}")
+            raise RuntimeError(
+                "every cold subprocess failed:\n" + "\n".join(failures))
+        if failures:
+            print(f"WARNING: {len(failures)}/{reps} cold reps crashed: "
+                  f"{failures[0]}", file=sys.stderr)
         return min(ts)
 
     _no_cache = {"SPICEY_TPU_COMPILE_CACHE": "0"}

@@ -610,8 +610,11 @@ def simulate_ac(
     from .interp import interp_ac, interp_eligible, interp_enabled
 
     _work = 8.0 * len(freqs) * tensors.nvar ** 3
-    if (linearize is None and is_tiny_work(_work) and interp_enabled()
-            and interp_eligible(ckt)):
+    # method/interpret are explicit solver-tier requests — honor them
+    # (the interp tier would silently substitute its own f64 GE)
+    if (linearize is None and method == "gj" and not interpret
+            and is_tiny_work(_work) and interp_enabled()
+            and interp_eligible(ckt, tensors)):
         x, _ok = interp_ac(tensors, freqs, v_re, v_im)
         if not _ok:
             raise ValueError("Singular matrix in AC solve")

@@ -54,9 +54,11 @@ def interp_enabled() -> bool:
     return os.environ.get("SPICEY_TPU_INTERP", "1") != "0"
 
 
-def interp_eligible(ckt) -> bool:
-    """Reference-dialect circuits only: R/C/L/V/S/D, no initial
-    conditions, no temperature override. Extended devices/analysis state
+def interp_eligible(ckt, tensors) -> bool:
+    """Reference-dialect circuits only: R/C/L/V/S/D with reference model
+    parameters, no initial conditions, no temperature override. Extended
+    devices OR extended model behavior on reference element types (diode
+    TT/CJO charge storage — an extra companion this tier does not stamp)
     fall back to the compiled engine."""
     return not (
         ckt.I or ckt.G or ckt.E or ckt.F or ckt.H or ckt.M or ckt.Q
@@ -65,6 +67,7 @@ def interp_eligible(ckt) -> bool:
         or any(c.ic is not None for c in ckt.C)
         or any(el.ic is not None for el in ckt.L)
         or ckt.temp_c is not None
+        or tensors.has_d_charge
     )
 
 
@@ -98,6 +101,40 @@ def _ge_solve(aug: np.ndarray) -> tuple[np.ndarray, bool]:
         )
         x[:, k] = s / aug[:, k, k]
     return x, True
+
+
+def _lu_factor(A: np.ndarray) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Partial-pivot LU with the reference's pivot rule and singularity
+    test (|max column pivot| < EPS -> singular). Multipliers are stored
+    below the diagonal. Used by the linear-transient fast path: the MNA
+    matrix is timestep-invariant when no switches/diodes are present, and
+    applying the stored multipliers to b per step performs the SAME
+    floating-point operations, in the same order, as re-running the
+    augmented elimination — bit-identical to per-step GE at ~O(n^2)/step.
+    """
+    n = A.shape[0]
+    perm = np.arange(n)
+    for k in range(n):
+        piv = int(np.argmax(np.abs(A[k:, k]))) + k
+        if not abs(A[piv, k]) >= EPS:
+            return A, perm, False
+        if piv != k:
+            A[[k, piv]] = A[[piv, k]]
+            perm[[k, piv]] = perm[[piv, k]]
+        f = A[k + 1:, k] / A[k, k]
+        A[k + 1:, k] = f
+        A[k + 1:, k + 1:] -= f[:, None] * A[k, k + 1:]
+    return A, perm, True
+
+
+def _lu_solve(lu: np.ndarray, perm: np.ndarray, b: np.ndarray) -> np.ndarray:
+    y = b[perm]
+    n = lu.shape[0]
+    for k in range(n - 1):
+        y[k + 1:] -= lu[k + 1:, k] * y[k]
+    for k in range(n - 1, -1, -1):
+        y[k] = (y[k] - lu[k, k + 1:] @ y[k + 1:]) / lu[k, k]
+    return y
 
 
 def _add_adm(A: np.ndarray, idx: np.ndarray, y: np.ndarray) -> None:
@@ -202,6 +239,32 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
     xs = np.zeros((steps_p1, n))
     sw_states = np.zeros((steps_p1, tensors.n_s), dtype=bool)
     x_pad = np.zeros(n + 1)
+
+    if not (tensors.n_s or tensors.n_d):
+        # LINEAR fast path: the MNA matrix never changes across steps —
+        # factor once, substitute per step (bit-identical to per-step GE;
+        # see _lu_factor). The loop stays sequential (companion state is
+        # the loop-carried dependency) but each step is O(n^2).
+        lu, perm, ok = _lu_factor(A_base[:n, :n].copy())
+        if not ok:
+            return xs, sw_states, False
+        for step in range(steps_p1):
+            b = np.zeros(n + 1)
+            if tensors.n_c:
+                _add_cur(b, tensors.c_idx, -gc * v_prev)
+            if tensors.n_l:
+                _add_cur(b, tensors.l_idx, i_prev)
+            if tensors.n_v:
+                np.add.at(b, tensors.v_idx[:, 2], vs_grid[step])
+            x_pad[:n] = _lu_solve(lu, perm, b[:n])
+            xs[step] = x_pad[:n]
+            if tensors.n_c:
+                v_prev = (x_pad[tensors.c_idx[:, 0]]
+                          - x_pad[tensors.c_idx[:, 1]])
+            if tensors.n_l:
+                i_prev = i_prev + gl * (x_pad[tensors.l_idx[:, 0]]
+                                        - x_pad[tensors.l_idx[:, 1]])
+        return xs, sw_states, True
 
     for step in range(steps_p1):
         x_pad[:] = 0.0  # x seeded to zero each step (simulateTRAN.ts:149)

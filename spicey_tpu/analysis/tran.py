@@ -1171,11 +1171,14 @@ def simulate_tran(
     from .interp import interp_eligible, interp_enabled, interp_tran
 
     _work = 24.0 * (steps + 1) * tensors.nvar ** 3
+    # method/interpret are explicit solver-tier requests — honor them
+    # (the interp tier would silently substitute its own f64 GE)
     if (integration == "be" and nr == "spicey" and state is None
             and not return_state and init_state is None
             and nr_vntol is None and nr_abstol is None
+            and method == "gj" and not interpret
             and steps + 1 <= 4097 and is_tiny_work(_work)
-            and interp_enabled() and interp_eligible(ckt)):
+            and interp_enabled() and interp_eligible(ckt, tensors)):
         from ..constants import MAX_NR_ITERS as _MAXNR
 
         xs, sw_states, _ok = interp_tran(

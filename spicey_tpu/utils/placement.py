@@ -95,8 +95,12 @@ def exec_device(work: float):
 # XLA:CPU spends ~1 s of LLVM optimization on the tiny AC program whose
 # runtime is ~1 ms — for the interactive one-netlist path, compile
 # LATENCY is the product metric, not steady-state throughput. Opt level
-# 0 compiles the same program ~4x faster with bit-identical results
-# (measured: lower+compile 1.82 s -> 0.76 s, run 1.0 -> 1.6 ms on the
-# basics01 sweep). Applied ONLY to the tiny-path variants picked via
-# is_tiny(); batched/accelerator programs keep full optimization.
+# 0 compiles the same program ~4x faster (measured: lower+compile
+# 1.82 s -> 0.76 s, run 1.0 -> 1.6 ms on the basics01 sweep). Results
+# are numerically equivalent but NOT bit-identical to the full-opt
+# build (fusion reordering at rounding level) — same-program bit-exact
+# contracts in the tests disable this variant via
+# SPICEY_TPU_CPU_THRESHOLD=0. Applied ONLY to the tiny-path variants
+# picked via is_tiny(); batched/accelerator programs keep full
+# optimization.
 TINY_COMPILER_OPTIONS = {"xla_backend_optimization_level": 0}

@@ -16,10 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # The NumPy interp tier (analysis/interp.py) is the DEFAULT path for tiny
 # reference-dialect circuits — which describes most test fixtures. Disable
-# it suite-wide so every end-to-end test keeps exercising the compiled
-# engine; tests/test_interp.py re-enables it per-test via monkeypatch to
-# cover the interp tier itself.
-os.environ.setdefault("SPICEY_TPU_INTERP", "0")
+# it suite-wide (unconditionally: an inherited shell export must not
+# silently defeat the engine-coverage guarantee) so every end-to-end test
+# keeps exercising the compiled engine; tests/test_interp.py re-enables it
+# per-test via monkeypatch to cover the interp tier itself.
+os.environ["SPICEY_TPU_INTERP"] = "0"
 
 import jax  # noqa: E402
 

@@ -131,9 +131,31 @@ def test_non_default_tran_modes_fall_back(interp_on, interp_counter):
     simulate_tran(ckt, integration="trap")
     simulate_tran(ckt, nr="converged")
     simulate_tran(ckt, return_state=True)
+    simulate_tran(ckt, method="lax")  # explicit solver-tier request
     assert interp_counter["tran"] == 0
     simulate_tran(ckt)
     assert interp_counter["tran"] == 1
+
+
+def test_diode_charge_model_falls_back(interp_on, interp_counter,
+                                        monkeypatch):
+    """Extended model params on reference element TYPES must disqualify:
+    diode TT/CJO adds a charge companion the interp tier does not stamp
+    (found in round-4 review: 0.53 V silent divergence before the
+    has_d_charge gate)."""
+    net = """charge-storage diode deck
+V1 a 0 PULSE(0 5 0 1u 1u 40u 100u)
+R1 a b 1k
+D1 b 0 DX
+.model DX d(is=1e-14 tt=100n cjo=10p)
+.tran 1u 100u
+.end
+"""
+    ri = simulate(net, dialect="extended")
+    assert interp_counter["tran"] == 0
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate(net, dialect="extended")
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
 
 
 def test_large_work_falls_back(interp_on, interp_counter, monkeypatch):
