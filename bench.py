@@ -295,9 +295,16 @@ def main() -> None:
         failures = []
         env = dict(os.environ, **env_extra)
         for _ in range(reps):
-            out = subprocess.run(
-                [sys.executable, "-c", snippet], env=env,
-                capture_output=True, text=True, timeout=600)
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", snippet], env=env,
+                    capture_output=True, text=True, timeout=600)
+            except subprocess.TimeoutExpired:
+                # engine-mode subprocesses initialize the jax backends,
+                # which on the shared relay can draw a multi-minute
+                # client-claim stall — a lost rep, not a lost bench
+                failures.append("timeout after 600 s")
+                continue
             if out.returncode != 0:
                 failures.append(
                     f"exit {out.returncode}: {out.stderr[-500:]}")
@@ -313,12 +320,22 @@ def main() -> None:
                   f"{failures[0]}", file=sys.stderr)
         return min(ts)
 
+    def cold_or_none(net: str, env_extra: dict) -> float | None:
+        # the engine-mode figure is informational; losing it (e.g. every
+        # rep stuck behind the relay lottery) must not kill the bench
+        try:
+            return cold_subprocess(net, env_extra)
+        except RuntimeError as err:
+            print(f"WARNING: cold measurement lost: {err}",
+                  file=sys.stderr)
+            return None
+
     _no_cache = {"SPICEY_TPU_COMPILE_CACHE": "0"}
     ac_cold_s = cold_subprocess(basics01, _no_cache)
     tran_cold_s = cold_subprocess(transient01, _no_cache)
     _engine = dict(_no_cache, SPICEY_TPU_INTERP="0")
-    ac_cold_engine_s = cold_subprocess(basics01, _engine)
-    tran_cold_engine_s = cold_subprocess(transient01, _engine)
+    ac_cold_engine_s = cold_or_none(basics01, _engine)
+    tran_cold_engine_s = cold_or_none(transient01, _engine)
     simulate(basics01)  # first in-process call before the warm timing
     ac_warm_s = best_of(lambda: simulate(basics01))
     simulate(transient01)
@@ -667,10 +684,12 @@ def main() -> None:
         "single_circuit_latency": {
             "device_session_init_s": round(device_init_s, 3),
             "ac_cold_s": round(ac_cold_s, 3),
-            "ac_cold_engine_s": round(ac_cold_engine_s, 3),
+            "ac_cold_engine_s": (None if ac_cold_engine_s is None
+                                 else round(ac_cold_engine_s, 3)),
             "ac_warm_ms": round(ac_warm_s * 1e3, 2),
             "tran_cold_s": round(tran_cold_s, 3),
-            "tran_cold_engine_s": round(tran_cold_engine_s, 3),
+            "tran_cold_engine_s": (None if tran_cold_engine_s is None
+                                   else round(tran_cold_engine_s, 3)),
             "tran_warm_ms": round(tran_warm_s * 1e3, 2),
         },
     }))
