@@ -401,13 +401,16 @@ def main() -> None:
     # metric's whole rep block
 
     # --- headline at production scale: 1M variants, parameters drawn on
-    # device (no host-side parameter arrays), chunked to bound memory ---
+    # device (no host-side parameter arrays). Unchunked since round 4:
+    # the fused assemble+solve kernel (ops/pallas_mc_ac.py) never
+    # materializes the augmented planes, so the only large buffer is the
+    # (B, F) response (~1.6 GB f32 incl. validity) — chunking now costs
+    # ~5% of dispatch overhead and buys nothing ---
     from spicey_tpu.analysis.mc import mc_ac_sampled
 
     BIG = 1_000_000
     big_kw = dict(spreads={"r1": 0.2, "c1": 0.2}, B=BIG, node="2",
-                  tensors=tensors, precision="f32", method="pallas",
-                  chunk=100_000)
+                  tensors=tensors, precision="f32", method="pallas")
     big = mc_ac_sampled(ckt, **big_kw)  # warm up
     assert big.n_valid == BIG
     big_t = timed(lambda: mc_ac_sampled(ckt, **big_kw))
@@ -650,7 +653,7 @@ def main() -> None:
         "metric": "mc_ac_yield_variants_per_sec",
         "value": round(big_vps, 1),
         "unit": "variants/s (1M-variant 201-pt AC yield analysis, on-device "
-                "sampling + stats, f32 Pallas tier, chunked)",
+                "sampling + stats, fused-assembly f32 Pallas tier)",
         "vs_baseline": round(big_vps / baseline_vps, 1),
         "value_spread_pct": big_t["spread_pct"],
         "b1m_approx_quantiles_variants_per_sec": round(big_approx_vps, 1),

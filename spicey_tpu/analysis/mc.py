@@ -157,13 +157,13 @@ def _unpack_stats(packed: np.ndarray, quantiles, grid) -> "MCStats":
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "interpret", "chunk", "n_real",
-                                   "q_method"))
+                                   "q_method", "fused_pattern"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
                       interpret: bool = False, chunk: int | None = None,
                       n_real: int | None = None, lk=None, tl=None,
-                      q_method: str = "exact"):
+                      q_method: str = "exact", fused_pattern=None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -192,6 +192,18 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                  and r_vals.dtype == jnp.float32)
 
     def solve_block(rv, cv, lv, vre, vim, ext_b, tl_b):
+        if fused_pattern is not None:
+            # fully fused tier: assembly happens INSIDE the solve kernel
+            # from the (nE, b) value slab — the augmented planes never
+            # exist in HBM (ops/pallas_mc_ac.py; measured 74% of the 1M
+            # headline's chunk time was the HBM-materialized assembly)
+            from ..ops.pallas_mc_ac import combine_values, mc_ac_fused_f32
+
+            vals = combine_values(rv, cv, lv, vre, vim, ext=ext_b,
+                                  i_re=i_re, i_im=i_im)
+            return mc_ac_fused_f32(freqs, vals, nvar, node_idx,
+                                   fused_pattern, eps=_EPS,
+                                   interpret=interpret)
         if batchlast:
             from ..analysis.ac import _assemble_grid_batchlast
             from ..ops.pallas_gj import _solve_complex_f32_batchlast
@@ -385,10 +397,31 @@ def mc_ac_stats(
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
         tl=tl_b, q_method=quantile_method,
+        fused_pattern=_fused_pattern(ckt, tensors, method, precision,
+                                     ext, sharded=device_put is not None),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
     return res
+
+
+def _fused_pattern(ckt, tensors, method: str, precision: str, ext,
+                   sharded: bool):
+    """Static stamp pattern for the fused assemble+solve tier, or None
+    when ineligible (non-pallas/f64 tiers, K coupling, T lines, sharded
+    runs — pallas_call is not auto-partitionable — or N past the unroll
+    budget)."""
+    from ..ops.pallas_mc_ac import _FUSED_MAX_N, build_stamp_pattern
+
+    if (method != "pallas" or precision != "f32" or sharded
+            or tensors.n_k or tensors.n_t
+            or not 0 < tensors.nvar <= _FUSED_MAX_N):
+        return None
+    ext_idx = {k: np.asarray(v) for k, v in ext.items()
+               if k.endswith("idx")}
+    return build_stamp_pattern(
+        tensors.nvar, tensors.r_idx, tensors.c_idx, tensors.l_idx,
+        _v_idx_ac(ckt, tensors), ext_idx)
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
@@ -667,6 +700,7 @@ def mc_ac_sampled(
     chunk: int | None = None,
     dialect: str = "spicey",
     quantile_method: str = "exact",
+    interpret: bool = False,
 ) -> MCStats:
     """Yield analysis with ON-DEVICE parameter sampling: ``spreads`` maps
     R/C/L element names to relative sigmas; B variants are drawn from a
@@ -728,9 +762,11 @@ def mc_ac_sampled(
         *_pad_v_phasors(ckt, tensors, jnp.asarray(v_re), jnp.asarray(v_im)),
         ext, i_re, i_im,
         nvar=tensors.nvar, node_idx=node_idx, method=method,
-        qs=tuple(float(q) for q in quantiles),
+        qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
         tl=tl_b, q_method=quantile_method,
+        fused_pattern=_fused_pattern(ckt, tensors, method, precision,
+                                     ext, sharded=False),
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B

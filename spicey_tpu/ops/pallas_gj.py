@@ -175,18 +175,13 @@ def _gj_real_kernel(ab_ref: object, x_ref: object, valid_ref: object,
     valid_ref[:] = valid
 
 
-def _gj_complex_kernel(abr_ref: object, abi_ref: object, xr_ref: object,
-                       xi_ref: object, valid_ref: object,
-                       ar_s: object, ai_s: object,
-                       *, n: int, eps: float) -> None:
-    """Complex GJ on (re, im) planes with |pivot|^2 pivoting.
-
-    Same fori_loop + colidx structure as the real kernel; the planes live
-    in VMEM scratch so column k is a dynamic sublane slice (see there)."""
-    ar_s[:] = abr_ref[:]
-    ai_s[:] = abi_ref[:]
-    tb = abr_ref.shape[-1]
-    dtype = abr_ref.dtype
+def _complex_gj_scratch(ar_s: object, ai_s: object, *, n: int, tb: int,
+                        dtype: object, eps: float) -> tuple:
+    """The complex one-hot-pivot Gauss-Jordan loop on (re, im) VMEM
+    scratch planes shaped (N, N+1, TB). Shared by the batch-last solve
+    kernel and the fused assemble+solve MC kernel (ops/pallas_mc_ac.py);
+    returns (colidx, valid, rows2) with the reduced planes left in the
+    scratch refs."""
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
     eps2 = jnp.asarray(eps * eps, dtype=dtype)
     one = jnp.asarray(1.0, dtype=dtype)
@@ -230,7 +225,22 @@ def _gj_complex_kernel(abr_ref: object, abi_ref: object, xr_ref: object,
             jnp.zeros((n, tb), dtype))
     _used, valid, colidx = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n), body, init)
+    return colidx, valid, rows2
 
+
+def _gj_complex_kernel(abr_ref: object, abi_ref: object, xr_ref: object,
+                       xi_ref: object, valid_ref: object,
+                       ar_s: object, ai_s: object,
+                       *, n: int, eps: float) -> None:
+    """Complex GJ on (re, im) planes with |pivot|^2 pivoting.
+
+    Same fori_loop + colidx structure as the real kernel; the planes live
+    in VMEM scratch so column k is a dynamic sublane slice (see there)."""
+    ar_s[:] = abr_ref[:]
+    ai_s[:] = abi_ref[:]
+    tb = abr_ref.shape[-1]
+    colidx, valid, rows2 = _complex_gj_scratch(
+        ar_s, ai_s, n=n, tb=tb, dtype=abr_ref.dtype, eps=eps)
     xr_ref[:] = _extract_solution(colidx, ar_s[:, n, :], rows2, n)
     xi_ref[:] = _extract_solution(colidx, ai_s[:, n, :], rows2, n)
     valid_ref[:] = valid

@@ -1,0 +1,142 @@
+"""Fused assemble+solve MC AC kernel (ops/pallas_mc_ac.py).
+
+The fused tier builds the MNA planes in VMEM inside the Pallas kernel
+from the static stamp pattern + per-variant values; these tests pin it
+against the f64 plane-GJ engine and the batch-last scatter tier
+(interpret mode — the Mosaic path is exercised on hardware by bench.py).
+"""
+
+import numpy as np
+import pytest
+
+import spicey_tpu.ops.pallas_mc_ac as fused_mod
+from spicey_tpu import parse_netlist
+from spicey_tpu.analysis.mc import mc_ac_sampled, mc_ac_stats
+
+RC_NET = ("fused tier rc\nv1 1 0 dc 0 ac 1\nr1 1 2 30\nc1 2 0 100u\n"
+          ".ac dec 6 1 100\n.end\n")
+
+EXT_NET = """an extended fused-tier deck
+I1 0 a 1m ac 2 30
+R1 a 0 1k
+G1 0 b a 0 2m
+R2 b 0 500
+E1 c 0 b 0 3
+R3 c d 100
+C1 d 0 1u
+V1 e 0 ac 1
+R4 e d 200
+F1 0 b V1 0.5
+H1 f 0 V1 50
+R5 f d 300
+L1 d 0 10m
+.ac dec 4 10 1e5
+.end
+"""
+
+
+def _overrides(B, rng):
+    return {"r1": 30.0 * (1 + 0.2 * rng.random(B)),
+            "c1": 100e-6 * (1 + 0.2 * rng.random(B))}
+
+
+def _stats_close(a, b, rtol):
+    for f in ("mean", "std", "min", "max"):
+        x, y = getattr(a, f), getattr(b, f)
+        np.testing.assert_allclose(x, y, rtol=rtol,
+                                   atol=rtol * float(np.max(np.abs(y))),
+                                   err_msg=f)
+    assert a.n_valid == b.n_valid
+
+
+def test_fused_matches_f64_reference_deck():
+    rng = np.random.default_rng(0)
+    ckt = parse_netlist(RC_NET)
+    ov = _overrides(48, rng)
+    ref = mc_ac_stats(ckt, ov, node="2", method="gj", precision="f64")
+    fus = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                      precision="f32", interpret=True)
+    _stats_close(fus, ref, rtol=2e-5)
+
+
+def test_fused_matches_batchlast_tier(monkeypatch):
+    rng = np.random.default_rng(1)
+    ckt = parse_netlist(RC_NET)
+    ov = _overrides(32, rng)
+    fus = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                      precision="f32", interpret=True)
+    # _FUSED_MAX_N = 0 makes every circuit ineligible -> batch-last tier
+    monkeypatch.setattr(fused_mod, "_FUSED_MAX_N", 0)
+    bl = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                     precision="f32", interpret=True)
+    # same f32 elimination, different assembly summation order
+    _stats_close(fus, bl, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_extended_sources():
+    rng = np.random.default_rng(2)
+    B = 24
+    ckt = parse_netlist(EXT_NET, dialect="extended")
+    ov = {"R1": 1e3 * (1 + 0.1 * rng.random(B)),
+          "G1": 2e-3 * (1 + 0.1 * rng.random(B)),
+          "E1": 3.0 * (1 + 0.05 * rng.random(B)),
+          "L1": 10e-3 * (1 + 0.1 * rng.random(B))}
+    ref = mc_ac_stats(ckt, ov, node="d", method="gj", precision="f64",
+                      dialect="extended")
+    fus = mc_ac_stats(ckt, ov, node="d", method="pallas",
+                      precision="f32", interpret=True,
+                      dialect="extended")
+    _stats_close(fus, ref, rtol=2e-5)
+
+
+def test_fused_chunked_matches_unchunked():
+    rng = np.random.default_rng(3)
+    ckt = parse_netlist(RC_NET)
+    ov = _overrides(48, rng)
+    a = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                    precision="f32", interpret=True)
+    b = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                    precision="f32", interpret=True, chunk=16)
+    _stats_close(b, a, rtol=1e-6)
+
+
+def test_fused_singular_lane_flagged():
+    # node 3 hangs off c2 alone: a zero-valued c2 lane zeroes its whole
+    # MNA row/column -> reference-singular (|pivot| < EPS)
+    net = ("fused singular deck\nv1 1 0 dc 0 ac 1\nr1 1 2 30\n"
+           "c1 2 0 100u\nc2 3 0 1u\n.ac dec 4 1 100\n.end\n")
+    rng = np.random.default_rng(4)
+    B = 8
+    ov = {"c2": 1e-6 * (1 + 0.1 * rng.random(B))}
+    ov["c2"][3] = 0.0
+    ckt = parse_netlist(net)
+    fus = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                      precision="f32", interpret=True)
+    assert fus.n_valid == B - 1
+
+
+def test_fused_sampled_padding_path():
+    # B deliberately NOT a multiple of the kernel's lane tile
+    ckt = parse_netlist(RC_NET)
+    fus = mc_ac_sampled(ckt, {"r1": 0.1, "c1": 0.1}, B=37, node="2",
+                        method="pallas", precision="f32", key=7,
+                        interpret=True)
+    ref = mc_ac_sampled(ckt, {"r1": 0.1, "c1": 0.1}, B=37, node="2",
+                        method="gj", precision="f64", key=7)
+    assert fus.n_valid == ref.n_valid == 37
+    np.testing.assert_allclose(fus.mean, ref.mean, rtol=5e-4)
+
+
+def test_pattern_is_hashable_and_stable():
+    ckt = parse_netlist(RC_NET)
+    from spicey_tpu.ir.circuit import build_tensors, ext_arrays
+
+    t = build_tensors(ckt)
+    ext_idx = {k: np.asarray(v) for k, v in ext_arrays(t).items()
+               if k.endswith("idx")}
+    p1 = fused_mod.build_stamp_pattern(
+        t.nvar, t.r_idx, t.c_idx, t.l_idx, t.v_idx, ext_idx)
+    p2 = fused_mod.build_stamp_pattern(
+        t.nvar, t.r_idx, t.c_idx, t.l_idx, t.v_idx, ext_idx)
+    assert hash(p1) == hash(p2) and p1 == p2
