@@ -405,6 +405,72 @@ def mc_ac_stats(
     return res
 
 
+def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
+                        *, nr: str, integration: str, vs_batched: bool,
+                        sharded: bool, n_steps: int, n_src: int):
+    """Static pattern for the fused whole-transient kernel, or None when
+    ineligible: the kernel factors the (timestep-invariant) linear MNA
+    matrix once, so any state-dependent stamp (S/D/M/Q/B), non-BE
+    integration, per-variant source grids, sharding, or a source grid
+    too big for SMEM disqualifies (ops/pallas_mc_tran.py)."""
+    from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
+                                      build_tran_pattern)
+
+    if (method != "pallas" or precision != "f32" or sharded
+            or vs_batched or integration != "be" or nr != "spicey"
+            or tensors.n_s or tensors.n_d or tensors.n_m or tensors.n_q
+            or tensors.n_k or tensors.n_t or ckt.B
+            or not 0 < tensors.nvar <= _FUSED_MAX_N
+            or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
+        return None
+    # idx arrays from TENSORS (host numpy), never from the ext dict —
+    # its idx entries are device arrays, and np.asarray on those is a
+    # ~30 ms device->host transfer EACH (measured: 0.145 s/call)
+    ext_idx = {"i_idx": tensors.i_idx, "g_idx": tensors.g_idx,
+               "e_idx": tensors.e_idx, "f_idx": tensors.f_idx,
+               "h_idx": tensors.h_idx}
+    return build_tran_pattern(
+        tensors.nvar, tensors.r_idx, tensors.c_idx, tensors.l_idx,
+        tensors.v_idx, tensors.n_i, ext_idx)
+
+
+@partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
+                                   "q_method", "interpret"))
+def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
+                        nvar: int, node_idx: int,
+                        pattern: tuple, qs: tuple,
+                        q_method: str = "exact",
+                        interpret: bool = False):
+    """Fused whole-transient MC: combine the (n_rows, B) value slab in
+    build_tran_pattern's row order [R | gc=C/dt | gl=dt/L | g | e | f |
+    h] (companion conductances computed here so dt never enters the
+    kernel), run the kernel, reduce. Everything INSIDE one jit: an
+    eager value-combination chain costs ~4 relay round trips (~30 ms
+    each) — measured as a 0.17 s fixed overhead that made the fused
+    path slower than the scan at B=10k."""
+    from ..ops.pallas_mc_tran import mc_tran_fused_f32
+
+    dt_c = jnp.maximum(dt, _EPS)
+    B = r_vals.shape[0]
+
+    def to2d(c):
+        a = jnp.asarray(c, jnp.float32)
+        if a.ndim == 1:  # unbatched ext values (the sampled path)
+            a = jnp.broadcast_to(a[None, :], (B, a.shape[0]))
+        return a
+
+    cols = [jnp.asarray(r_vals, jnp.float32),
+            jnp.asarray(c_vals / dt_c, jnp.float32),
+            jnp.asarray(dt_c / l_vals, jnp.float32),
+            ext["g_gm"], ext["e_gain"], ext["f_gain"], ext["h_r"]]
+    values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
+    v_node, valid = mc_tran_fused_f32(vs_grid, values, nvar, node_idx,
+                                      pattern, eps=_EPS,
+                                      interpret=interpret)
+    stats = _stats_of(v_node, valid, qs, q_method=q_method)
+    return _pack_stats(stats, jnp.sum(valid))
+
+
 def _fused_pattern(ckt, tensors, method: str, precision: str, ext,
                    sharded: bool):
     """Static stamp pattern for the fused assemble+solve tier, or None
@@ -417,8 +483,10 @@ def _fused_pattern(ckt, tensors, method: str, precision: str, ext,
             or tensors.n_k or tensors.n_t
             or not 0 < tensors.nvar <= _FUSED_MAX_N):
         return None
-    ext_idx = {k: np.asarray(v) for k, v in ext.items()
-               if k.endswith("idx")}
+    # host numpy idx arrays only — see _fused_tran_pattern's note
+    ext_idx = {"i_idx": tensors.i_idx, "g_idx": tensors.g_idx,
+               "e_idx": tensors.e_idx, "f_idx": tensors.f_idx,
+               "h_idx": tensors.h_idx}
     return build_stamp_pattern(
         tensors.nvar, tensors.r_idx, tensors.c_idx, tensors.l_idx,
         _v_idx_ac(ckt, tensors), ext_idx)
@@ -604,6 +672,25 @@ def mc_tran_stats(
         if vs_batched:
             vs_in = device_put(jnp.asarray(vs_in, fdt),
                                (None, "batch", None))
+    fused_p = _fused_tran_pattern(
+        ckt, tensors, method, precision, ext, nr=nr,
+        integration=integration, vs_batched=vs_batched,
+        sharded=device_put is not None, n_steps=steps + 1,
+        n_src=vs_grid.shape[1])
+    if fused_p is not None:
+        # whole-transient fused kernel (ops/pallas_mc_tran.py): factor
+        # once, substitute per step, everything VMEM-resident — beats
+        # both the sequential scan and the associative-scan core in its
+        # (linear, small-N, BE) regime
+        packed = _mc_tran_fused_core(
+            jnp.asarray(vs_grid, jnp.float32), r_vals, c_vals, l_vals,
+            ext, jnp.asarray(dt, jnp.float64),
+            nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
+            qs=tuple(float(q) for q in quantiles),
+            q_method=quantile_method, interpret=interpret)
+        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+        res.n_total = B
+        return res
     if (time_parallel == "auto"
             and _tp_eligible(tensors, ckt, nr, integration)
             and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
@@ -791,6 +878,7 @@ def mc_tran_sampled(
     tp_crossover: float | None = None,
     tp_mem_budget: float | None = None,
     integration: str = "be",
+    interpret: bool = False,
 ) -> MCStats:
     """Transient yield analysis with ON-DEVICE parameter sampling — the
     time-domain twin of :func:`mc_ac_sampled`. ``spreads`` maps R/C/L
@@ -824,6 +912,27 @@ def mc_tran_sampled(
           for k, v in nl_arrays(tensors).items()}
     nr = ("converged" if (tensors.n_m or tensors.n_q or ckt.B)
           else "spicey")
+
+    # fused whole-transient kernel: runs on the UNPADDED batch (it needs
+    # no chunking — only the values and the (B, S+1) response exist)
+    fused_p = _fused_tran_pattern(
+        ckt, tensors, method, precision, ext, nr=nr,
+        integration=integration, vs_batched=False, sharded=False,
+        n_steps=steps + 1, n_src=vs_grid.shape[1])
+    if fused_p is not None:
+        if integration not in ("be", "trap", "gear2"):
+            raise ValueError("integration must be 'be', 'trap' or 'gear2'")
+        if time_parallel not in ("auto", "never"):
+            raise ValueError("time_parallel must be 'auto' or 'never'")
+        packed = _mc_tran_fused_core(
+            jnp.asarray(vs_grid, jnp.float32), vals["r"], vals["c"],
+            vals["l"], ext, jnp.asarray(dt, jnp.float64),
+            nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
+            qs=tuple(float(q) for q in quantiles),
+            q_method=quantile_method, interpret=interpret)
+        res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
+        res.n_total = B
+        return res
 
     n_pad = 0
     if chunk is not None and chunk < B:

@@ -262,14 +262,26 @@ def _gj_inv_real_kernel(a_ref: object, m_ref: object, colidx_ref: object,
     ``_gj_real_kernel``); M accumulates directly in its output ref."""
     a_s[:] = a_ref[:]  # (N, N, TB)
     tb = a_ref.shape[-1]
-    dtype = a_ref.dtype
+    colidx, valid, _rows2 = _real_inv_scratch(
+        a_s, m_ref, n=n, tb=tb, dtype=a_ref.dtype, eps=eps)
+    colidx_ref[:] = colidx
+    valid_ref[:] = valid
+
+
+def _real_inv_scratch(a_s: object, m_s: object, *, n: int, tb: int,
+                      dtype: object, eps: float) -> tuple:
+    """The real [A | I] Gauss-Jordan reduction on VMEM refs; shared by
+    the inverse kernel and the fused transient MC kernel
+    (ops/pallas_mc_tran.py). Initializes ``m_s`` to identity, reduces
+    both in place, returns (colidx, valid, rows2) — the true inverse is
+    the colidx row-unpermutation of M."""
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
     eps_t = jnp.asarray(eps, dtype=dtype)
     one = jnp.asarray(1.0, dtype=dtype)
     zero = jnp.asarray(0.0, dtype=dtype)
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 0)
     cols3i = jax.lax.broadcasted_iota(jnp.int32, (n, n, tb), 1)
-    m_ref[:] = jnp.where(rows3 == cols3i, one, zero)  # identity planes
+    m_s[:] = jnp.where(rows3 == cols3i, one, zero)  # identity planes
 
     def body(k: Array, carry: tuple) -> tuple:
         used, valid, colidx = carry
@@ -282,7 +294,7 @@ def _gj_inv_real_kernel(a_ref: object, m_ref: object, colidx_ref: object,
         valid = valid * jnp.where(ok, one, zero)
         inv_pv = 1.0 / jnp.where(ok, pv, 1.0)
         a = a_s[:]
-        m = m_ref[:]
+        m = m_s[:]
         prow_a = jnp.sum(
             jnp.where(onehot[:, None, :], a, 0.0), axis=0) * inv_pv
         prow_m = jnp.sum(
@@ -291,7 +303,7 @@ def _gj_inv_real_kernel(a_ref: object, m_ref: object, colidx_ref: object,
         a = a - factor[:, None, :] * prow_a[None, :, :]
         m = m - factor[:, None, :] * prow_m[None, :, :]
         a_s[:] = jnp.where(onehot[:, None, :], prow_a[None, :, :], a)
-        m_ref[:] = jnp.where(onehot[:, None, :], prow_m[None, :, :], m)
+        m_s[:] = jnp.where(onehot[:, None, :], prow_m[None, :, :], m)
         used = used + jnp.where(onehot, one, zero)
         colidx = colidx + jnp.where(onehot, kf, zero)
         return used, valid, colidx
@@ -300,8 +312,7 @@ def _gj_inv_real_kernel(a_ref: object, m_ref: object, colidx_ref: object,
             jnp.zeros((n, tb), dtype))
     _used, valid, colidx = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n), body, init)
-    colidx_ref[:] = colidx
-    valid_ref[:] = valid
+    return colidx, valid, rows2
 
 
 def _gj_inv_complex_kernel(ar_ref: object, ai_ref: object, mr_ref: object,

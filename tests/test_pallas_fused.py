@@ -12,6 +12,7 @@ import pytest
 import spicey_tpu.ops.pallas_mc_ac as fused_mod
 from spicey_tpu import parse_netlist
 from spicey_tpu.analysis.mc import mc_ac_sampled, mc_ac_stats
+from tests.fixtures import netlists
 
 RC_NET = ("fused tier rc\nv1 1 0 dc 0 ac 1\nr1 1 2 30\nc1 2 0 100u\n"
           ".ac dec 6 1 100\n.end\n")
@@ -140,3 +141,99 @@ def test_pattern_is_hashable_and_stable():
     p2 = fused_mod.build_stamp_pattern(
         t.nvar, t.r_idx, t.c_idx, t.l_idx, t.v_idx, ext_idx)
     assert hash(p1) == hash(p2) and p1 == p2
+
+
+# ---------- fused whole-transient kernel (ops/pallas_mc_tran.py) ----------
+
+import spicey_tpu.analysis.mc as mc_mod
+import spicey_tpu.ops.pallas_mc_tran as ftran_mod
+from spicey_tpu.analysis.mc import mc_tran_sampled, mc_tran_stats
+
+TRAN_NET = """fused tran rlc
+V1 1 0 PULSE(0 5 0 1n 1n 5u 10u)
+R1 1 2 1k
+C1 2 0 1u
+L1 2 3 1m
+R2 3 0 50
+.tran 0.2u 20u
+.end
+"""
+
+
+@pytest.fixture
+def tran_fused_counter(monkeypatch):
+    calls = {"n": 0}
+    real = mc_mod._mc_tran_fused_core
+
+    def count(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(mc_mod, "_mc_tran_fused_core", count)
+    return calls
+
+
+def _tran_overrides(B, rng):
+    return {"R1": 1e3 * (1 + 0.2 * rng.random(B)),
+            "C1": 1e-6 * (1 + 0.2 * rng.random(B)),
+            "L1": 1e-3 * (1 + 0.2 * rng.random(B))}
+
+
+def test_tran_fused_matches_f64(tran_fused_counter):
+    rng = np.random.default_rng(0)
+    ov = _tran_overrides(32, rng)
+    ckt = parse_netlist(TRAN_NET)
+    ref = mc_tran_stats(ckt, ov, node="2", method="gj", precision="f64")
+    fus = mc_tran_stats(ckt, ov, node="2", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    _stats_close(fus, ref, rtol=1e-4)
+
+
+def test_tran_fused_matches_scan_tier(monkeypatch):
+    rng = np.random.default_rng(1)
+    ov = _tran_overrides(24, rng)
+    ckt = parse_netlist(TRAN_NET)
+    fus = mc_tran_stats(ckt, ov, node="2", method="pallas",
+                        precision="f32", interpret=True)
+    monkeypatch.setattr(ftran_mod, "_FUSED_MAX_N", 0)
+    scan = mc_tran_stats(ckt, ov, node="2", method="pallas",
+                         precision="f32", interpret=True,
+                         time_parallel="never")
+    _stats_close(fus, scan, rtol=5e-5)
+
+
+def test_tran_fused_ineligible_cases(tran_fused_counter):
+    rng = np.random.default_rng(2)
+    ckt = parse_netlist(TRAN_NET)
+    ov = _tran_overrides(8, rng)
+    # non-BE integration keeps the scan semantics
+    mc_tran_stats(ckt, ov, node="2", method="pallas", precision="f32",
+                  interpret=True, integration="trap")
+    # per-variant V overrides batch the source grid (DC source — the
+    # engine refuses waveform-driven overrides outright)
+    dc_net = ("fused tran dc deck\nV1 1 0 dc 5\nR1 1 2 1k\nC1 2 0 1u\n"
+              ".tran 0.2u 20u\n.end\n")
+    dc_ckt = parse_netlist(dc_net)
+    mc_tran_stats(dc_ckt, {"R1": 1e3 * (1 + 0.1 * rng.random(8)),
+                           "V1": 5.0 * (1 + 0.1 * rng.random(8))},
+                  node="2", method="pallas", precision="f32",
+                  interpret=True)
+    # switches make the matrix state-dependent
+    sw = parse_netlist(netlists.VSWITCH_PWL)
+    mc_tran_stats(sw, {"R1": 1e3 * (1 + 0.1 * rng.random(8))}, node="OUT",
+                  method="pallas", precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 0
+
+
+def test_tran_fused_sampled_padding(tran_fused_counter):
+    ckt = parse_netlist(TRAN_NET)
+    fus = mc_tran_sampled(ckt, {"R1": 0.1, "C1": 0.1}, B=37, node="2",
+                          method="pallas", precision="f32", key=5,
+                          interpret=True)
+    ref = mc_tran_sampled(ckt, {"R1": 0.1, "C1": 0.1}, B=37, node="2",
+                          method="gj", precision="f64", key=5)
+    assert tran_fused_counter["n"] == 1
+    assert fus.n_valid == ref.n_valid == 37
+    np.testing.assert_allclose(fus.mean, ref.mean, rtol=1e-3,
+                               atol=1e-3 * float(np.max(np.abs(ref.mean))))
