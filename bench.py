@@ -515,6 +515,49 @@ def main() -> None:
     ring_t = timed(lambda: mc_tran_stats(rckt, ring_over, **rfast))
     ring_vps = NB / ring_t["median"]
 
+    # --- switch+diode transient MC headline: the reference's own
+    # nonlinear set (S switch + D diode, diode-switch.test.ts) through
+    # the fused whole-transient kernel's in-kernel Newton/switch loop
+    # (ops/pallas_mc_tran.py _fused_tran_nr_kernel) at B=100k. Serial
+    # baseline: per-variant engine calls, the reference's model. ---
+    boost_net = (
+        "a boost-converter bench (reference fixture)\n"
+        ".MODEL D D\n"
+        ".MODEL SWMOD SW\n"
+        "LL1 N1 N2 1\n"
+        "DD1 N2 N3 D\n"
+        "CC1 N3 0 10U\n"
+        "RR1 N3 0 1K\n"
+        "SM1 N2 0 N4 0 SWMOD\n"
+        "Vs0 N1 0 DC 5\n"
+        "Vs1 N4 0 PULSE(0 10 0 1n 1n 0.00068 0.001)\n"
+        ".tran 0.001 0.1 uic\n"
+    )
+    bckt = parse_netlist(boost_net)
+    btens = build_tensors(bckt)
+    SB = 100_000
+    sw_over = {"RR1": 1e3 * (1 + 0.1 * rng.random(SB))}
+    KSW = 4
+    simulate_tran(bckt, tensors=btens)  # warm up
+    t0 = time.perf_counter()
+    for k in range(KSW):
+        bckt.R[0].R = float(sw_over["RR1"][k])
+        simulate_tran(bckt, tensors=build_tensors(bckt))
+    sw_baseline_vps = KSW / (time.perf_counter() - t0)
+    bckt.R[0].R = 1e3
+    sfast = dict(node="N3", tensors=btens, precision="f32",
+                 method="pallas")
+    sw_stats = mc_tran_stats(bckt, sw_over, **sfast)  # warm up
+    assert sw_stats.n_valid == SB
+    # cross-tier sanity vs the f64 engine on a small slice
+    sw64 = mc_tran_stats(bckt, {"RR1": sw_over["RR1"][:64]},
+                         node="N3", tensors=btens)
+    sw32 = mc_tran_stats(bckt, {"RR1": sw_over["RR1"][:64]}, **sfast)
+    scale = float(np.max(np.abs(sw64.mean))) + 1e-30
+    assert float(np.max(np.abs(sw32.mean - sw64.mean))) < 5e-3 * scale
+    sw_t = timed(lambda: mc_tran_stats(bckt, sw_over, **sfast))
+    sw_vps = SB / sw_t["median"]
+
     # --- parallel-in-time linear transient (the engine's own
     # differentiator — analysis/timeparallel.py): long-horizon RLC MC,
     # S = 100k steps x B = 16 variants, the regime where the sequential
@@ -672,6 +715,11 @@ def main() -> None:
         "nonlinear_tran_vs_baseline": round(ring_vps / ring_baseline_vps, 1),
         "nonlinear_tran_spread_pct": ring_t["spread_pct"],
         **{f"nonlinear_tran_{k}": v for k, v in noisy(ring_t).items()},
+        "switch_diode_tran_variants_per_sec": round(sw_vps, 1),
+        "switch_diode_tran_vs_baseline": round(
+            sw_vps / sw_baseline_vps, 1),
+        "switch_diode_tran_spread_pct": sw_t["spread_pct"],
+        **{f"switch_diode_tran_{k}": v for k, v in noisy(sw_t).items()},
         "time_parallel_100k_steps_s": round(tp_t["median"], 3),
         "time_parallel_speedup_vs_sequential_scan": round(
             tp_seq_t["median"] / tp_t["median"], 2),

@@ -409,17 +409,20 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
                         *, nr: str, integration: str, vs_batched: bool,
                         sharded: bool, n_steps: int, n_src: int):
     """Static pattern for the fused whole-transient kernel, or None when
-    ineligible: the kernel factors the (timestep-invariant) linear MNA
-    matrix once, so any state-dependent stamp (S/D/M/Q/B), non-BE
-    integration, per-variant source grids, sharding, or a source grid
-    too big for SMEM disqualifies (ops/pallas_mc_tran.py)."""
+    ineligible. Linear circuits take the factor-once path; switches and
+    diodes (the reference's nonlinear set, incl. W current-controlled
+    switches) take the in-kernel Newton/switch loop. MOSFET/BJT/B
+    circuits (Newton-to-convergence mode), non-BE integration,
+    per-variant source grids, sharding, temperature overrides, and
+    source grids too big for SMEM disqualify (ops/pallas_mc_tran.py)."""
     from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
                                       build_tran_pattern)
 
     if (method != "pallas" or precision != "f32" or sharded
             or vs_batched or integration != "be" or nr != "spicey"
-            or tensors.n_s or tensors.n_d or tensors.n_m or tensors.n_q
+            or tensors.n_m or tensors.n_q
             or tensors.n_k or tensors.n_t or ckt.B
+            or ckt.temp_c is not None
             or not 0 < tensors.nvar <= _FUSED_MAX_N
             or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
         return None
@@ -431,12 +434,14 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
                "h_idx": tensors.h_idx}
     return build_tran_pattern(
         tensors.nvar, tensors.r_idx, tensors.c_idx, tensors.l_idx,
-        tensors.v_idx, tensors.n_i, ext_idx)
+        tensors.v_idx, tensors.n_i, ext_idx,
+        s_idx=tensors.s_idx, d_idx=tensors.d_idx)
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
                                    "q_method", "interpret"))
 def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
+                        s_ron, s_roff, s_von, s_voff, d_is, d_n,
                         nvar: int, node_idx: int,
                         pattern: tuple, qs: tuple,
                         q_method: str = "exact",
@@ -459,10 +464,18 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
             a = jnp.broadcast_to(a[None, :], (B, a.shape[0]))
         return a
 
+    # switch conductances with the reference |R| >= EPS clamp
+    # (simulateTRAN.ts:56-63) and diode (Is, N*VT) rows
+    from ..constants import VT_300K as _VT
+
     cols = [jnp.asarray(r_vals, jnp.float32),
             jnp.asarray(c_vals / dt_c, jnp.float32),
             jnp.asarray(dt_c / l_vals, jnp.float32),
-            ext["g_gm"], ext["e_gain"], ext["f_gain"], ext["h_r"]]
+            ext["g_gm"], ext["e_gain"], ext["f_gain"], ext["h_r"],
+            1.0 / jnp.maximum(jnp.abs(jnp.asarray(s_ron)), _EPS),
+            1.0 / jnp.maximum(jnp.abs(jnp.asarray(s_roff)), _EPS),
+            jnp.asarray(s_von), jnp.asarray(s_voff),
+            jnp.asarray(d_is), jnp.asarray(d_n) * _VT]
     values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
     v_node, valid = mc_tran_fused_f32(vs_grid, values, nvar, node_idx,
                                       pattern, eps=_EPS,
@@ -685,6 +698,8 @@ def mc_tran_stats(
         packed = _mc_tran_fused_core(
             jnp.asarray(vs_grid, jnp.float32), r_vals, c_vals, l_vals,
             ext, jnp.asarray(dt, jnp.float64),
+            tensors.s_ron, tensors.s_roff, tensors.s_von, tensors.s_voff,
+            tensors.d_is, tensors.d_n,
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method, interpret=interpret)
@@ -927,6 +942,8 @@ def mc_tran_sampled(
         packed = _mc_tran_fused_core(
             jnp.asarray(vs_grid, jnp.float32), vals["r"], vals["c"],
             vals["l"], ext, jnp.asarray(dt, jnp.float64),
+            tensors.s_ron, tensors.s_roff, tensors.s_von, tensors.s_voff,
+            tensors.d_is, tensors.d_n,
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method, interpret=interpret)

@@ -116,24 +116,13 @@ def _extract_solution(colidx: Array, rhs: Array, rows2: Array,
     return jnp.sum(jnp.where(eq, rhs[None, :, :], 0.0), axis=1)
 
 
-def _gj_real_kernel(ab_ref: object, x_ref: object, valid_ref: object,
-                    ab_s: object, *, n: int, eps: float) -> None:
-    """One grid cell: solve TILE_B real systems laid out (N, N+1, TILE_B).
-
-    The elimination runs as an in-kernel ``fori_loop`` (one step's
-    temporaries live at a time — an unrolled loop multiplies them by N and
-    blows Mosaic's scoped VMEM at N ~ 64). Loop bounds are pinned to i32:
-    under x64 Python-int bounds trace to i64, which Mosaic cannot lower.
-
-    The working matrix lives in the ``ab_s`` VMEM scratch so column k is a
-    DYNAMIC SUBLANE SLICE ``ab_s[:, pl.ds(k, 1), :]`` — O(N*TB) — instead
-    of the O(N^2*TB) masked iota-reduction the first kernel generation
-    used (value-level dynamic_slice doesn't lower in Mosaic, but ref
-    loads do; measured +17% at N=64, bit-identical results).
-    """
-    ab_s[:] = ab_ref[:]  # (N, N+1, TB)
-    tb = ab_ref.shape[-1]
-    dtype = ab_ref.dtype
+def _real_gj_scratch(ab_s: object, *, n: int, tb: int, dtype: object,
+                     eps: float) -> tuple:
+    """The real one-hot-pivot Gauss-Jordan loop on an augmented
+    (N, N+1, TB) VMEM scratch; shared by the batch-last solve kernel and
+    the fused transient MC kernel's Newton iterations
+    (ops/pallas_mc_tran.py). Returns (colidx, valid, rows2) with the
+    reduced planes left in the scratch ref."""
     # tpu.iota must be integer-typed; convert to float for the reductions
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
     # explicit typed constants: under x64, literals in scalar-scalar
@@ -169,7 +158,28 @@ def _gj_real_kernel(ab_ref: object, x_ref: object, valid_ref: object,
             jnp.zeros((n, tb), dtype))
     _used, valid, colidx = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n), body, init)
+    return colidx, valid, rows2
 
+
+def _gj_real_kernel(ab_ref: object, x_ref: object, valid_ref: object,
+                    ab_s: object, *, n: int, eps: float) -> None:
+    """One grid cell: solve TILE_B real systems laid out (N, N+1, TILE_B).
+
+    The elimination runs as an in-kernel ``fori_loop`` (one step's
+    temporaries live at a time — an unrolled loop multiplies them by N and
+    blows Mosaic's scoped VMEM at N ~ 64). Loop bounds are pinned to i32:
+    under x64 Python-int bounds trace to i64, which Mosaic cannot lower.
+
+    The working matrix lives in the ``ab_s`` VMEM scratch so column k is a
+    DYNAMIC SUBLANE SLICE ``ab_s[:, pl.ds(k, 1), :]`` — O(N*TB) — instead
+    of the O(N^2*TB) masked iota-reduction the first kernel generation
+    used (value-level dynamic_slice doesn't lower in Mosaic, but ref
+    loads do; measured +17% at N=64, bit-identical results).
+    """
+    ab_s[:] = ab_ref[:]  # (N, N+1, TB)
+    tb = ab_ref.shape[-1]
+    colidx, valid, rows2 = _real_gj_scratch(
+        ab_s, n=n, tb=tb, dtype=ab_ref.dtype, eps=eps)
     rhs = ab_s[:, n, :]  # (N, TB) final RHS column
     x_ref[:] = _extract_solution(colidx, rhs, rows2, n)
     valid_ref[:] = valid

@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPS
-from .pallas_gj import _real_inv_scratch, _z
+from .pallas_gj import (_extract_solution, _real_gj_scratch,
+                        _real_inv_scratch, _z)
 
 Array = jax.Array
 
@@ -60,16 +61,23 @@ _VMEM_BUDGET = 6 * 1024 * 1024
 
 def build_tran_pattern(n: int, r_idx: object, c_idx: object,
                        l_idx: object, v_idx: object, n_src_i: int,
-                       ext_idx: dict | None = None) -> tuple:
-    """Static pattern: (n_rows, a_entries, b_src, c_state, l_state).
+                       ext_idx: dict | None = None,
+                       s_idx: object = None,
+                       d_idx: object = None) -> tuple:
+    """Static pattern:
+    (n_rows, a_entries, b_src, c_state, l_state, s_list, d_list).
 
-    Value-row layout: [R | gc | gl | g | e | f | h] (companion
-    conductances in place of raw C/L values). ``a_entries`` is
-    ((i, j), terms) with term kinds "one"/"inv"/"lin" as in the AC
-    pattern; ``b_src`` is (row, src_col, sign) into the (S+1, nSrc)
-    source grid (V branch values first, then I injections);
-    ``c_state``/``l_state`` are (elem, i1, i2, value_row) with dump-slot
-    indices preserved (the kernel treats row >= n as ground)."""
+    Value-row layout: [R | gc | gl | g | e | f | h | s_gon | s_goff |
+    s_von | s_voff | d_is | d_vth] (companion conductances in place of
+    raw C/L values). ``a_entries`` is ((i, j), terms) with term kinds
+    "one"/"inv"/"lin" as in the AC pattern; ``b_src`` is (row, src_col,
+    sign) into the (S+1, nSrc) source grid (V branch values first, then
+    I injections); ``c_state``/``l_state`` are (elem, i1, i2, value_row)
+    with dump-slot indices preserved (the kernel treats row >= n as
+    ground). ``s_list``/``d_list`` describe the state-dependent stamps
+    that force the per-step Newton/switch iteration:
+    (i1, i2, icp, icn, row_gon, row_goff, row_von, row_voff) and
+    (ip, im, row_is, row_vth)."""
     a_t: dict = {}
 
     def add(i: int, j: int, term: tuple) -> None:
@@ -139,9 +147,23 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
             for (a, b, s) in ((i1, j, 1.0), (i2, j, -1.0),
                               (j, i1, 1.0), (j, i2, -1.0)):
                 add(a, b, ("one", 0, s))
-            if j < n and jc < n:
-                add(a, b, ("lin", row, -1.0))
+            add(j, jc, ("lin", row, -1.0))
         base += hi.shape[0]
+    s_arr = (np.asarray(s_idx).reshape(-1, 4) if s_idx is not None
+             else np.zeros((0, 4), np.int64))
+    d_arr = (np.asarray(d_idx).reshape(-1, 2) if d_idx is not None
+             else np.zeros((0, 2), np.int64))
+    n_s, n_d = s_arr.shape[0], d_arr.shape[0]
+    s_list = tuple(
+        (int(s_arr[k, 0]), int(s_arr[k, 1]), int(s_arr[k, 2]),
+         int(s_arr[k, 3]), base + k, base + n_s + k, base + 2 * n_s + k,
+         base + 3 * n_s + k)
+        for k in range(n_s))
+    base += 4 * n_s
+    d_list = tuple(
+        (int(d_arr[k, 0]), int(d_arr[k, 1]), base + k, base + n_d + k)
+        for k in range(n_d))
+    base += 2 * n_d
     c_state = tuple(
         (k, int(c[k, 0]), int(c[k, 1]), off_gc + k) for k in range(n_c))
     l_state = tuple(
@@ -149,7 +171,8 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
         for k in range(n_l))
     a_entries = tuple(sorted(
         (ij, tuple(terms)) for ij, terms in a_t.items()))
-    return base, a_entries, tuple(b_src), c_state, l_state
+    return (base, a_entries, tuple(b_src), c_state, l_state, s_list,
+            d_list)
 
 
 def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
@@ -158,7 +181,7 @@ def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                        pattern: tuple) -> None:
     tb = ev_ref.shape[-1]
     dtype = ev_ref.dtype
-    _n_rows, a_entries, b_src, c_state, l_state = pattern
+    _n_rows, a_entries, b_src, c_state, l_state, _s, _d = pattern
     stamped = {ij for ij, _ in a_entries}
     zero_row = jnp.zeros((1, tb), dtype)
 
@@ -252,6 +275,203 @@ def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, init)
 
 
+def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
+                          valid_ref: object, ab_s: object, lin_s: object,
+                          x_s: object, st_s: object,
+                          *, n: int, node_idx: int, eps: float,
+                          n_steps: int, pattern: tuple) -> None:
+    """Switch/diode variant: the MNA matrix is state-dependent, so each
+    step runs the reference's inner loop (simulateTRAN.ts:149-161) —
+    x zero-seeded, up to 20 rebuild+solve passes with per-lane done
+    masking, exiting when no lane toggled a switch — entirely in VMEM.
+    The linear stamp part is cached in ``lin_s`` and re-copied into the
+    augmented scratch per pass; diodes get the Shockley companion with
+    the reference clamps (vd in [-1, 0.8], gd >= GMIN), seeded from the
+    previous TIMESTEP on pass 0 and the previous pass after.
+
+    Mosaic constraint that shaped this kernel: an scf.while carrying
+    (1, TB) / (N, TB) vectors fails to lower — the layout join between
+    the splat-initialized carries and the body's computed values dies
+    with "Not implemented: Sublane broadcast" (select_n AND elementwise
+    alike), while fori_loop carries are fine (the linear kernel above
+    relies on them). So the Newton loop carries ONLY scalars
+    (iteration counter + continue flag); all per-lane state lives in
+    VMEM scratch — ``x_s`` (N, TB) holds the solution, ``st_s`` rows
+    hold [switch on-states | done | validity], and every (1, TB) select
+    is an arithmetic blend on {0, 1} floats."""
+    from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, MAX_NR_ITERS
+
+    tb = ev_ref.shape[-1]
+    dtype = ev_ref.dtype
+    _n_rows, a_entries, b_src, c_state, l_state, s_list, d_list = pattern
+    stamped = {ij for ij, _ in a_entries}
+    zero_row = jnp.zeros((1, tb), dtype)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
+    vd_lo = jnp.asarray(DIODE_VD_MIN, dtype)
+    vd_hi = jnp.asarray(DIODE_VD_MAX, dtype)
+    gmin = jnp.asarray(GMIN, dtype)
+
+    def val_row(row: int) -> Array:
+        return ev_ref[pl.ds(row, 1), :]  # (1, TB)
+
+    # cache the state-INDEPENDENT stamp part once
+    for i in range(n):
+        for j in range(n):
+            if (i, j) not in stamped:
+                lin_s[i, pl.ds(j, 1), :] = zero_row
+    for (i, j), terms in a_entries:
+        acc = None
+        for kind, row, sign in terms:
+            s = jnp.asarray(sign, dtype)
+            if kind == "one":
+                t = jnp.full((1, tb), sign, dtype)
+            elif kind == "inv":
+                t = s / val_row(row)
+            else:  # lin
+                t = s * val_row(row)
+            acc = t if acc is None else acc + t
+        lin_s[i, pl.ds(j, 1), :] = acc
+
+    def row_of(x: Array, i: int) -> Array:
+        if i >= n:
+            return zero_row
+        return jnp.sum(jnp.where(rows2 == jnp.asarray(float(i), dtype),
+                                 x, 0.0), axis=0, keepdims=True)
+
+    def adm4(i1: int, i2: int, g: Array) -> None:
+        for (a, b, sgn) in ((i1, i1, 1.0), (i2, i2, 1.0),
+                            (i1, i2, -1.0), (i2, i1, -1.0)):
+            if a < n and b < n:
+                ab_s[a, pl.ds(b, 1), :] = (
+                    ab_s[a, pl.ds(b, 1), :] + jnp.asarray(sgn, dtype) * g)
+
+    n_s = len(s_list)
+    row_done, row_vnr = n_s, n_s + 1  # st_s row layout
+
+    def st_row(r: int) -> Array:
+        return st_s[pl.ds(r, 1), :]  # (1, TB)
+
+    # switch on-states persist across timesteps (isOn starts False, :85)
+    for k in range(n_s):
+        st_s[pl.ds(k, 1), :] = zero_row
+
+    def step(s: Array, carry: tuple) -> tuple:
+        v_prev, i_prev, vd_prev, valid_acc = carry
+
+        # linear RHS rows: iteration-invariant within the step
+        b_lin = [zero_row] * n
+
+        def badd(i: int, t: Array) -> None:
+            if i < n:
+                b_lin[i] = b_lin[i] + t
+
+        for (i, col, sign) in b_src:
+            badd(i, jnp.full((1, tb), 1.0, dtype)
+                 * (vs_ref[s, col] * jnp.asarray(sign, dtype)))
+        for (k, i1, i2, gc_row) in c_state:
+            t = val_row(gc_row) * v_prev[k]
+            badd(i1, t)
+            badd(i2, -t)
+        for (k, i1, i2, _g) in l_state:
+            badd(i1, -i_prev[k])
+            badd(i2, i_prev[k])
+
+        # x zero-seeded per step (:149); done=0, validity=1
+        x_s[:] = jnp.zeros((n, tb), dtype)
+        st_s[pl.ds(row_done, 1), :] = zero_row
+        st_s[pl.ds(row_vnr, 1), :] = jnp.ones((1, tb), dtype)
+
+        def nr_cond(c: tuple) -> Array:
+            it, go = c
+            return jnp.logical_and(it < jnp.int32(MAX_NR_ITERS), go)
+
+        def nr_body(c: tuple) -> tuple:
+            it, _go = c
+            done = st_row(row_done)
+            live_f = one - done  # (1, TB) in {0, 1}
+            ab_s[:, pl.ds(0, n), :] = lin_s[:]
+            for k, (i1, i2, _p, _m, rg1, rg0, _von, _voff) in \
+                    enumerate(s_list):
+                on_k = st_row(k)
+                g = val_row(rg0) + on_k * (val_row(rg1) - val_row(rg0))
+                adm4(i1, i2, g)
+            d_terms: dict[int, Array] = {}
+
+            def dadd(i: int, t: Array) -> None:
+                if i < n:
+                    d_terms[i] = t if i not in d_terms else d_terms[i] + t
+
+            x0 = x_s[:]
+            for k, (ip, im, r_is, r_vth) in enumerate(d_list):
+                vd_it = row_of(x0, ip) - row_of(x0, im)
+                first = jnp.where(it < jnp.int32(1), one, zero)  # scalar
+                vd = vd_it + first * (vd_prev[k] - vd_it)
+                vd_l = jnp.clip(vd, vd_lo, vd_hi)
+                i_s = val_row(r_is)
+                vth = val_row(r_vth)
+                ev = jnp.exp(vd_l / vth)
+                idd = i_s * (ev - 1.0)
+                gd = jnp.maximum(i_s / vth * ev, gmin)
+                adm4(ip, im, gd)
+                cur = idd - gd * vd_l  # stampCurrent: b[ip]-=cur, b[im]+=cur
+                dadd(ip, -cur)
+                dadd(im, cur)
+            for i in range(n):
+                ab_s[i, pl.ds(n, 1), :] = b_lin[i] + d_terms.get(i, zero)
+
+            colidx, v_i, r2 = _real_gj_scratch(
+                ab_s, n=n, tb=tb, dtype=dtype, eps=eps)
+            x_new = _extract_solution(colidx, ab_s[:, n, :], r2, n)
+            # frozen lanes keep their committed solution
+            live_full = pltpu.repeat(live_f, n, 0)  # (N, TB) in {0, 1}
+            x_s[:] = x0 + live_full * (x_new - x0)
+            # once done, a lane's validity is frozen too
+            st_s[pl.ds(row_vnr, 1), :] = (
+                st_row(row_vnr) * (v_i + done * (one - v_i)))
+            toggled = zero_row
+            x_b = x_s[:]
+            for k, (_i1, _i2, icp, icn, _g1, _g0, rvon, rvoff) in \
+                    enumerate(s_list):
+                on_k = st_row(k)
+                vctrl = row_of(x_b, icp) - row_of(x_b, icn)
+                # hysteresis: ON stays unless vctrl < Voff; OFF flips
+                # when vctrl > Von (simulateTRAN.ts:108-128)
+                stay_on = jnp.where(vctrl < val_row(rvoff), zero, one)
+                turn_on = jnp.where(vctrl > val_row(rvon), one, zero)
+                nxt = turn_on + on_k * (stay_on - turn_on)
+                nxt = on_k + live_f * (nxt - on_k)
+                toggled = jnp.maximum(toggled, jnp.abs(nxt - on_k))
+                st_s[pl.ds(k, 1), :] = nxt
+            done = jnp.maximum(done, 1.0 - toggled)
+            st_s[pl.ds(row_done, 1), :] = done
+            go = jnp.min(done) < 0.5  # scalar: any lane still live
+            return it + 1, go
+
+        jax.lax.while_loop(nr_cond, nr_body,
+                           (jnp.int32(0), jnp.asarray(True)))
+
+        x = x_s[:]
+        out_ref[pl.ds(s, 1), :] = row_of(x, node_idx)
+        v_new = tuple(row_of(x, i1) - row_of(x, i2)
+                      for (_k, i1, i2, _g) in c_state)
+        i_new = tuple(
+            i_prev[k] + val_row(gl_row) * (row_of(x, i1) - row_of(x, i2))
+            for (k, i1, i2, gl_row) in l_state)
+        vd_new = tuple(row_of(x, ip) - row_of(x, im)
+                       for (ip, im, _ri, _rv) in d_list)
+        return v_new, i_new, vd_new, valid_acc * st_row(row_vnr)
+
+    init = (tuple(zero_row for _ in c_state),
+            tuple(zero_row for _ in l_state),
+            tuple(zero_row for _ in d_list),
+            jnp.ones((1, tb), dtype))
+    final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step,
+                              init)
+    valid_ref[:] = final[3]
+
+
 def _tran_tile(n: int, n_steps: int, n_rows: int) -> int:
     per_lane = 4 * (n_steps + 2 * n * n + n_rows + 10 * n)
     tile = _VMEM_BUDGET // (per_lane * _LANE) * _LANE
@@ -279,9 +499,11 @@ def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
         values = jnp.concatenate(
             [values, jnp.ones((values.shape[0], pad), f32)], axis=-1)
     Bp = B + pad
+    has_nl = bool(pattern[5]) or bool(pattern[6])
     kernel = functools.partial(
-        _fused_tran_kernel, n=n, node_idx=node_idx, eps=eps,
-        n_steps=n_steps, pattern=pattern)
+        _fused_tran_nr_kernel if has_nl else _fused_tran_kernel,
+        n=n, node_idx=node_idx, eps=eps, n_steps=n_steps,
+        pattern=pattern)
     out, valid = pl.pallas_call(
         kernel,
         grid=(Bp // tile,),
@@ -302,10 +524,17 @@ def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
             jax.ShapeDtypeStruct((n_steps, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n, n, tile), f32),
-            pltpu.VMEM((n, n, tile), f32),
-        ],
+        scratch_shapes=(
+            # NR mode: augmented working planes + cached linear part +
+            # solution + per-lane Newton state rows (on|done|vnr);
+            # linear mode: [A | I] planes for the factor-once path
+            [pltpu.VMEM((n, n + 1, tile), f32),
+             pltpu.VMEM((n, n, tile), f32),
+             pltpu.VMEM((n, tile), f32),
+             pltpu.VMEM((len(pattern[5]) + 2, tile), f32)]
+            if has_nl else
+            [pltpu.VMEM((n, n, tile), f32),
+             pltpu.VMEM((n, n, tile), f32)]),
         interpret=interpret,
     )(vs_grid, values)
     return out[:, :B].T, valid[0, :B] > 0.5

@@ -219,11 +219,81 @@ def test_tran_fused_ineligible_cases(tran_fused_counter):
                            "V1": 5.0 * (1 + 0.1 * rng.random(8))},
                   node="2", method="pallas", precision="f32",
                   interpret=True)
-    # switches make the matrix state-dependent
-    sw = parse_netlist(netlists.VSWITCH_PWL)
-    mc_tran_stats(sw, {"R1": 1e3 * (1 + 0.1 * rng.random(8))}, node="OUT",
+    # MOSFETs run Newton-to-convergence: matrix state the in-kernel
+    # switch/diode loop does not model
+    mos_net = ("tran mosfet deck\n.model mn nmos(vto=1 kp=2m)\n"
+               "V1 d 0 dc 5\nVG g 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+               "R1 d o 1k\nM1 o g 0 mn\n.tran 0.2u 20u\n.end\n")
+    mos = parse_netlist(mos_net, dialect="extended")
+    assert mos.M
+    mc_tran_stats(mos, {"R1": 1e3 * (1 + 0.1 * rng.random(8))}, node="o",
                   method="pallas", precision="f32", interpret=True)
+    # .temp overrides shift VT; the kernel pins the diode thermal
+    # voltage at 300 K
+    hot = parse_netlist(netlists.DIODE_SWITCH.replace(
+        ".tran 0.00001 0.01", ".temp 85\n.tran 0.00001 0.01"),
+        dialect="extended")
+    mc_tran_stats(hot, {"RR1": 1e3 * (1 + 0.1 * rng.random(8))},
+                  node="N3", method="pallas", precision="f32",
+                  interpret=True)
     assert tran_fused_counter["n"] == 0
+
+
+def test_tran_fused_switch_diode_matches_scan_tier(monkeypatch,
+                                                   tran_fused_counter):
+    """The in-kernel Newton/switch loop (switch + diode circuits) must be
+    semantically identical to the f32 scan tier — same zero-seeded inner
+    loop, same hysteresis update, same clamps."""
+    rng = np.random.default_rng(7)
+    for net, node, ov_name in [(netlists.VSWITCH_PWL, "OUT", "R1"),
+                               (netlists.DIODE_SWITCH, "N3", "RR1"),
+                               (netlists.SWITCH_VT_VH, "N2", "RR1")]:
+        ckt = parse_netlist(net)
+        ov = {ov_name: 1e3 * (1 + 0.1 * rng.random(8))}
+        before = tran_fused_counter["n"]
+        fus = mc_tran_stats(ckt, ov, node=node, method="pallas",
+                            precision="f32", interpret=True)
+        assert tran_fused_counter["n"] == before + 1
+        with monkeypatch.context() as m:
+            m.setattr(ftran_mod, "_FUSED_MAX_N", 0)
+            scan = mc_tran_stats(ckt, ov, node=node, method="pallas",
+                                 precision="f32", interpret=True,
+                                 time_parallel="never")
+        # trajectories agree to f32 ulp (diode companions evaluate in a
+        # different arithmetic order); std of near-identical variants
+        # additionally suffers f32 cancellation under the two tiers'
+        # different reduction orders — hence the looser stats tolerance
+        _stats_close(fus, scan, rtol=5e-3)
+        np.testing.assert_allclose(fus.mean, scan.mean, rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_tran_fused_diode_matches_f64():
+    """Against the f64 engine the diode fixtures agree to f32 accuracy.
+
+    (VSWITCH_PWL is excluded by design: its PWL control ramp crosses Von
+    exactly at a grid point, so f32 rounding toggles the switch one step
+    away from the f64 engine — the f32 SCAN tier shows the identical
+    offset, pinned by test_tran_fused_switch_diode_matches_scan_tier.)"""
+    rng = np.random.default_rng(8)
+    for net, node in [(netlists.DIODE_SWITCH, "N3"),
+                      (netlists.SWITCH_VT_VH, "N2")]:
+        ckt = parse_netlist(net)
+        ov = {"RR1": 1e3 * (1 + 0.1 * rng.random(8))}
+        fus = mc_tran_stats(ckt, ov, node=node, method="pallas",
+                            precision="f32", interpret=True)
+        ref = mc_tran_stats(ckt, ov, node=node, method="gj",
+                            precision="f64")
+        for f in ("mean", "min", "max"):
+            x, y = getattr(fus, f), getattr(ref, f)
+            np.testing.assert_allclose(
+                x, y, rtol=2e-4, atol=2e-4 * float(np.max(np.abs(y))),
+                err_msg=f)
+        # std of near-identical variants is cancellation-limited in f32
+        np.testing.assert_allclose(
+            fus.std, ref.std, rtol=2e-2,
+            atol=2e-2 * float(np.max(np.abs(ref.std))), err_msg="std")
+        assert fus.n_valid == ref.n_valid
 
 
 def test_tran_fused_sampled_padding(tran_fused_counter):
