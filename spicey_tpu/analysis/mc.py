@@ -42,6 +42,7 @@ from ..ir.circuit import (
 from ..parsing.netlist import ParsedCircuit
 from .ac import _assemble_grid, build_frequency_array
 from ..constants import EPS as _EPS
+from ..constants import VT_300K as _VT300
 from .batch import (
     _batch_size,
     _batch_values,
@@ -411,10 +412,12 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
     """Static pattern for the fused whole-transient kernel, or None when
     ineligible. Linear circuits take the factor-once path; switches and
     diodes (the reference's nonlinear set, incl. W current-controlled
-    switches) take the in-kernel Newton/switch loop. MOSFET/BJT/B
-    circuits (Newton-to-convergence mode), non-BE integration,
-    per-variant source grids, sharding, temperature overrides, and
-    source grids too big for SMEM disqualify (ops/pallas_mc_tran.py)."""
+    switches) take the in-kernel Newton/switch loop — `.temp` overrides
+    ride along because tensorization folds temperature into d_n/d_is/
+    r_vals and the kernel takes the clamp-window scale statically.
+    MOSFET/BJT/B circuits (Newton-to-convergence mode), non-BE
+    integration, per-variant source grids, sharding, and source grids
+    too big for SMEM disqualify (ops/pallas_mc_tran.py)."""
     from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
                                       build_tran_pattern)
 
@@ -422,7 +425,6 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
             or vs_batched or integration != "be" or nr != "spicey"
             or tensors.n_m or tensors.n_q
             or tensors.n_k or tensors.n_t or ckt.B
-            or ckt.temp_c is not None
             or not 0 < tensors.nvar <= _FUSED_MAX_N
             or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
         return None
@@ -439,12 +441,13 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
-                                   "q_method", "interpret"))
+                                   "q_method", "vd_scale", "interpret"))
 def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
                         s_ron, s_roff, s_von, s_voff, d_is, d_n,
                         nvar: int, node_idx: int,
                         pattern: tuple, qs: tuple,
                         q_method: str = "exact",
+                        vd_scale: float = 1.0,
                         interpret: bool = False):
     """Fused whole-transient MC: combine the (n_rows, B) value slab in
     build_tran_pattern's row order [R | gc=C/dt | gl=dt/L | g | e | f |
@@ -479,6 +482,7 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
     values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
     v_node, valid = mc_tran_fused_f32(vs_grid, values, nvar, node_idx,
                                       pattern, eps=_EPS,
+                                      vd_scale=vd_scale,
                                       interpret=interpret)
     stats = _stats_of(v_node, valid, qs, q_method=q_method)
     return _pack_stats(stats, jnp.sum(valid))
@@ -702,7 +706,8 @@ def mc_tran_stats(
             tensors.d_is, tensors.d_n,
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
-            q_method=quantile_method, interpret=interpret)
+            q_method=quantile_method,
+            vd_scale=float(tensors.vt) / _VT300, interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
         return res
@@ -946,7 +951,8 @@ def mc_tran_sampled(
             tensors.d_is, tensors.d_n,
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
-            q_method=quantile_method, interpret=interpret)
+            q_method=quantile_method,
+            vd_scale=float(tensors.vt) / _VT300, interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
         return res

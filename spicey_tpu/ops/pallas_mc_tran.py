@@ -24,15 +24,22 @@ grid cell:
      state (simulateTRAN.ts:221-231 semantics; t=0 is the quasi-DC
      bootstrap with zero state, :147-149).
 
+Switch (S/W) and diode circuits — the reference's nonlinear set — take
+``_fused_tran_nr_kernel`` instead: the matrix is state-dependent, so
+step 2's factor-once is replaced by the reference's inner rebuild+solve
+loop (simulateTRAN.ts:149-161) run entirely in VMEM, re-eliminating the
+augmented planes per pass with the state-independent stamp cached in a
+second scratch.
+
 HBM traffic for a whole B-variant MC: the (nE, B) values in, the
 (S+1, B) probed trajectory out. Nothing per step ever touches HBM.
 
-Eligibility (enforced by the caller, analysis/mc.py): reference-linear
-device set R/C/L/V plus extended I/G/E/F/H sources, BE integration,
-f32 pallas tier, no switches/diodes/MOSFETs/BJTs/K/T/B-sources, no
-per-variant source overrides, N <= 16, and the source grid small enough
-for SMEM. Contract: /root/reference/lib/analysis/simulateTRAN.ts:14-231
-restricted to the linear stamp set.
+Eligibility (enforced by the caller, analysis/mc.py): device set
+R/C/L/V/S/W/D plus extended I/G/E/F/H sources, BE integration, f32
+pallas tier, no MOSFETs/BJTs/K/T/B-sources (those need
+Newton-to-convergence), no per-variant source overrides, N <= 16, and
+the source grid small enough for SMEM. Contract:
+/root/reference/lib/analysis/simulateTRAN.ts:14-231.
 """
 
 from __future__ import annotations
@@ -279,7 +286,8 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                           valid_ref: object, ab_s: object, lin_s: object,
                           x_s: object, st_s: object,
                           *, n: int, node_idx: int, eps: float,
-                          n_steps: int, pattern: tuple) -> None:
+                          n_steps: int, pattern: tuple,
+                          vd_scale: float = 1.0) -> None:
     """Switch/diode variant: the MNA matrix is state-dependent, so each
     step runs the reference's inner loop (simulateTRAN.ts:149-161) —
     x zero-seeded, up to 20 rebuild+solve passes with per-lane done
@@ -309,8 +317,11 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
     one = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0.0, dtype)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 0).astype(dtype)
-    vd_lo = jnp.asarray(DIODE_VD_MIN, dtype)
-    vd_hi = jnp.asarray(DIODE_VD_MAX, dtype)
+    # the linearization clamp window scales with T/300 like the scan
+    # tier's (analysis/tran.py:361-365); temp is otherwise already folded
+    # into the tensor values (d_n, d_is, r_vals) at tensorization
+    vd_lo = jnp.asarray(DIODE_VD_MIN * vd_scale, dtype)
+    vd_hi = jnp.asarray(DIODE_VD_MAX * vd_scale, dtype)
     gmin = jnp.asarray(GMIN, dtype)
 
     def val_row(row: int) -> Array:
@@ -480,9 +491,10 @@ def _tran_tile(n: int, n_steps: int, n_rows: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("n", "node_idx", "pattern", "eps",
-                              "interpret"))
+                              "vd_scale", "interpret"))
 def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
                       node_idx: int, pattern: tuple, eps: float = EPS,
+                      vd_scale: float = 1.0,
                       interpret: bool = False) -> tuple[Array, Array]:
     """Fused whole-transient MC: vs_grid (S+1, nSrc), values (n_rows, B)
     -> (v_node (B, S+1) f32, valid (B,) bool)."""
@@ -500,10 +512,12 @@ def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
             [values, jnp.ones((values.shape[0], pad), f32)], axis=-1)
     Bp = B + pad
     has_nl = bool(pattern[5]) or bool(pattern[6])
-    kernel = functools.partial(
-        _fused_tran_nr_kernel if has_nl else _fused_tran_kernel,
-        n=n, node_idx=node_idx, eps=eps, n_steps=n_steps,
-        pattern=pattern)
+    kernel = (functools.partial(
+        _fused_tran_nr_kernel, n=n, node_idx=node_idx, eps=eps,
+        n_steps=n_steps, pattern=pattern, vd_scale=vd_scale)
+        if has_nl else functools.partial(
+            _fused_tran_kernel, n=n, node_idx=node_idx, eps=eps,
+            n_steps=n_steps, pattern=pattern))
     out, valid = pl.pallas_call(
         kernel,
         grid=(Bp // tile,),

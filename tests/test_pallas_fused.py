@@ -228,15 +228,36 @@ def test_tran_fused_ineligible_cases(tran_fused_counter):
     assert mos.M
     mc_tran_stats(mos, {"R1": 1e3 * (1 + 0.1 * rng.random(8))}, node="o",
                   method="pallas", precision="f32", interpret=True)
-    # .temp overrides shift VT; the kernel pins the diode thermal
-    # voltage at 300 K
+    assert tran_fused_counter["n"] == 0
+
+
+def test_tran_fused_temp_override_matches_scan(monkeypatch,
+                                               tran_fused_counter):
+    """.temp rides the fused path: tensorization folds T into d_n/d_is/
+    r_vals and the kernel takes the clamp-window scale statically."""
+    rng = np.random.default_rng(9)
     hot = parse_netlist(netlists.DIODE_SWITCH.replace(
         ".tran 0.00001 0.01", ".temp 85\n.tran 0.00001 0.01"),
         dialect="extended")
-    mc_tran_stats(hot, {"RR1": 1e3 * (1 + 0.1 * rng.random(8))},
-                  node="N3", method="pallas", precision="f32",
-                  interpret=True)
-    assert tran_fused_counter["n"] == 0
+    ov = {"RR1": 1e3 * (1 + 0.1 * rng.random(8))}
+    fus = mc_tran_stats(hot, ov, node="N3", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    with monkeypatch.context() as m:
+        m.setattr(ftran_mod, "_FUSED_MAX_N", 0)
+        scan = mc_tran_stats(hot, ov, node="N3", method="pallas",
+                             precision="f32", interpret=True,
+                             time_parallel="never")
+    _stats_close(fus, scan, rtol=5e-3)
+    # the clamp bound rounds differently (python-f64 vs f32 product),
+    # and the one-Newton-pass-per-iteration semantics integrate the
+    # ulp-level difference over the 1001-step transient
+    np.testing.assert_allclose(fus.mean, scan.mean, rtol=5e-4, atol=1e-5)
+    # and the hot run actually differs from the 300 K one
+    cold = parse_netlist(netlists.DIODE_SWITCH)
+    ref = mc_tran_stats(cold, ov, node="N3", method="pallas",
+                        precision="f32", interpret=True)
+    assert float(np.max(np.abs(fus.mean - ref.mean))) > 1e-4
 
 
 def test_tran_fused_switch_diode_matches_scan_tier(monkeypatch,
