@@ -158,13 +158,14 @@ def _unpack_stats(packed: np.ndarray, quantiles, grid) -> "MCStats":
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "method", "qs",
                                    "interpret", "chunk", "n_real",
-                                   "q_method", "fused_pattern"))
+                                   "q_method", "fused_pattern", "mesh"))
 def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       v_idx, v_re, v_im, ext, i_re, i_im, nvar: int,
                       node_idx: int, method: str, qs: tuple,
                       interpret: bool = False, chunk: int | None = None,
                       n_real: int | None = None, lk=None, tl=None,
-                      q_method: str = "exact", fused_pattern=None):
+                      q_method: str = "exact", fused_pattern=None,
+                      mesh=None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -202,9 +203,22 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
 
             vals = combine_values(rv, cv, lv, vre, vim, ext=ext_b,
                                   i_re=i_re, i_im=i_im)
-            return mc_ac_fused_f32(freqs, vals, nvar, node_idx,
-                                   fused_pattern, eps=_EPS,
-                                   interpret=interpret)
+
+            def fused_run(fr, va):
+                return mc_ac_fused_f32(fr, va, nvar, node_idx,
+                                       fused_pattern, eps=_EPS,
+                                       interpret=interpret)
+
+            if mesh is not None:
+                # pallas_call is not GSPMD-auto-partitionable: run the
+                # kernel per-device under shard_map over the batch axis
+                from jax.sharding import PartitionSpec as P
+                fused_run = jax.shard_map(
+                    fused_run, mesh=mesh,
+                    in_specs=(P(None), P(None, "batch")),
+                    out_specs=(P("batch", None), P("batch", None)),
+                    check_vma=False)
+            return fused_run(freqs, vals)
         if batchlast:
             from ..analysis.ac import _assemble_grid_batchlast
             from ..ops.pallas_gj import _solve_complex_f32_batchlast
@@ -386,6 +400,12 @@ def mc_ac_stats(
         v_re, v_im = put(v_re), put(v_im)
         ext = {k: (v if k.endswith("idx") else put(v))
                for k, v in ext.items()}
+    # a sharded run can still take the fused assemble+solve kernel when
+    # the mesh is a plain 1D batch mesh and the sweep is unchunked (the
+    # chunk axis would redistribute under lax.map): shard_map per device
+    f_mesh = (_batch_mesh(device_put, B + n_pad)
+              if (device_put is not None
+                  and (chunk is None or chunk >= B)) else None)
     packed = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
         jnp.asarray(tensors.r_idx), r_vals,
@@ -398,12 +418,31 @@ def mc_ac_stats(
         qs=tuple(float(q) for q in quantiles), interpret=interpret,
         chunk=chunk, n_real=B if n_pad else None, lk=lk_arrays(tensors),
         tl=tl_b, q_method=quantile_method,
-        fused_pattern=_fused_pattern(ckt, tensors, method, precision,
-                                     ext, sharded=device_put is not None),
+        fused_pattern=_fused_pattern(
+            ckt, tensors, method, precision, ext,
+            sharded=device_put is not None and f_mesh is None),
+        mesh=f_mesh,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B
     return res
+
+
+def _batch_mesh(device_put, B: int):
+    """The Mesh behind a sharder() callable when the fused Pallas tiers
+    can run under shard_map over it: a 'batch' axis that is the mesh's
+    only non-trivial axis (the fused kernels have no frequency axis to
+    give a 2D mesh) and a variant count divisible by it. None otherwise
+    — callers fall back to the GSPMD scan/batch-last tiers."""
+    mesh = getattr(device_put, "mesh", None)
+    if mesh is None or "batch" not in mesh.axis_names:
+        return None
+    n_b = mesh.shape["batch"]
+    if any(n > 1 for ax, n in mesh.shape.items() if ax != "batch"):
+        return None
+    if n_b <= 0 or B % n_b:
+        return None
+    return mesh
 
 
 def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
@@ -441,13 +480,15 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
-                                   "q_method", "vd_scale", "interpret"))
+                                   "q_method", "vd_scale", "mesh",
+                                   "interpret"))
 def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
                         s_ron, s_roff, s_von, s_voff, d_is, d_n,
                         nvar: int, node_idx: int,
                         pattern: tuple, qs: tuple,
                         q_method: str = "exact",
                         vd_scale: float = 1.0,
+                        mesh=None,
                         interpret: bool = False):
     """Fused whole-transient MC: combine the (n_rows, B) value slab in
     build_tran_pattern's row order [R | gc=C/dt | gl=dt/L | g | e | f |
@@ -480,10 +521,22 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
             jnp.asarray(s_von), jnp.asarray(s_voff),
             jnp.asarray(d_is), jnp.asarray(d_n) * _VT]
     values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
-    v_node, valid = mc_tran_fused_f32(vs_grid, values, nvar, node_idx,
-                                      pattern, eps=_EPS,
-                                      vd_scale=vd_scale,
-                                      interpret=interpret)
+
+    def run(vs, vals):
+        return mc_tran_fused_f32(vs, vals, nvar, node_idx, pattern,
+                                 eps=_EPS, vd_scale=vd_scale,
+                                 interpret=interpret)
+
+    if mesh is not None:
+        # a pallas_call is not GSPMD-auto-partitionable: shard_map it
+        # over the batch axis, each device runs its own grid over its
+        # B/ndev variants; the stats reduction below stays GSPMD
+        from jax.sharding import PartitionSpec as P
+        run = jax.shard_map(run, mesh=mesh,
+                            in_specs=(P(None, None), P(None, "batch")),
+                            out_specs=(P("batch", None), P("batch")),
+                            check_vma=False)
+    v_node, valid = run(vs_grid, values)
     stats = _stats_of(v_node, valid, qs, q_method=q_method)
     return _pack_stats(stats, jnp.sum(valid))
 
@@ -610,7 +663,9 @@ def mc_tran_stats(
     axis collapses into an associative scan, O(log S) depth); "never"
     forces the sequential scan. Nonlinear/T-line runs always take the
     sequential core; sharded runs (``device_put``) take whichever core the
-    regime guard picks, SPMD over the variants axis either way.
+    regime guard picks, SPMD over the variants axis either way — and a
+    plain 1D batch mesh additionally admits the fused whole-transient
+    Pallas kernel, run per-device under shard_map.
     ``tp_crossover``/``tp_mem_budget`` tune the "auto" regime guard for
     non-v5e hardware (see timeparallel.worthwhile; env vars
     SPICEY_TPU_TP_CROSSOVER / SPICEY_TPU_TP_MEM_BUDGET work too).
@@ -689,11 +744,15 @@ def mc_tran_stats(
         if vs_batched:
             vs_in = device_put(jnp.asarray(vs_in, fdt),
                                (None, "batch", None))
+    # a sharded run can still take the fused kernel when the mesh is a
+    # plain 1D batch mesh: the kernel runs per-device under shard_map
+    f_mesh = (_batch_mesh(device_put, B)
+              if device_put is not None else None)
     fused_p = _fused_tran_pattern(
         ckt, tensors, method, precision, ext, nr=nr,
         integration=integration, vs_batched=vs_batched,
-        sharded=device_put is not None, n_steps=steps + 1,
-        n_src=vs_grid.shape[1])
+        sharded=device_put is not None and f_mesh is None,
+        n_steps=steps + 1, n_src=vs_grid.shape[1])
     if fused_p is not None:
         # whole-transient fused kernel (ops/pallas_mc_tran.py): factor
         # once, substitute per step, everything VMEM-resident — beats
@@ -707,7 +766,8 @@ def mc_tran_stats(
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method,
-            vd_scale=float(tensors.vt) / _VT300, interpret=interpret)
+            vd_scale=float(tensors.vt) / _VT300,
+            mesh=f_mesh, interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
         return res

@@ -51,4 +51,8 @@ def sharder(mesh: Mesh):
         spec = tuple(a if (a in mesh.axis_names) else None for a in axes)
         return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
+    # the MC fast paths wrap their Pallas kernels in shard_map (a
+    # pallas_call is not GSPMD-auto-partitionable), which needs the Mesh
+    # itself, not just a placement callable
+    put.mesh = mesh
     return put

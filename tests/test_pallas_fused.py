@@ -129,6 +129,32 @@ def test_fused_sampled_padding_path():
     np.testing.assert_allclose(fus.mean, ref.mean, rtol=5e-4)
 
 
+def test_ac_fused_sharded_over_cpu_mesh(monkeypatch):
+    """A 1D batch mesh runs the fused assemble+solve AC kernel under
+    shard_map; stats must match the single-device fused run."""
+    import jax
+
+    from spicey_tpu.parallel.mesh import make_mesh, sharder
+
+    calls = {"n": 0}
+    real = fused_mod.mc_ac_fused_f32
+
+    def count(*a, **k):
+        calls["n"] += 1  # trace-time count: proves tier selection
+        return real(*a, **k)
+
+    monkeypatch.setattr(fused_mod, "mc_ac_fused_f32", count)
+    mesh = make_mesh({"batch": 8}, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(12)
+    ckt = parse_netlist(RC_NET)
+    ov = _overrides(32, rng)
+    kw = dict(node="2", method="pallas", precision="f32", interpret=True)
+    a = mc_ac_stats(ckt, ov, **kw)
+    b = mc_ac_stats(ckt, ov, device_put=sharder(mesh), **kw)
+    assert calls["n"] >= 2  # both runs took the fused tier
+    _stats_close(b, a, rtol=1e-6)
+
+
 def test_pattern_is_hashable_and_stable():
     ckt = parse_netlist(RC_NET)
     from spicey_tpu.ir.circuit import build_tensors, ext_arrays
@@ -315,6 +341,45 @@ def test_tran_fused_diode_matches_f64():
             fus.std, ref.std, rtol=2e-2,
             atol=2e-2 * float(np.max(np.abs(ref.std))), err_msg="std")
         assert fus.n_valid == ref.n_valid
+
+
+def test_tran_fused_sharded_over_cpu_mesh(tran_fused_counter):
+    """A 1D batch mesh runs the fused transient kernel under shard_map
+    (a pallas_call is not GSPMD-auto-partitionable); results must match
+    the single-device fused run. Covers both the linear factor-once
+    kernel and the switch/diode Newton variant."""
+    import jax
+
+    from spicey_tpu.parallel.mesh import make_mesh, sharder
+
+    mesh = make_mesh({"batch": 8}, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(11)
+    B = 32
+    for net, node, ov in [
+            (TRAN_NET, "2", _tran_overrides(B, rng)),
+            (netlists.DIODE_SWITCH, "N3",
+             {"RR1": 1e3 * (1 + 0.1 * rng.random(B))})]:
+        ckt = parse_netlist(net)
+        kw = dict(node=node, method="pallas", precision="f32",
+                  interpret=True)
+        a = mc_tran_stats(ckt, ov, **kw)
+        n0 = tran_fused_counter["n"]
+        b = mc_tran_stats(ckt, ov, device_put=sharder(mesh), **kw)
+        assert tran_fused_counter["n"] == n0 + 1  # fused, not scan
+        np.testing.assert_allclose(b.mean, a.mean, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(b.std, a.std, rtol=1e-4, atol=1e-8)
+        assert b.n_valid == a.n_valid == B
+    # a 2D mesh (freq axis in play) falls back to the GSPMD scan tier
+    # rather than failing — the fused kernel has no frequency axis
+    mesh2 = make_mesh({"batch": 4, "freq": 2}, devices=jax.devices("cpu"))
+    ckt = parse_netlist(TRAN_NET)
+    ov2 = _tran_overrides(B, rng)
+    n0 = tran_fused_counter["n"]
+    c = mc_tran_stats(ckt, ov2, node="2", method="pallas",
+                      precision="f32", interpret=True,
+                      device_put=sharder(mesh2))
+    assert tran_fused_counter["n"] == n0  # not fused
+    assert c.n_valid == B
 
 
 def test_tran_fused_sampled_padding(tran_fused_counter):
