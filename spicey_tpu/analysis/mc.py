@@ -454,9 +454,11 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
     switches) take the in-kernel Newton/switch loop — `.temp` overrides
     ride along because tensorization folds temperature into d_n/d_is/
     r_vals and the kernel takes the clamp-window scale statically.
-    MOSFET/BJT/B circuits (Newton-to-convergence mode), non-BE
-    integration, per-variant source grids, sharding, and source grids
-    too big for SMEM disqualify (ops/pallas_mc_tran.py)."""
+    MOSFET/BJT/B circuits (Newton-to-convergence mode), diodes with
+    charge storage (TT/CJO — the kernel implements the reference's
+    memoryless diode only), non-BE integration, per-variant source
+    grids, sharding, and source grids too big for SMEM disqualify
+    (ops/pallas_mc_tran.py)."""
     from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
                                       build_tran_pattern)
 
@@ -464,6 +466,7 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
             or vs_batched or integration != "be" or nr != "spicey"
             or tensors.n_m or tensors.n_q
             or tensors.n_k or tensors.n_t or ckt.B
+            or tensors.has_d_charge
             or not 0 < tensors.nvar <= _FUSED_MAX_N
             or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
         return None
