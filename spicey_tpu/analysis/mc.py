@@ -42,6 +42,7 @@ from ..ir.circuit import (
 from ..parsing.netlist import ParsedCircuit
 from .ac import _assemble_grid, build_frequency_array
 from ..constants import EPS as _EPS
+from ..constants import MAX_NR_ITERS as _MAXNR
 from ..constants import VT_300K as _VT300
 from .batch import (
     _batch_size,
@@ -449,24 +450,25 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
                         *, nr: str, integration: str, vs_batched: bool,
                         sharded: bool, n_steps: int, n_src: int):
     """Static pattern for the fused whole-transient kernel, or None when
-    ineligible. Linear circuits take the factor-once path; switches and
-    diodes (the reference's nonlinear set, incl. W current-controlled
-    switches) take the in-kernel Newton/switch loop — `.temp` overrides
-    ride along because tensorization folds temperature into d_n/d_is/
-    r_vals and the kernel takes the clamp-window scale statically.
-    MOSFET/BJT/B circuits (Newton-to-convergence mode), diodes with
-    charge storage (TT/CJO — the kernel implements the reference's
-    memoryless diode only), non-BE integration, per-variant source
-    grids, sharding, and source grids too big for SMEM disqualify
-    (ops/pallas_mc_tran.py)."""
+    ineligible. Linear circuits take the factor-once path; nonlinear
+    circuits — switches (incl. W current-controlled), diodes (incl.
+    TT/CJO charge storage), MOSFETs and BJTs — take the in-kernel
+    Newton loop, with the reference's switch-stability exit for the
+    S/D set (nr="spicey") and the scan core's Newton-settling rule for
+    M/Q decks (nr="converged"). `.temp` overrides ride along because
+    tensorization folds temperature into d_n/d_is/r_vals and the kernel
+    takes the clamp-window scale statically. B-source circuits (jvp
+    linearization — host-traced closures), BJT junction-charge decks
+    (CJE/CJC/TF — not yet in-kernel), non-BE integration, per-variant
+    source grids, sharding, and source grids too big for SMEM
+    disqualify (ops/pallas_mc_tran.py)."""
     from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
                                       build_tran_pattern)
 
     if (method != "pallas" or precision != "f32" or sharded
-            or vs_batched or integration != "be" or nr != "spicey"
-            or tensors.n_m or tensors.n_q
+            or vs_batched or integration != "be"
             or tensors.n_k or tensors.n_t or ckt.B
-            or tensors.has_d_charge
+            or tensors.has_q_charge
             or not 0 < tensors.nvar <= _FUSED_MAX_N
             or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
         return None
@@ -479,18 +481,23 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
     return build_tran_pattern(
         tensors.nvar, tensors.r_idx, tensors.c_idx, tensors.l_idx,
         tensors.v_idx, tensors.n_i, ext_idx,
-        s_idx=tensors.s_idx, d_idx=tensors.d_idx)
+        s_idx=tensors.s_idx, d_idx=tensors.d_idx,
+        m_idx=tensors.m_idx, m_pol=tensors.m_polarity,
+        q_idx=tensors.q_idx, q_pol=tensors.q_polarity,
+        d_chg=bool(tensors.has_d_charge))
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
-                                   "q_method", "vd_scale", "mesh",
-                                   "interpret"))
+                                   "q_method", "vd_scale", "nr",
+                                   "max_nr", "mesh", "interpret"))
 def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
                         s_ron, s_roff, s_von, s_voff, d_is, d_n,
                         nvar: int, node_idx: int,
                         pattern: tuple, qs: tuple,
                         q_method: str = "exact",
                         vd_scale: float = 1.0,
+                        nl=None, dchg=None,
+                        nr: str = "spicey", max_nr: int = 20,
                         mesh=None,
                         interpret: bool = False):
     """Fused whole-transient MC: combine the (n_rows, B) value slab in
@@ -523,12 +530,23 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
             1.0 / jnp.maximum(jnp.abs(jnp.asarray(s_roff)), _EPS),
             jnp.asarray(s_von), jnp.asarray(s_voff),
             jnp.asarray(d_is), jnp.asarray(d_n) * _VT]
+    if nl is not None:
+        # MOSFET/BJT parameter rows (polarities ride the pattern —
+        # the model type is static per device)
+        cols += [nl["m_beta"], nl["m_vto"], nl["m_lambda"],
+                 nl["q_is"], nl["q_bf"], nl["q_br"]]
+    if dchg is not None:
+        # diode charge-storage rows + the 1/dt row (the only place dt
+        # enters the nonlinear kernel: the charge companion c/dt)
+        cols += [dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"],
+                 dchg["fc"],
+                 jnp.reshape(1.0 / dt_c, (1,)).astype(jnp.float32)]
     values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
 
     def run(vs, vals):
         return mc_tran_fused_f32(vs, vals, nvar, node_idx, pattern,
-                                 eps=_EPS, vd_scale=vd_scale,
-                                 interpret=interpret)
+                                 eps=_EPS, vd_scale=vd_scale, nr=nr,
+                                 max_nr=max_nr, interpret=interpret)
 
     if mesh is not None:
         # a pallas_call is not GSPMD-auto-partitionable: shard_map it
@@ -770,6 +788,8 @@ def mc_tran_stats(
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method,
             vd_scale=float(tensors.vt) / _VT300,
+            nl=nl, dchg=dchg_arrays(tensors, dtype=jnp.float32),
+            nr=nr, max_nr=_MAXNR if nr == "spicey" else 50,
             mesh=f_mesh, interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
@@ -1015,7 +1035,10 @@ def mc_tran_sampled(
             nvar=tensors.nvar, node_idx=node_idx, pattern=fused_p,
             qs=tuple(float(q) for q in quantiles),
             q_method=quantile_method,
-            vd_scale=float(tensors.vt) / _VT300, interpret=interpret)
+            vd_scale=float(tensors.vt) / _VT300,
+            nl=nl, dchg=dchg_arrays(tensors, dtype=jnp.float32),
+            nr=nr, max_nr=_MAXNR if nr == "spicey" else 50,
+            interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
         return res

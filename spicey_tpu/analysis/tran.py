@@ -636,19 +636,25 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
             switched = jnp.any(new_on != sw, axis=-1)  # per-lane
             if nr == "converged":
+                # floor the relative tolerance at 16 ulps of the working
+                # dtype: the f64 default 1e-9 is not representable
+                # progress in f32, so an unfloored f32 run never settles
+                # and burns all max_nr passes per step
+                tol_eff = max(float(nr_tol),
+                              16.0 * float(jnp.finfo(dtype).eps))
                 if nr_floor is not None:
                     # ngspice's per-unknown mixed criterion
                     # (.options vntol/abstol): node-voltage rows get the
                     # vntol floor, branch-current rows abstol
                     conv = jnp.all(
                         jnp.abs(x_new - x)
-                        <= nr_tol * jnp.abs(x_new) + nr_floor, axis=-1)
+                        <= tol_eff * jnp.abs(x_new) + nr_floor, axis=-1)
                 else:
                     delta = (jnp.max(jnp.abs(x_new - x), axis=-1)
                              if nvar else 0.0)
                     scale = (1.0 + jnp.max(jnp.abs(x_new), axis=-1)
                              if nvar else 1.0)
-                    conv = delta <= nr_tol * scale
+                    conv = delta <= tol_eff * scale
                 settled = jnp.logical_and(~switched, conv)
             else:
                 settled = ~switched

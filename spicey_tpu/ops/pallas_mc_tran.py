@@ -24,22 +24,26 @@ grid cell:
      state (simulateTRAN.ts:221-231 semantics; t=0 is the quasi-DC
      bootstrap with zero state, :147-149).
 
-Switch (S/W) and diode circuits — the reference's nonlinear set — take
-``_fused_tran_nr_kernel`` instead: the matrix is state-dependent, so
-step 2's factor-once is replaced by the reference's inner rebuild+solve
-loop (simulateTRAN.ts:149-161) run entirely in VMEM, re-eliminating the
-augmented planes per pass with the state-independent stamp cached in a
-second scratch.
+Nonlinear circuits — switches (S/W), diodes (including TT/CJO charge
+storage), MOSFETs and BJTs — take ``_fused_tran_nr_kernel`` instead:
+the matrix is state-dependent, so step 2's factor-once is replaced by
+the engine's inner rebuild+solve loop run entirely in VMEM,
+re-eliminating the augmented planes per pass with the state-independent
+stamp cached in a second scratch. The reference's own nonlinear set
+(S/D) keeps its exact semantics (simulateTRAN.ts:149-161 — exit on
+switch stability); MOSFET/BJT decks run the scan tier's
+Newton-to-convergence rule with per-lane done masking.
 
 HBM traffic for a whole B-variant MC: the (nE, B) values in, the
 (S+1, B) probed trajectory out. Nothing per step ever touches HBM.
 
 Eligibility (enforced by the caller, analysis/mc.py): device set
-R/C/L/V/S/W/D plus extended I/G/E/F/H sources, BE integration, f32
-pallas tier, no MOSFETs/BJTs/K/T/B-sources (those need
-Newton-to-convergence), no per-variant source overrides, N <= 16, and
-the source grid small enough for SMEM. Contract:
-/root/reference/lib/analysis/simulateTRAN.ts:14-231.
+R/C/L/V/S/W/D/M/Q plus extended I/G/E/F/H sources, BE integration, f32
+pallas tier, no K/T/B-sources and no BJT junction-charge (CJE/CJC/TF)
+decks, no per-variant source overrides, N <= 16, and the source grid
+small enough for SMEM. Contract:
+/root/reference/lib/analysis/simulateTRAN.ts:14-231 plus
+analysis/tran.py's extended-device scan semantics.
 """
 
 from __future__ import annotations
@@ -70,21 +74,32 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
                        l_idx: object, v_idx: object, n_src_i: int,
                        ext_idx: dict | None = None,
                        s_idx: object = None,
-                       d_idx: object = None) -> tuple:
-    """Static pattern:
-    (n_rows, a_entries, b_src, c_state, l_state, s_list, d_list).
+                       d_idx: object = None,
+                       m_idx: object = None, m_pol: object = None,
+                       q_idx: object = None, q_pol: object = None,
+                       d_chg: bool = False) -> tuple:
+    """Static pattern: (n_rows, a_entries, b_src, c_state, l_state,
+    s_list, d_list, m_list, q_list, dchg_list, row_invdt).
 
     Value-row layout: [R | gc | gl | g | e | f | h | s_gon | s_goff |
-    s_von | s_voff | d_is | d_vth] (companion conductances in place of
-    raw C/L values). ``a_entries`` is ((i, j), terms) with term kinds
-    "one"/"inv"/"lin" as in the AC pattern; ``b_src`` is (row, src_col,
-    sign) into the (S+1, nSrc) source grid (V branch values first, then
-    I injections); ``c_state``/``l_state`` are (elem, i1, i2, value_row)
-    with dump-slot indices preserved (the kernel treats row >= n as
-    ground). ``s_list``/``d_list`` describe the state-dependent stamps
-    that force the per-step Newton/switch iteration:
-    (i1, i2, icp, icn, row_gon, row_goff, row_von, row_voff) and
-    (ip, im, row_is, row_vth)."""
+    s_von | s_voff | d_is | d_vth | m_beta | m_vto | m_lam | q_is |
+    q_bf | q_br | (d_tt | d_cjo | d_vj | d_m | d_fc | inv_dt)]
+    (companion conductances in place of raw C/L values; the
+    charge-storage rows only exist when ``d_chg``). ``a_entries`` is
+    ((i, j), terms) with term kinds "one"/"inv"/"lin" as in the AC
+    pattern; ``b_src`` is (row, src_col, sign) into the (S+1, nSrc)
+    source grid (V branch values first, then I injections);
+    ``c_state``/``l_state`` are (elem, i1, i2, value_row) with dump-slot
+    indices preserved (the kernel treats row >= n as ground).
+    ``s_list``/``d_list``/``m_list``/``q_list`` describe the
+    state-dependent stamps that force the per-step Newton/switch
+    iteration: (i1, i2, icp, icn, row_gon, row_goff, row_von, row_voff),
+    (ip, im, row_is, row_vth), (d, g, s, row_beta, row_vto, row_lam,
+    pol) and (c, b, e, row_is, row_bf, row_br, pol) — MOSFET/BJT
+    polarities are static floats (the model type cannot vary per
+    variant). ``dchg_list`` holds per-diode (row_tt, row_cjo, row_vj,
+    row_m, row_fc) parallel to ``d_list`` and ``row_invdt`` the 1/dt
+    row (-1 when no charge storage)."""
     a_t: dict = {}
 
     def add(i: int, j: int, term: tuple) -> None:
@@ -171,6 +186,36 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
         (int(d_arr[k, 0]), int(d_arr[k, 1]), base + k, base + n_d + k)
         for k in range(n_d))
     base += 2 * n_d
+    m_arr = (np.asarray(m_idx).reshape(-1, 3) if m_idx is not None
+             else np.zeros((0, 3), np.int64))
+    q_arr = (np.asarray(q_idx).reshape(-1, 3) if q_idx is not None
+             else np.zeros((0, 3), np.int64))
+    n_mm, n_qq = m_arr.shape[0], q_arr.shape[0]
+    m_pols = np.asarray(m_pol if m_pol is not None else []).reshape(-1)
+    q_pols = np.asarray(q_pol if q_pol is not None else []).reshape(-1)
+    m_list = tuple(
+        (int(m_arr[k, 0]), int(m_arr[k, 1]), int(m_arr[k, 2]),
+         base + k, base + n_mm + k, base + 2 * n_mm + k,
+         float(m_pols[k]))
+        for k in range(n_mm))
+    base += 3 * n_mm
+    q_list = tuple(
+        (int(q_arr[k, 0]), int(q_arr[k, 1]), int(q_arr[k, 2]),
+         base + k, base + n_qq + k, base + 2 * n_qq + k,
+         float(q_pols[k]))
+        for k in range(n_qq))
+    base += 3 * n_qq
+    if d_chg:
+        dchg_list = tuple(
+            (base + k, base + n_d + k, base + 2 * n_d + k,
+             base + 3 * n_d + k, base + 4 * n_d + k)
+            for k in range(n_d))
+        base += 5 * n_d
+        row_invdt = base
+        base += 1
+    else:
+        dchg_list = ()
+        row_invdt = -1
     c_state = tuple(
         (k, int(c[k, 0]), int(c[k, 1]), off_gc + k) for k in range(n_c))
     l_state = tuple(
@@ -179,7 +224,7 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
     a_entries = tuple(sorted(
         (ij, tuple(terms)) for ij, terms in a_t.items()))
     return (base, a_entries, tuple(b_src), c_state, l_state, s_list,
-            d_list)
+            d_list, m_list, q_list, dchg_list, row_invdt)
 
 
 def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
@@ -188,7 +233,7 @@ def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                        pattern: tuple) -> None:
     tb = ev_ref.shape[-1]
     dtype = ev_ref.dtype
-    _n_rows, a_entries, b_src, c_state, l_state, _s, _d = pattern
+    _n_rows, a_entries, b_src, c_state, l_state = pattern[:5]
     stamped = {ij for ij, _ in a_entries}
     zero_row = jnp.zeros((1, tb), dtype)
 
@@ -287,15 +332,36 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                           x_s: object, st_s: object,
                           *, n: int, node_idx: int, eps: float,
                           n_steps: int, pattern: tuple,
-                          vd_scale: float = 1.0) -> None:
-    """Switch/diode variant: the MNA matrix is state-dependent, so each
-    step runs the reference's inner loop (simulateTRAN.ts:149-161) —
-    x zero-seeded, up to 20 rebuild+solve passes with per-lane done
-    masking, exiting when no lane toggled a switch — entirely in VMEM.
+                          vd_scale: float = 1.0,
+                          nr: str = "spicey", nr_tol: float = 1e-9,
+                          max_nr: int = 20) -> None:
+    """Nonlinear variant: the MNA matrix is state-dependent, so each
+    step runs the engine's inner loop — x zero-seeded, up to ``max_nr``
+    rebuild+solve passes with per-lane done masking — entirely in VMEM.
+
+    Two exit rules, matching analysis/tran.py's scan core:
+    ``nr="spicey"`` is the reference's (simulateTRAN.ts:149-161): a lane
+    is done as soon as no switch toggled (diodes get exactly one Newton
+    pass per toggle round). ``nr="converged"`` (the mode MOSFET/BJT
+    circuits force) additionally requires the Newton update to settle:
+    max|dx| <= tol * (1 + max|x|) per lane, with the tolerance floored
+    at 16 f32 ulps (1e-9 is not representable progress in f32 — the
+    scan tier applies the same floor).
+
     The linear stamp part is cached in ``lin_s`` and re-copied into the
-    augmented scratch per pass; diodes get the Shockley companion with
-    the reference clamps (vd in [-1, 0.8], gd >= GMIN), seeded from the
-    previous TIMESTEP on pass 0 and the previous pass after.
+    augmented scratch per pass. Per pass the state-dependent set stamps
+    on top: switches as Ron/Roff by hysteresis state; diodes the
+    Shockley companion with the reference clamps (vd in [-1, 0.8] x
+    T/300, gd >= GMIN), seeded from the previous TIMESTEP on pass 0 and
+    the previous pass after — plus, when the deck has charge storage
+    (TT/CJO), the junction-charge companion i = (q(v) - q_prev)/dt with
+    the split Newton anchor (diffusion at the clamped voltage, depletion
+    at the true one — models/devices.diode_charge_cap); MOSFETs the
+    level-1 (Shichman-Hodges) linearization gm/gds/i_eq
+    (models/devices.mos_level1) and BJTs the Ebers-Moll transport
+    companion (models/devices.bjt_ebers_moll), both seeded from the
+    previous timestep's junction voltages on pass 0 exactly like the
+    scan tier (analysis/tran.py _stamp_nonlinear).
 
     Mosaic constraint that shaped this kernel: an scf.while carrying
     (1, TB) / (N, TB) vectors fails to lower — the layout join between
@@ -307,11 +373,14 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
     VMEM scratch — ``x_s`` (N, TB) holds the solution, ``st_s`` rows
     hold [switch on-states | done | validity], and every (1, TB) select
     is an arithmetic blend on {0, 1} floats."""
-    from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, MAX_NR_ITERS
+    from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, VT_300K
+    from ..models.devices import (bjt_ebers_moll, diode_charge_cap,
+                                  mos_level1)
 
     tb = ev_ref.shape[-1]
     dtype = ev_ref.dtype
-    _n_rows, a_entries, b_src, c_state, l_state, s_list, d_list = pattern
+    (_n_rows, a_entries, b_src, c_state, l_state, s_list, d_list,
+     m_list, q_list, dchg_list, row_invdt) = pattern
     stamped = {ij for ij, _ in a_entries}
     zero_row = jnp.zeros((1, tb), dtype)
     one = jnp.asarray(1.0, dtype)
@@ -358,6 +427,23 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                 ab_s[a, pl.ds(b, 1), :] = (
                     ab_s[a, pl.ds(b, 1), :] + jnp.asarray(sgn, dtype) * g)
 
+    def vccs4(i1: int, i2: int, icp: int, icn: int, g: Array) -> None:
+        # transconductance pattern (ops/stamps.stamp_vccs): current rows
+        # (i1, i2) x control columns (icp, icn)
+        for (a, b, sgn) in ((i1, icp, 1.0), (i1, icn, -1.0),
+                            (i2, icp, -1.0), (i2, icn, 1.0)):
+            if a < n and b < n:
+                ab_s[a, pl.ds(b, 1), :] = (
+                    ab_s[a, pl.ds(b, 1), :] + jnp.asarray(sgn, dtype) * g)
+
+    # thermal voltage for the BJT transport model (temperature is folded
+    # into vd_scale = T/300 at tensorization, like the diode clamps)
+    vt_q = jnp.asarray(VT_300K * vd_scale, dtype)
+    # converged-mode tolerance with the f32 representability floor
+    tol_eff = jnp.asarray(
+        max(float(nr_tol), 16.0 * float(jnp.finfo(jnp.float32).eps)),
+        dtype)
+
     n_s = len(s_list)
     row_done, row_vnr = n_s, n_s + 1  # st_s row layout
 
@@ -369,7 +455,8 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
         st_s[pl.ds(k, 1), :] = zero_row
 
     def step(s: Array, carry: tuple) -> tuple:
-        v_prev, i_prev, vd_prev, valid_acc = carry
+        (v_prev, i_prev, vd_prev, vm_gs, vm_ds, vq_be, vq_bc, qd_prev,
+         valid_acc) = carry
 
         # linear RHS rows: iteration-invariant within the step
         b_lin = [zero_row] * n
@@ -396,7 +483,7 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
 
         def nr_cond(c: tuple) -> Array:
             it, go = c
-            return jnp.logical_and(it < jnp.int32(MAX_NR_ITERS), go)
+            return jnp.logical_and(it < jnp.int32(max_nr), go)
 
         def nr_body(c: tuple) -> tuple:
             it, _go = c
@@ -415,9 +502,9 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                     d_terms[i] = t if i not in d_terms else d_terms[i] + t
 
             x0 = x_s[:]
+            first = jnp.where(it < jnp.int32(1), one, zero)  # scalar
             for k, (ip, im, r_is, r_vth) in enumerate(d_list):
                 vd_it = row_of(x0, ip) - row_of(x0, im)
-                first = jnp.where(it < jnp.int32(1), one, zero)  # scalar
                 vd = vd_it + first * (vd_prev[k] - vd_it)
                 vd_l = jnp.clip(vd, vd_lo, vd_hi)
                 i_s = val_row(r_is)
@@ -429,6 +516,58 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                 cur = idd - gd * vd_l  # stampCurrent: b[ip]-=cur, b[im]+=cur
                 dadd(ip, -cur)
                 dadd(im, cur)
+                if dchg_list:
+                    # charge-storage companion i = (q(v) - q_prev)/dt
+                    # with the split Newton anchor (tran.py:373-391):
+                    # diffusion linearizes at vd_l, depletion at TRUE vd
+                    rtt, rcjo, rvj, rm, rfc = dchg_list[k]
+                    inv_dt = val_row(row_invdt)
+                    q_d, c_d = diode_charge_cap(
+                        vd, idd, gd, val_row(rtt), val_row(rcjo),
+                        val_row(rvj), val_row(rm), val_row(rfc))
+                    adm4(ip, im, c_d * inv_dt)
+                    tt_gd = val_row(rtt) * gd
+                    cur_q = (q_d - qd_prev[k] - tt_gd * vd_l
+                             - (c_d - tt_gd) * vd) * inv_dt
+                    dadd(ip, -cur_q)
+                    dadd(im, cur_q)
+            for k, (dd, gg, ss, rb, rv, rl, pol) in enumerate(m_list):
+                # level-1 MOSFET companion (tran.py _stamp_nonlinear):
+                # gds across (d, s), gm as a VCCS (d, s) x (g, s), i_eq
+                # into the drain row; seeds follow the diode convention
+                vgs_it = row_of(x0, gg) - row_of(x0, ss)
+                vds_it = row_of(x0, dd) - row_of(x0, ss)
+                vgs = vgs_it + first * (vm_gs[k] - vgs_it)
+                vds = vds_it + first * (vm_ds[k] - vds_it)
+                gm, gds, i_eq, _ = mos_level1(
+                    vgs, vds, val_row(rb), val_row(rv), val_row(rl),
+                    jnp.asarray(pol, dtype))
+                adm4(dd, ss, gds)
+                vccs4(dd, ss, gg, ss, gm)
+                dadd(dd, -i_eq)
+                dadd(ss, i_eq)
+            for k, (cc, bb, ee, ris, rbf, rbr, pol) in enumerate(q_list):
+                # Ebers-Moll transport companion (tran.py
+                # _stamp_nonlinear): two junction diodes + the
+                # forward/reverse transport VCCS pair
+                vbe_it = row_of(x0, bb) - row_of(x0, ee)
+                vbc_it = row_of(x0, bb) - row_of(x0, cc)
+                vbe = vbe_it + first * (vq_be[k] - vbe_it)
+                vbc = vbc_it + first * (vq_bc[k] - vbc_it)
+                gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, _, _ = (
+                    bjt_ebers_moll(vbe, vbc, val_row(ris), val_row(rbf),
+                                   val_row(rbr), jnp.asarray(pol, dtype),
+                                   vt=vt_q))
+                adm4(bb, ee, gbe)
+                adm4(bb, cc, gbc)
+                vccs4(cc, ee, bb, ee, gmf)
+                vccs4(cc, ee, bb, cc, -gmr)
+                dadd(bb, -ibe_eq)
+                dadd(ee, ibe_eq)
+                dadd(bb, -ibc_eq)
+                dadd(cc, ibc_eq)
+                dadd(cc, -ict_eq)
+                dadd(ee, ict_eq)
             for i in range(n):
                 ab_s[i, pl.ds(n, 1), :] = b_lin[i] + d_terms.get(i, zero)
 
@@ -455,7 +594,18 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                 nxt = on_k + live_f * (nxt - on_k)
                 toggled = jnp.maximum(toggled, jnp.abs(nxt - on_k))
                 st_s[pl.ds(k, 1), :] = nxt
-            done = jnp.maximum(done, 1.0 - toggled)
+            if nr == "converged":
+                # Newton settling on top of switch stability (the scan
+                # core's rule, tran.py:638-652): max|dx| <= tol*(1+max|x|)
+                delta = jnp.max(jnp.abs(x_new - x0), axis=0,
+                                keepdims=True)
+                scale = one + jnp.max(jnp.abs(x_new), axis=0,
+                                      keepdims=True)
+                conv = jnp.where(delta <= tol_eff * scale, one, zero)
+                settled = (one - toggled) * conv
+            else:
+                settled = one - toggled
+            done = jnp.maximum(done, settled)
             st_s[pl.ds(row_done, 1), :] = done
             go = jnp.min(done) < 0.5  # scalar: any lane still live
             return it + 1, go
@@ -472,15 +622,51 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
             for (k, i1, i2, gl_row) in l_state)
         vd_new = tuple(row_of(x, ip) - row_of(x, im)
                        for (ip, im, _ri, _rv) in d_list)
-        return v_new, i_new, vd_new, valid_acc * st_row(row_vnr)
+        # junction-voltage seeds for the next step's pass 0
+        # (tran.py:777-790)
+        vm_gs_new = tuple(row_of(x, gg) - row_of(x, ss)
+                          for (_d, gg, ss, _rb, _rv, _rl, _p) in m_list)
+        vm_ds_new = tuple(row_of(x, dd) - row_of(x, ss)
+                          for (dd, _g, ss, _rb, _rv, _rl, _p) in m_list)
+        vq_be_new = tuple(row_of(x, bb) - row_of(x, ee)
+                          for (_c, bb, ee, _ri, _rf, _rr, _p) in q_list)
+        vq_bc_new = tuple(row_of(x, bb) - row_of(x, cc)
+                          for (cc, bb, _e, _ri, _rf, _rr, _p) in q_list)
+        if dchg_list:
+            # commit the charge at the accepted solution — diffusion at
+            # the clamped voltage, depletion at the TRUE one
+            # (tran.py:757-772)
+            qd_new = []
+            for k, (ip, im, r_is, r_vth) in enumerate(d_list):
+                rtt, rcjo, rvj, rm, rfc = dchg_list[k]
+                vd_t = vd_new[k]
+                vd_c = jnp.clip(vd_t, vd_lo, vd_hi)
+                i_s = val_row(r_is)
+                vth = val_row(r_vth)
+                ev_c = jnp.exp(vd_c / vth)
+                qd_new.append(diode_charge_cap(
+                    vd_t, i_s * (ev_c - 1.0),
+                    jnp.maximum(i_s / vth * ev_c, gmin),
+                    val_row(rtt), val_row(rcjo), val_row(rvj),
+                    val_row(rm), val_row(rfc))[0])
+            qd_new = tuple(qd_new)
+        else:
+            qd_new = ()
+        return (v_new, i_new, vd_new, vm_gs_new, vm_ds_new, vq_be_new,
+                vq_bc_new, qd_new, valid_acc * st_row(row_vnr))
 
     init = (tuple(zero_row for _ in c_state),
             tuple(zero_row for _ in l_state),
             tuple(zero_row for _ in d_list),
+            tuple(zero_row for _ in m_list),
+            tuple(zero_row for _ in m_list),
+            tuple(zero_row for _ in q_list),
+            tuple(zero_row for _ in q_list),
+            tuple(zero_row for _ in dchg_list),
             jnp.ones((1, tb), dtype))
     final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step,
                               init)
-    valid_ref[:] = final[3]
+    valid_ref[:] = final[-1]
 
 
 def _tran_tile(n: int, n_steps: int, n_rows: int) -> int:
@@ -491,10 +677,12 @@ def _tran_tile(n: int, n_steps: int, n_rows: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("n", "node_idx", "pattern", "eps",
-                              "vd_scale", "interpret"))
+                              "vd_scale", "nr", "nr_tol", "max_nr",
+                              "interpret"))
 def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
                       node_idx: int, pattern: tuple, eps: float = EPS,
-                      vd_scale: float = 1.0,
+                      vd_scale: float = 1.0, nr: str = "spicey",
+                      nr_tol: float = 1e-9, max_nr: int = 20,
                       interpret: bool = False) -> tuple[Array, Array]:
     """Fused whole-transient MC: vs_grid (S+1, nSrc), values (n_rows, B)
     -> (v_node (B, S+1) f32, valid (B,) bool)."""
@@ -511,10 +699,11 @@ def mc_tran_fused_f32(vs_grid: Array, values: Array, n: int,
         values = jnp.concatenate(
             [values, jnp.ones((values.shape[0], pad), f32)], axis=-1)
     Bp = B + pad
-    has_nl = bool(pattern[5]) or bool(pattern[6])
+    has_nl = any(bool(pattern[i]) for i in (5, 6, 7, 8))
     kernel = (functools.partial(
         _fused_tran_nr_kernel, n=n, node_idx=node_idx, eps=eps,
-        n_steps=n_steps, pattern=pattern, vd_scale=vd_scale)
+        n_steps=n_steps, pattern=pattern, vd_scale=vd_scale, nr=nr,
+        nr_tol=nr_tol, max_nr=max_nr)
         if has_nl else functools.partial(
             _fused_tran_kernel, n=n, node_idx=node_idx, eps=eps,
             n_steps=n_steps, pattern=pattern))

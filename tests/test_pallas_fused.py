@@ -250,27 +250,16 @@ def test_tran_fused_ineligible_cases(tran_fused_counter):
                            "V1": 5.0 * (1 + 0.1 * rng.random(8))},
                   node="2", method="pallas", precision="f32",
                   interpret=True)
-    # MOSFETs run Newton-to-convergence: matrix state the in-kernel
-    # switch/diode loop does not model
-    mos_net = ("tran mosfet deck\n.model mn nmos(vto=1 kp=2m)\n"
-               "V1 d 0 dc 5\nVG g 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
-               "R1 d o 1k\nM1 o g 0 mn\n.tran 0.2u 20u\n.end\n")
-    mos = parse_netlist(mos_net, dialect="extended")
-    assert mos.M
-    mc_tran_stats(mos, {"R1": 1e3 * (1 + 0.1 * rng.random(8))}, node="o",
-                  method="pallas", precision="f32", interpret=True)
-    # a diode with charge storage (TT/CJO): the kernel implements the
-    # reference's memoryless diode only — taking the fused path would
-    # silently drop the junction charge (measured 5.8 V of divergence
-    # on a 5 V reverse-recovery deck before this guard existed)
-    tt_net = ("tt diode deck\n.model dchg d(is=1e-14 tt=10n)\n"
-              "V1 1 0 PULSE(5 -5 0 1n 1n 50n 200n)\nR1 1 2 100\n"
-              "D1 2 0 dchg\n.tran 4n 400n\n.end\n")
-    tt = parse_netlist(tt_net, dialect="extended")
+    # BJT junction-charge decks (CJE/CJC/TF) are not in-kernel yet
+    qc_net = ("a bjt charge deck\n.model qn npn(is=1e-15 bf=100 cje=1p)\n"
+              "VCC vcc 0 5\nVIN in 0 PULSE(0.6 0.7 0 1u 1u 10u 20u)\n"
+              "RB in b1 10k\nRC vcc c1 1k\nQ1 c1 b1 0 qn\n"
+              ".tran 0.2u 20u\n.end\n")
+    qc = parse_netlist(qc_net, dialect="extended")
     from spicey_tpu.ir.circuit import build_tensors
-    assert build_tensors(tt).has_d_charge
-    mc_tran_stats(tt, {"R1": 100.0 * (1 + 0.1 * rng.random(8))},
-                  node="2", method="pallas", precision="f32",
+    assert build_tensors(qc).has_q_charge
+    mc_tran_stats(qc, {"RC": 1e3 * (1 + 0.1 * rng.random(8))},
+                  node="c1", method="pallas", precision="f32",
                   interpret=True)
     assert tran_fused_counter["n"] == 0
 
@@ -359,6 +348,109 @@ def test_tran_fused_diode_matches_f64():
             fus.std, ref.std, rtol=2e-2,
             atol=2e-2 * float(np.max(np.abs(ref.std))), err_msg="std")
         assert fus.n_valid == ref.n_valid
+
+
+RING_NET = (
+    "a ring-oscillator deck\n"
+    ".model mn nmos(vto=1 kp=2m)\n"
+    ".model mp pmos(vto=-1 kp=2m)\n"
+    "vdd vdd 0 5\n"
+    "mn1 n1 n3 0 mn\nmp1 n1 n3 vdd mp\nc1 n1 0 1n\n"
+    "mn2 n2 n1 0 mn\nmp2 n2 n1 vdd mp\nc2 n2 0 1n\n"
+    "mn3 n3 n2 0 mn\nmp3 n3 n2 vdd mp\nc3 n3 0 1n\n"
+    "ikick 0 n1 PULSE(0 2m 0 1n 1n 3u 1)\n"
+    ".tran 0.1u 10u\n"
+)
+
+BJT_NET = ("a bjt ce amp\n.model qn npn(is=1e-15 bf=100)\n"
+           "VCC vcc 0 5\nVIN in 0 PULSE(0.6 0.7 0 1u 1u 10u 20u)\n"
+           "RB in b1 10k\nRC vcc c1 1k\nQ1 c1 b1 0 qn\nCL c1 0 1n\n"
+           ".tran 0.2u 40u\n.end\n")
+
+
+def test_tran_fused_mosfet_matches_f64(tran_fused_counter):
+    """MOSFET (Newton-to-convergence) decks ride the fused kernel: the
+    in-kernel loop runs the scan core's settling rule (max|dx| <=
+    tol*(1+max|x|), f32-floored) with per-lane done masking."""
+    rng = np.random.default_rng(12)
+    B = 8
+    ckt = parse_netlist(RING_NET, dialect="extended")
+    ov = {"c1": 1e-9 * (1 + 0.1 * rng.random(B)),
+          "c2": 1e-9 * (1 + 0.1 * rng.random(B))}
+    fus = mc_tran_stats(ckt, ov, node="n1", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    ref = mc_tran_stats(ckt, ov, node="n1", method="gj",
+                        precision="f64")
+    scale = float(np.max(np.abs(ref.mean))) + 1e-30
+    assert float(np.max(np.abs(fus.mean - ref.mean))) < 5e-4 * scale
+    assert fus.n_valid == ref.n_valid == B
+
+
+def test_tran_fused_mosfet_matches_f32_scan_tier(monkeypatch,
+                                                 tran_fused_counter):
+    """Same convergence rule as the f32 scan tier (incl. the 16-ulp
+    tolerance floor) — trajectories agree to f32 rounding."""
+    rng = np.random.default_rng(13)
+    B = 8
+    ckt = parse_netlist(RING_NET, dialect="extended")
+    ov = {"c1": 1e-9 * (1 + 0.1 * rng.random(B))}
+    fus = mc_tran_stats(ckt, ov, node="n2", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    with monkeypatch.context() as m:
+        m.setattr(ftran_mod, "_FUSED_MAX_N", 0)
+        scan = mc_tran_stats(ckt, ov, node="n2", method="pallas",
+                             precision="f32", interpret=True,
+                             time_parallel="never")
+    scale = float(np.max(np.abs(scan.mean))) + 1e-30
+    np.testing.assert_allclose(fus.mean, scan.mean, rtol=2e-4,
+                               atol=2e-4 * scale)
+
+
+def test_tran_fused_bjt_matches_f64(tran_fused_counter):
+    """BJT (Ebers-Moll) decks ride the fused kernel."""
+    rng = np.random.default_rng(14)
+    B = 8
+    ckt = parse_netlist(BJT_NET, dialect="extended")
+    ov = {"RC": 1e3 * (1 + 0.1 * rng.random(B))}
+    fus = mc_tran_stats(ckt, ov, node="c1", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    ref = mc_tran_stats(ckt, ov, node="c1", method="gj",
+                        precision="f64")
+    scale = float(np.max(np.abs(ref.mean))) + 1e-30
+    assert float(np.max(np.abs(fus.mean - ref.mean))) < 5e-4 * scale
+    assert fus.n_valid == ref.n_valid == B
+
+
+def test_tran_fused_charge_diode_matches_f64(tran_fused_counter):
+    """TT/CJO charge storage runs in-kernel: the BE junction-charge
+    companion with the split Newton anchor (diffusion at the clamped
+    voltage, depletion at the true one) and the committed-charge state
+    carried across steps — reverse recovery and varactor decks."""
+    rng = np.random.default_rng(15)
+    B = 8
+    tt_net = ("tt diode deck\n.model dchg d(is=1e-14 tt=10n)\n"
+              "V1 1 0 PULSE(5 -5 0 1n 1n 50n 200n)\nR1 1 2 100\n"
+              "D1 2 0 dchg\n.tran 4n 400n\n.end\n")
+    cj_net = ("a cjo varactor deck\n"
+              ".model dv d(is=1e-14 cjo=10p vj=0.7 m=0.5)\n"
+              "V1 1 0 SIN(0 2 1e6)\nR1 1 2 1k\nD1 2 0 dv\n"
+              ".tran 10n 3u\n.end\n")
+    for k, (net, rnom) in enumerate([(tt_net, 100.0), (cj_net, 1e3)]):
+        ckt = parse_netlist(net, dialect="extended")
+        from spicey_tpu.ir.circuit import build_tensors
+        assert build_tensors(ckt).has_d_charge
+        ov = {"R1": rnom * (1 + 0.1 * rng.random(B))}
+        fus = mc_tran_stats(ckt, ov, node="2", method="pallas",
+                            precision="f32", interpret=True)
+        assert tran_fused_counter["n"] == k + 1
+        ref = mc_tran_stats(ckt, ov, node="2", method="gj",
+                            precision="f64")
+        scale = float(np.max(np.abs(ref.mean))) + 1e-30
+        assert float(np.max(np.abs(fus.mean - ref.mean))) < 5e-4 * scale
+        assert fus.n_valid == ref.n_valid == B
 
 
 def test_tran_fused_sharded_over_cpu_mesh(tran_fused_counter):
