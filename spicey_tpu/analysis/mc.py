@@ -457,18 +457,17 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
     S/D set (nr="spicey") and the scan core's Newton-settling rule for
     M/Q decks (nr="converged"). `.temp` overrides ride along because
     tensorization folds temperature into d_n/d_is/r_vals and the kernel
-    takes the clamp-window scale statically. B-source circuits (jvp
-    linearization — host-traced closures), BJT junction-charge decks
-    (CJE/CJC/TF — not yet in-kernel), non-BE integration, per-variant
-    source grids, sharding, and source grids too big for SMEM
-    disqualify (ops/pallas_mc_tran.py)."""
+    takes the clamp-window scale statically. Charge storage — diode
+    TT/CJO and BJT TF/TR/CJE/CJC — runs in-kernel. B-source circuits
+    (jvp linearization — host-traced closures), non-BE integration,
+    per-variant source grids, sharding, and source grids too big for
+    SMEM disqualify (ops/pallas_mc_tran.py)."""
     from ..ops.pallas_mc_tran import (_FUSED_MAX_N, _SMEM_SRC_BUDGET,
                                       build_tran_pattern)
 
     if (method != "pallas" or precision != "f32" or sharded
             or vs_batched or integration != "be"
             or tensors.n_k or tensors.n_t or ckt.B
-            or tensors.has_q_charge
             or not 0 < tensors.nvar <= _FUSED_MAX_N
             or n_steps * max(1, n_src) * 4 > _SMEM_SRC_BUDGET):
         return None
@@ -484,7 +483,8 @@ def _fused_tran_pattern(ckt, tensors, method: str, precision: str, ext,
         s_idx=tensors.s_idx, d_idx=tensors.d_idx,
         m_idx=tensors.m_idx, m_pol=tensors.m_polarity,
         q_idx=tensors.q_idx, q_pol=tensors.q_polarity,
-        d_chg=bool(tensors.has_d_charge))
+        d_chg=bool(tensors.has_d_charge),
+        q_chg=bool(tensors.has_q_charge))
 
 
 @partial(jax.jit, static_argnames=("nvar", "node_idx", "pattern", "qs",
@@ -496,7 +496,7 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
                         pattern: tuple, qs: tuple,
                         q_method: str = "exact",
                         vd_scale: float = 1.0,
-                        nl=None, dchg=None,
+                        nl=None, dchg=None, qchg=None,
                         nr: str = "spicey", max_nr: int = 20,
                         mesh=None,
                         interpret: bool = False):
@@ -536,11 +536,18 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
         cols += [nl["m_beta"], nl["m_vto"], nl["m_lambda"],
                  nl["q_is"], nl["q_bf"], nl["q_br"]]
     if dchg is not None:
-        # diode charge-storage rows + the 1/dt row (the only place dt
-        # enters the nonlinear kernel: the charge companion c/dt)
+        # diode charge-storage rows
         cols += [dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"],
-                 dchg["fc"],
-                 jnp.reshape(1.0 / dt_c, (1,)).astype(jnp.float32)]
+                 dchg["fc"]]
+    if qchg is not None:
+        # BJT junction-charge rows (b-e then b-c parameter blocks)
+        cols += [qchg["tf"], qchg["cje"], qchg["vje"], qchg["mje"],
+                 qchg["tr"], qchg["cjc"], qchg["vjc"], qchg["mjc"],
+                 qchg["fc"]]
+    if dchg is not None or qchg is not None:
+        # the 1/dt row — the only place dt enters the nonlinear kernel
+        # (the charge companion c/dt)
+        cols += [jnp.reshape(1.0 / dt_c, (1,)).astype(jnp.float32)]
     values = jnp.concatenate([to2d(c) for c in cols], axis=1).T
 
     def run(vs, vals):
@@ -789,6 +796,7 @@ def mc_tran_stats(
             q_method=quantile_method,
             vd_scale=float(tensors.vt) / _VT300,
             nl=nl, dchg=dchg_arrays(tensors, dtype=jnp.float32),
+            qchg=qchg_arrays(tensors, dtype=jnp.float32),
             nr=nr, max_nr=_MAXNR if nr == "spicey" else 50,
             mesh=f_mesh, interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
@@ -1037,6 +1045,7 @@ def mc_tran_sampled(
             q_method=quantile_method,
             vd_scale=float(tensors.vt) / _VT300,
             nl=nl, dchg=dchg_arrays(tensors, dtype=jnp.float32),
+            qchg=qchg_arrays(tensors, dtype=jnp.float32),
             nr=nr, max_nr=_MAXNR if nr == "spicey" else 50,
             interpret=interpret)
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)

@@ -25,7 +25,8 @@ grid cell:
      bootstrap with zero state, :147-149).
 
 Nonlinear circuits — switches (S/W), diodes (including TT/CJO charge
-storage), MOSFETs and BJTs — take ``_fused_tran_nr_kernel`` instead:
+storage), MOSFETs and BJTs (including TF/TR/CJE/CJC junction charge) —
+take ``_fused_tran_nr_kernel`` instead:
 the matrix is state-dependent, so step 2's factor-once is replaced by
 the engine's inner rebuild+solve loop run entirely in VMEM,
 re-eliminating the augmented planes per pass with the state-independent
@@ -38,10 +39,10 @@ HBM traffic for a whole B-variant MC: the (nE, B) values in, the
 (S+1, B) probed trajectory out. Nothing per step ever touches HBM.
 
 Eligibility (enforced by the caller, analysis/mc.py): device set
-R/C/L/V/S/W/D/M/Q plus extended I/G/E/F/H sources, BE integration, f32
-pallas tier, no K/T/B-sources and no BJT junction-charge (CJE/CJC/TF)
-decks, no per-variant source overrides, N <= 16, and the source grid
-small enough for SMEM. Contract:
+R/C/L/V/S/W/D/M/Q (JFETs lower to M at tensorization) plus extended
+I/G/E/F/H sources, BE integration, f32 pallas tier, no K/T/B-sources,
+no per-variant source overrides, N <= 16, and the source grid small
+enough for SMEM. Contract:
 /root/reference/lib/analysis/simulateTRAN.ts:14-231 plus
 analysis/tran.py's extended-device scan semantics.
 """
@@ -77,15 +78,18 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
                        d_idx: object = None,
                        m_idx: object = None, m_pol: object = None,
                        q_idx: object = None, q_pol: object = None,
-                       d_chg: bool = False) -> tuple:
+                       d_chg: bool = False,
+                       q_chg: bool = False) -> tuple:
     """Static pattern: (n_rows, a_entries, b_src, c_state, l_state,
-    s_list, d_list, m_list, q_list, dchg_list, row_invdt).
+    s_list, d_list, m_list, q_list, dchg_list, qchg_list, row_invdt).
 
     Value-row layout: [R | gc | gl | g | e | f | h | s_gon | s_goff |
     s_von | s_voff | d_is | d_vth | m_beta | m_vto | m_lam | q_is |
-    q_bf | q_br | (d_tt | d_cjo | d_vj | d_m | d_fc | inv_dt)]
+    q_bf | q_br | (d_tt | d_cjo | d_vj | d_m | d_fc) | (q_tf | q_cje |
+    q_vje | q_mje | q_tr | q_cjc | q_vjc | q_mjc | q_fc) | (inv_dt)]
     (companion conductances in place of raw C/L values; the
-    charge-storage rows only exist when ``d_chg``). ``a_entries`` is
+    charge-storage rows only exist when ``d_chg``/``q_chg``, the inv_dt
+    row when either does). ``a_entries`` is
     ((i, j), terms) with term kinds "one"/"inv"/"lin" as in the AC
     pattern; ``b_src`` is (row, src_col, sign) into the (S+1, nSrc)
     source grid (V branch values first, then I injections);
@@ -98,7 +102,9 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
     pol) and (c, b, e, row_is, row_bf, row_br, pol) — MOSFET/BJT
     polarities are static floats (the model type cannot vary per
     variant). ``dchg_list`` holds per-diode (row_tt, row_cjo, row_vj,
-    row_m, row_fc) parallel to ``d_list`` and ``row_invdt`` the 1/dt
+    row_m, row_fc) parallel to ``d_list``, ``qchg_list`` per-BJT
+    (row_tf, row_cje, row_vje, row_mje, row_tr, row_cjc, row_vjc,
+    row_mjc, row_fc) parallel to ``q_list``, and ``row_invdt`` the 1/dt
     row (-1 when no charge storage)."""
     a_t: dict = {}
 
@@ -211,10 +217,19 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
              base + 3 * n_d + k, base + 4 * n_d + k)
             for k in range(n_d))
         base += 5 * n_d
+    else:
+        dchg_list = ()
+    if q_chg:
+        qchg_list = tuple(
+            tuple(base + j * n_qq + k for j in range(9))
+            for k in range(n_qq))
+        base += 9 * n_qq
+    else:
+        qchg_list = ()
+    if d_chg or q_chg:
         row_invdt = base
         base += 1
     else:
-        dchg_list = ()
         row_invdt = -1
     c_state = tuple(
         (k, int(c[k, 0]), int(c[k, 1]), off_gc + k) for k in range(n_c))
@@ -224,7 +239,7 @@ def build_tran_pattern(n: int, r_idx: object, c_idx: object,
     a_entries = tuple(sorted(
         (ij, tuple(terms)) for ij, terms in a_t.items()))
     return (base, a_entries, tuple(b_src), c_state, l_state, s_list,
-            d_list, m_list, q_list, dchg_list, row_invdt)
+            d_list, m_list, q_list, dchg_list, qchg_list, row_invdt)
 
 
 def _fused_tran_kernel(vs_ref: object, ev_ref: object, out_ref: object,
@@ -361,7 +376,11 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
     (models/devices.mos_level1) and BJTs the Ebers-Moll transport
     companion (models/devices.bjt_ebers_moll), both seeded from the
     previous timestep's junction voltages on pass 0 exactly like the
-    scan tier (analysis/tran.py _stamp_nonlinear).
+    scan tier (analysis/tran.py _stamp_nonlinear); BJTs with junction
+    charge (TF/TR/CJE/CJC) additionally get the per-junction BE charge
+    companions in the reflected frame (tran.py _bjt_junction_charge —
+    evaluated at the current iterate, not the pass-0 seed, matching the
+    scan tier).
 
     Mosaic constraint that shaped this kernel: an scf.while carrying
     (1, TB) / (N, TB) vectors fails to lower — the layout join between
@@ -380,7 +399,7 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
     tb = ev_ref.shape[-1]
     dtype = ev_ref.dtype
     (_n_rows, a_entries, b_src, c_state, l_state, s_list, d_list,
-     m_list, q_list, dchg_list, row_invdt) = pattern
+     m_list, q_list, dchg_list, qchg_list, row_invdt) = pattern
     stamped = {ij for ij, _ in a_entries}
     zero_row = jnp.zeros((1, tb), dtype)
     one = jnp.asarray(1.0, dtype)
@@ -444,6 +463,27 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
         max(float(nr_tol), 16.0 * float(jnp.finfo(jnp.float32).eps)),
         dtype)
 
+    def bjt_chg_one(v: Array, i_s: Array, rows: tuple, junction: int,
+                    pol: float) -> tuple:
+        """One BJT junction's (q, C, cv) in the stamped frame — the
+        kernel form of tran.py _bjt_junction_charge: reflected-frame
+        voltages, exponential pieces at the CLAMPED voltage, depletion
+        at the TRUE one, cv the split Newton anchor inner product."""
+        s_p = jnp.asarray(pol, dtype)
+        u = s_p * v
+        u_lim = jnp.clip(u, vd_lo, vd_hi)
+        ev = jnp.exp(u_lim / vt_q)
+        g_diff = jnp.maximum(i_s / vt_q * ev, gmin)
+        off = 0 if junction == 0 else 4
+        tt = val_row(rows[off])
+        q_r, c = diode_charge_cap(
+            u, i_s * (ev - 1.0), g_diff, tt, val_row(rows[off + 1]),
+            val_row(rows[off + 2]), val_row(rows[off + 3]),
+            val_row(rows[8]))
+        cv = (tt * g_diff * (s_p * u_lim)
+              + (c - tt * g_diff) * (s_p * u))
+        return s_p * q_r, c, cv
+
     n_s = len(s_list)
     row_done, row_vnr = n_s, n_s + 1  # st_s row layout
 
@@ -456,7 +496,7 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
 
     def step(s: Array, carry: tuple) -> tuple:
         (v_prev, i_prev, vd_prev, vm_gs, vm_ds, vq_be, vq_bc, qd_prev,
-         valid_acc) = carry
+         qq_be, qq_bc, valid_acc) = carry
 
         # linear RHS rows: iteration-invariant within the step
         b_lin = [zero_row] * n
@@ -568,6 +608,24 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
                 dadd(cc, ibc_eq)
                 dadd(cc, -ict_eq)
                 dadd(ee, ict_eq)
+                if qchg_list:
+                    # BJT junction-charge companions (tran.py:394-407 /
+                    # _bjt_junction_charge): evaluated at the CURRENT
+                    # iterate (no pass-0 seed — scan-tier parity),
+                    # reflected frame, split anchor cv
+                    inv_dt = val_row(row_invdt)
+                    q_be, c_be, cv_be = bjt_chg_one(
+                        vbe_it, val_row(ris), qchg_list[k], 0, pol)
+                    q_bc, c_bc, cv_bc = bjt_chg_one(
+                        vbc_it, val_row(ris), qchg_list[k], 1, pol)
+                    adm4(bb, ee, c_be * inv_dt)
+                    cur_be = (q_be - qq_be[k] - cv_be) * inv_dt
+                    dadd(bb, -cur_be)
+                    dadd(ee, cur_be)
+                    adm4(bb, cc, c_bc * inv_dt)
+                    cur_bc = (q_bc - qq_bc[k] - cv_bc) * inv_dt
+                    dadd(bb, -cur_bc)
+                    dadd(cc, cur_bc)
             for i in range(n):
                 ab_s[i, pl.ds(n, 1), :] = b_lin[i] + d_terms.get(i, zero)
 
@@ -652,8 +710,22 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
             qd_new = tuple(qd_new)
         else:
             qd_new = ()
+        if qchg_list:
+            # committed junction charges at the accepted solution
+            # (tran.py:773-776)
+            qq_be_new = tuple(
+                bjt_chg_one(vq_be_new[k], val_row(q_list[k][3]),
+                            qchg_list[k], 0, q_list[k][6])[0]
+                for k in range(len(q_list)))
+            qq_bc_new = tuple(
+                bjt_chg_one(vq_bc_new[k], val_row(q_list[k][3]),
+                            qchg_list[k], 1, q_list[k][6])[0]
+                for k in range(len(q_list)))
+        else:
+            qq_be_new, qq_bc_new = (), ()
         return (v_new, i_new, vd_new, vm_gs_new, vm_ds_new, vq_be_new,
-                vq_bc_new, qd_new, valid_acc * st_row(row_vnr))
+                vq_bc_new, qd_new, qq_be_new, qq_bc_new,
+                valid_acc * st_row(row_vnr))
 
     init = (tuple(zero_row for _ in c_state),
             tuple(zero_row for _ in l_state),
@@ -663,6 +735,8 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
             tuple(zero_row for _ in q_list),
             tuple(zero_row for _ in q_list),
             tuple(zero_row for _ in dchg_list),
+            tuple(zero_row for _ in qchg_list),
+            tuple(zero_row for _ in qchg_list),
             jnp.ones((1, tb), dtype))
     final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step,
                               init)

@@ -250,17 +250,17 @@ def test_tran_fused_ineligible_cases(tran_fused_counter):
                            "V1": 5.0 * (1 + 0.1 * rng.random(8))},
                   node="2", method="pallas", precision="f32",
                   interpret=True)
-    # BJT junction-charge decks (CJE/CJC/TF) are not in-kernel yet
-    qc_net = ("a bjt charge deck\n.model qn npn(is=1e-15 bf=100 cje=1p)\n"
-              "VCC vcc 0 5\nVIN in 0 PULSE(0.6 0.7 0 1u 1u 10u 20u)\n"
-              "RB in b1 10k\nRC vcc c1 1k\nQ1 c1 b1 0 qn\n"
-              ".tran 0.2u 20u\n.end\n")
-    qc = parse_netlist(qc_net, dialect="extended")
+    # K-coupled inductors: the matrix companion Gamma = dt*M^{-1} is a
+    # dense cross-inductor block the fused stamp pattern does not model
+    k_net = ("a coupled deck\nV1 1 0 PULSE(0 5 0 1n 1n 5u 10u)\n"
+             "R1 1 2 100\nL1 2 0 1m\nL2 3 0 1m\nK1 L1 L2 0.5\n"
+             "R2 3 0 1k\n.tran 0.2u 20u\n.end\n")
+    kc = parse_netlist(k_net, dialect="extended")
     from spicey_tpu.ir.circuit import build_tensors
-    assert build_tensors(qc).has_q_charge
-    mc_tran_stats(qc, {"RC": 1e3 * (1 + 0.1 * rng.random(8))},
-                  node="c1", method="pallas", precision="f32",
-                  interpret=True)
+    assert build_tensors(kc).n_k
+    mc_tran_stats(kc, {"R1": 100.0 * (1 + 0.1 * rng.random(8))},
+                  node="3", method="pallas", precision="f32",
+                  interpret=True, time_parallel="never")
     assert tran_fused_counter["n"] == 0
 
 
@@ -413,6 +413,31 @@ def test_tran_fused_bjt_matches_f64(tran_fused_counter):
     rng = np.random.default_rng(14)
     B = 8
     ckt = parse_netlist(BJT_NET, dialect="extended")
+    ov = {"RC": 1e3 * (1 + 0.1 * rng.random(B))}
+    fus = mc_tran_stats(ckt, ov, node="c1", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    ref = mc_tran_stats(ckt, ov, node="c1", method="gj",
+                        precision="f64")
+    scale = float(np.max(np.abs(ref.mean))) + 1e-30
+    assert float(np.max(np.abs(fus.mean - ref.mean))) < 5e-4 * scale
+    assert fus.n_valid == ref.n_valid == B
+
+
+def test_tran_fused_bjt_charge_matches_f64(tran_fused_counter):
+    """BJT junction charge (TF/CJE/CJC) runs in-kernel: per-junction
+    companions with the split anchor, committed charges carried across
+    steps — scan-tier semantics (tran.py _bjt_junction_charge)."""
+    rng = np.random.default_rng(16)
+    B = 8
+    qc_net = ("a bjt charge amp\n"
+              ".model qn npn(is=1e-15 bf=100 tf=1n cje=2p cjc=1p)\n"
+              "VCC vcc 0 5\nVIN in 0 PULSE(0.6 0.7 0 1u 1u 10u 20u)\n"
+              "RB in b1 10k\nRC vcc c1 1k\nQ1 c1 b1 0 qn\n"
+              ".tran 0.2u 40u\n.end\n")
+    ckt = parse_netlist(qc_net, dialect="extended")
+    from spicey_tpu.ir.circuit import build_tensors
+    assert build_tensors(ckt).has_q_charge
     ov = {"RC": 1e3 * (1 + 0.1 * rng.random(B))}
     fus = mc_tran_stats(ckt, ov, node="c1", method="pallas",
                         precision="f32", interpret=True)
