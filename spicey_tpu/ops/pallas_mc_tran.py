@@ -744,9 +744,14 @@ def _fused_tran_nr_kernel(vs_ref: object, ev_ref: object, out_ref: object,
 
 
 def _tran_tile(n: int, n_steps: int, n_rows: int) -> int:
+    # 512-lane cap, measured on v5e across the three workload shapes:
+    # smaller tiles decouple the Newton while_loop's per-tile tail (the
+    # loop runs to the slowest LANE in the tile — ring MC +16% vs 2048),
+    # and 512 still amortizes the per-cell fixed cost that craters the
+    # 1M-variant linear and boost workloads at 128-256 (-45%/-35%)
     per_lane = 4 * (n_steps + 2 * n * n + n_rows + 10 * n)
     tile = _VMEM_BUDGET // (per_lane * _LANE) * _LANE
-    return int(max(_LANE, min(2048, tile)))
+    return int(max(_LANE, min(512, tile)))
 
 
 @functools.partial(

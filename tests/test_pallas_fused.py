@@ -424,6 +424,27 @@ def test_tran_fused_bjt_matches_f64(tran_fused_counter):
     assert fus.n_valid == ref.n_valid == B
 
 
+def test_tran_fused_jfet_matches_f64(tran_fused_counter):
+    """JFETs lower to level-1 M devices at tensorization, so J decks
+    ride the fused kernel with no extra kernel code."""
+    rng = np.random.default_rng(17)
+    B = 8
+    net = ("a jfet cs amp\n.model jm njf(vto=-2 beta=1e-4 lambda=0)\n"
+           "VDD vdd 0 10\nVG g 0 PULSE(-2 0 0 1u 1u 10u 20u)\n"
+           "RD vdd d1 10k\nJ1 d1 g 0 jm\nCL d1 0 1n\n"
+           ".tran 1u 20u\n.end\n")
+    ckt = parse_netlist(net, dialect="extended")
+    ov = {"RD": 1e4 * (1 + 0.1 * rng.random(B))}
+    fus = mc_tran_stats(ckt, ov, node="d1", method="pallas",
+                        precision="f32", interpret=True)
+    assert tran_fused_counter["n"] == 1
+    ref = mc_tran_stats(ckt, ov, node="d1", method="gj",
+                        precision="f64")
+    scale = float(np.max(np.abs(ref.mean))) + 1e-30
+    assert float(np.max(np.abs(fus.mean - ref.mean))) < 5e-4 * scale
+    assert fus.n_valid == ref.n_valid == B
+
+
 def test_tran_fused_bjt_charge_matches_f64(tran_fused_counter):
     """BJT junction charge (TF/CJE/CJC) runs in-kernel: per-junction
     companions with the split anchor, committed charges carried across
