@@ -882,24 +882,30 @@ def _tline_hist_len(tensors: CircuitTensors, dt: float) -> int:
 
 def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
                       integration: str = "be",
-                      src_grid=None, state0=None) -> dict[str, np.ndarray]:
+                      src_grid=None, state0=None,
+                      resumed: bool | None = None) -> dict[str, np.ndarray]:
     """Vectorized post-scan recovery of per-step element currents
     (simulateTRAN.ts:173-219). The C/L companion recurrences unroll into
     (alternating-sign) cumulative sums over the stacked solutions, so no
     per-step work happens inside the compiled scan.
 
-    ``state0``: the scan carry a resumed segment started from — supplies
-    the initial companion voltages/currents the recurrences need."""
+    ``state0``: the carry the scan started from — supplies the initial
+    companion voltages/currents the recurrences need. Set for BOTH resumed
+    segments and fresh .ic runs; ``resumed`` distinguishes them (fresh runs
+    keep the BE bootstrap rows for trap/gear2, a resumed segment does not
+    repeat them)."""
     xs_pad = np.concatenate([xs, np.zeros((xs.shape[0], 1))], axis=1)
     dt_c = max(dt, EPS)
     out: dict[str, np.ndarray] = {}
-    resumed = state0 is not None
-    v_prev_c0 = np.asarray(state0[0]) if resumed else np.zeros(tensors.n_c)
-    i_prev_c0 = np.asarray(state0[1]) if resumed else np.zeros(tensors.n_c)
-    i_prev_l0 = np.asarray(state0[2]) if resumed else np.zeros(tensors.n_l)
-    v_prev_l0 = np.asarray(state0[3]) if resumed else np.zeros(tensors.n_l)
-    v_prev2_c0 = np.asarray(state0[8]) if resumed else np.zeros(tensors.n_c)
-    i_prev2_l0 = np.asarray(state0[9]) if resumed else np.zeros(tensors.n_l)
+    has0 = state0 is not None
+    if resumed is None:
+        resumed = has0
+    v_prev_c0 = np.asarray(state0[0]) if has0 else np.zeros(tensors.n_c)
+    i_prev_c0 = np.asarray(state0[1]) if has0 else np.zeros(tensors.n_c)
+    i_prev_l0 = np.asarray(state0[2]) if has0 else np.zeros(tensors.n_l)
+    v_prev_l0 = np.asarray(state0[3]) if has0 else np.zeros(tensors.n_l)
+    v_prev2_c0 = np.asarray(state0[8]) if has0 else np.zeros(tensors.n_c)
+    i_prev2_l0 = np.asarray(state0[9]) if has0 else np.zeros(tensors.n_l)
 
     def vdrop(idx):
         return xs_pad[:, idx[:, 0]] - xs_pad[:, idx[:, 1]]  # (S+1, nE)
@@ -918,10 +924,10 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             # initial companion current when resuming)
             a = 2.0 * tensors.c_vals[None, :] * (vd - prev) / dt_c
             if not resumed:
-                a[0] = tensors.c_vals * vd[0] / dt_c
+                a[0] = tensors.c_vals * (vd[0] - v_prev_c0) / dt_c
             sign = (-1.0) ** np.arange(a.shape[0])[:, None]
             i_c = sign * np.cumsum(sign * a, axis=0)
-            if resumed:
+            if has0:
                 i_c = i_c - sign * i_prev_c0[None, :]
         elif integration == "gear2":
             # direct BDF2 difference; first two rows of a fresh run are the
@@ -931,7 +937,7 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             i_c = (tensors.c_vals[None, :] / dt_c) * (
                 1.5 * vd - 2.0 * prev + 0.5 * prev2)
             if not resumed:
-                i_c[0] = tensors.c_vals * vd[0] / dt_c
+                i_c[0] = tensors.c_vals * (vd[0] - v_prev_c0) / dt_c
                 if vd.shape[0] > 1:
                     i_c[1] = tensors.c_vals * (vd[1] - vd[0]) / dt_c
         else:
@@ -1020,7 +1026,7 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
                 tensors.d_vj[None, :], tensors.d_m[None, :],
                 tensors.d_fc[None, :])
             q = np.asarray(q)
-            q0 = (np.asarray(state0[10]) if resumed
+            q0 = (np.asarray(state0[10]) if has0
                   else np.zeros(tensors.n_d))
             q_prev = np.concatenate([q0[None, :], q[:-1]], axis=0)
             i_d = i_d + (q - q_prev) / dt_c
@@ -1063,7 +1069,7 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
                     tensors.q_idx))
             q_bc = np.asarray(q_bc)
             q0_pos = 10 + (1 if tensors.has_d_charge else 0)
-            q0 = (np.asarray(state0[q0_pos])[:, 1] if resumed
+            q0 = (np.asarray(state0[q0_pos])[:, 1] if has0
                   else np.zeros(tensors.n_q))
             q_bc_prev = np.concatenate([q0[None, :], q_bc[:-1]], axis=0)
             i_c = i_c - (q_bc - q_bc_prev) / dt_c
@@ -1128,6 +1134,7 @@ def simulate_tran(
     vs_grid = sample_source_values(ckt, times)  # (S+1, nV)
 
     init_state = None
+    init_carry_np = None  # fresh-run .ic carry for element-current recovery
     if state is not None:
         init_state = tuple(jnp.asarray(a) for a in state.carry)
     elif (ckt.initial_conditions
@@ -1166,6 +1173,7 @@ def simulate_tran(
             parts = parts + (z((_tline_hist_len(tensors, dt),
                                 tensors.n_t, 2)),
                              np.int32(0))
+        init_carry_np = parts
         init_state = tuple(jnp.asarray(a) for a in parts)
 
     # tiny transients (the reference's interactive use case) skip jax
@@ -1241,21 +1249,28 @@ def simulate_tran(
     if not bool(packed[0, -1] > 0.5):
         raise ValueError("Singular matrix in TRAN solve")
     return _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid, dt,
-                          integration, state, return_state, fin_state)
+                          integration, state, return_state, fin_state,
+                          init_carry=init_carry_np)
 
 
 def _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid, dt,
-                   integration, state, return_state, fin_state):
+                   integration, state, return_state, fin_state,
+                   init_carry=None):
     """Host-side result assembly shared by the compiled engine and the
     NumPy interp tier: element-current recovery, probe filters, record
-    window, checkpoint packaging."""
+    window, checkpoint packaging.
+
+    ``init_carry``: the initial companion carry of a FRESH .ic run — the
+    element-current recurrences need the starting capacitor voltages /
+    inductor currents (a resumed segment supplies them via ``state``)."""
     node_voltages = {
         name: xs[:, i] for i, name in enumerate(tensors.node_names)
     }
     element_currents = _element_currents(
         tensors, xs, sw_states, dt, integration=integration,
         src_grid=vs_grid,
-        state0=state.carry if state is not None else None,
+        state0=state.carry if state is not None else init_carry,
+        resumed=state is not None,
     )
     if ckt.B:
         # behavioral-source currents: V-kind from its branch unknown,

@@ -308,3 +308,33 @@ c1 a 0 {C}
     amp = i0 * np.sqrt(L / C)  # 0.632 V at 50.3 kHz (period ~19.9 us)
     assert np.abs(va2[t2 < 15e-6]).max() == pytest.approx(amp, rel=0.05)
     assert (np.diff(np.sign(va2)) != 0).sum() >= 4
+
+
+@pytest.mark.parametrize("integration", ["be", "trap", "gear2"])
+def test_ic_element_currents_kcl(integration):
+    """Element-current recovery must honor the FRESH-run .ic companion
+    state (regression: the recurrences started from zero, flipping the
+    sign of i(L1) below and offsetting every step by the ic). KCL pins
+    it: with only two elements on one node, i(L1) = -i(R1) exactly."""
+    import numpy as np
+
+    from spicey_tpu.analysis.tran import simulate_tran
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    ckt_l = parse_netlist(
+        "* L discharging through R\n"
+        "L1 1 0 1m ic=1\nR1 1 0 1k\n.tran 1u 10u\n", dialect="extended")
+    r = simulate_tran(ckt_l, integration=integration)
+    i_l = np.asarray(r.element_currents["L1"])
+    i_r = np.asarray(r.element_currents["R1"])
+    np.testing.assert_allclose(i_l, -i_r, rtol=1e-9, atol=1e-15)
+    # decaying from ic=1 A: first recorded point is positive, not -0.5
+    assert i_l[0] == pytest.approx(0.5, rel=1e-9)
+
+    ckt_c = parse_netlist(
+        "* C discharging through R\n"
+        "C1 1 0 1u ic=5\nR1 1 0 1k\n.tran 0.1m 1m\n", dialect="extended")
+    r2 = simulate_tran(ckt_c, integration=integration)
+    i_c = np.asarray(r2.element_currents["C1"])
+    i_r2 = np.asarray(r2.element_currents["R1"])
+    np.testing.assert_allclose(i_c, -i_r2, rtol=1e-9, atol=1e-15)
