@@ -607,22 +607,22 @@ def simulate_ac(
     # work cannot amortize even one accelerator round trip
     # (utils/placement.py)
     from ..utils.placement import exec_device, is_tiny, is_tiny_work
-    from .interp import interp_ac, interp_eligible, interp_enabled
+    from .interp import interp_ac, interp_eligible_ac, interp_enabled
+
+    iph = tensors.i_ac_phase_deg * math.pi / 180.0
+    i_re = tensors.i_ac_mag * np.cos(iph)
+    i_im = tensors.i_ac_mag * np.sin(iph)
 
     _work = 8.0 * len(freqs) * tensors.nvar ** 3
     # method/interpret are explicit solver-tier requests — honor them
     # (the interp tier would silently substitute its own f64 GE)
     if (linearize is None and method == "gj" and not interpret
             and is_tiny_work(_work) and interp_enabled()
-            and interp_eligible(ckt, tensors)):
-        x, _ok = interp_ac(tensors, freqs, v_re, v_im)
+            and interp_eligible_ac(ckt, tensors)):
+        x, _ok = interp_ac(tensors, freqs, v_idx_ac, v_re, v_im, i_re, i_im)
         if not _ok:
             raise ValueError("Singular matrix in AC solve")
     else:
-        iph = tensors.i_ac_phase_deg * math.pi / 180.0
-        i_re = tensors.i_ac_mag * np.cos(iph)
-        i_im = tensors.i_ac_mag * np.sin(iph)
-
         ext = ext_arrays(tensors)
         c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
         if linearize == "op":

@@ -22,13 +22,27 @@ Semantics are the reference's, pinned formula-for-formula:
     switch toggled, BE companions, diode clamp [-1, 0.8] with the GMIN
     conductance floor, switch hysteresis update order).
 
-Eligibility is exactly the reference dialect (R/C/L/V/S/D devices, BE
-integration, break-on-switch-stability Newton, no .ic/.temp); anything
-extended falls back to the compiled engine (utils/placement.py picks the
-host-CPU jitted variant for those when tiny). The compiled engine remains
-the source of truth at scale; this tier is cross-checked against it on
-every reference fixture (tests/test_interp.py) and against the basics01
-golden strings.
+Eligibility (round 4 widened the tier from the strict reference dialect to
+the linear extended dialect):
+  - AC (default ``linearize=None`` mode): EVERY circuit — the compiled
+    default-mode AC never stamps nonlinear devices (simulateAC.ts:24-60),
+    and all of its linear stamps (R/C/L/V, I phasors, G/E/F/H, K coupling,
+    T lines, behavioral V= branch shorts via the caller's v_idx) have
+    interpreted twins here.
+  - TRAN: the reference device set (R/C/L/V/S/D) plus the linear extended
+    elements (I/G/E/F/H sources, K coupling, W current-controlled
+    switches, U lines — already expanded to R/C by the parser) and
+    .temp/.ic (temperature is folded into the tensors by build_tensors;
+    initial conditions arrive as the starting companion state). Devices
+    that need Newton-to-convergence (M/Q/B — simulate_tran auto-upgrades
+    their runs off the reference inner-loop semantics anyway) or carry
+    non-companion state (T-line history, junction charge) stay compiled.
+
+Ineligible-but-tiny runs fall back to the compiled engine pinned to the
+host CPU backend (utils/placement.py). The compiled engine remains the
+source of truth at scale; this tier is cross-checked against it on every
+reference fixture and on extended-dialect decks (tests/test_interp.py)
+and against the basics01 golden strings.
 
 Set ``SPICEY_TPU_INTERP=0`` to disable (the test suite does, so the
 compiled engines keep their end-to-end coverage; dedicated interp tests
@@ -54,20 +68,32 @@ def interp_enabled() -> bool:
     return os.environ.get("SPICEY_TPU_INTERP", "1") != "0"
 
 
-def interp_eligible(ckt, tensors) -> bool:
-    """Reference-dialect circuits only: R/C/L/V/S/D with reference model
-    parameters, no initial conditions, no temperature override. Extended
-    devices OR extended model behavior on reference element types (diode
-    TT/CJO charge storage — an extra companion this tier does not stamp)
-    fall back to the compiled engine."""
+def interp_eligible_ac(ckt, tensors) -> bool:
+    """Default-mode AC eligibility: everything. The compiled AC with
+    ``linearize=None`` stamps only linear elements (simulateAC.ts:24-60 —
+    diodes/switches/MOSFETs/BJTs are ignored), and every linear stamp it
+    knows (R/C/L/V, I phasors, G/E/F/H, K coupling, T lines, behavioral
+    V= branch rows via the caller's v_idx) has an interpreted twin in
+    interp_ac. ``linearize="op"`` runs never reach this tier (the caller
+    gates on it)."""
+    del ckt, tensors
+    return True
+
+
+def interp_eligible_tran(ckt, tensors) -> bool:
+    """Transient eligibility: the reference device set (R/C/L/V/S/D) plus
+    the LINEAR extended elements — I/G/E/F/H sources, K coupling, W
+    switches (folded into the S arrays with branch-current control) — and
+    .temp/.ic (temperature is already folded into r_vals/d_is/d_n by
+    build_tensors; initial conditions arrive as the starting companion
+    state). Excluded: devices that genuinely need Newton-to-convergence
+    (M/Q/B — simulate_tran auto-upgrades them off the reference
+    break-on-switch-stability semantics, so the caller's nr=="spicey"
+    gate already rejects them; kept here as defense) and non-companion
+    state (T-line delay history, diode/BJT junction charge)."""
     return not (
-        ckt.I or ckt.G or ckt.E or ckt.F or ckt.H or ckt.M or ckt.Q
-        or ckt.J or ckt.W or ckt.K or ckt.B or ckt.T or ckt.U
-        or ckt.initial_conditions or ckt.nodeset
-        or any(c.ic is not None for c in ckt.C)
-        or any(el.ic is not None for el in ckt.L)
-        or ckt.temp_c is not None
-        or tensors.has_d_charge
+        tensors.n_m or tensors.n_q or ckt.B or tensors.n_t
+        or tensors.has_d_charge or tensors.has_q_charge
     )
 
 
@@ -153,14 +179,99 @@ def _add_cur(b: np.ndarray, idx: np.ndarray, cur: np.ndarray) -> None:
     np.add.at(b, idx[:, 1], cur)
 
 
-def interp_ac(tensors, freqs: np.ndarray, v_re: np.ndarray,
-              v_im: np.ndarray) -> tuple[np.ndarray, bool]:
+def _add_ext(A: np.ndarray, tensors) -> None:
+    """Linear extended-dialect controlled sources G/E/F/H — NumPy twins of
+    ops/stamps.py stamp_vccs/stamp_vcvs/stamp_cccs/stamp_ccvs. ``A`` is the
+    padded (n+1, n+1[, F]) matrix; value broadcasts ride trailing axes."""
+    if tensors.n_g:
+        i1, i2, icp, icn = (tensors.g_idx[:, 0], tensors.g_idx[:, 1],
+                            tensors.g_idx[:, 2], tensors.g_idx[:, 3])
+        gm = tensors.g_gm
+        gm = gm.reshape(gm.shape + (1,) * (A.ndim - 2))
+        np.add.at(A, (i1, icp), gm)
+        np.add.at(A, (i1, icn), -gm)
+        np.add.at(A, (i2, icp), -gm)
+        np.add.at(A, (i2, icn), gm)
+    if tensors.n_e:
+        i1, i2, j = (tensors.e_idx[:, 0], tensors.e_idx[:, 1],
+                     tensors.e_idx[:, 2])
+        icp, icn = tensors.e_idx[:, 3], tensors.e_idx[:, 4]
+        gain = tensors.e_gain
+        gain = gain.reshape(gain.shape + (1,) * (A.ndim - 2))
+        one = np.ones_like(gain)
+        np.add.at(A, (i1, j), one)
+        np.add.at(A, (i2, j), -one)
+        np.add.at(A, (j, i1), one)
+        np.add.at(A, (j, i2), -one)
+        np.add.at(A, (j, icp), -gain)
+        np.add.at(A, (j, icn), gain)
+    if tensors.n_f:
+        i1, i2, jv = (tensors.f_idx[:, 0], tensors.f_idx[:, 1],
+                      tensors.f_idx[:, 2])
+        gain = tensors.f_gain
+        gain = gain.reshape(gain.shape + (1,) * (A.ndim - 2))
+        np.add.at(A, (i1, jv), gain)
+        np.add.at(A, (i2, jv), -gain)
+    if tensors.n_h:
+        i1, i2, j, jv = (tensors.h_idx[:, 0], tensors.h_idx[:, 1],
+                         tensors.h_idx[:, 2], tensors.h_idx[:, 3])
+        r = tensors.h_r
+        r = r.reshape(r.shape + (1,) * (A.ndim - 2))
+        one = np.ones_like(r)
+        np.add.at(A, (i1, j), one)
+        np.add.at(A, (i2, j), -one)
+        np.add.at(A, (j, i1), one)
+        np.add.at(A, (j, i2), -one)
+        np.add.at(A, (j, jv), -r)
+
+
+def _add_mutual(A: np.ndarray, l_idx: np.ndarray, G: np.ndarray) -> None:
+    """Coupled-inductor companion stamp (ops/stamps.py stamp_mutual): every
+    (a, b) inductor pair contributes the 4-point pattern across a's KCL
+    rows and b's voltage columns. G: (nL, nL[, F])."""
+    i1, i2 = l_idx[:, 0], l_idx[:, 1]
+    np.add.at(A, (i1[:, None], i1[None, :]), G)
+    np.add.at(A, (i1[:, None], i2[None, :]), -G)
+    np.add.at(A, (i2[:, None], i1[None, :]), -G)
+    np.add.at(A, (i2[:, None], i2[None, :]), G)
+
+
+def _mutual_inv_np(tensors) -> tuple[np.ndarray, bool]:
+    """M^{-1} for K-coupled inductors (analysis/tran._mutual_inv, host
+    NumPy twin): M = diag(L) + offdiag(k_ab * sqrt(L_a L_b)); inverted by
+    the reference-pivot LU column solves, ok=False on the reference's
+    |pivot| < EPS singularity (|k| = 1 makes M singular)."""
+    nl = tensors.n_l
+    M = np.diag(tensors.l_vals.astype(np.float64))
+    a, b = tensors.k_pairs[:, 0], tensors.k_pairs[:, 1]
+    m = tensors.k_vals * np.sqrt(tensors.l_vals[a] * tensors.l_vals[b])
+    M[a, b] += m
+    M[b, a] += m
+    lu, perm, ok = _lu_factor(M.copy())
+    if not ok:
+        return M, False
+    minv = np.empty((nl, nl))
+    eye = np.eye(nl)
+    for k in range(nl):
+        minv[:, k] = _lu_solve(lu, perm, eye[:, k].copy())
+    return minv, True
+
+
+def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
+              v_re: np.ndarray, v_im: np.ndarray, i_re: np.ndarray,
+              i_im: np.ndarray) -> tuple[np.ndarray, bool]:
     """Full AC sweep, interpreted: returns ((F, nvar) complex128 x, ok).
 
     Assembly is vectorized over the frequency grid with the frequency
     axis LAST (one scatter per device class), then solved by the
     reference's complex Gaussian elimination batched over F.
-    """
+
+    ``v_idx``/``v_re``/``v_im`` come from ac_vsource_arrays — independent V
+    phasors plus behavioral V= branch rows as 0 V small-signal shorts.
+    ``i_re``/``i_im`` are the extended I-source phasors. Extended G/E/F/H,
+    K coupling (Y(w) = -j M^{-1}/w with the per-inductor open-at-DC quirk)
+    and T lines (exact -e^{-j w Td} far-end coupling) all stamp here —
+    mirrors of analysis/ac._assemble_one."""
     n = tensors.nvar
     F = freqs.shape[0]
     w = 2.0 * np.pi * np.asarray(freqs, dtype=np.float64)  # (F,)
@@ -176,18 +287,50 @@ def interp_ac(tensors, freqs: np.ndarray, v_re: np.ndarray,
     if tensors.n_l:
         wl = tensors.l_vals[:, None] * w[None, :]
         small = np.abs(wl) < EPS
-        y_l = np.where(small, 0.0, -1.0 / np.where(small, 1.0, wl))
-        _add_adm(A, tensors.l_idx, 1j * y_l)
-    if tensors.n_v:
-        i1, i2, j = (tensors.v_idx[:, 0], tensors.v_idx[:, 1],
-                     tensors.v_idx[:, 2])
-        one = np.ones((tensors.n_v, F))
+        if tensors.n_k:
+            minv, ok = _mutual_inv_np(tensors)
+            if not ok:  # |k| = 1: singular inductance matrix
+                return np.zeros((F, n), dtype=np.complex128), False
+            keep = (~small).astype(np.float64)   # (nL, F)
+            w_safe = np.where(np.abs(w) < EPS, 1.0, w)
+            S = ((-minv[:, :, None] / w_safe[None, None, :])
+                 * keep[:, None, :] * keep[None, :, :])
+            _add_mutual(A, tensors.l_idx, 1j * S)
+        else:
+            y_l = np.where(small, 0.0, -1.0 / np.where(small, 1.0, wl))
+            _add_adm(A, tensors.l_idx, 1j * y_l)
+    n_vrows = v_idx.shape[0]
+    if n_vrows:
+        i1, i2, j = v_idx[:, 0], v_idx[:, 1], v_idx[:, 2]
+        one = np.ones((n_vrows, F))
         np.add.at(A, (i1, j), one)
         np.add.at(A, (j, i1), one)
         np.add.at(A, (i2, j), -one)
         np.add.at(A, (j, i2), -one)
         np.add.at(b, j, np.broadcast_to(
-            (v_re + 1j * v_im)[:, None], (tensors.n_v, F)))
+            (v_re + 1j * v_im)[:, None], (n_vrows, F)))
+    if tensors.n_i:
+        _add_cur(b, tensors.i_idx, np.broadcast_to(
+            (i_re + 1j * i_im)[:, None], (tensors.n_i, F)))
+    _add_ext(A, tensors)
+    if tensors.n_t:
+        ti = tensors.t_idx
+        z0 = tensors.t_z0.reshape(-1, 1)                      # (nT, 1)
+        theta = tensors.t_td[:, None] * w[None, :]            # (nT, F)
+        c = -np.cos(theta) + 1j * np.sin(theta)               # -e^{-j w Td}
+        one = np.ones((tensors.n_t, F))
+        for (p, q, br) in ((ti[:, 0], ti[:, 1], ti[:, 4]),
+                           (ti[:, 2], ti[:, 3], ti[:, 5])):
+            np.add.at(A, (p, br), one)
+            np.add.at(A, (q, br), -one)
+            np.add.at(A, (br, p), one)
+            np.add.at(A, (br, q), -one)
+            np.add.at(A, (br, br), -z0 * one)
+        for (br, p, q, obr) in ((ti[:, 4], ti[:, 2], ti[:, 3], ti[:, 5]),
+                                (ti[:, 5], ti[:, 0], ti[:, 1], ti[:, 4])):
+            np.add.at(A, (br, p), c)
+            np.add.at(A, (br, q), -c)
+            np.add.at(A, (br, obr), c * z0)
 
     aug = np.concatenate(
         [A[:n, :n], b[:n][:, None, :]], axis=1
@@ -195,22 +338,37 @@ def interp_ac(tensors, freqs: np.ndarray, v_re: np.ndarray,
     return _ge_solve(aug)
 
 
-def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
-                max_nr: int) -> tuple[np.ndarray, np.ndarray, bool]:
+def interp_tran(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,
+                v_prev0: np.ndarray | None = None,
+                i_prev0: np.ndarray | None = None,
+                ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Full transient run, interpreted: returns (xs (S+1, nvar),
     sw_states (S+1, nS) bool, ok).
 
     The per-step loop mirrors simulateTRAN.ts:147-237 exactly; the
-    frequency-independent stamp pattern (R, C/L companion conductances,
-    V rows) is assembled once and copied per Newton pass — summation
-    order differences against the reference are at rounding level.
+    time-invariant stamp pattern (R, C/L companion conductances, V rows,
+    extended G/E/F/H and the K-coupling matrix companion dt*M^{-1}) is
+    assembled once and copied per Newton pass — summation order
+    differences against the reference are at rounding level.
+
+    ``vs_grid`` carries V-source columns then extended I-source columns
+    (ir.circuit.sample_source_values). ``v_prev0``/``i_prev0`` seed the
+    capacitor/inductor companion state for extended .ic runs.
     """
     n = tensors.nvar
+    n_v = tensors.n_v
     steps_p1 = vs_grid.shape[0]
     dt_c = max(dt, EPS)
 
     gc = tensors.c_vals / dt_c  # C companion conductances
     gl = dt_c / tensors.l_vals  # L companion conductances
+    gamma = None                # K-coupled matrix companion dt * M^{-1}
+    if tensors.n_k:
+        minv, ok = _mutual_inv_np(tensors)
+        if not ok:  # |k| = 1: singular inductance matrix
+            return (np.zeros((steps_p1, n)),
+                    np.zeros((steps_p1, tensors.n_s), dtype=bool), False)
+        gamma = dt_c * minv
 
     A_base = np.zeros((n + 1, n + 1))
     if tensors.n_r:
@@ -218,23 +376,33 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
     if tensors.n_c:
         _add_adm(A_base, tensors.c_idx, gc)
     if tensors.n_l:
-        _add_adm(A_base, tensors.l_idx, gl)
-    if tensors.n_v:
+        if gamma is not None:
+            _add_mutual(A_base, tensors.l_idx, gamma)
+        else:
+            _add_adm(A_base, tensors.l_idx, gl)
+    if n_v:
         i1, i2, j = (tensors.v_idx[:, 0], tensors.v_idx[:, 1],
                      tensors.v_idx[:, 2])
         np.add.at(A_base, (i1, j), 1.0)
         np.add.at(A_base, (j, i1), 1.0)
         np.add.at(A_base, (i2, j), -1.0)
         np.add.at(A_base, (j, i2), -1.0)
+    _add_ext(A_base, tensors)
 
-    v_prev = np.zeros(tensors.n_c)
-    i_prev = np.zeros(tensors.n_l)
+    v_prev = (np.zeros(tensors.n_c) if v_prev0 is None
+              else np.asarray(v_prev0, dtype=np.float64).copy())
+    i_prev = (np.zeros(tensors.n_l) if i_prev0 is None
+              else np.asarray(i_prev0, dtype=np.float64).copy())
     vd_prev = np.zeros(tensors.n_d)
     is_on = np.zeros(tensors.n_s, dtype=bool)
 
     s_g_on = 1.0 / np.maximum(np.abs(tensors.s_ron), EPS)
     s_g_off = 1.0 / np.maximum(np.abs(tensors.s_roff), EPS)
     d_vth = tensors.d_n * VT_300K
+    # the linearization clamp scales with T/300 like the compiled engine
+    # (analysis/tran.py: at 300 K it is exactly the reference's [-1, 0.8])
+    tscale = tensors.vt / VT_300K
+    d_vmin, d_vmax = DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale
 
     xs = np.zeros((steps_p1, n))
     sw_states = np.zeros((steps_p1, tensors.n_s), dtype=bool)
@@ -254,16 +422,20 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
                 _add_cur(b, tensors.c_idx, -gc * v_prev)
             if tensors.n_l:
                 _add_cur(b, tensors.l_idx, i_prev)
-            if tensors.n_v:
-                np.add.at(b, tensors.v_idx[:, 2], vs_grid[step])
+            if n_v:
+                np.add.at(b, tensors.v_idx[:, 2], vs_grid[step, :n_v])
+            if tensors.n_i:
+                _add_cur(b, tensors.i_idx, vs_grid[step, n_v:])
             x_pad[:n] = _lu_solve(lu, perm, b[:n])
             xs[step] = x_pad[:n]
             if tensors.n_c:
                 v_prev = (x_pad[tensors.c_idx[:, 0]]
                           - x_pad[tensors.c_idx[:, 1]])
             if tensors.n_l:
-                i_prev = i_prev + gl * (x_pad[tensors.l_idx[:, 0]]
-                                        - x_pad[tensors.l_idx[:, 1]])
+                vd_l = (x_pad[tensors.l_idx[:, 0]]
+                        - x_pad[tensors.l_idx[:, 1]])
+                i_prev = i_prev + (gamma @ vd_l if gamma is not None
+                                   else gl * vd_l)
         return xs, sw_states, True
 
     for step in range(steps_p1):
@@ -275,8 +447,10 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
                 _add_cur(b, tensors.c_idx, -gc * v_prev)
             if tensors.n_l:
                 _add_cur(b, tensors.l_idx, i_prev)
-            if tensors.n_v:
-                np.add.at(b, tensors.v_idx[:, 2], vs_grid[step])
+            if n_v:
+                np.add.at(b, tensors.v_idx[:, 2], vs_grid[step, :n_v])
+            if tensors.n_i:
+                _add_cur(b, tensors.i_idx, vs_grid[step, n_v:])
             if tensors.n_s:
                 _add_adm(A, tensors.s_idx[:, :2],
                          np.where(is_on, s_g_on, s_g_off))
@@ -284,7 +458,7 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
                 vd_it = (x_pad[tensors.d_idx[:, 0]]
                          - x_pad[tensors.d_idx[:, 1]])
                 vd = vd_prev if it == 0 else vd_it
-                vd_l = np.clip(vd, DIODE_VD_MIN, DIODE_VD_MAX)
+                vd_l = np.clip(vd, d_vmin, d_vmax)
                 ev = np.exp(vd_l / d_vth)
                 i_d = tensors.d_is * (ev - 1.0)
                 g_d = np.maximum(tensors.d_is / d_vth * ev, GMIN)
@@ -317,8 +491,10 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float,
             v_prev = (x_pad[tensors.c_idx[:, 0]]
                       - x_pad[tensors.c_idx[:, 1]])
         if tensors.n_l:
-            i_prev = i_prev + gl * (x_pad[tensors.l_idx[:, 0]]
-                                    - x_pad[tensors.l_idx[:, 1]])
+            vd_l = (x_pad[tensors.l_idx[:, 0]]
+                    - x_pad[tensors.l_idx[:, 1]])
+            i_prev = i_prev + (gamma @ vd_l if gamma is not None
+                               else gl * vd_l)
         if tensors.n_d:
             vd_prev = (x_pad[tensors.d_idx[:, 0]]
                        - x_pad[tensors.d_idx[:, 1]])

@@ -1182,26 +1182,29 @@ def simulate_tran(
     # backend: S * NR * Nvar^3 ops cannot amortize an accelerator round
     # trip (utils/placement.py)
     from ..utils.placement import exec_device, is_tiny, is_tiny_work
-    from .interp import interp_eligible, interp_enabled, interp_tran
+    from .interp import interp_eligible_tran, interp_enabled, interp_tran
 
     _work = 24.0 * (steps + 1) * tensors.nvar ** 3
     # method/interpret are explicit solver-tier requests — honor them
-    # (the interp tier would silently substitute its own f64 GE)
+    # (the interp tier would silently substitute its own f64 GE).
+    # Fresh .ic runs are eligible: init_carry_np seeds the companion state.
     if (integration == "be" and nr == "spicey" and state is None
-            and not return_state and init_state is None
+            and not return_state
             and nr_vntol is None and nr_abstol is None
             and method == "gj" and not interpret
             and steps + 1 <= 4097 and is_tiny_work(_work)
-            and interp_enabled() and interp_eligible(ckt, tensors)):
+            and interp_enabled() and interp_eligible_tran(ckt, tensors)):
         from ..constants import MAX_NR_ITERS as _MAXNR
 
         xs, sw_states, _ok = interp_tran(
-            tensors, vs_grid, dt, max_nr if max_nr is not None else _MAXNR)
+            tensors, vs_grid, dt, max_nr if max_nr is not None else _MAXNR,
+            v_prev0=init_carry_np[0] if init_carry_np is not None else None,
+            i_prev0=init_carry_np[2] if init_carry_np is not None else None)
         if not _ok:
             raise ValueError("Singular matrix in TRAN solve")
         return _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid,
                               dt, integration, state, return_state=False,
-                              fin_state=None)
+                              fin_state=None, init_carry=init_carry_np)
     _tiny = is_tiny(_work)
     _core = _tran_core_tiny if _tiny else _tran_core
     _pack = _pack_tran_result_tiny if _tiny else _pack_tran_result

@@ -2,11 +2,13 @@
 
 The suite runs with SPICEY_TPU_INTERP=0 (conftest.py) so every other test
 exercises the compiled engine; here we re-enable the tier per-test and
-check (a) it is actually selected for reference-dialect tiny circuits,
-(b) its results agree with the compiled engine on every reference
-fixture to rounding level, (c) the basics01 golden stays char-exact
-through it, and (d) extended circuits / non-default modes fall back to
-the compiled engine.
+check (a) it is actually selected for tiny circuits, (b) its results
+agree with the compiled engine on every reference fixture AND on
+extended-dialect decks (I/G/E/F/H, K coupling, W switches, .temp, .ic,
+T-line AC) to rounding level, (c) the basics01 golden stays char-exact
+through it, and (d) what the tier cannot interpret (Newton-to-convergence
+devices in tran, T-line history, junction charge, non-default modes)
+falls back to the compiled engine.
 """
 
 import numpy as np
@@ -43,7 +45,7 @@ def interp_counter(monkeypatch):
     return calls
 
 
-def _series_close(a: dict, b: dict, rtol=1e-9):
+def _series_close(a: dict, b: dict, rtol=1e-9, atol=None):
     assert set(a) == set(b)
     for k in a:
         x, y = np.asarray(a[k]), np.asarray(b[k])
@@ -54,7 +56,8 @@ def _series_close(a: dict, b: dict, rtol=1e-9):
         assert np.array_equal(fx, fy), k
         scale = max(np.max(np.abs(y[fy]), initial=0.0), 1e-30)
         np.testing.assert_allclose(x[fx], y[fy], rtol=rtol,
-                                   atol=rtol * scale, err_msg=k)
+                                   atol=atol if atol is not None
+                                   else rtol * scale, err_msg=k)
 
 
 def _run_both(netlist: str, monkeypatch):
@@ -107,8 +110,11 @@ def test_tran_matches_engine_on_reference_fixtures(name, monkeypatch):
     _series_close(ri.tran.element_currents, re_.tran.element_currents)
 
 
-def test_extended_devices_fall_back(interp_on, interp_counter):
-    # current source => not reference dialect => compiled engine
+def test_extended_linear_devices_ride_interp(interp_on, interp_counter,
+                                             monkeypatch):
+    """Round-4 widening: linear extended elements (I sources here) run on
+    the interp tier for BOTH analyses and agree with the compiled engine
+    (before the widening this deck paid the compiled cold path)."""
     net = """an extended-dialect deck
 I1 0 out 1m ac 1
 R1 out 0 1k
@@ -117,13 +123,170 @@ C1 out 0 1u
 .tran 10u 1m
 .end
 """
-    # NOTE: the default "spicey" dialect SKIPS current-source lines
-    # (parseNetlist.ts:444-446), which keeps the deck reference-pure and
-    # interp-eligible — only the extended dialect actually parses I1
     r = simulate(net, dialect="extended")
-    assert interp_counter["ac"] == 0
+    assert interp_counter["ac"] == 1
+    assert interp_counter["tran"] == 1
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate(net, dialect="extended")
+    _series_close(r.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
+    _series_close(r.ac.element_currents, re_.ac.element_currents,
+                  rtol=1e-12)
+    _series_close(r.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(r.tran.element_currents, re_.tran.element_currents)
+
+
+def _run_both_ext(netlist: str, monkeypatch):
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+    r_interp = simulate(netlist, dialect="extended")
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    r_engine = simulate(netlist, dialect="extended")
+    return r_interp, r_engine
+
+
+def test_controlled_sources_match_engine(monkeypatch):
+    """G/E/F/H quartet through both tiers, AC + tran."""
+    net = """controlled-source quartet
+V1 in 0 dc 1 ac 1 PULSE(0 1 0 1u 1u 40u 100u)
+R1 in a 1k
+G1 0 b a 0 2m
+R2 b 0 1k
+E1 c 0 a 0 10
+R3 c d 2k
+F1 0 e V1 5
+R4 e 0 100
+H1 f 0 V1 50
+R5 f 0 1k
+R6 d 0 1k
+.ac dec 10 10 1e5
+.tran 2u 200u
+.end
+"""
+    ri, re_ = _run_both_ext(net, monkeypatch)
+    # atol: branch rows cancel exactly in one tier and to ~eps in the
+    # other (different summation order) — zero-signal nodes are noise
+    _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12,
+                  atol=1e-12)
+    _series_close(ri.ac.element_currents, re_.ac.element_currents,
+                  rtol=1e-12, atol=1e-12)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages,
+                  atol=1e-15)
+    _series_close(ri.tran.element_currents, re_.tran.element_currents,
+                  atol=1e-15)
+
+
+def test_k_coupling_matches_engine(monkeypatch):
+    """K-coupled transformer: matrix companion dt*M^{-1} in tran, the
+    -j M^{-1}/w admittance in AC."""
+    net = """transformer deck
+V1 in 0 ac 1 SIN(0 1 10k)
+R1 in p 10
+L1 p 0 1m
+L2 s 0 4m
+K1 L1 L2 0.8
+R2 s 0 1k
+.ac dec 15 10 1e6
+.tran 2u 300u
+.end
+"""
+    ri, re_ = _run_both_ext(net, monkeypatch)
+    _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
+    _series_close(ri.ac.element_currents, re_.ac.element_currents,
+                  rtol=1e-12)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.element_currents, re_.tran.element_currents)
+    # secondary actually couples
+    vs = np.asarray(ri.tran.node_voltages["s"])
+    assert np.abs(vs).max() > 0.1
+
+
+def test_w_switch_and_temp_match_engine(monkeypatch):
+    """W current-controlled switch + .temp (temperature folds into the
+    tensors, so the interp tier gets R(T)/Is(T)/N(T) for free)."""
+    net = """current-controlled switch deck
+V1 in 0 PULSE(0 5 0 1u 1u 50u 200u)
+R1 in sense 100
+Vsense sense out 0
+R2 out 0 1k
+W1 ld 0 Vsense WM
+.model WM csw(it=2m ih=0.5m ron=1 roff=1e6)
+V2 ld2 0 dc 5
+R3 ld2 ld 10k
+D1 ld 0 DD
+.model DD d(is=1e-14)
+.temp 50
+.tran 2u 400u
+.end
+"""
+    ri, re_ = _run_both_ext(net, monkeypatch)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.element_currents, re_.tran.element_currents)
+
+
+def test_ic_rides_interp_and_matches_engine(interp_on, interp_counter,
+                                            monkeypatch):
+    net = """* pre-charged tank
+C1 a 0 1u ic=5
+R1 a b 1k
+L1 b 0 10m ic=0.002
+.ic v(b)=0
+.tran 10u 2m
+.end
+"""
+    ri = simulate(net, dialect="extended")
+    assert interp_counter["tran"] == 1
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate(net, dialect="extended")
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.element_currents, re_.tran.element_currents)
+    assert np.asarray(ri.tran.node_voltages["a"])[0] > 4.0  # ic honored
+
+
+def test_tline_ac_rides_interp_tran_falls_back(interp_on, interp_counter,
+                                               monkeypatch):
+    """T lines: the exact phasor model is linear (interp AC stamps it);
+    the transient delay-line history stays on the compiled engine."""
+    net = """tline deck
+V1 in 0 ac 1 PULSE(0 1 0 1n 1n 50n 200n)
+R1 in a 50
+T1 a 0 b 0 Z0=50 TD=10n
+R2 b 0 50
+.ac lin 30 1e6 1e8
+.tran 1n 200n
+.end
+"""
+    ri = simulate(net, dialect="extended")
+    assert interp_counter["ac"] == 1
     assert interp_counter["tran"] == 0
-    assert r.ac is not None and r.tran is not None
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate(net, dialect="extended")
+    _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
+    _series_close(ri.ac.element_currents, re_.ac.element_currents,
+                  rtol=1e-12)
+
+
+def test_nonlinear_extended_tran_falls_back_ac_rides(interp_on,
+                                                     interp_counter,
+                                                     monkeypatch):
+    """MOSFET decks: tran needs Newton-to-convergence (compiled engine);
+    default-mode AC ignores nonlinear devices entirely, so the interp
+    tier takes it — matching the compiled default-mode AC."""
+    net = """an nmos deck
+V1 d 0 dc 5 ac 1
+R1 d dd 1k
+M1 dd g 0 NM w=20u l=2u
+V2 g 0 dc 3 PULSE(0 3 0 1u 1u 40u 100u)
+.model NM nmos(vto=1 kp=50u)
+.ac dec 10 10 1e5
+.tran 2u 200u
+.end
+"""
+    ri = simulate(net, dialect="extended")
+    assert interp_counter["ac"] == 1
+    assert interp_counter["tran"] == 0
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate(net, dialect="extended")
+    _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
 
 
 def test_non_default_tran_modes_fall_back(interp_on, interp_counter):
