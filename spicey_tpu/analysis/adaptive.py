@@ -49,6 +49,7 @@ from ..ir.circuit import (
 )
 from ..ir.sources import build_source_program, eval_sources
 from ..ops.linsolve import solve
+from ..utils.fpaccuracy import accurate_exp
 from ..ops.stamps import pad_solution
 from ..parsing.netlist import ParsedCircuit
 from .tran import (_bjt_junction_charge, _l_mv, _mutual_inv, _stamp_system,
@@ -200,7 +201,7 @@ def _adaptive_core(prog, tstop, dt0, dt_min, dt_max, rtol, atol,
             tsc = 1.0 if nl is None else nl["vt"] / VT_300K
             vd_c = jnp.clip(vd_new, DIODE_VD_MIN * tsc, DIODE_VD_MAX * tsc)
             v_th_d = d_n * VT_300K
-            ev_c = jnp.exp(vd_c / v_th_d)
+            ev_c = accurate_exp(vd_c / v_th_d)
             q_d_new, _ = diode_charge_cap(
                 vd_new, d_is * (ev_c - 1.0),
                 jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
@@ -330,6 +331,12 @@ def simulate_tran_adaptive(
     steps. Raises if the attempt budget is exhausted before tstop."""
     if ckt.tran is None:
         return None
+    from ..utils.fpaccuracy import newton_tol_floor
+
+    # inner-Newton tolerance floored at the backend's measured exp()
+    # accuracy (TPU emulated-f64 exp ~2e-8 relative): below it the
+    # junction Newton limit-cycles and burns max_nr every attempt
+    nr_tol = newton_tol_floor(nr_tol)
     if tensors is None:
         tensors = build_tensors(ckt)
     tstop = ckt.tran.tstop

@@ -34,6 +34,7 @@ from ..constants import (
 from ..ir.circuit import (CircuitTensors, bsrc_static,
                           build_tensors, ext_arrays, nl_arrays)
 from ..ops.linsolve import solve
+from ..utils.fpaccuracy import accurate_exp
 from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
@@ -141,7 +142,7 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
         # pnjlim (relative, exact-converging) instead of the transient
         # engine's absolute window — see _pnjlim
         vd_lim = _pnjlim(vd, vjd, v_th, v_crit)
-        ev = jnp.exp(vd_lim / v_th)
+        ev = accurate_exp(vd_lim / v_th)
         i_d = d_is * (ev - 1.0)
         g_d = jnp.maximum((d_is / v_th) * ev, GMIN)
         A = stamp_admittance(A, d_idx, g_d)
@@ -270,6 +271,14 @@ def simulate_op(
     tol: float = 1e-12,
 ) -> OPResult:
     """Solve the DC operating point."""
+    from ..utils.fpaccuracy import newton_tol_floor
+
+    # floor the tolerance at the backend's measured exp() accuracy: on
+    # TPU emulated-f64 exp carries ~2e-8 relative noise, below which the
+    # junction Newton limit-cycles — an unfloored 1e-12 default walks the
+    # whole gmin/source-stepping ladder and still reports non-convergence
+    # on a plain V-R-diode deck (utils/fpaccuracy.py)
+    tol = newton_tol_floor(tol)
     if tensors is None:
         tensors = build_tensors(ckt)
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
@@ -432,6 +441,9 @@ def simulate_dc(
     """
     if ckt.dc is None:
         return None
+    from ..utils.fpaccuracy import newton_tol_floor
+
+    tol = newton_tol_floor(tol)  # backend exp-accuracy floor (simulate_op)
     if tensors is None:
         tensors = build_tensors(ckt)
     spec = ckt.dc
@@ -556,6 +568,9 @@ def op_batch(
         _resolve,
     )
 
+    from ..utils.fpaccuracy import newton_tol_floor
+
+    tol = newton_tol_floor(tol)  # backend exp-accuracy floor (simulate_op)
     ckt = _resolve(circuit, dialect=dialect)
     if tensors is None:
         tensors = build_tensors(ckt)

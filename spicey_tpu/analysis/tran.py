@@ -66,6 +66,7 @@ from ..ir.circuit import (
 )
 from ..models.devices import bjt_ebers_moll, mos_level1
 from ..ops.linsolve import solve
+from ..utils.fpaccuracy import accurate_exp
 from ..ops.stamps import (
     pad_solution,
     stamp_admittance,
@@ -219,7 +220,7 @@ def _bjt_junction_charge(x_pad, nl, qchg, q_idx):
 
     def one(u, tt, cjo, vj, m):
         u_lim = jnp.clip(u, lo, hi)
-        ev = jnp.exp(u_lim / vt)
+        ev = accurate_exp(u_lim / vt)
         g_diff = jnp.maximum(i_s / vt * ev, GMIN)
         q_r, c = diode_charge_cap(u, i_s * (ev - 1.0), g_diff,
                                   tt, cjo, vj, m, qchg["fc"])
@@ -364,7 +365,7 @@ def _stamp_system(tensors_arrays, nvar, dt, vs_t, x, it, v_prev_c, i_prev_c,
     tscale = 1.0 if nl is None else nl["vt"] / VT_300K
     vd_lim = jnp.clip(vd, DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale)
     v_th = d_n * VT_300K
-    exp_val = jnp.exp(vd_lim / v_th)
+    exp_val = accurate_exp(vd_lim / v_th)
     i_d = d_is * (exp_val - 1.0)
     g_d = jnp.maximum((d_is / v_th) * exp_val, GMIN)
     ieq = i_d - g_d * vd_lim
@@ -639,7 +640,10 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 # floor the relative tolerance at 16 ulps of the working
                 # dtype: the f64 default 1e-9 is not representable
                 # progress in f32, so an unfloored f32 run never settles
-                # and burns all max_nr passes per step
+                # and burns all max_nr passes per step. (The backend
+                # exp-accuracy floor — utils/fpaccuracy.newton_tol_floor —
+                # is applied by the PUBLIC entry points: it needs an
+                # eager device probe, which cannot run inside this trace.)
                 tol_eff = max(float(nr_tol),
                               16.0 * float(jnp.finfo(dtype).eps))
                 if nr_floor is not None:
@@ -771,7 +775,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             vd_c = jnp.clip(vd_prev_d, DIODE_VD_MIN * tsc,
                             DIODE_VD_MAX * tsc)
             v_th_d = d_n * VT_300K
-            ev_c = jnp.exp(vd_c / v_th_d)
+            ev_c = accurate_exp(vd_c / v_th_d)
             q_prev_d, _ = diode_charge_cap(
                 vd_prev_d, d_is * (ev_c - 1.0),
                 jnp.maximum((d_is / v_th_d) * ev_c, GMIN),
@@ -1118,6 +1122,13 @@ def simulate_tran(
     # break-on-switch-stability semantics
     if (tensors.n_m or tensors.n_q or ckt.B) and nr == "spicey":
         nr = "converged"
+    if nr == "converged":
+        # backend exp-accuracy tolerance floor (utils/fpaccuracy.py):
+        # below the measured junction-exponential noise the Newton
+        # limit-cycles and burns all max_nr passes per step
+        from ..utils.fpaccuracy import newton_tol_floor
+
+        nr_tol = newton_tol_floor(nr_tol)
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     if state is None:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, VT_300K
+from ..utils.fpaccuracy import accurate_exp
 
 
 def mos_level1(vgs, vds, beta, vto, lam, mtype):
@@ -144,8 +145,8 @@ def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K,
         vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN * tscale,
                          DIODE_VD_MAX * tscale)
 
-    ebe = jnp.exp(vbe_l / vt)
-    ebc = jnp.exp(vbc_l / vt)
+    ebe = accurate_exp(vbe_l / vt)
+    ebc = accurate_exp(vbc_l / vt)
 
     ibe = (i_s / bf) * (ebe - 1.0)
     ibc = (i_s / br) * (ebc - 1.0)

@@ -32,8 +32,11 @@ import jax.numpy as jnp
 from .numbers import parse_number_with_units
 from .params import _ENG_NUM_RE
 
+from ..utils.fpaccuracy import accurate_exp as _accurate_exp
+
 _FUNCS = {
-    "sqrt": jnp.sqrt, "exp": jnp.exp, "log": jnp.log, "log10": jnp.log10,
+    "sqrt": jnp.sqrt, "exp": _accurate_exp, "log": jnp.log,
+    "log10": jnp.log10,
     "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "tanh": jnp.tanh,
     "sinh": jnp.sinh, "cosh": jnp.cosh, "atan": jnp.arctan,
     "abs": jnp.abs, "min": jnp.minimum, "max": jnp.maximum,
