@@ -179,13 +179,16 @@ def _add_cur(b: np.ndarray, idx: np.ndarray, cur: np.ndarray) -> None:
     np.add.at(b, idx[:, 1], cur)
 
 
-def _add_ext(A: np.ndarray, tensors) -> None:
+def _add_ext(A: np.ndarray, tensors, remap=None) -> None:
     """Linear extended-dialect controlled sources G/E/F/H — NumPy twins of
     ops/stamps.py stamp_vccs/stamp_vcvs/stamp_cccs/stamp_ccvs. ``A`` is the
-    padded (n+1, n+1[, F]) matrix; value broadcasts ride trailing axes."""
+    padded (n+1, n+1[, F]) matrix; value broadcasts ride trailing axes.
+    ``remap`` (optional) re-targets dump-slot indices for the larger .op
+    system."""
+    rm = remap if remap is not None else (lambda a: a)
     if tensors.n_g:
-        i1, i2, icp, icn = (tensors.g_idx[:, 0], tensors.g_idx[:, 1],
-                            tensors.g_idx[:, 2], tensors.g_idx[:, 3])
+        gi = rm(tensors.g_idx)
+        i1, i2, icp, icn = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
         gm = tensors.g_gm
         gm = gm.reshape(gm.shape + (1,) * (A.ndim - 2))
         np.add.at(A, (i1, icp), gm)
@@ -193,9 +196,9 @@ def _add_ext(A: np.ndarray, tensors) -> None:
         np.add.at(A, (i2, icp), -gm)
         np.add.at(A, (i2, icn), gm)
     if tensors.n_e:
-        i1, i2, j = (tensors.e_idx[:, 0], tensors.e_idx[:, 1],
-                     tensors.e_idx[:, 2])
-        icp, icn = tensors.e_idx[:, 3], tensors.e_idx[:, 4]
+        ei = rm(tensors.e_idx)
+        i1, i2, j = ei[:, 0], ei[:, 1], ei[:, 2]
+        icp, icn = ei[:, 3], ei[:, 4]
         gain = tensors.e_gain
         gain = gain.reshape(gain.shape + (1,) * (A.ndim - 2))
         one = np.ones_like(gain)
@@ -206,15 +209,15 @@ def _add_ext(A: np.ndarray, tensors) -> None:
         np.add.at(A, (j, icp), -gain)
         np.add.at(A, (j, icn), gain)
     if tensors.n_f:
-        i1, i2, jv = (tensors.f_idx[:, 0], tensors.f_idx[:, 1],
-                      tensors.f_idx[:, 2])
+        fi = rm(tensors.f_idx)
+        i1, i2, jv = fi[:, 0], fi[:, 1], fi[:, 2]
         gain = tensors.f_gain
         gain = gain.reshape(gain.shape + (1,) * (A.ndim - 2))
         np.add.at(A, (i1, jv), gain)
         np.add.at(A, (i2, jv), -gain)
     if tensors.n_h:
-        i1, i2, j, jv = (tensors.h_idx[:, 0], tensors.h_idx[:, 1],
-                         tensors.h_idx[:, 2], tensors.h_idx[:, 3])
+        hi = rm(tensors.h_idx)
+        i1, i2, j, jv = hi[:, 0], hi[:, 1], hi[:, 2], hi[:, 3]
         r = tensors.h_r
         r = r.reshape(r.shape + (1,) * (A.ndim - 2))
         one = np.ones_like(r)
@@ -255,6 +258,209 @@ def _mutual_inv_np(tensors) -> tuple[np.ndarray, bool]:
     for k in range(nl):
         minv[:, k] = _lu_solve(lu, perm, eye[:, k].copy())
     return minv, True
+
+
+def _pnjlim_np(vnew, vold, vt, vcrit):
+    """SPICE3 pnjlim, NumPy twin of analysis/op._pnjlim."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        arg = 1.0 + (vnew - vold) / vt
+        v_pos = np.where(arg > 0.0,
+                         vold + vt * np.log(np.maximum(arg, 1e-300)),
+                         vcrit)
+        v_neg = vt * np.log(np.maximum(vnew, 1e-300) / vt)
+    v_lim = np.where(vold > 0.0, v_pos, v_neg)
+    limit = (vnew > vcrit) & (np.abs(vnew - vold) > 2.0 * vt)
+    return np.where(limit, v_lim, vnew)
+
+
+def _op_arrays_np(tensors):
+    """Index marshaling for the op system (analysis/op._op_indices twin):
+    unknowns are the tran/AC ordering plus one 0V-short branch per
+    inductor; dump re-targets to the bigger system's ground slot."""
+    n_l = tensors.n_l
+    nvar_op = tensors.nvar + n_l
+    dump = nvar_op
+
+    def remap(idx):
+        return np.where(idx == tensors.nvar, dump, idx).astype(np.int32)
+
+    l_bidx = (np.concatenate(
+        [remap(tensors.l_idx),
+         (tensors.nvar + np.arange(n_l, dtype=np.int32))[:, None]], axis=1)
+        if n_l else np.zeros((0, 3), np.int32))
+    v_idx_op = (np.concatenate(
+        [remap(tensors.v_idx[:, :2]), tensors.v_idx[:, 2:]], axis=1
+    ).astype(np.int32) if tensors.n_v else np.zeros((0, 3), np.int32))
+    return nvar_op, remap, l_bidx, v_idx_op
+
+
+def interp_op_core(tensors, v_dc: np.ndarray, i_dc: np.ndarray,
+                   max_iters: int = 100, tol: float = 1e-12,
+                   x0: np.ndarray | None = None, gshunt: float = 0.0,
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Batched DC Newton, interpreted — the host twin of
+    analysis/op._op_core for the interp-eligible device set (R/C-open/
+    L-short/V/I/S/W/D/G/E/F/H/K-irrelevant-at-DC/T-differential-short;
+    M/Q/B are gated out by interp_eligible_tran's exclusions).
+
+    v_dc: (B, nV), i_dc: (B, nI). Returns (x (B, nvar_op), sw (B, nS),
+    done (B,), solve_ok) — ``solve_ok`` False means a singular solve
+    occurred somewhere in the batch (the reference-GE solver flags
+    globally; callers fall back or raise).
+    """
+    nvar_op, remap, l_bidx, v_idx_op = _op_arrays_np(tensors)
+    n = nvar_op
+    B = v_dc.shape[0]
+    bb = np.arange(B)[:, None]
+
+    r_idx = remap(tensors.r_idx)
+    s_idx = remap(tensors.s_idx)
+    d_idx = remap(tensors.d_idx)
+    i_idx = remap(tensors.i_idx)
+
+    v_th = tensors.d_n * VT_300K
+    v_crit = v_th * np.log(
+        v_th / (np.sqrt(2.0) * np.maximum(tensors.d_is, 1e-300)))
+    s_g_on = 1.0 / np.maximum(np.abs(tensors.s_ron), EPS)
+    s_g_off = 1.0 / np.maximum(np.abs(tensors.s_roff), EPS)
+
+    # time-invariant stamp pattern
+    A0 = np.zeros((n + 1, n + 1))
+    _add_adm(A0, r_idx, 1.0 / tensors.r_vals)
+    if gshunt:
+        di = np.arange(tensors.n_node_vars)
+        A0[di, di] += gshunt
+    for idx3 in (l_bidx, v_idx_op):
+        if idx3.shape[0]:
+            one = np.ones(idx3.shape[0])
+            np.add.at(A0, (idx3[:, 0], idx3[:, 2]), one)
+            np.add.at(A0, (idx3[:, 2], idx3[:, 0]), one)
+            np.add.at(A0, (idx3[:, 1], idx3[:, 2]), -one)
+            np.add.at(A0, (idx3[:, 2], idx3[:, 1]), -one)
+    _add_ext(A0, tensors, remap=remap)
+    if tensors.n_t:
+        # DC Branin steady state: Z0 port rows + the theta->0 coupling
+        # c = -1 (differential short; ops/stamps.py stamp_tline_*)
+        ti = remap(tensors.t_idx)
+        z0 = tensors.t_z0
+        for (p, q, br) in ((ti[:, 0], ti[:, 1], ti[:, 4]),
+                           (ti[:, 2], ti[:, 3], ti[:, 5])):
+            one = np.ones(tensors.n_t)
+            np.add.at(A0, (p, br), one)
+            np.add.at(A0, (q, br), -one)
+            np.add.at(A0, (br, p), one)
+            np.add.at(A0, (br, q), -one)
+            np.add.at(A0, (br, br), -z0)
+        for (br, p, q, obr) in ((ti[:, 4], ti[:, 2], ti[:, 3], ti[:, 5]),
+                                (ti[:, 5], ti[:, 0], ti[:, 1], ti[:, 4])):
+            c = -np.ones(tensors.n_t)
+            np.add.at(A0, (br, p), c)
+            np.add.at(A0, (br, q), -c)
+            np.add.at(A0, (br, obr), c * z0)
+
+    b0 = np.zeros((B, n + 1))
+    if v_idx_op.shape[0]:
+        np.add.at(b0, (bb, v_idx_op[None, :, 2]), v_dc)
+    if tensors.n_i:
+        np.add.at(b0, (bb, i_idx[None, :, 0]), -i_dc)
+        np.add.at(b0, (bb, i_idx[None, :, 1]), i_dc)
+
+    x = (np.zeros((B, n)) if x0 is None
+         else np.broadcast_to(np.asarray(x0, np.float64), (B, n)).copy())
+    sw = np.zeros((B, tensors.n_s), dtype=bool)
+    vjd = np.zeros((B, tensors.n_d))
+    done = np.zeros(B, dtype=bool)
+    solve_ok = True
+
+    for _ in range(max_iters):
+        if bool(np.all(done)):
+            break
+        A = np.broadcast_to(A0, (B, n + 1, n + 1)).copy()
+        b = b0.copy()
+        x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
+        if tensors.n_s:
+            g_sw = np.where(sw, s_g_on[None, :], s_g_off[None, :])
+            i1, i2 = s_idx[None, :, 0], s_idx[None, :, 1]
+            np.add.at(A, (bb, i1, i1), g_sw)
+            np.add.at(A, (bb, i2, i2), g_sw)
+            np.add.at(A, (bb, i1, i2), -g_sw)
+            np.add.at(A, (bb, i2, i1), -g_sw)
+        vd_used = vjd
+        if tensors.n_d:
+            vd = x_pad[:, d_idx[:, 0]] - x_pad[:, d_idx[:, 1]]
+            vd_used = _pnjlim_np(vd, vjd, v_th[None, :], v_crit[None, :])
+            with np.errstate(over="ignore"):
+                ev = np.exp(vd_used / v_th[None, :])
+            i_d = tensors.d_is[None, :] * (ev - 1.0)
+            g_d = np.maximum(tensors.d_is[None, :] / v_th[None, :] * ev,
+                             GMIN)
+            ieq = i_d - g_d * vd_used
+            i1, i2 = d_idx[None, :, 0], d_idx[None, :, 1]
+            np.add.at(A, (bb, i1, i1), g_d)
+            np.add.at(A, (bb, i2, i2), g_d)
+            np.add.at(A, (bb, i1, i2), -g_d)
+            np.add.at(A, (bb, i2, i1), -g_d)
+            np.add.at(b, (bb, i1), -ieq)
+            np.add.at(b, (bb, i2), ieq)
+
+        aug = np.concatenate([A[:, :n, :n], b[:, :n, None]], axis=2)
+        x_new, ok = _ge_solve(aug)
+        if not ok:
+            solve_ok = False
+            break
+        x_pad_new = np.concatenate([x_new, np.zeros((B, 1))], axis=1)
+        if tensors.n_s:
+            vctrl = (x_pad_new[:, s_idx[:, 2]] - x_pad_new[:, s_idx[:, 3]])
+            new_on = np.where(sw, ~(vctrl < tensors.s_voff[None, :]),
+                              vctrl > tensors.s_von[None, :])
+            switched = np.any(new_on != sw, axis=-1)
+        else:
+            new_on = sw
+            switched = np.zeros(B, dtype=bool)
+        delta = np.max(np.abs(x_new - x), axis=-1) if n else np.zeros(B)
+        scale = 1.0 + (np.max(np.abs(x_new), axis=-1) if n else 0.0)
+        settled = ~switched & (delta <= tol * scale)
+        mask = done[:, None]
+        x = np.where(mask, x, x_new)
+        sw = np.where(mask, sw, new_on)
+        if tensors.n_d:
+            vjd = np.where(mask, vjd, vd_used)
+        done = done | settled
+
+    return x, sw, done, solve_ok
+
+
+def interp_op(tensors, max_iters: int = 100, tol: float = 1e-12,
+              x0: np.ndarray | None = None,
+              ) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Single operating point with the compiled engine's convergence-aid
+    ladder (analysis/op.simulate_op): plain Newton, then gmin stepping,
+    then source stepping. Returns (x (nvar_op,), sw (nS,), ok)."""
+    v_dc = tensors.v_dc[None, :]
+    i_dc = tensors.i_dc[None, :]
+
+    def attempt(seed, v_scale=1.0, gshunt=0.0):
+        x, sw, done, s_ok = interp_op_core(
+            tensors, v_dc * v_scale, i_dc * v_scale,
+            max_iters=max_iters, tol=tol, x0=seed, gshunt=gshunt)
+        return x[0], sw[0], bool(done[0] and s_ok)
+
+    x, sw, ok = attempt(x0)
+    if not ok:
+        seed = x0
+        for g in (1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-8, 1e-10, 1e-12, 0.0):
+            x, sw, ok = attempt(seed, gshunt=g)
+            if not ok:
+                break
+            seed = x
+        if not ok:
+            seed = x0
+            for scale in np.linspace(0.1, 1.0, 10):
+                x, sw, ok = attempt(seed, v_scale=float(scale))
+                if not ok:
+                    break
+                seed = x
+    return x, sw, ok
 
 
 def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,

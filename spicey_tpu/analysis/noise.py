@@ -31,7 +31,9 @@ Noise generators:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -160,6 +162,28 @@ def _noise_generators(tensors: CircuitTensors, op) -> tuple[
             np.concatenate(flick, axis=0).astype(np.float64), names)
 
 
+@partial(jax.jit, static_argnames=("nvar", "method"))
+def _noise_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
+                v_idx, v_re, v_im, i_re, i_im, ext, e_out,
+                nvar: int, method: str, minv=None, tl=None):
+    """Assemble + forward solve + adjoint solve + pack as ONE compiled
+    program: eager vmap/fori_loop here would re-trace on every call
+    (~0.9 s warm measured), turning the interactive .noise path into a
+    tracer benchmark."""
+    A_re, A_im, b_re, b_im = _assemble_grid(
+        freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
+        v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv, tl=tl)
+    x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method)
+    e = jnp.broadcast_to(e_out, (freqs.shape[0], nvar))
+    z_re, z_im, ok_a = solve_planes(
+        jnp.swapaxes(A_re, -1, -2), jnp.swapaxes(A_im, -1, -2),
+        e, jnp.zeros_like(e), method=method)
+    return jnp.concatenate(
+        [x_re, x_im, z_re, z_im,
+         ok_f[:, None].astype(x_re.dtype), ok_a[:, None].astype(x_re.dtype)],
+        axis=1)
+
+
 def simulate_noise(
     ckt: ParsedCircuit,
     tensors: CircuitTensors | None = None,
@@ -186,84 +210,81 @@ def simulate_noise(
 
     v_pos, i_pos = find_input_source(tensors, spec.src, ".noise")
 
-    if op is None:
-        op = simulate_op(ckt, tensors=tensors, method=method)
-    ss_idx, ss_g = small_signal_rows(tensors, op)
-    if ckt.B:
-        # behavioral sources are noiseless (ngspice semantics) but their
-        # op-point gradients shape the transfer: I-kind add VCCS rows here;
-        # V-kind branch rows are stamped as 0 V shorts below
-        from .ac import _bsource_small_signal
-
-        bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
-        ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
-        ss_g = np.concatenate([ss_g, bs_g], axis=0)
-    ext = ext_arrays(tensors)
-    ext["g_idx"] = jnp.concatenate([ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
-    ext["g_gm"] = jnp.concatenate([ext["g_gm"], jnp.asarray(ss_g)], axis=0)
-
     freqs = build_frequency_array(spec.mode, spec.N, spec.f1, spec.f2)
     F = freqs.shape[0]
 
-    # unit excitation at the input source only (all other sources zeroed)
-    v_unit = np.zeros(tensors.n_v)
-    i_unit = np.zeros(tensors.n_i)
-    if v_pos is not None:
-        v_unit[v_pos] = 1.0
-    else:
-        i_unit[i_pos] = 1.0
+    # tiny .noise sweeps (the interactive case) run on the host CPU
+    # backend (utils/placement.py; same policy as simulate_ac) — the
+    # eager ext/minv array building below must share the solve's device
+    from ..utils.placement import exec_device
 
-    lk = lk_arrays(tensors)
-    if lk is not None:
-        from .tran import _mutual_inv
+    with exec_device(16.0 * F * tensors.nvar ** 3):
+        if op is None:
+            op = simulate_op(ckt, tensors=tensors, method=method)
+        ss_idx, ss_g = small_signal_rows(tensors, op)
+        if ckt.B:
+            # behavioral sources are noiseless (ngspice semantics) but their
+            # op-point gradients shape the transfer: I-kind add VCCS rows here;
+            # V-kind branch rows are stamped as 0 V shorts below
+            from .ac import _bsource_small_signal
 
-        minv, minv_ok = _mutual_inv(jnp.asarray(tensors.l_vals), lk)
-        if not bool(minv_ok):
-            raise ValueError("Singular coupled-inductance matrix in .noise")
-    else:
-        minv = None
-    v_idx_ac = tensors.v_idx
-    bv = bv_branch_rows(ckt, tensors.nvar)
-    if bv.shape[0]:
-        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
-        v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
-    # diode junction capacitances at the op point shape the transfer
-    # (the noise system is op-linearized by definition)
-    from .ac import diode_smallsignal_caps
+            bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+            ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+            ss_g = np.concatenate([ss_g, bs_g], axis=0)
+        ext = ext_arrays(tensors)
+        ext["g_idx"] = jnp.concatenate([ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
+        ext["g_gm"] = jnp.concatenate([ext["g_gm"], jnp.asarray(ss_g)], axis=0)
 
-    c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
-    cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
-    if cj_idx.shape[0]:
-        c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
-        c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
-    A_re, A_im, b_re, b_im = _assemble_grid(
-        jnp.asarray(freqs),
-        jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-        jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-        jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-        jnp.asarray(v_idx_ac),
-        jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
-        nvar, ext=ext,
-        i_re=jnp.asarray(i_unit), i_im=jnp.zeros(tensors.n_i),
-        minv=minv, tl=tl_arrays(tensors),
-    )
-    # forward solve: gain(f) = v(out) per unit input
-    x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method)
-    # adjoint solve: A^T z = e_out (complex transpose = transpose each plane)
-    e_pad = np.zeros(nvar + 1)
-    e_pad[out_p] += 1.0
-    e_pad[out_n] -= 1.0
-    e = jnp.broadcast_to(jnp.asarray(e_pad[:nvar]), (F, nvar))
-    z_re, z_im, ok_a = solve_planes(
-        jnp.swapaxes(A_re, -1, -2), jnp.swapaxes(A_im, -1, -2),
-        e, jnp.zeros_like(e), method=method)
+        # unit excitation at the input source only (all other sources zeroed)
+        v_unit = np.zeros(tensors.n_v)
+        i_unit = np.zeros(tensors.n_i)
+        if v_pos is not None:
+            v_unit[v_pos] = 1.0
+        else:
+            i_unit[i_pos] = 1.0
 
-    packed = np.asarray(jnp.concatenate(
-        [x_re, x_im, z_re, z_im,
-         ok_f[:, None].astype(x_re.dtype), ok_a[:, None].astype(x_re.dtype)],
-        axis=1))
-    if not bool(np.all(packed[:, -2:] > 0.5)):
-        raise ValueError("Singular matrix in .noise solve")
+        lk = lk_arrays(tensors)
+        if lk is not None:
+            from .tran import _mutual_inv
+
+            minv, minv_ok = _mutual_inv(jnp.asarray(tensors.l_vals), lk)
+            if not bool(minv_ok):
+                raise ValueError("Singular coupled-inductance matrix in .noise")
+        else:
+            minv = None
+        v_idx_ac = tensors.v_idx
+        bv = bv_branch_rows(ckt, tensors.nvar)
+        if bv.shape[0]:
+            v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
+            v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
+        # diode junction capacitances at the op point shape the transfer
+        # (the noise system is op-linearized by definition)
+        from .ac import diode_smallsignal_caps
+
+        c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
+        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+        if cj_idx.shape[0]:
+            c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
+            c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
+        # adjoint excitation: unit current probe into the output port
+        e_pad = np.zeros(nvar + 1)
+        e_pad[out_p] += 1.0
+        e_pad[out_n] -= 1.0
+        # ONE compiled program: assembly + forward solve (gain(f) = v(out)
+        # per unit input) + adjoint solve (A^T z = e_out) + packing
+        packed = np.asarray(_noise_core(
+            jnp.asarray(freqs),
+            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+            jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+            jnp.asarray(v_idx_ac),
+            jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
+            jnp.asarray(i_unit), jnp.zeros(tensors.n_i),
+            ext, jnp.asarray(e_pad[:nvar]),
+            nvar=nvar, method=method, minv=minv, tl=tl_arrays(tensors),
+        ))
+        if not bool(np.all(packed[:, -2:] > 0.5)):
+            raise ValueError("Singular matrix in .noise solve")
     x = packed[:, :nvar] + 1j * packed[:, nvar:2 * nvar]
     z = packed[:, 2 * nvar:3 * nvar] + 1j * packed[:, 3 * nvar:4 * nvar]
     x_pad = np.concatenate([x, np.zeros((F, 1), np.complex128)], axis=1)

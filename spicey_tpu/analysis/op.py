@@ -271,14 +271,6 @@ def simulate_op(
     tol: float = 1e-12,
 ) -> OPResult:
     """Solve the DC operating point."""
-    from ..utils.fpaccuracy import newton_tol_floor
-
-    # floor the tolerance at the backend's measured exp() accuracy: on
-    # TPU emulated-f64 exp carries ~2e-8 relative noise, below which the
-    # junction Newton limit-cycles — an unfloored 1e-12 default walks the
-    # whole gmin/source-stepping ladder and still reports non-convergence
-    # on a plain V-R-diode deck (utils/fpaccuracy.py)
-    tol = newton_tol_floor(tol)
     if tensors is None:
         tensors = build_tensors(ckt)
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
@@ -292,7 +284,33 @@ def simulate_op(
         seed = np.zeros(nvar_op)
         for i, name in enumerate(tensors.node_names):
             seed[i] = ns.get(name.upper(), 0.0)
-        x0 = jnp.asarray(seed)
+        x0 = seed  # host array: the tiny interp path below must stay jax-free
+
+    # tiny operating points on the interp-eligible device set run on the
+    # host NumPy Newton (analysis/interp.interp_op) — no jax backend
+    # init, no compile, same pnjlim/ladder semantics
+    from ..utils.placement import is_tiny_work
+    from .interp import interp_enabled, interp_op
+
+    _work = 24.0 * max_iters * nvar_op ** 3
+    if (method == "gj" and is_tiny_work(_work) and interp_enabled()
+            and not (tensors.n_m or tensors.n_q or ckt.B)):
+        x, sw_np, ok = interp_op(tensors, max_iters=max_iters, tol=tol,
+                                 x0=x0)
+        sw_on = sw_np
+        if not ok:
+            raise ValueError("DC operating point did not converge")
+        return _op_epilogue(ckt, tensors, x, sw_on, remap)
+
+    # floor the tolerance at the backend's measured exp() accuracy: on
+    # TPU emulated-f64 exp carries noise below which the junction Newton
+    # limit-cycles — an unfloored too-tight tolerance walks the whole
+    # gmin/source-stepping ladder and still reports non-convergence
+    # (utils/fpaccuracy.py). AFTER the interp gate: the probe touches
+    # jax, and the interp path (host libm, exact) must stay jax-free.
+    from ..utils.fpaccuracy import newton_tol_floor
+
+    tol = newton_tol_floor(tol)
     bsrc = bsrc_static(ckt, nvar_op)
 
     def attempt(x_seed, v_scale=1.0, gshunt=None):
@@ -308,31 +326,47 @@ def simulate_op(
             [x_a, sw_a.astype(x_a.dtype), jnp.full((1,), ok_a, x_a.dtype)]))
         return packed_a, bool(packed_a[-1] > 0.5)
 
-    packed, ok = attempt(x0)
-    if not ok:
-        # ngspice-style convergence aids, tried in order (each stage seeds
-        # the next from its converged solution):
-        # 1. gmin stepping — shunt every node with a conductance stepped
-        #    from 1e-2 S down to 0;
-        # 2. source stepping — ramp every independent source 10% -> 100%.
-        seed = x0
-        for g in (1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-8, 1e-10, 1e-12, 0.0):
-            packed, ok = attempt(seed, gshunt=jnp.asarray(g))
-            if not ok:
-                break
-            seed = jnp.asarray(packed[:nvar_op])
+    # tiny operating points (the interactive case) run on the host CPU
+    # backend — the Newton ladder is tens of microseconds of arithmetic
+    # against a ~30 ms accelerator round trip per attempt
+    # (utils/placement.py; same policy as simulate_ac/simulate_tran)
+    from ..utils.placement import exec_device
+
+    with exec_device(24.0 * max_iters * nvar_op ** 3):
+        packed, ok = attempt(x0)
         if not ok:
+            # ngspice-style convergence aids, tried in order (each stage
+            # seeds the next from its converged solution):
+            # 1. gmin stepping — shunt every node with a conductance
+            #    stepped from 1e-2 S down to 0;
+            # 2. source stepping — ramp every independent source
+            #    10% -> 100%.
             seed = x0
-            for scale in np.linspace(0.1, 1.0, 10):
-                packed, ok = attempt(seed, v_scale=float(scale))
+            for g in (1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-8, 1e-10, 1e-12,
+                      0.0):
+                packed, ok = attempt(seed, gshunt=jnp.asarray(g))
                 if not ok:
                     break
                 seed = jnp.asarray(packed[:nvar_op])
+            if not ok:
+                seed = x0
+                for scale in np.linspace(0.1, 1.0, 10):
+                    packed, ok = attempt(seed, v_scale=float(scale))
+                    if not ok:
+                        break
+                    seed = jnp.asarray(packed[:nvar_op])
     x = packed[:nvar_op]
     sw_on = packed[nvar_op:nvar_op + tensors.n_s] > 0.5
     if not ok:
         raise ValueError("DC operating point did not converge")
+    return _op_epilogue(ckt, tensors, x, sw_on, remap)
 
+
+def _op_epilogue(ckt, tensors, x, sw_on, remap) -> OPResult:
+    """Host-side OPResult assembly (element-current recovery) shared by
+    the compiled Newton and the NumPy interp path."""
+    n_node = tensors.n_node_vars
+    nvar_op = tensors.nvar + tensors.n_l
     x_pad = np.concatenate([x, [0.0]])
     node_voltages = {
         name: float(x[i]) for i, name in enumerate(tensors.node_names)
@@ -441,9 +475,6 @@ def simulate_dc(
     """
     if ckt.dc is None:
         return None
-    from ..utils.fpaccuracy import newton_tol_floor
-
-    tol = newton_tol_floor(tol)  # backend exp-accuracy floor (simulate_op)
     if tensors is None:
         tensors = build_tensors(ckt)
     spec = ckt.dc
@@ -481,17 +512,41 @@ def simulate_dc(
         place(sweep2, spec.src2.upper(), spec.src2)
 
     nvar_op, remap, l_bidx, v_idx_op = _op_indices(tensors)
-    x, sw_on, valid = _run_op_core(
-        tensors, remap, l_bidx, v_idx_op, nvar_op,
-        jnp.asarray(v_dc), jnp.asarray(i_dc),
-        jnp.asarray(tensors.r_vals),
-        max_iters=max_iters, tol=tol, method=method, batch=B,
-        bsrc=bsrc_static(ckt, nvar_op),
-    )
-    packed = np.asarray(jnp.concatenate(
-        [x, valid[:, None].astype(x.dtype)], axis=1))
-    x = packed[:, :nvar_op]    # (B, nvar_op)
-    valid = packed[:, -1] > 0.5  # (B,)
+    from ..utils.placement import exec_device, is_tiny_work
+    from .interp import interp_enabled, interp_op_core
+
+    _work = 24.0 * max_iters * B * nvar_op ** 3
+    x = None
+    if (method == "gj" and is_tiny_work(_work) and interp_enabled()
+            and not (tensors.n_m or tensors.n_q or ckt.B)):
+        # tiny sweeps, interp-eligible devices: host NumPy batched Newton
+        # (analysis/interp.interp_op_core) — no jax backend init, no
+        # compile. A singular batch solve falls THROUGH to the compiled
+        # engine, which carries per-lane validity.
+        xi, _sw, done, s_ok = interp_op_core(
+            tensors, v_dc, i_dc, max_iters=max_iters, tol=tol)
+        if s_ok:
+            x, valid = xi, done
+    if x is None:
+        # backend exp-accuracy tolerance floor (see simulate_op; kept off
+        # the jax-free interp path above)
+        from ..utils.fpaccuracy import newton_tol_floor
+
+        tol = newton_tol_floor(tol)
+        # tiny-but-ineligible runs still avoid the accelerator round trips
+        # on the host CPU backend (utils/placement.py)
+        with exec_device(_work):
+            xj, sw_on, valid = _run_op_core(
+                tensors, remap, l_bidx, v_idx_op, nvar_op,
+                jnp.asarray(v_dc), jnp.asarray(i_dc),
+                jnp.asarray(tensors.r_vals),
+                max_iters=max_iters, tol=tol, method=method, batch=B,
+                bsrc=bsrc_static(ckt, nvar_op),
+            )
+            packed = np.asarray(jnp.concatenate(
+                [xj, valid[:, None].astype(xj.dtype)], axis=1))
+        x = packed[:, :nvar_op]    # (B, nvar_op)
+        valid = packed[:, -1] > 0.5  # (B,)
     x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
 
     node_voltages = {

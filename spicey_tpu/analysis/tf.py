@@ -20,20 +20,22 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import EPS
 from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
 from ..ops.linsolve import solve
-from ..ops.stamps import (
-    stamp_admittance,
-    stamp_extended,
-    stamp_voltage_source,
-)
+
 from ..parsing.netlist import ParsedCircuit
 from .ac import find_input_source, format_out_spec, small_signal_rows
 from .op import _op_indices, simulate_op
+
+# jitted solve: called EAGERLY its internal elimination loop would
+# re-trace on every .tf call (~0.3 s warm measured) — the interactive
+# path's cost must be the arithmetic, not the tracer
+_solve_jit = jax.jit(solve, static_argnames=("method",))
 
 
 @dataclass
@@ -79,57 +81,94 @@ def simulate_tf(
     # extended-dialect I source (nodal injection)
     v_pos, i_pos = find_input_source(tensors, spec.src, ".tf")
 
-    # linearized DC conductance matrix at the operating point
-    dtype = jnp.float64
-    A = jnp.zeros((nvar_op + 1, nvar_op + 1), dtype=dtype)
-    b0 = jnp.zeros((nvar_op + 1,), dtype=dtype)
-    A = stamp_admittance(A, jnp.asarray(remap(tensors.r_idx)),
-                         jnp.asarray(tensors.r_vals) ** -1)
-    # V sources and L shorts contribute their branch rows with 0 V — all
-    # independent sources are zeroed for small-signal solves
-    A, b0 = stamp_voltage_source(
-        A, b0, jnp.asarray(l_bidx),
-        jnp.zeros(l_bidx.shape[0], dtype=dtype))
-    A, b0 = stamp_voltage_source(
-        A, b0, jnp.asarray(v_idx_op),
-        jnp.zeros(v_idx_op.shape[0], dtype=dtype))
-    A = stamp_extended(A, ext_arrays(tensors, dump=dump))
-    # nonlinear devices (diode/switch/MOSFET/BJT) as small-signal VCCS rows
-    ss_idx, ss_g = small_signal_rows(tensors, op)
-    from ..ops.stamps import stamp_vccs
+    # linearized DC conductance matrix at the operating point —
+    # assembled HOST-SIDE in NumPy: the operands are all host data and
+    # eager jnp scatter-adds cost ~1.4 ms EACH in dispatch overhead
+    # (measured 68 ms/call for this one matrix); only the solve runs
+    # as a compiled program
+    A = np.zeros((nvar_op + 1, nvar_op + 1))
 
-    A = stamp_vccs(A, jnp.asarray(remap(ss_idx)), jnp.asarray(ss_g))
+    def adm(idx, y):
+        np.add.at(A, (idx[:, 0], idx[:, 0]), y)
+        np.add.at(A, (idx[:, 1], idx[:, 1]), y)
+        np.add.at(A, (idx[:, 0], idx[:, 1]), -y)
+        np.add.at(A, (idx[:, 1], idx[:, 0]), -y)
+
+    def vrows(idx):
+        # voltage-source ±1 node/branch couplings (0 V small-signal)
+        one = np.ones(idx.shape[0])
+        np.add.at(A, (idx[:, 0], idx[:, 2]), one)
+        np.add.at(A, (idx[:, 2], idx[:, 0]), one)
+        np.add.at(A, (idx[:, 1], idx[:, 2]), -one)
+        np.add.at(A, (idx[:, 2], idx[:, 1]), -one)
+
+    def vccs(idx, gm):
+        np.add.at(A, (idx[:, 0], idx[:, 2]), gm)
+        np.add.at(A, (idx[:, 0], idx[:, 3]), -gm)
+        np.add.at(A, (idx[:, 1], idx[:, 2]), -gm)
+        np.add.at(A, (idx[:, 1], idx[:, 3]), gm)
+
+    adm(remap(tensors.r_idx), 1.0 / tensors.r_vals)
+    # V sources and L shorts contribute their branch rows with 0 V —
+    # all independent sources are zeroed for small-signal solves
+    vrows(l_bidx)
+    vrows(v_idx_op)
+    # linear extended controlled sources (G/E/F/H)
+    if tensors.n_g:
+        vccs(np.where(tensors.g_idx == tensors.nvar, dump,
+                      tensors.g_idx), tensors.g_gm)
+    if tensors.n_e:
+        ei = np.where(tensors.e_idx == tensors.nvar, dump,
+                      tensors.e_idx)
+        vrows(ei[:, :3])
+        np.add.at(A, (ei[:, 2], ei[:, 3]), -tensors.e_gain)
+        np.add.at(A, (ei[:, 2], ei[:, 4]), tensors.e_gain)
+    if tensors.n_f:
+        fi = np.where(tensors.f_idx == tensors.nvar, dump,
+                      tensors.f_idx)
+        np.add.at(A, (fi[:, 0], fi[:, 2]), tensors.f_gain)
+        np.add.at(A, (fi[:, 1], fi[:, 2]), -tensors.f_gain)
+    if tensors.n_h:
+        hi = np.where(tensors.h_idx == tensors.nvar, dump,
+                      tensors.h_idx)
+        vrows(hi[:, :3])
+        np.add.at(A, (hi[:, 2], hi[:, 3]), -tensors.h_r)
+    # nonlinear devices (diode/switch/MOSFET/BJT) as small-signal VCCS
+    ss_idx, ss_g = small_signal_rows(tensors, op)
+    vccs(remap(ss_idx), ss_g)
     if ckt.B:
         # behavioral sources linearize at the op point: I-kind as VCCS
         # rows (dI/dvref), V-kind as their branch row with gradient
-        # couplings (dV/dvref) — same decomposition the Newton loop uses
-        import jax
+        # couplings (dV/dvref) — same decomposition the Newton loop uses.
+        # The eager jvp dispatches pin to the host CPU (tiny work)
+        from ..utils.placement import exec_device as _exec_device
 
         from ..ir.circuit import bsrc_static
 
         x_pad_np = np.zeros(nvar_op + 1)
         for i, name in enumerate(tensors.node_names):
             x_pad_np[i] = op.node_voltages[name]
-        for kind, fn, i1, i2, br, refs in bsrc_static(ckt, nvar_op):
-            v0 = jnp.asarray([x_pad_np[a] - x_pad_np[b] for a, b in refs])
-            gs = []
-            for j in range(len(refs)):
-                e = jnp.zeros_like(v0).at[j].set(1.0)
-                _, gj = jax.jvp(lambda vv: fn(vv, 0.0), (v0,), (e,))
-                gs.append(float(gj))
-            if kind == "i":
-                for (a, b2), g in zip(refs, gs):
-                    A = stamp_vccs(A, jnp.asarray([[i1, i2, a, b2]]),
-                                   jnp.asarray([g]))
-            else:
-                A = A.at[i1, br].add(1.0)
-                A = A.at[i2, br].add(-1.0)
-                A = A.at[br, i1].add(1.0)
-                A = A.at[br, i2].add(-1.0)
-                for (a, b2), g in zip(refs, gs):
-                    A = A.at[br, a].add(-g)
-                    A = A.at[br, b2].add(g)
-    A = A[:nvar_op, :nvar_op]
+        with _exec_device(1.0):
+            for kind, fn, i1, i2, br, refs in bsrc_static(ckt, nvar_op):
+                v0 = jnp.asarray([x_pad_np[a] - x_pad_np[b]
+                                  for a, b in refs])
+                gs = []
+                for j in range(len(refs)):
+                    e = jnp.zeros_like(v0).at[j].set(1.0)
+                    _, gj = jax.jvp(lambda vv: fn(vv, 0.0), (v0,), (e,))
+                    gs.append(float(gj))
+                if kind == "i":
+                    for (a, b2), g in zip(refs, gs):
+                        vccs(np.asarray([[i1, i2, a, b2]]), np.asarray([g]))
+                else:
+                    A[i1, br] += 1.0
+                    A[i2, br] -= 1.0
+                    A[br, i1] += 1.0
+                    A[br, i2] -= 1.0
+                    for (a, b2), g in zip(refs, gs):
+                        A[br, a] -= g
+                        A[br, b2] += g
+    A = A[:nvar_op, :nvar_op]  # host np; converted only on the jit path
 
     # RHS 1: unit input excitation (all other sources stay zeroed)
     b_in = np.zeros(nvar_op + 1)
@@ -145,14 +184,32 @@ def simulate_tf(
     b_out[out_p] += 1.0
     b_out[out_n] -= 1.0
 
-    rhs = jnp.asarray(np.stack([b_in[:nvar_op], b_out[:nvar_op]]))
-    x, ok = solve(jnp.broadcast_to(A, (2,) + A.shape), rhs, method=method)
-    packed = np.asarray(jnp.concatenate(
-        [x, ok[:, None].astype(x.dtype)], axis=1))
-    if not bool(np.all(packed[:, -1] > 0.5)):
-        raise ValueError("Singular matrix in .tf small-signal solve")
-    x_pad = np.concatenate([packed[:, :nvar_op],
-                            np.zeros((2, 1))], axis=1)  # dump slot = 0
+    rhs_np = np.stack([b_in[:nvar_op], b_out[:nvar_op]])
+    from ..utils.placement import exec_device, is_tiny_work
+    from .interp import _ge_solve, interp_enabled
+
+    _work = 2400.0 * nvar_op ** 3
+    if method == "gj" and is_tiny_work(_work) and interp_enabled():
+        # tiny .tf: host NumPy GE — with the op point also interp-eligible
+        # the whole analysis never touches jax
+        aug = np.concatenate(
+            [np.broadcast_to(A, (2,) + A.shape).copy(),
+             rhs_np[:, :, None]], axis=2)
+        xs, ok_all = _ge_solve(aug)
+        if not ok_all:
+            raise ValueError("Singular matrix in .tf small-signal solve")
+        x_pad = np.concatenate([xs, np.zeros((2, 1))], axis=1)
+    else:
+        with exec_device(_work):
+            x, ok = _solve_jit(
+                jnp.broadcast_to(jnp.asarray(A), (2,) + A.shape),
+                jnp.asarray(rhs_np), method=method)
+            packed = np.asarray(jnp.concatenate(
+                [x, ok[:, None].astype(x.dtype)], axis=1))
+        if not bool(np.all(packed[:, -1] > 0.5)):
+            raise ValueError("Singular matrix in .tf small-signal solve")
+        x_pad = np.concatenate([packed[:, :nvar_op],
+                                np.zeros((2, 1))], axis=1)  # dump slot = 0
 
     gain = float(x_pad[0, out_p] - x_pad[0, out_n])
     if v_pos is not None:

@@ -241,6 +241,90 @@ L1 b 0 10m ic=0.002
     assert np.asarray(ri.tran.node_voltages["a"])[0] > 4.0  # ic honored
 
 
+def test_op_dc_tf_interp_match_engine(monkeypatch):
+    """Round-4 late widening: .op/.dc/.tf run on the host NumPy Newton
+    (interp_op/interp_op_core + the .tf GE branch) for the interp-eligible
+    device set and agree with the compiled engine."""
+    net = """op bias deck
+V1 in 0 dc 5
+V2 ctl 0 dc 3
+R1 in out 1k
+D1 out 0 DD
+.model DD d(is=1e-14)
+S1 out ld ctl 0 SM
+.model SM sw(ron=10 roff=1e9 von=2 voff=1)
+R2 ld 0 2k
+G1 0 g2 out 0 1m
+R3 g2 0 1k
+.op
+.dc V1 0 5 0.5
+.tf v(out) V1
+.end
+"""
+    ri, re_ = _run_both_ext(net, monkeypatch)
+    for k, v in ri.op.node_voltages.items():
+        assert v == pytest.approx(re_.op.node_voltages[k], rel=1e-9,
+                                  abs=1e-12), k
+    for k, v in ri.op.element_currents.items():
+        assert v == pytest.approx(re_.op.element_currents[k], rel=1e-9,
+                                  abs=1e-15), k
+    assert ri.op.switch_states == re_.op.switch_states
+    _series_close(ri.dc.node_voltages, re_.dc.node_voltages, atol=1e-12)
+    _series_close(ri.dc.element_currents, re_.dc.element_currents,
+                  atol=1e-15)
+    np.testing.assert_array_equal(ri.dc.valid, re_.dc.valid)
+    assert ri.tf.transfer_function == pytest.approx(
+        re_.tf.transfer_function, rel=1e-9)
+    assert ri.tf.input_impedance == pytest.approx(
+        re_.tf.input_impedance, rel=1e-9)
+    assert ri.tf.output_impedance == pytest.approx(
+        re_.tf.output_impedance, rel=1e-9)
+
+
+def test_op_interp_is_jax_free(interp_on):
+    """A tiny .op/.dc/.tf deck must not initialize any jax backend
+    (fresh subprocess — this suite's fixtures already initialized them)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snippet = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "from spicey_tpu import simulate\n"
+        "net = ('op deck\\nV1 in 0 dc 5\\nR1 in out 1k\\nD1 out 0 DD\\n'\n"
+        "       '.model DD d(is=1e-14)\\n.op\\n.dc V1 0 5 1\\n"
+        ".tf v(out) V1\\n.end')\n"
+        "r = simulate(net, dialect='extended')\n"
+        "assert abs(r.op.node_voltages['out'] - 0.69249037522) < 1e-9\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb.backends_are_initialized(), 'backend touched'\n"
+        "print('OP_JAX_FREE_OK')\n"
+    )
+    env = dict(os.environ, SPICEY_TPU_INTERP="1")
+    env.pop("SPICEY_TPU_CPU_THRESHOLD", None)
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "OP_JAX_FREE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_op_mosfet_falls_back_to_compiled(interp_on, monkeypatch):
+    """M/Q/B decks keep the compiled Newton (pnjlim + homotopy ladder
+    machinery there is the source of truth for them)."""
+    net = """an nmos op deck
+V1 d 0 dc 5
+R1 d dd 1k
+M1 dd g 0 NM w=20u l=2u
+V2 g 0 dc 3
+.model NM nmos(vto=1 kp=50u)
+.op
+.end
+"""
+    ri, re_ = _run_both_ext(net, monkeypatch)
+    for k, v in ri.op.node_voltages.items():
+        assert v == pytest.approx(re_.op.node_voltages[k], rel=1e-9), k
+
+
 def test_tline_ac_rides_interp_tran_falls_back(interp_on, interp_counter,
                                                monkeypatch):
     """T lines: the exact phasor model is linear (interp AC stamps it);
