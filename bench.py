@@ -279,7 +279,8 @@ def main() -> None:
     # state, not engine cost; min-of-3 discards it).
     import subprocess
 
-    def cold_subprocess(net: str, env_extra: dict, reps: int = 3) -> float:
+    def cold_subprocess(net: str, env_extra: dict, reps: int = 3,
+                        dialect: str = "spicey") -> float:
         # the timer starts BEFORE `import spicey_tpu`: for the interp
         # tier the import IS the dominant cold cost, and excluding it
         # would make cold indistinguishable from warm
@@ -288,7 +289,7 @@ def main() -> None:
             f"sys.path.insert(0, {os.getcwd()!r})\n"
             "t0 = time.perf_counter()\n"
             "from spicey_tpu import simulate\n"
-            f"simulate({net!r})\n"
+            f"simulate({net!r}, dialect={dialect!r})\n"
             "print('COLD_S', time.perf_counter() - t0)\n"
         )
         ts = []
@@ -336,10 +337,39 @@ def main() -> None:
     _engine = dict(_no_cache, SPICEY_TPU_INTERP="0")
     ac_cold_engine_s = cold_or_none(basics01, _engine)
     tran_cold_engine_s = cold_or_none(transient01, _engine)
+    # extended-dialect interactive paths (late round 4): a linear extended
+    # AC+tran deck and an op/dc/tf bias deck, both jax-free on the interp
+    # tier since the widening — regression guards for those routes
+    ext_deck = (
+        "an extended bench deck\n"
+        "I1 0 out 1m ac 1 SIN(0 1m 10k)\n"
+        "R1 out 0 1k\n"
+        "C1 out 0 1u\n"
+        ".ac dec 20 1 1e5\n"
+        ".tran 10u 1m\n"
+        ".end\n"
+    )
+    opdctf_deck = (
+        "op bias bench deck\n"
+        "V1 in 0 dc 5\n"
+        "R1 in out 1k\n"
+        "D1 out 0 DD\n"
+        ".model DD d(is=1e-14)\n"
+        ".op\n"
+        ".dc V1 0 5 0.5\n"
+        ".tf v(out) V1\n"
+        ".end\n"
+    )
+    ext_cold_s = cold_subprocess(ext_deck, _no_cache, dialect="extended")
+    opdctf_cold_s = cold_subprocess(opdctf_deck, _no_cache,
+                                    dialect="extended")
     simulate(basics01)  # first in-process call before the warm timing
     ac_warm_s = best_of(lambda: simulate(basics01))
     simulate(transient01)
     tran_warm_s = best_of(lambda: simulate(transient01))
+    simulate(opdctf_deck, dialect="extended")
+    opdctf_warm_s = best_of(lambda: simulate(opdctf_deck,
+                                             dialect="extended"))
 
     # --- device-session init: the FIRST blocking round trip in a process
     # pays a device-claim handshake set entirely by the backend/tunnel
@@ -742,6 +772,9 @@ def main() -> None:
             "tran_cold_engine_s": (None if tran_cold_engine_s is None
                                    else round(tran_cold_engine_s, 3)),
             "tran_warm_ms": round(tran_warm_s * 1e3, 2),
+            "ext_ac_tran_cold_s": round(ext_cold_s, 3),
+            "op_dc_tf_cold_s": round(opdctf_cold_s, 3),
+            "op_dc_tf_warm_ms": round(opdctf_warm_s * 1e3, 2),
         },
     }))
 
