@@ -613,37 +613,54 @@ def simulate_ac(
     i_re = tensors.i_ac_mag * np.cos(iph)
     i_im = tensors.i_ac_mag * np.sin(iph)
 
+    def _op_linearized_extras():
+        """Small-signal VCCS rows + junction capacitances at the operating
+        point (host NumPy; the op itself takes the interp path when
+        eligible). Shared by the interp and compiled linearize="op"
+        branches."""
+        from .op import simulate_op
+
+        op = simulate_op(ckt, tensors=tensors, method=method)
+        ss_idx, ss_g = small_signal_rows(tensors, op)
+        if ckt.B:
+            bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+            ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+            ss_g = np.concatenate([ss_g, bs_g], axis=0)
+        c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
+        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+        if cj_idx.shape[0]:
+            c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
+            c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
+        return ss_idx, ss_g, c_idx_eff, c_vals_eff
+
     _work = 8.0 * len(freqs) * tensors.nvar ** 3
     # method/interpret are explicit solver-tier requests — honor them
     # (the interp tier would silently substitute its own f64 GE)
-    if (linearize is None and method == "gj" and not interpret
-            and is_tiny_work(_work) and interp_enabled()
+    _tiny_interp = (method == "gj" and not interpret
+                    and is_tiny_work(_work) and interp_enabled())
+    if (linearize is None and _tiny_interp
             and interp_eligible_ac(ckt, tensors)):
         x, _ok = interp_ac(tensors, freqs, v_idx_ac, v_re, v_im, i_re, i_im)
+        if not _ok:
+            raise ValueError("Singular matrix in AC solve")
+    elif linearize == "op" and _tiny_interp:
+        # op-linearized tiny sweeps interpret too: the extras are host
+        # arrays and the op point rides its own interp path when eligible
+        ss_idx_i, ss_g_i, c_idx_i, c_vals_i = _op_linearized_extras()
+        x, _ok = interp_ac(tensors, freqs, v_idx_ac, v_re, v_im, i_re,
+                           i_im, extra_g=(ss_idx_i, ss_g_i),
+                           c_idx=c_idx_i, c_vals=c_vals_i)
         if not _ok:
             raise ValueError("Singular matrix in AC solve")
     else:
         ext = ext_arrays(tensors)
         c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
         if linearize == "op":
-            from .op import simulate_op
-
-            op = simulate_op(ckt, tensors=tensors, method=method)
-            ss_idx, ss_g = small_signal_rows(tensors, op)
-            if ckt.B:
-                bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
-                ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
-                ss_g = np.concatenate([ss_g, bs_g], axis=0)
+            ss_idx, ss_g, c_idx_eff, c_vals_eff = _op_linearized_extras()
             ext["g_idx"] = jnp.concatenate(
                 [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
             ext["g_gm"] = jnp.concatenate(
                 [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
-            # diode junction capacitances at the op point join the C stamps
-            cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
-            if cj_idx.shape[0]:
-                c_idx_eff = np.concatenate(
-                    [tensors.c_idx, cj_idx], axis=0)
-                c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
 
         _core = _ac_sweep_packed_tiny if is_tiny(_work) else _ac_sweep_packed
         with exec_device(_work):

@@ -465,7 +465,8 @@ def interp_op(tensors, max_iters: int = 100, tol: float = 1e-12,
 
 def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
               v_re: np.ndarray, v_im: np.ndarray, i_re: np.ndarray,
-              i_im: np.ndarray) -> tuple[np.ndarray, bool]:
+              i_im: np.ndarray, extra_g=None, c_idx=None, c_vals=None,
+              ) -> tuple[np.ndarray, bool]:
     """Full AC sweep, interpreted: returns ((F, nvar) complex128 x, ok).
 
     Assembly is vectorized over the frequency grid with the frequency
@@ -477,19 +478,26 @@ def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
     ``i_re``/``i_im`` are the extended I-source phasors. Extended G/E/F/H,
     K coupling (Y(w) = -j M^{-1}/w with the per-inductor open-at-DC quirk)
     and T lines (exact -e^{-j w Td} far-end coupling) all stamp here —
-    mirrors of analysis/ac._assemble_one."""
+    mirrors of analysis/ac._assemble_one.
+
+    ``linearize="op"`` support: ``extra_g=(idx, gm)`` stamps extra
+    small-signal VCCS rows (device conductances at the operating point)
+    and ``c_idx``/``c_vals`` override the capacitor arrays (junction
+    capacitances appended)."""
     n = tensors.nvar
     F = freqs.shape[0]
     w = 2.0 * np.pi * np.asarray(freqs, dtype=np.float64)  # (F,)
     A = np.zeros((n + 1, n + 1, F), dtype=np.complex128)
     b = np.zeros((n + 1, F), dtype=np.complex128)
+    c_idx_eff = tensors.c_idx if c_idx is None else c_idx
+    c_vals_eff = tensors.c_vals if c_vals is None else c_vals
 
     if tensors.n_r:
         _add_adm(A, tensors.r_idx,
                  np.broadcast_to((1.0 / tensors.r_vals)[:, None],
                                  (tensors.n_r, F)))
-    if tensors.n_c:
-        _add_adm(A, tensors.c_idx, 1j * tensors.c_vals[:, None] * w[None, :])
+    if c_idx_eff.shape[0]:
+        _add_adm(A, c_idx_eff, 1j * c_vals_eff[:, None] * w[None, :])
     if tensors.n_l:
         wl = tensors.l_vals[:, None] * w[None, :]
         small = np.abs(wl) < EPS
@@ -519,6 +527,14 @@ def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
         _add_cur(b, tensors.i_idx, np.broadcast_to(
             (i_re + 1j * i_im)[:, None], (tensors.n_i, F)))
     _add_ext(A, tensors)
+    if extra_g is not None and extra_g[0].shape[0]:
+        gi, gg = extra_g
+        gg_f = np.broadcast_to(gg[:, None].astype(np.complex128),
+                               (gi.shape[0], F))
+        np.add.at(A, (gi[:, 0], gi[:, 2]), gg_f)
+        np.add.at(A, (gi[:, 0], gi[:, 3]), -gg_f)
+        np.add.at(A, (gi[:, 1], gi[:, 2]), -gg_f)
+        np.add.at(A, (gi[:, 1], gi[:, 3]), gg_f)
     if tensors.n_t:
         ti = tensors.t_idx
         z0 = tensors.t_z0.reshape(-1, 1)                      # (nT, 1)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import EPS
-from ..ir.circuit import CircuitTensors, build_tensors, ext_arrays
+from ..ir.circuit import CircuitTensors, build_tensors
 from ..ops.linsolve import solve
 
 from ..parsing.netlist import ParsedCircuit

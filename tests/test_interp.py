@@ -308,6 +308,39 @@ def test_op_interp_is_jax_free(interp_on):
     assert "OP_JAX_FREE_OK" in out.stdout, out.stderr[-2000:]
 
 
+def test_op_linearized_ac_interp_matches_engine(monkeypatch):
+    """linearize="op" AC on the interp tier: small-signal VCCS rows and
+    diode junction capacitances ride extra_g/c-array overrides; gain and
+    phase must match the compiled op-linearized sweep."""
+    from spicey_tpu.analysis.ac import simulate_ac
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    net = """an nmos cs amp
+V1 vdd 0 dc 5
+V2 g 0 dc 2 ac 1
+R1 vdd d 10k
+M1 d g 0 NM w=20u l=2u
+D1 d clamp DD
+R2 clamp 0 100k
+.model NM nmos(vto=1 kp=100u)
+.model DD d(is=1e-14 cjo=2p)
+.ac dec 10 1k 1e8
+.end
+"""
+    ckt = parse_netlist(net, dialect="extended")
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+    ri = simulate_ac(ckt, linearize="op")
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate_ac(ckt, linearize="op")
+    _series_close(ri.node_voltages, re_.node_voltages, rtol=1e-9,
+                  atol=1e-12)
+    _series_close(ri.element_currents, re_.element_currents, rtol=1e-9,
+                  atol=1e-12)
+    # the transistor's gm actually shapes the response (without the ss
+    # rows the drain would sit at the resistive divider's flat value)
+    assert np.abs(ri.node_voltages["d"][0]) > 1.0
+
+
 def test_op_mosfet_falls_back_to_compiled(interp_on, monkeypatch):
     """M/Q/B decks keep the compiled Newton (pnjlim + homotopy ladder
     machinery there is the source of truth for them)."""
