@@ -85,7 +85,10 @@ def run_all(dev):
     import jax
 
     from spicey_tpu import simulate
+    from spicey_tpu.analysis.noise import simulate_noise
     from spicey_tpu.analysis.op import simulate_dc
+    from spicey_tpu.analysis.pz import simulate_pz
+    from spicey_tpu.analysis.tf import simulate_tf
     from spicey_tpu.parsing.netlist import parse_netlist
 
     out = {}
@@ -113,6 +116,21 @@ def run_all(dev):
             dialect="extended")
         dc = simulate_dc(ckt)
         out["dc_sweep"] = {"dc": np.asarray(dc.node_voltages["a"])}
+        # .tf / .noise / .pz on a diode-loaded divider
+        ckt2 = parse_netlist(
+            "a smallsignal deck\nV1 in 0 dc 5 ac 1\nR1 in a 1k\n"
+            "D1 a 0 DD\nC1 a 0 1n\n.model DD d(is=1e-14)\n"
+            ".tf v(a) V1\n.noise v(a) V1 dec 5 10 1e6\n"
+            ".pz in 0 a 0 vol pz\n.end", dialect="extended")
+        tf = simulate_tf(ckt2)
+        nz = simulate_noise(ckt2)
+        pz = simulate_pz(ckt2)
+        out["smallsignal"] = {
+            "tf": np.asarray([tf.transfer_function, tf.input_impedance,
+                              tf.output_impedance]),
+            "noise": np.asarray(nz.output_psd),
+            "pz": np.sort_complex(np.asarray(pz.poles)),
+        }
     return out
 
 
