@@ -1,19 +1,26 @@
-"""Transient measurements (.meas tran) — an extension.
+"""Measurements (.meas tran|ac|dc) — an extension.
 
 The reference has no measurement directives (SURVEY §5: no post-processing).
-This implements the core of ngspice's ``.meas tran`` grammar:
+This implements the core of ngspice's ``.meas`` grammar over all three
+sweep axes:
 
   .meas tran <name> max|min|pp|avg|rms|integ v(node) [from=t1] [to=t2]
   .meas tran <name> when v(node)=<val> [rise=k|fall=k|cross=k]
   .meas tran <name> find v(node) at=<t>
   .meas tran <name> trig v(n1)=<v1> [rise|fall|cross=k]
                     targ v(n2)=<v2> [rise|fall|cross=k]     (delay)
+  .meas ac   <name> ... with x = frequency and the AC accessors
+                    v()/vm() (magnitude), vdb() (20*log10|V|),
+                    vp() (phase, degrees), vr()/vi() (real/imag)
+  .meas dc   <name> ... with x = the swept source value (1D sweeps)
 
 Both ``v(n)=val`` and ngspice's ``v(n) val=<val>`` spellings are accepted.
 All evaluation is host-side numpy over the recorded waveforms (linear
-interpolation between timesteps, trapezoidal integrals); measurements that
-cannot be satisfied (missing crossing, empty window) evaluate to NaN rather
-than raising, so one bad measure never kills a batch report.
+interpolation between sweep points, trapezoidal integrals); measurements
+that cannot be satisfied (missing crossing, empty window) evaluate to NaN
+rather than raising, so one bad measure never kills a batch report. The
+one evaluation kernel is shared by all three axes (and the batched
+Monte-Carlo path), so they can never disagree on crossing semantics.
 """
 
 from __future__ import annotations
@@ -28,17 +35,23 @@ from .results import TranResult
 _STAT_KINDS = ("max", "min", "pp", "avg", "rms", "integ")
 
 _MEAS_HEAD_RE = re.compile(
-    r"^\.meas(?:ure)?\s+tran\s+(\S+)\s+(.*)$", re.IGNORECASE)
+    r"^\.meas(?:ure)?\s+(tran|ac|dc)\s+(\S+)\s+(.*)$", re.IGNORECASE)
+_ACC = r"(v|vm|vdb|vp|vr|vi)"
 _STAT_RE = re.compile(
-    r"^(max|min|pp|avg|rms|integ)\s+v\(([^)]+)\)\s*(.*)$", re.IGNORECASE)
+    r"^(max|min|pp|avg|rms|integ)\s+" + _ACC + r"\(([^)]+)\)\s*(.*)$",
+    re.IGNORECASE)
 _WHEN_RE = re.compile(
-    r"^when\s+v\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*)$",
+    r"^when\s+" + _ACC
+    + r"\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*)$",
     re.IGNORECASE)
 _FIND_RE = re.compile(
-    r"^find\s+v\(([^)]+)\)\s+at\s*=\s*(\S+)\s*$", re.IGNORECASE)
+    r"^find\s+" + _ACC + r"\(([^)]+)\)\s+at\s*=\s*(\S+)\s*$",
+    re.IGNORECASE)
 _TRIG_TARG_RE = re.compile(
-    r"^trig\s+v\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*?)"
-    r"\btarg\s+v\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*)$",
+    r"^trig\s+" + _ACC
+    + r"\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*?)"
+    r"\btarg\s+" + _ACC
+    + r"\(([^)]+)\)\s*(?:=\s*(\S+)|val\s*=\s*(\S+))\s*(.*)$",
     re.IGNORECASE)
 _KV_RE = re.compile(r"(\w+)\s*=\s*(\S+)")
 
@@ -58,6 +71,18 @@ class MeasSpec:
     t_from: float | None = None
     t_to: float | None = None
     at: float | None = None
+    analysis: str = "tran"    # tran | ac | dc (the sweep axis)
+    acc: str = "v"            # AC accessor: v/vm (|V|), vdb, vp, vr, vi
+    acc2: str = "v"           # targ accessor (delay measures)
+
+
+def _check_acc(analysis: str, acc: str, line: str) -> str:
+    acc = acc.lower()
+    if analysis != "ac" and acc != "v":
+        raise ValueError(
+            f".meas {analysis} supports only the v() accessor "
+            f"(vm/vdb/vp/vr/vi are AC accessors): {line!r}")
+    return acc
 
 
 def _num(tok: str) -> float:
@@ -80,17 +105,21 @@ def _edge_and_count(opts: str) -> tuple[str, int]:
 
 
 def parse_meas_line(line: str) -> MeasSpec:
-    """Parse one ``.meas tran ...`` line into a MeasSpec (raises on errors)."""
+    """Parse one ``.meas tran|ac|dc ...`` line into a MeasSpec (raises on
+    errors)."""
     head = _MEAS_HEAD_RE.match(line.strip())
     if not head:
-        raise ValueError(f"malformed .meas directive (only 'tran' measures "
+        raise ValueError(f"malformed .meas directive (tran/ac/dc measures "
                          f"are supported): {line!r}")
-    name, rest = head.group(1), head.group(2).strip()
+    analysis = head.group(1).lower()
+    name, rest = head.group(2), head.group(3).strip()
 
     m = _STAT_RE.match(rest)
     if m:
-        kind, node, opts = m.group(1).lower(), m.group(2), m.group(3)
-        spec = MeasSpec(name=name, kind=kind, node=node)
+        kind, acc, node, opts = (m.group(1).lower(), m.group(2),
+                                 m.group(3), m.group(4))
+        spec = MeasSpec(name=name, kind=kind, node=node, analysis=analysis,
+                        acc=_check_acc(analysis, acc, line))
         for key, val in _KV_RE.findall(opts):
             if key.lower() == "from":
                 spec.t_from = _num(val)
@@ -101,24 +130,29 @@ def parse_meas_line(line: str) -> MeasSpec:
     m = _TRIG_TARG_RE.match(rest)
     if m:
         spec = MeasSpec(
-            name=name, kind="delay",
-            node=m.group(1), val=_num(m.group(2) or m.group(3)),
-            node2=m.group(5), val2=_num(m.group(6) or m.group(7)))
-        spec.edge, spec.k = _edge_and_count(m.group(4))
-        spec.edge2, spec.k2 = _edge_and_count(m.group(8))
+            name=name, kind="delay", analysis=analysis,
+            acc=_check_acc(analysis, m.group(1), line),
+            node=m.group(2), val=_num(m.group(3) or m.group(4)),
+            acc2=_check_acc(analysis, m.group(6), line),
+            node2=m.group(7), val2=_num(m.group(8) or m.group(9)))
+        spec.edge, spec.k = _edge_and_count(m.group(5))
+        spec.edge2, spec.k2 = _edge_and_count(m.group(10))
         return spec
 
     m = _WHEN_RE.match(rest)
     if m:
-        spec = MeasSpec(name=name, kind="when", node=m.group(1),
-                        val=_num(m.group(2) or m.group(3)))
-        spec.edge, spec.k = _edge_and_count(m.group(4))
+        spec = MeasSpec(name=name, kind="when", analysis=analysis,
+                        acc=_check_acc(analysis, m.group(1), line),
+                        node=m.group(2),
+                        val=_num(m.group(3) or m.group(4)))
+        spec.edge, spec.k = _edge_and_count(m.group(5))
         return spec
 
     m = _FIND_RE.match(rest)
     if m:
-        return MeasSpec(name=name, kind="find", node=m.group(1),
-                        at=_num(m.group(2)))
+        return MeasSpec(name=name, kind="find", analysis=analysis,
+                        acc=_check_acc(analysis, m.group(1), line),
+                        node=m.group(2), at=_num(m.group(3)))
 
     raise ValueError(f"malformed .meas directive: {line!r}")
 
@@ -132,6 +166,45 @@ def _waveform(tran: TranResult, node: str) -> tuple[np.ndarray, np.ndarray]:
             f".print tran?)")
     return (np.asarray(tran.times, dtype=np.float64),
             np.asarray(tran.node_voltages[canonical], dtype=np.float64))
+
+
+def _apply_acc(z: np.ndarray, acc: str) -> np.ndarray:
+    """AC accessor: complex phasors -> the measured real quantity."""
+    if acc in ("v", "vm"):
+        return np.abs(z)
+    if acc == "vdb":
+        return 20.0 * np.log10(np.maximum(np.abs(z), 1e-300))
+    if acc == "vp":
+        return np.degrees(np.angle(z))
+    if acc == "vr":
+        return np.asarray(z).real
+    return np.asarray(z).imag  # vi
+
+
+def _ac_waveform(ac, node: str, acc: str) -> tuple[np.ndarray, np.ndarray]:
+    by_upper = {n.upper(): n for n in ac.node_voltages}
+    canonical = by_upper.get(node.upper())
+    if canonical is None:
+        raise ValueError(f"Unknown node {node} in .meas ac")
+    return (np.asarray(ac.freqs, dtype=np.float64),
+            _apply_acc(np.asarray(ac.node_voltages[canonical]), acc))
+
+
+def _dc_waveform(dc, node: str) -> tuple[np.ndarray, np.ndarray]:
+    if dc.shape2d is not None:
+        raise ValueError(
+            ".meas dc is defined for 1D sweeps (the 2D nested sweep has "
+            "no single x axis)")
+    by_upper = {n.upper(): n for n in dc.node_voltages}
+    canonical = by_upper.get(node.upper())
+    if canonical is None:
+        raise ValueError(f"Unknown node {node} in .meas dc")
+    x = np.asarray(dc.sweep, dtype=np.float64)
+    y = np.asarray(dc.node_voltages[canonical], dtype=np.float64)
+    if x.shape[0] > 1 and x[1] < x[0]:
+        # the crossing/window kernel assumes an increasing x axis
+        x, y = x[::-1].copy(), y[::-1].copy()
+    return x, y
 
 
 def _interp_at(x: float, t: np.ndarray, V: np.ndarray) -> np.ndarray:
@@ -245,13 +318,43 @@ def evaluate_meas(spec: MeasSpec, tran: TranResult) -> float:
     return float(_evaluate_rows(spec, t, v[None, :], v2)[0])
 
 
-def simulate_meas(ckt, tran: TranResult | None) -> dict[str, float] | None:
-    """Evaluate every `.meas tran` line against a finished transient."""
+def evaluate_meas_ac(spec: MeasSpec, ac) -> float:
+    f, v = _ac_waveform(ac, spec.node, spec.acc)
+    v2 = (_ac_waveform(ac, spec.node2, spec.acc2)[1][None, :]
+          if spec.kind == "delay" else None)
+    return float(_evaluate_rows(spec, f, v[None, :], v2)[0])
+
+
+def evaluate_meas_dc(spec: MeasSpec, dc) -> float:
+    x, v = _dc_waveform(dc, spec.node)
+    v2 = (_dc_waveform(dc, spec.node2)[1][None, :]
+          if spec.kind == "delay" else None)
+    return float(_evaluate_rows(spec, x, v[None, :], v2)[0])
+
+
+def simulate_meas(ckt, tran: TranResult | None, ac=None,
+                  dc=None) -> dict[str, float] | None:
+    """Evaluate every `.meas` line against its analysis' finished sweep."""
     if not ckt.meas:
         return None
-    if tran is None:
-        raise ValueError(".meas tran requires a .tran analysis in the netlist")
-    return {spec.name: evaluate_meas(spec, tran) for spec in ckt.meas}
+    out: dict[str, float] = {}
+    for spec in ckt.meas:
+        if spec.analysis == "tran":
+            if tran is None:
+                raise ValueError(
+                    ".meas tran requires a .tran analysis in the netlist")
+            out[spec.name] = evaluate_meas(spec, tran)
+        elif spec.analysis == "ac":
+            if ac is None:
+                raise ValueError(
+                    ".meas ac requires a .ac analysis in the netlist")
+            out[spec.name] = evaluate_meas_ac(spec, ac)
+        else:
+            if dc is None:
+                raise ValueError(
+                    ".meas dc requires a .dc analysis in the netlist")
+            out[spec.name] = evaluate_meas_dc(spec, dc)
+    return out
 
 
 # --- batched evaluation over Monte-Carlo variants ---------------------------
@@ -271,7 +374,9 @@ def evaluate_meas_batch(spec: MeasSpec, batch) -> np.ndarray:
 
 def meas_batch(ckt, batch) -> dict[str, np.ndarray]:
     """Every `.meas tran` line evaluated across a BatchTranResult's variants:
-    the Monte-Carlo distribution of each measurement, ``{name: (B,)}``."""
+    the Monte-Carlo distribution of each measurement, ``{name: (B,)}``.
+    AC/DC measures are per-run scalars and are skipped here."""
     if not ckt.meas:
-        raise ValueError("netlist has no .meas tran lines")
-    return {spec.name: evaluate_meas_batch(spec, batch) for spec in ckt.meas}
+        raise ValueError("netlist has no .meas lines")
+    return {spec.name: evaluate_meas_batch(spec, batch)
+            for spec in ckt.meas if spec.analysis == "tran"}

@@ -87,7 +87,7 @@ def simulate(netlist_text: str, method: str = "gj",
     with span("four"):
         four = simulate_four(circuit, tran)
     with span("meas"):
-        meas = simulate_meas(circuit, tran)
+        meas = simulate_meas(circuit, tran, ac=ac, dc=dc)
     with span("step"):
         # extended .step: each value is one lane of a batched run (one
         # compiled call — the TPU-native realization of LTspice stepping).

@@ -101,8 +101,9 @@ def test_meas_val_keyword_spelling():
 def test_meas_malformed_raises():
     with pytest.raises(ValueError, match="malformed .meas"):
         parse_netlist("t\n.meas tran x bogus v(1)\n", dialect="extended")
-    with pytest.raises(ValueError, match="only 'tran'"):
-        parse_netlist("t\n.meas ac x max v(1)\n", dialect="extended")
+    # .meas ac/dc parse since the round-4 widening
+    ckt = parse_netlist("t\n.meas ac x max vdb(1)\n", dialect="extended")
+    assert ckt.meas[0].analysis == "ac" and ckt.meas[0].acc == "vdb"
 
 
 def test_meas_requires_tran():
@@ -230,3 +231,71 @@ rl hi 0 1k
         dialect="extended",
     )
     assert abs(r.meas["d"]) < 1e-9
+
+
+def test_meas_ac_corner_frequency_and_accessors():
+    """.meas ac: the RC lowpass -3 dB corner lands at 1/(2*pi*R*C), and
+    the vm/vdb/vp/vr/vi accessors read the right phasor components."""
+    import numpy as np
+
+    r = simulate(
+        """the rc lowpass for ac measures
+v1 in 0 ac 1
+r1 in out 1k
+c1 out 0 159.154943092n
+.ac dec 100 10 100k
+.meas ac f3db when vdb(out)=-3.0102999566398
+.meas ac gmax max vm(out)
+.meas ac gmin min v(out)
+.meas ac p3db find vp(out) at=1k
+.meas ac re1 find vr(out) at=1k
+.meas ac im1 find vi(out) at=1k
+""",
+        dialect="extended",
+    )
+    # R*C = 1k * 159.1549n -> f_c = 1/(2*pi*R*C) = 1000 Hz
+    assert r.meas["f3db"] == pytest.approx(1000.0, rel=2e-3)
+    assert r.meas["gmax"] == pytest.approx(1.0, rel=1e-4)  # |H| at 10 Hz
+    assert r.meas["gmin"] < 0.02  # two decades above the corner
+    assert r.meas["p3db"] == pytest.approx(-45.0, rel=1e-3)
+    z = r.meas["re1"] + 1j * r.meas["im1"]
+    assert abs(z) == pytest.approx(1 / np.sqrt(2), rel=1e-6)
+
+
+def test_meas_dc_threshold_crossing():
+    """.meas dc: sweep-axis measures — the diode divider crosses 0.6 V at
+    the sweep value where (Vin - 0.6)/1k = Is*(e^(0.6/VT)-1)."""
+    import numpy as np
+
+    r = simulate(
+        """the diode dc measure deck
+V1 in 0 dc 0
+R1 in a 1k
+D1 a 0 DD
+.model DD d(is=1e-14)
+.dc V1 0 5 0.05
+.meas dc von when v(a)=0.6
+.meas dc vmax max v(a)
+""",
+        dialect="extended",
+    )
+    i_at = 1e-14 * (np.exp(0.6 / 0.02585) - 1.0)
+    expected = 0.6 + 1e3 * i_at
+    assert r.meas["von"] == pytest.approx(expected, rel=1e-2)
+    assert r.meas["vmax"] == pytest.approx(
+        float(np.asarray(r.dc.node_voltages["a"]).max()), rel=1e-12)
+
+
+def test_meas_accessor_gating():
+    """vdb() etc. are AC accessors; tran/dc measures reject them, and a
+    .meas ac without .ac raises."""
+    with pytest.raises(ValueError, match="AC accessor"):
+        simulate(
+            "the bad accessor deck\nv1 a 0 dc 1\nr1 a 0 1k\n"
+            ".tran 1m 10m\n.meas tran x max vdb(a)\n",
+            dialect="extended")
+    with pytest.raises(ValueError, match="requires a .ac"):
+        simulate(
+            "the missing ac deck\nv1 a 0 dc 1\nr1 a 0 1k\n"
+            ".tran 1m 10m\n.meas ac x max v(a)\n",
+            dialect="extended")
