@@ -486,6 +486,26 @@ def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
     capacitances appended)."""
     n = tensors.nvar
     F = freqs.shape[0]
+    A, b = _assemble_ac_planes(tensors, freqs, v_idx, v_re, v_im, i_re,
+                               i_im, extra_g=extra_g, c_idx=c_idx,
+                               c_vals=c_vals)
+    if A is None:  # |k| = 1: singular inductance matrix
+        return np.zeros((F, n), dtype=np.complex128), False
+
+    aug = np.concatenate(
+        [A[:n, :n], b[:n][:, None, :]], axis=1
+    ).transpose(2, 0, 1).copy()  # (F, n, n+1)
+    return _ge_solve(aug)
+
+
+def _assemble_ac_planes(tensors, freqs, v_idx, v_re, v_im, i_re, i_im,
+                        extra_g=None, c_idx=None, c_vals=None):
+    """Padded complex MNA planes A (n+1, n+1, F) and RHS b (n+1, F) —
+    the full linear AC stamp set (shared by interp_ac and interp_noise).
+    Returns (None, None) when the K-coupled inductance matrix is
+    singular (|k| = 1)."""
+    n = tensors.nvar
+    F = freqs.shape[0]
     w = 2.0 * np.pi * np.asarray(freqs, dtype=np.float64)  # (F,)
     A = np.zeros((n + 1, n + 1, F), dtype=np.complex128)
     b = np.zeros((n + 1, F), dtype=np.complex128)
@@ -504,7 +524,7 @@ def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
         if tensors.n_k:
             minv, ok = _mutual_inv_np(tensors)
             if not ok:  # |k| = 1: singular inductance matrix
-                return np.zeros((F, n), dtype=np.complex128), False
+                return None, None
             keep = (~small).astype(np.float64)   # (nL, F)
             w_safe = np.where(np.abs(w) < EPS, 1.0, w)
             S = ((-minv[:, :, None] / w_safe[None, None, :])
@@ -553,11 +573,37 @@ def interp_ac(tensors, freqs: np.ndarray, v_idx: np.ndarray,
             np.add.at(A, (br, p), c)
             np.add.at(A, (br, q), -c)
             np.add.at(A, (br, obr), c * z0)
+    return A, b
 
-    aug = np.concatenate(
-        [A[:n, :n], b[:n][:, None, :]], axis=1
-    ).transpose(2, 0, 1).copy()  # (F, n, n+1)
-    return _ge_solve(aug)
+
+def interp_noise(tensors, freqs: np.ndarray, v_idx: np.ndarray,
+                 v_unit: np.ndarray, i_unit: np.ndarray,
+                 extra_g, c_idx, c_vals, e_out: np.ndarray,
+                 ) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Forward + adjoint AC solves for the .noise analysis, interpreted:
+    returns (x (F, nvar), z (F, nvar), ok). Same op-linearized assembly
+    as interp_ac (ss-VCCS rows via extra_g, junction caps via the c
+    overrides); the adjoint solves A^T z = e_out per frequency (complex
+    transpose = transpose each plane, analysis/noise._noise_core)."""
+    n = tensors.nvar
+    F = freqs.shape[0]
+    A, b = _assemble_ac_planes(
+        tensors, freqs, v_idx, v_unit, np.zeros_like(v_unit),
+        i_unit, np.zeros_like(i_unit), extra_g=extra_g,
+        c_idx=c_idx, c_vals=c_vals)
+    if A is None:  # |k| = 1: singular inductance matrix
+        z = np.zeros((F, n), dtype=np.complex128)
+        return z, z, False
+    aug_f = np.concatenate(
+        [A[:n, :n], b[:n][:, None, :]], axis=1).transpose(2, 0, 1).copy()
+    x, ok_f = _ge_solve(aug_f)
+    e = np.broadcast_to(
+        e_out.astype(np.complex128)[:, None], (n, F))
+    aug_a = np.concatenate(
+        [A[:n, :n].transpose(1, 0, 2), e[:, None, :]],
+        axis=1).transpose(2, 0, 1).copy()
+    z, ok_a = _ge_solve(aug_a)
+    return x, z, ok_f and ok_a
 
 
 def interp_tran(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,

@@ -213,80 +213,103 @@ def simulate_noise(
     freqs = build_frequency_array(spec.mode, spec.N, spec.f1, spec.f2)
     F = freqs.shape[0]
 
-    # tiny .noise sweeps (the interactive case) run on the host CPU
-    # backend (utils/placement.py; same policy as simulate_ac) — the
-    # eager ext/minv array building below must share the solve's device
-    from ..utils.placement import exec_device
+    # host-side linearization pieces (op itself rides the interp tier when
+    # eligible; ss rows and junction caps are plain numpy)
+    if op is None:
+        op = simulate_op(ckt, tensors=tensors, method=method)
+    ss_idx, ss_g = small_signal_rows(tensors, op)
+    if ckt.B:
+        # behavioral sources are noiseless (ngspice semantics) but their
+        # op-point gradients shape the transfer: I-kind add VCCS rows here;
+        # V-kind branch rows are stamped as 0 V shorts below
+        from .ac import _bsource_small_signal
 
-    with exec_device(16.0 * F * tensors.nvar ** 3):
-        if op is None:
-            op = simulate_op(ckt, tensors=tensors, method=method)
-        ss_idx, ss_g = small_signal_rows(tensors, op)
-        if ckt.B:
-            # behavioral sources are noiseless (ngspice semantics) but their
-            # op-point gradients shape the transfer: I-kind add VCCS rows here;
-            # V-kind branch rows are stamped as 0 V shorts below
-            from .ac import _bsource_small_signal
+        bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
+        ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
+        ss_g = np.concatenate([ss_g, bs_g], axis=0)
 
-            bs_idx, bs_g = _bsource_small_signal(ckt, tensors, op)
-            ss_idx = np.concatenate([ss_idx, bs_idx], axis=0)
-            ss_g = np.concatenate([ss_g, bs_g], axis=0)
-        ext = ext_arrays(tensors)
-        ext["g_idx"] = jnp.concatenate([ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
-        ext["g_gm"] = jnp.concatenate([ext["g_gm"], jnp.asarray(ss_g)], axis=0)
+    # unit excitation at the input source only (all other sources zeroed)
+    v_unit = np.zeros(tensors.n_v)
+    i_unit = np.zeros(tensors.n_i)
+    if v_pos is not None:
+        v_unit[v_pos] = 1.0
+    else:
+        i_unit[i_pos] = 1.0
+    v_idx_ac = tensors.v_idx
+    bv = bv_branch_rows(ckt, tensors.nvar)
+    if bv.shape[0]:
+        v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
+        v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
+    # diode junction capacitances at the op point shape the transfer
+    # (the noise system is op-linearized by definition)
+    from .ac import diode_smallsignal_caps
 
-        # unit excitation at the input source only (all other sources zeroed)
-        v_unit = np.zeros(tensors.n_v)
-        i_unit = np.zeros(tensors.n_i)
-        if v_pos is not None:
-            v_unit[v_pos] = 1.0
-        else:
-            i_unit[i_pos] = 1.0
+    c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
+    cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
+    if cj_idx.shape[0]:
+        c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
+        c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
+    # adjoint excitation: unit current probe into the output port
+    e_pad = np.zeros(nvar + 1)
+    e_pad[out_p] += 1.0
+    e_pad[out_n] -= 1.0
 
-        lk = lk_arrays(tensors)
-        if lk is not None:
-            from .tran import _mutual_inv
+    from ..utils.placement import exec_device, is_tiny_work
+    from .interp import interp_enabled, interp_noise
 
-            minv, minv_ok = _mutual_inv(jnp.asarray(tensors.l_vals), lk)
-            if not bool(minv_ok):
-                raise ValueError("Singular coupled-inductance matrix in .noise")
-        else:
-            minv = None
-        v_idx_ac = tensors.v_idx
-        bv = bv_branch_rows(ckt, tensors.nvar)
-        if bv.shape[0]:
-            v_idx_ac = np.concatenate([tensors.v_idx, bv], axis=0)
-            v_unit = np.concatenate([v_unit, np.zeros(bv.shape[0])])
-        # diode junction capacitances at the op point shape the transfer
-        # (the noise system is op-linearized by definition)
-        from .ac import diode_smallsignal_caps
+    _work = 16.0 * F * tensors.nvar ** 3
+    if method == "gj" and is_tiny_work(_work) and interp_enabled():
+        # tiny sweeps interpret: forward + adjoint host GE — jax-free
+        # whenever the op point was (analysis/interp.interp_noise)
+        x, z, _ok = interp_noise(
+            tensors, freqs, v_idx_ac, v_unit, i_unit,
+            extra_g=(ss_idx, ss_g), c_idx=c_idx_eff, c_vals=c_vals_eff,
+            e_out=e_pad[:nvar])
+        if not _ok:
+            if tensors.n_k:
+                from .interp import _mutual_inv_np
 
-        c_idx_eff, c_vals_eff = tensors.c_idx, tensors.c_vals
-        cj_idx, cj_vals = diode_smallsignal_caps(tensors, op)
-        if cj_idx.shape[0]:
-            c_idx_eff = np.concatenate([tensors.c_idx, cj_idx], axis=0)
-            c_vals_eff = np.concatenate([tensors.c_vals, cj_vals])
-        # adjoint excitation: unit current probe into the output port
-        e_pad = np.zeros(nvar + 1)
-        e_pad[out_p] += 1.0
-        e_pad[out_n] -= 1.0
-        # ONE compiled program: assembly + forward solve (gain(f) = v(out)
-        # per unit input) + adjoint solve (A^T z = e_out) + packing
-        packed = np.asarray(_noise_core(
-            jnp.asarray(freqs),
-            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-            jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-            jnp.asarray(v_idx_ac),
-            jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
-            jnp.asarray(i_unit), jnp.zeros(tensors.n_i),
-            ext, jnp.asarray(e_pad[:nvar]),
-            nvar=nvar, method=method, minv=minv, tl=tl_arrays(tensors),
-        ))
-        if not bool(np.all(packed[:, -2:] > 0.5)):
+                if not _mutual_inv_np(tensors)[1]:
+                    raise ValueError(
+                        "Singular coupled-inductance matrix in .noise")
             raise ValueError("Singular matrix in .noise solve")
-    x = packed[:, :nvar] + 1j * packed[:, nvar:2 * nvar]
-    z = packed[:, 2 * nvar:3 * nvar] + 1j * packed[:, 3 * nvar:4 * nvar]
+    else:
+        # tiny-but-ineligible runs still avoid accelerator round trips on
+        # the host CPU backend; the eager ext/minv array building below
+        # must share the compiled solve's device
+        with exec_device(_work):
+            ext = ext_arrays(tensors)
+            ext["g_idx"] = jnp.concatenate(
+                [ext["g_idx"], jnp.asarray(ss_idx)], axis=0)
+            ext["g_gm"] = jnp.concatenate(
+                [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
+            lk = lk_arrays(tensors)
+            if lk is not None:
+                from .tran import _mutual_inv
+
+                minv, minv_ok = _mutual_inv(jnp.asarray(tensors.l_vals), lk)
+                if not bool(minv_ok):
+                    raise ValueError(
+                        "Singular coupled-inductance matrix in .noise")
+            else:
+                minv = None
+            # ONE compiled program: assembly + forward solve (gain(f) =
+            # v(out) per unit input) + adjoint solve (A^T z = e_out) + pack
+            packed = np.asarray(_noise_core(
+                jnp.asarray(freqs),
+                jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+                jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+                jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+                jnp.asarray(v_idx_ac),
+                jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
+                jnp.asarray(i_unit), jnp.zeros(tensors.n_i),
+                ext, jnp.asarray(e_pad[:nvar]),
+                nvar=nvar, method=method, minv=minv, tl=tl_arrays(tensors),
+            ))
+            if not bool(np.all(packed[:, -2:] > 0.5)):
+                raise ValueError("Singular matrix in .noise solve")
+        x = packed[:, :nvar] + 1j * packed[:, nvar:2 * nvar]
+        z = packed[:, 2 * nvar:3 * nvar] + 1j * packed[:, 3 * nvar:4 * nvar]
     x_pad = np.concatenate([x, np.zeros((F, 1), np.complex128)], axis=1)
     z_pad = np.concatenate([z, np.zeros((F, 1), np.complex128)], axis=1)
 

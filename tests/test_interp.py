@@ -341,6 +341,37 @@ R2 clamp 0 100k
     assert np.abs(ri.node_voltages["d"][0]) > 1.0
 
 
+def test_noise_interp_matches_engine(monkeypatch):
+    """.noise through the interp tier (forward + adjoint host GE) against
+    the compiled jitted core: spectra, gain, and per-device contributions
+    must agree at rounding level."""
+    from spicey_tpu.analysis.noise import simulate_noise
+    from spicey_tpu.parsing.netlist import parse_netlist
+
+    net = """a noisy divider
+V1 in 0 dc 5 ac 1
+R1 in a 1k
+D1 a 0 DD
+C1 a 0 1n
+R2 a 0 10k
+.model DD d(is=1e-14 kf=1e-16)
+.noise v(a) V1 dec 6 10 1e6
+.end
+"""
+    ckt = parse_netlist(net, dialect="extended")
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+    ri = simulate_noise(ckt)
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    re_ = simulate_noise(ckt)
+    np.testing.assert_allclose(ri.output_psd, re_.output_psd, rtol=1e-9)
+    np.testing.assert_allclose(ri.input_psd, re_.input_psd, rtol=1e-9)
+    np.testing.assert_allclose(np.abs(ri.gain), np.abs(re_.gain),
+                               rtol=1e-9)
+    assert ri.total_output_rms == pytest.approx(re_.total_output_rms,
+                                                rel=1e-9)
+    _series_close(ri.contributions, re_.contributions, rtol=1e-9)
+
+
 def test_op_mosfet_falls_back_to_compiled(interp_on, monkeypatch):
     """M/Q/B decks keep the compiled Newton (pnjlim + homotopy ladder
     machinery there is the source of truth for them)."""
