@@ -436,6 +436,50 @@ class CSwitch:
 
 
 @dataclass
+class LTRAModel:
+    """Extended-dialect lossy transmission-line model
+    (``.model <name> LTRA(r= l= g= c= len= [nseg=])``) — per-length
+    series resistance/inductance and shunt conductance/capacitance, plus
+    the line length (ngspice puts ``len`` on the model). ``nseg`` is this
+    implementation's segment-count knob for the lossy expansion (0 =
+    auto-sized from the loss, see the O expansion post-pass)."""
+
+    name: str
+    R: float = 0.0     # ohms per meter (series)
+    L: float = 0.0     # henries per meter (series)
+    G: float = 0.0     # siemens per meter (shunt)
+    C: float = 0.0     # farads per meter (shunt)
+    LEN: float = 1.0   # line length, meters
+    NSEG: int = 0      # 0 = auto
+
+
+@dataclass
+class OLine:
+    """Extended-dialect O element: LTRA lossy transmission line,
+    ``O name n1 n2 n3 n4 model``. Expanded in the parser post-pass onto
+    existing primitives (the same lowering strategy as U -> R/C ladders
+    and J -> MOS+diode): LC lines become ONE lossless T element (exact);
+    RLC/RG(C) lines become nseg cascaded sections of series R — lossless
+    T — series R with the shunt conductance split across the section
+    ports, converging to the true hyperbolic two-port as nseg grows; RC
+    lines (L=0) become the URC-style R/C ladder; series-only lines (C=0,
+    G=0) become exact series R(+L) chains. The expansion assumes an
+    ideal common reference conductor (exact when n2 and n4 are the same
+    node, e.g. ground) — the same differential-only modeling as the T
+    element. Note: like ``t``, ``o`` is deliberately NOT in the
+    title-leader set, so an O element on the very FIRST line of an
+    untitled deck is swallowed as the title ("op amp deck" titles are
+    ubiquitous); anywhere else it parses."""
+
+    name: str
+    n1: int
+    n2: int
+    n3: int
+    n4: int
+    model_name: str
+
+
+@dataclass
 class URCLine:
     """Extended-dialect U element: ``U name n1 n2 ncommon model [l=len]
     [n=lumps]`` — a uniform distributed RC line, expanded in the parser
@@ -648,6 +692,7 @@ class ParsedCircuit:
     B: list[BSource] = field(default_factory=list)  # extended dialect
     T: list[TLine] = field(default_factory=list)  # extended dialect
     U: list[URCLine] = field(default_factory=list)  # extended dialect
+    O: list[OLine] = field(default_factory=list)  # extended dialect (LTRA)
     ac: ACAnalysis | None = None
     tran: TranAnalysis | None = None
     dc: DCAnalysis | None = None  # extended dialect
@@ -666,6 +711,7 @@ class ParsedCircuit:
     nodeset: dict[str, float] = field(default_factory=dict)  # extended
     skipped: list[str] = field(default_factory=list)
     urc_models: dict[str, URCModel] = field(default_factory=dict)
+    ltra_models: dict[str, LTRAModel] = field(default_factory=dict)
     vswitch_models: dict[str, VSwitchModel] = field(default_factory=dict)
     cswitch_models: dict[str, CSwitchModel] = field(default_factory=dict)
     diode_models: dict[str, DiodeModel] = field(default_factory=dict)
@@ -1083,6 +1129,24 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if "fmax" in params:
                 umodel.Fmax = params["fmax"]
             ckt.urc_models[name_token.lower()] = umodel
+        elif type_lower == "ltra" and dialect == "extended":
+            lmodel = LTRAModel(name=name_token)
+            params = _parse_model_params(params_str)
+            for key, attr in (("r", "R"), ("l", "L"), ("g", "G"),
+                              ("c", "C"), ("len", "LEN")):
+                if key in params:
+                    setattr(lmodel, attr, params[key])
+            if "nseg" in params:
+                lmodel.NSEG = int(params["nseg"])
+            if lmodel.LEN <= 0:
+                raise ValueError("LTRA model len must be > 0")
+            if min(lmodel.R, lmodel.L, lmodel.G, lmodel.C) < 0:
+                raise ValueError("LTRA r/l/g/c must be >= 0")
+            if (lmodel.L > 0) != (lmodel.C > 0) and lmodel.L > 0 \
+                    and lmodel.G > 0:
+                raise ValueError(
+                    "LTRA with L > 0, C = 0, G > 0 is not supported")
+            ckt.ltra_models[name_token.lower()] = lmodel
         elif type_lower in ("njf", "pjf", "nmf", "pmf") \
                 and dialect == "extended":
             # MESFETs (nmf/pmf, Z elements) share the level-1
@@ -1897,6 +1961,15 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.T.append(TLine(name=name, n1=nodes_t[0], n2=nodes_t[1],
                                    n3=nodes_t[2], n4=nodes_t[3],
                                    z0=z0, td=td))
+            elif type_char == "o" and dialect == "extended":
+                nodes_o = [ckt.nodes.get_or_create(
+                    _require(tokens, k, "LTRA line missing node"))
+                    for k in (1, 2, 3, 4)]
+                omodel_name = _require(tokens, 5, "LTRA line missing model")
+                ckt.O.append(OLine(
+                    name=name, n1=nodes_o[0], n2=nodes_o[1],
+                    n3=nodes_o[2], n4=nodes_o[3],
+                    model_name=omodel_name.lower()))
             elif type_char == "u" and dialect == "extended":
                 n1u = ckt.nodes.get_or_create(
                     _require(tokens, 1, "URC line missing node"))
@@ -2042,6 +2115,123 @@ def parse_netlist(text: str, dialect: str = "spicey",
         for k, (nd, wt) in enumerate(caps):
             ckt.C.append(Capacitor(name=f"{u.name}#c{k}", n1=nd,
                                    n2=u.ncom, C=c_tot * wt / s_w))
+
+    # LTRA O lines lower onto existing primitives (OLine docstring):
+    # exact for LC and series-only lines, convergent in nseg for lossy
+    # ones. Runs BEFORE the branch-index bookkeeping because it may
+    # create T elements (port-current branch unknowns).
+    for o in ckt.O:
+        lm = ckt.ltra_models.get(o.model_name)
+        if lm is None:
+            raise ValueError(
+                f"Unknown .model {o.model_name} referenced by LTRA line "
+                f"{o.name}")
+        rt = lm.R * lm.LEN
+        lt = lm.L * lm.LEN
+        gt = lm.G * lm.LEN
+        c_t = lm.C * lm.LEN
+        if lt > 0.0 and c_t > 0.0:
+            # RLC(G): cascaded [R/2 — lossless T — R/2] sections with the
+            # shunt conductance split across the section ports. One exact
+            # T when lossless. Internal ports reference n2 (ideal common
+            # reference conductor — exact when n2 is n4); the last right
+            # port references n4.
+            z0 = _math.sqrt(lt / c_t)
+            td = _math.sqrt(lt * c_t)
+            if rt == 0.0 and gt == 0.0:
+                nseg = 1
+            else:
+                nseg = lm.NSEG or min(
+                    32, max(3, _math.ceil(5.0 * (rt / z0 + gt * z0))))
+            r_half = rt / (2.0 * nseg)
+            g_half = gt / (2.0 * nseg)
+            tops = ([o.n1]
+                    + [ckt.nodes.get_or_create(f"{o.name}#a{j}")
+                       for j in range(1, nseg)]
+                    + [o.n3])
+            for j in range(nseg):
+                a, b2 = tops[j], tops[j + 1]
+                ref_l = o.n2
+                ref_r = o.n4 if j == nseg - 1 else o.n2
+                p = (a if r_half == 0.0
+                     else ckt.nodes.get_or_create(f"{o.name}#p{j}"))
+                q = (b2 if r_half == 0.0
+                     else ckt.nodes.get_or_create(f"{o.name}#q{j}"))
+                if r_half > 0.0:
+                    ckt.R.append(Resistor(name=f"{o.name}#rl{j}", n1=a,
+                                          n2=p, R=r_half))
+                    ckt.R.append(Resistor(name=f"{o.name}#rr{j}", n1=q,
+                                          n2=b2, R=r_half))
+                ckt.T.append(TLine(name=f"{o.name}#t{j}", n1=p, n2=ref_l,
+                                   n3=q, n4=ref_r, z0=z0, td=td / nseg))
+                if g_half > 0.0:
+                    ckt.R.append(Resistor(name=f"{o.name}#gl{j}", n1=p,
+                                          n2=ref_l, R=1.0 / g_half))
+                    ckt.R.append(Resistor(name=f"{o.name}#gr{j}", n1=q,
+                                          n2=ref_r, R=1.0 / g_half))
+        elif c_t > 0.0:
+            # RC(G) diffusion line (L = 0): uniform R/C(/G) ladder
+            if rt <= 0.0:
+                raise ValueError(
+                    f"LTRA line {o.name} has zero series impedance "
+                    f"(r=0, l=0) — not supported")
+            nseg = max(3, min(100, lm.NSEG or 10))
+            chain = ([o.n1]
+                     + [ckt.nodes.get_or_create(f"{o.name}#a{j}")
+                        for j in range(1, nseg)]
+                     + [o.n3])
+            for j in range(nseg):
+                ckt.R.append(Resistor(name=f"{o.name}#r{j}", n1=chain[j],
+                                      n2=chain[j + 1], R=rt / nseg))
+            shunts = ([(o.n1, o.n2, 0.5)]
+                      + [(chain[j], o.n2, 1.0) for j in range(1, nseg)]
+                      + [(o.n3, o.n4, 0.5)])
+            for k, (nd, ref, wt) in enumerate(shunts):
+                ckt.C.append(Capacitor(name=f"{o.name}#c{k}", n1=nd,
+                                       n2=ref, C=c_t * wt / nseg))
+                if gt > 0.0:
+                    ckt.R.append(Resistor(
+                        name=f"{o.name}#g{k}", n1=nd, n2=ref,
+                        R=nseg / (gt * wt)))
+        elif lt > 0.0:
+            # series RL (C = 0, G = 0; G > 0 rejected at model parse):
+            # exact lumped equivalent
+            if rt > 0.0:
+                mid = ckt.nodes.get_or_create(f"{o.name}#m")
+                ckt.R.append(Resistor(name=f"{o.name}#r", n1=o.n1, n2=mid,
+                                      R=rt))
+                ckt.L.append(Inductor(name=f"{o.name}#l", n1=mid, n2=o.n3,
+                                      L=lt))
+            else:
+                ckt.L.append(Inductor(name=f"{o.name}#l", n1=o.n1,
+                                      n2=o.n3, L=lt))
+        else:
+            # R/G only (no line dynamics)
+            if rt <= 0.0:
+                raise ValueError(
+                    f"LTRA line {o.name} has zero series impedance "
+                    f"(r=0, l=0) — not supported")
+            if gt == 0.0:
+                ckt.R.append(Resistor(name=f"{o.name}#r", n1=o.n1,
+                                      n2=o.n3, R=rt))
+            else:
+                nseg = max(3, min(100, lm.NSEG or 10))
+                chain = ([o.n1]
+                         + [ckt.nodes.get_or_create(f"{o.name}#a{j}")
+                            for j in range(1, nseg)]
+                         + [o.n3])
+                for j in range(nseg):
+                    ckt.R.append(Resistor(name=f"{o.name}#r{j}",
+                                          n1=chain[j], n2=chain[j + 1],
+                                          R=rt / nseg))
+                shunts = ([(o.n1, o.n2, 0.5)]
+                          + [(chain[j], o.n2, 1.0)
+                             for j in range(1, nseg)]
+                          + [(o.n3, o.n4, 0.5)])
+                for k, (nd, ref, wt) in enumerate(shunts):
+                    ckt.R.append(Resistor(
+                        name=f"{o.name}#g{k}", n1=nd, n2=ref,
+                        R=nseg / (gt * wt)))
 
     # Post-pass (parseNetlist.ts:455-479)
     n_nodes = ckt.nodes.count() - 1
