@@ -1142,8 +1142,7 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
                 raise ValueError("LTRA model len must be > 0")
             if min(lmodel.R, lmodel.L, lmodel.G, lmodel.C) < 0:
                 raise ValueError("LTRA r/l/g/c must be >= 0")
-            if (lmodel.L > 0) != (lmodel.C > 0) and lmodel.L > 0 \
-                    and lmodel.G > 0:
+            if lmodel.L > 0 and lmodel.C == 0 and lmodel.G > 0:
                 raise ValueError(
                     "LTRA with L > 0, C = 0, G > 0 is not supported")
             ckt.ltra_models[name_token.lower()] = lmodel
@@ -1387,7 +1386,7 @@ _ELEMENT_NODE_COUNT = {
     "r": 2, "c": 2, "l": 2, "v": 2, "i": 2, "d": 2,
     "q": 3, "j": 3, "s": 4, "e": 4, "g": 4, "f": 2, "h": 2, "t": 4,
     "w": 2, "k": 0,  # W's Vctrl and K's L1/L2 are element refs, not nodes
-    "u": 3, "z": 3,
+    "u": 3, "z": 3, "o": 4,
 }
 
 _MAX_SUBCKT_DEPTH = 20

@@ -158,6 +158,27 @@ def test_ltra_parse_guards():
     assert any("O1" in s for s in ckt.skipped)
 
 
+def test_ltra_inside_subckt():
+    """O cards in .subckt bodies get their four nodes scope-mapped (the
+    flattener's node-count table); the lowered T/R elements carry the
+    instance-scoped names."""
+    r = simulate("""a hierarchical ltra deck
+.subckt seg p1 p2
+O1 p1 0 p2 0 LM
+.ends
+V1 in 0 ac 1
+R1 in a 50
+X1 a b seg
+R2 b 0 50
+.model LM ltra(l=250n c=100p len=1)
+.ac lin 5 1e6 1e7
+.end""", dialect="extended")
+    vb = np.abs(np.asarray(r.ac.node_voltages["b"]))
+    np.testing.assert_allclose(vb, 0.5, rtol=1e-9)  # matched lossless line
+    # instance-scoped lowered element (name.scope convention)
+    assert "O1.X1#t0" in r.ac.element_currents
+
+
 def test_ltra_batch_and_interp_consistency(monkeypatch):
     """The lowered elements ride every engine: interp vs compiled AC on
     a lossy line agree (the expansion happens at parse time, upstream of
