@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
                 for name, arr in (s.meas or {}).items():
                     print(f"  {name} = "
                           + ", ".join(f"{v:.6g}" for v in arr))
+            if res.control_output:
+                print(res.control_output)
             if res.circuit.skipped:
                 print(f"* skipped {len(res.circuit.skipped)} line(s)",
                       file=sys.stderr)

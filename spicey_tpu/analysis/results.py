@@ -78,3 +78,4 @@ class SimulationResult:
     pz: object | None = None  # PZResult when the extended .pz directive ran
     sens: object | None = None  # SensResult when the extended .sens ran
     step: object | None = None  # StepResult when the extended .step ran
+    control_output: str | None = None  # .control print/echo text (extended)

@@ -113,6 +113,14 @@ def simulate(netlist_text: str, method: str = "gj",
                       if (circuit.meas and s_tran is not None) else None)
             step = StepResult(param=circuit.step.param, values=vals,
                               ac=s_ac, tran=s_tran, op=s_op, meas=s_meas)
-    return SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
+    res = SimulationResult(circuit=circuit, ac=ac, tran=tran, op=op, dc=dc,
                             tf=tf, four=four, noise=noise, meas=meas, pz=pz,
                             sens=sens, step=step)
+    if circuit.control:
+        # extended .control post-processing tail (print/echo/write/wrdata)
+        # — host-side, after every analysis (analysis/control.py)
+        from .control import run_control
+
+        with span("control"):
+            res.control_output = run_control(res, base_dir=base_dir)
+    return res

@@ -709,6 +709,7 @@ class ParsedCircuit:
     ac_probes: list[str] = field(default_factory=list)  # extended .print ac
     initial_conditions: dict[str, float] = field(default_factory=dict)  # extended .ic
     nodeset: dict[str, float] = field(default_factory=dict)  # extended
+    control: list[str] = field(default_factory=list)  # extended .control
     skipped: list[str] = field(default_factory=list)
     urc_models: dict[str, URCModel] = field(default_factory=dict)
     ltra_models: dict[str, LTRAModel] = field(default_factory=dict)
@@ -1715,6 +1716,88 @@ def _expand_includes(text: str, base_dir: str | None,
     return "\n".join(out)
 
 
+def _extract_control_blocks(text: str) -> tuple[str, list[str]]:
+    """Pull ``.control ... .endc`` blocks out of the deck text.
+
+    ngspice executes these as interpreter scripts after the deck loads
+    (batch ``-b`` semantics). Returns the deck with the blocks removed
+    plus the inner lines in file order. Extraction happens BEFORE
+    parameter substitution and subckt flattening — control scripts are
+    not netlist text and must not be brace-substituted or swallowed by a
+    ``.subckt`` scan. Extended dialect only: the reference's parser drops
+    unknown directives line by line (parseNetlist.ts:291-446), so under
+    ``dialect="spicey"`` a ``.control`` deck keeps that exact behavior.
+    """
+    kept: list[str] = []
+    control: list[str] = []
+    in_block = False
+    for raw in re.split(r"\r?\n", text):
+        stripped = raw.strip()
+        low = stripped.lower()
+        if in_block:
+            if low == ".endc" or low.startswith(".endc "):
+                in_block = False
+            else:
+                control.append(stripped)
+            continue
+        if low == ".control" or low.startswith(".control "):
+            in_block = True
+            continue
+        kept.append(raw)
+    if in_block:
+        raise ValueError(".control block missing .endc")
+    return "\n".join(kept), control
+
+
+# .control command taxonomy (ngspice batch-mode subset). Analysis commands
+# are the dot-directive grammar minus the leading dot; post-processing
+# commands execute against the finished result (analysis/control.py);
+# no-ops either restate batch behavior (`run` — the deck's analyses always
+# run) or are interactive-shell chrome with no batch meaning.
+_CONTROL_ANALYSES = frozenset((
+    "op", "dc", "ac", "tran", "tf", "noise", "four", "meas", "measure",
+    "sens", "pz", "save"))
+_CONTROL_POST = frozenset(("print", "echo", "write", "wrdata", "set"))
+_CONTROL_NOOPS = frozenset((
+    "run", "listing", "setplot", "display", "version", "rusage", "reset",
+    "destroy", "unset"))
+
+
+def _absorb_control(ckt: ParsedCircuit, lines: list[str],
+                    dialect: str) -> None:
+    """Fold a ``.control`` script into the parsed circuit.
+
+    Analysis commands route through ``_parse_directive`` with the dot
+    restored, so control scripts and dot-cards share one grammar and can
+    never diverge; when a deck carries both, the control command wins
+    (last assignment, matching the engines' one-analysis-per-kind model).
+    Post-processing commands queue in ``ckt.control`` for
+    ``analysis/control.py`` to execute against the SimulationResult.
+    ``quit``/``exit`` ends the script; anything unrecognized lands in
+    ``skipped`` like any other unhandled input.
+    """
+    for line in lines:
+        if not line or line.startswith("*"):
+            continue
+        line = re.sub(r"[;$].*$", "", line).strip()
+        if not line:
+            continue
+        head = line.split(None, 1)[0].lower()
+        if head in ("quit", "exit"):
+            break
+        if head in _CONTROL_NOOPS:
+            continue
+        if head in _CONTROL_ANALYSES:
+            dotted = "." + line
+            _parse_directive(ckt, smart_tokens(dotted), dotted,
+                             dialect=dialect)
+            continue
+        if head in _CONTROL_POST:
+            ckt.control.append(line)
+            continue
+        ckt.skipped.append(line)
+
+
 def parse_netlist(text: str, dialect: str = "spicey",
                   base_dir: str | None = None) -> ParsedCircuit:
     """Parse a netlist.
@@ -1729,10 +1812,13 @@ def parse_netlist(text: str, dialect: str = "spicey",
     """
     if dialect not in ("spicey", "extended"):
         raise ValueError("dialect must be 'spicey' or 'extended'")
+    control_lines: list[str] = []
     if dialect == "extended":
         if re.search(r"^\s*\.(include|inc|lib)\b", text,
                      re.IGNORECASE | re.MULTILINE):
             text = _expand_includes(text, base_dir)
+        if re.search(r"^\s*\.control\b", text, re.IGNORECASE | re.MULTILINE):
+            text, control_lines = _extract_control_blocks(text)
         gparams: dict = {}
         has_braces = "{" in text
         if has_braces or re.search(r"^\s*\.(param|func)\b", text,
@@ -2037,6 +2123,11 @@ def parse_netlist(text: str, dialect: str = "spicey",
                 ckt.skipped.append(line)
         except ValueError as err:
             raise ValueError(f'Parse error on line: "{line}"\n{err}') from err
+
+    if control_lines:
+        # after the deck body so control analysis commands win over
+        # dot-cards (ngspice script-after-load ordering)
+        _absorb_control(ckt, control_lines, dialect)
 
     # Device ohmic resistances (diode RS, BJT RB/RC/RE) lower to real
     # resistors + internal nodes: the junction keeps its name (current

@@ -1,0 +1,151 @@
+"""Extended-dialect `.control` script support (ngspice batch-mode subset).
+
+The reference has no scripting surface (lib/index.ts:1-12); `.control`
+exists for ngspice deck compatibility. Analysis commands must share the
+dot-directive grammar (parsing/netlist.py:_absorb_control routes them
+through _parse_directive), and the post-processing tail executes against
+the finished result (analysis/control.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spicey_tpu import parse_netlist, simulate
+from spicey_tpu.formatting.rawfile import read_rawfile
+
+RC_BODY = """v1 1 0 dc 5 ac 1 pulse(0 5 0 1u 1u 1m 2m)
+r1 1 2 1k
+c1 2 0 1u
+"""
+
+
+def _deck(control: str, body: str = RC_BODY, cards: str = "") -> str:
+    return (f"* control test deck\n{body}{cards}"
+            f".control\n{control}\n.endc\n.end\n")
+
+
+def test_control_analysis_commands_share_directive_grammar():
+    r = simulate(_deck("run\nac dec 2 1 100\ntran 0.1m 1m"),
+                 dialect="extended")
+    assert r.ac is not None and len(r.ac.freqs) == 5  # dec 2 + endpoint
+    assert r.tran is not None and len(r.tran.times) == 11
+
+
+def test_control_command_wins_over_deck_card():
+    r = simulate(_deck("ac lin 5 10 1000", cards=".ac dec 2 1 100\n"),
+                 dialect="extended")
+    np.testing.assert_allclose(r.ac.freqs, np.linspace(10, 1000, 5))
+
+
+def test_control_echo_print_and_quit():
+    r = simulate(_deck("op\necho hello world\nprint v(2)\nquit\necho nope"),
+                 dialect="extended")
+    out = r.control_output
+    assert out.startswith("hello world")
+    assert "v(2) = 5.000000e+00" in out
+    assert "nope" not in out
+
+
+def test_control_print_tran_table_and_ac_accessor():
+    r = simulate(_deck("ac dec 2 1 100\ntran 0.1m 1m\n"
+                       "print v(2) vm(2) i(v1)"), dialect="extended")
+    out = r.control_output
+    # tran is the current plot: indexed table with a time axis
+    assert "Index" in out and "time" in out and "i(v1)" in out
+    # the AC-only accessor groups under the AC plot's frequency axis
+    assert "frequency" in out and "vm(2)" in out
+
+
+def test_control_print_all_and_missing_vector():
+    r = simulate(_deck("op\nprint all\nprint v(nosuch)"),
+                 dialect="extended")
+    assert "v(1) = 5.000000e+00" in r.control_output
+    assert "no such vector v(nosuch)" in r.control_output
+
+
+def test_control_write_rawfile_binary_default_and_ascii(tmp_path):
+    simulate(_deck("ac dec 2 1 100\nwrite out.raw"), dialect="extended",
+             base_dir=str(tmp_path))
+    raw = (tmp_path / "out.raw").read_bytes()
+    assert b"Binary:" in raw  # ngspice default filetype
+    simulate(_deck("ac dec 2 1 100\nset filetype=ascii\nwrite a.raw"),
+             dialect="extended", base_dir=str(tmp_path))
+    txt = (tmp_path / "a.raw").read_bytes()
+    assert b"Values:" in txt
+    plots = read_rawfile(txt)
+    assert plots and "AC" in plots[0][0]
+    assert len(plots[0][1]["frequency"]) == 5
+
+
+def test_control_wrdata_columns(tmp_path):
+    simulate(_deck("tran 0.1m 1m\nwrdata out.dat v(2)"),
+             dialect="extended", base_dir=str(tmp_path))
+    data = np.loadtxt(tmp_path / "out.dat")
+    assert data.shape == (11, 2)
+    np.testing.assert_allclose(data[:, 0], np.arange(11) * 1e-4,
+                               atol=1e-12)
+
+
+def test_control_wrdata_complex_pairs(tmp_path):
+    simulate(_deck("ac dec 2 1 100\nwrdata ac.dat v(2)"),
+             dialect="extended", base_dir=str(tmp_path))
+    data = np.loadtxt(tmp_path / "ac.dat")
+    assert data.shape == (5, 3)  # freq, re, im
+
+
+def test_control_meas_command():
+    r = simulate(_deck("tran 0.1m 1m\nmeas tran vmax max v(2)"),
+                 dialect="extended")
+    assert r.meas and "vmax" in r.meas
+    assert r.meas["vmax"] > 0
+
+
+def test_control_unknown_command_lands_in_skipped():
+    ckt = parse_netlist(_deck("op\nfourier 1k v(2)\nplot v(2)"),
+                        dialect="extended")
+    assert "fourier 1k v(2)" in ckt.skipped
+    assert "plot v(2)" in ckt.skipped
+    assert ckt.op
+
+
+def test_control_noops_and_comments():
+    ckt = parse_netlist(
+        _deck("* a comment\nlisting\nrun\nversion\nprint v(2) $ trailing"),
+        dialect="extended")
+    assert ckt.control == ["print v(2)"]
+    assert not ckt.skipped
+
+
+def test_control_missing_endc_raises():
+    with pytest.raises(ValueError, match="missing .endc"):
+        parse_netlist("* t\nr1 1 0 1k\n.control\nrun\n.end\n",
+                      dialect="extended")
+
+
+def test_reference_dialect_sees_control_lines_as_raw_input():
+    # the reference parser has no .control: the directives land in
+    # `skipped` and the body lines parse as whatever they look like —
+    # `run` is a malformed resistor and THROWS, exactly like the
+    # reference (parseNetlist.ts:295-305 "Resistor missing node")
+    with pytest.raises(ValueError, match="Resistor missing node"):
+        parse_netlist("* t\nv1 1 0 dc 1\nr1 1 0 1k\n"
+                      ".control\nrun\n.endc\n.ac dec 2 1 100\n.end\n",
+                      dialect="spicey")
+    # without element-letter collisions the block is inert line-per-line
+    ckt = parse_netlist("* t\nv1 1 0 dc 1\nr1 1 0 1k\n"
+                        ".control\n.endc\n.ac dec 2 1 100\n.end\n",
+                        dialect="spicey")
+    assert ".control" in ckt.skipped and ".endc" in ckt.skipped
+    assert not ckt.control
+    assert ckt.ac is not None
+
+
+def test_control_relative_paths_resolve_against_base_dir(tmp_path):
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    cwd = os.getcwd()
+    simulate(_deck("op\nwrite op.raw"), dialect="extended",
+             base_dir=str(sub))
+    assert (sub / "op.raw").exists()
+    assert os.getcwd() == cwd
