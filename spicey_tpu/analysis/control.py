@@ -20,6 +20,12 @@ interpreter:
 - ``set key[=value]``   — script settings. Consumed: ``filetype=ascii``
   (``write`` emits ASCII ``Values:`` blocks instead of the binary
   default). Everything else is carried but inert.
+- ``let name = expr``   — named vector expressions over result vectors
+  (``let gain = v(out)/v(in)``): whitelisted-AST arithmetic with NumPy
+  broadcasting (same no-eval posture as ``.param``), engineering
+  suffixes, and ngspice's vector functions (mag/ph/db/real/imag,
+  mean/rms/vecmin/vecmax reductions). Lets shadow plot vectors in
+  ``print``/``wrdata`` and compose with each other.
 - ``print vec ...``     — tabulate vectors from the "current plot": the
   deck's last-run analysis (tran, else ac, else dc, else op —
   ngspice's plot stack ends on the last analysis executed). ``print
@@ -38,6 +44,7 @@ when the CLI drives this) so decks behave the same from any cwd.
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 
@@ -46,6 +53,99 @@ import numpy as np
 from .meas import _apply_acc
 
 _VEC_RE = re.compile(r"^(v|vm|vdb|vp|vr|vi|i)\(([^)]+)\)$", re.IGNORECASE)
+
+# vector references inside `let` expressions — substituted with placeholder
+# names BEFORE ast.parse so node names that are not Python identifiers
+# (`v(2)`, `v(n+)`, `i(v1)`, `vout#branch`) can never break the parse
+_REF_RE = re.compile(r"(?:v|vm|vdb|vp|vr|vi|i)\([^()]*\)|[\w.]+#branch",
+                     re.IGNORECASE)
+
+# ngspice-style vector functions for `let` (element-wise unless noted;
+# mean/rms/vecmin/vecmax reduce to a length-1 vector like ngspice's)
+_LET_FUNCS = {
+    "abs": np.abs, "mag": np.abs,
+    "db": lambda x: 20.0 * np.log10(np.maximum(np.abs(x), 1e-300)),
+    "ph": lambda x: np.degrees(np.angle(x)),
+    "real": np.real, "imag": np.imag,
+    "sqrt": np.sqrt, "exp": np.exp, "ln": np.log, "log": np.log,
+    "log10": np.log10, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "mean": lambda x: np.atleast_1d(np.mean(x)),
+    "rms": lambda x: np.atleast_1d(np.sqrt(np.mean(np.abs(x) ** 2))),
+    "vecmin": lambda x: np.atleast_1d(np.min(x.real)),
+    "vecmax": lambda x: np.atleast_1d(np.max(x.real)),
+}
+_BINOPS = {
+    ast.Add: lambda a, b: a + b,
+    ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b,
+    ast.Div: lambda a, b: a / b,
+    ast.Pow: lambda a, b: a ** b,
+}
+_UNARYOPS = {ast.USub: lambda a: -a, ast.UAdd: lambda a: a}
+
+
+def _let_eval(result, lets: dict, expr: str):
+    """Evaluate a `let` right-hand side to (kind, vector).
+
+    Vector refs are regex-substituted with placeholders, engineering
+    suffixes normalized (same rule as parameter expressions,
+    parsing/params.py), then a whitelisted-AST walk runs the arithmetic
+    with NumPy broadcasting — no eval(), same posture as `.param`.
+    ``kind`` is the plot of the first vector referenced (axis alignment
+    for print/wrdata); a pure-scalar expression gets kind None."""
+    binds: dict[str, np.ndarray] = {}
+    kinds: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        got = _resolve(result, m.group(0), lets)
+        if got is None:
+            raise ValueError(f"no such vector {m.group(0)}")
+        key = f"__v{len(binds)}__"
+        _, kind, vals = got
+        binds[key] = vals
+        if kind is not None:
+            kinds.append(kind)
+        return key
+
+    from ..parsing.numbers import parse_number_with_units
+    from ..parsing.params import _ENG_NUM_RE
+
+    pyexpr = _REF_RE.sub(sub, expr)
+    pyexpr = _ENG_NUM_RE.sub(
+        lambda m: (m.group(0) if m.group(1) is None
+                   else repr(parse_number_with_units(m.group(1)))), pyexpr)
+    try:
+        tree = ast.parse(pyexpr, mode="eval").body
+    except SyntaxError as err:
+        raise ValueError(f"malformed let expression {expr!r}") from err
+
+    def ev(node: ast.AST):
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)):
+            return float(node.value)
+        if isinstance(node, ast.Name):
+            key = node.id.lower()
+            if key in binds:
+                return binds[key]
+            if key in lets:
+                kind, vals = lets[key]
+                if kind is not None:
+                    kinds.append(kind)
+                return vals
+            raise ValueError(f"no such vector {node.id} in {expr!r}")
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            return _BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
+            return _UNARYOPS[type(node.op)](ev(node.operand))
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and not node.keywords and len(node.args) == 1
+                and node.func.id.lower() in _LET_FUNCS):
+            return _LET_FUNCS[node.func.id.lower()](
+                np.asarray(ev(node.args[0])))
+        raise ValueError(f"unsupported construct in let expression {expr!r}")
+
+    vals = np.atleast_1d(np.asarray(ev(tree)))
+    return (kinds[0] if kinds else None), vals
 
 
 def _current_plots(result) -> list[tuple[str, object]]:
@@ -75,10 +175,14 @@ def _ci_get(d: dict, name: str):
     return None if key is None else d[key]
 
 
-def _resolve(result, spec: str):
-    """Vector spec -> (label, kind, values) or None. Searches the current
-    plot first, then the other plots (lenient — a deck that ran .ac and
-    .tran can print both without setplot)."""
+def _resolve(result, spec: str, lets: dict | None = None):
+    """Vector spec -> (label, kind, values) or None. `let` definitions
+    shadow everything (ngspice: lets live on the current plot); then the
+    current plot, then the other plots (lenient — a deck that ran .ac
+    and .tran can print both without setplot)."""
+    if lets and spec.lower() in lets:
+        kind, vals = lets[spec.lower()]
+        return spec, kind, vals
     m = _VEC_RE.match(spec)
     branch = None
     if m is None and spec.lower().endswith("#branch"):
@@ -113,18 +217,17 @@ def _fmt(x) -> str:
     return f"{float(x):.6e}"
 
 
-def _print_cmd(result, rest: str) -> list[str]:
+def _print_cmd(result, rest: str, lets: dict | None = None) -> list[str]:
     specs = rest.split()
     plots = _current_plots(result)
-    if not plots:
+    if not plots and not lets:
         return ["print: no analysis results"]
-    cur_kind, cur = plots[0]
-    if specs and specs[0].lower() == "all":
-        specs = [f"v({n})" for n in cur.node_voltages]
+    if specs and specs[0].lower() == "all" and plots:
+        specs = [f"v({n})" for n in plots[0][1].node_voltages]
     cols, labels, kinds = [], [], []
     out: list[str] = []
     for spec in specs:
-        got = _resolve(result, spec)
+        got = _resolve(result, spec, lets)
         if got is None:
             out.append(f"print: no such vector {spec}")
             continue
@@ -135,23 +238,26 @@ def _print_cmd(result, rest: str) -> list[str]:
     if not cols:
         return out
     # group columns by the plot they came from so axes line up
+    by_kind = dict(plots)
     for kind in dict.fromkeys(kinds):
         sel = [i for i, k in enumerate(kinds) if k == kind]
-        plot = dict(plots)[kind]
-        x_name, x = _axis(kind, plot)
-        if kind == "op" or len(cols[sel[0]]) == 1:
+        plot = by_kind.get(kind)
+        if kind in (None, "op") or plot is None or len(cols[sel[0]]) == 1:
             out.extend(f"{labels[i]} = {_fmt(cols[i][0])}" for i in sel)
             continue
+        x_name, x = _axis(kind, plot)
         hdr = ["Index", x_name] + [labels[i] for i in sel]
         out.append("  ".join(f"{h:<15}" for h in hdr).rstrip())
         for j in range(len(x)):
             row = [f"{j:<15d}", f"{x[j]:<15.6e}"]
-            row += [f"{_fmt(cols[i][j]):<15}" for i in sel]
+            row += [f"{_fmt(cols[i][j]) if j < len(cols[i]) else '':<15}"
+                    for i in sel]
             out.append("  ".join(row).rstrip())
     return out
 
 
-def _wrdata_cmd(result, rest: str, base_dir: str | None) -> str | None:
+def _wrdata_cmd(result, rest: str, base_dir: str | None,
+                lets: dict | None = None) -> str | None:
     toks = rest.split()
     if len(toks) < 2:
         return "wrdata: need a file and at least one vector"
@@ -159,13 +265,14 @@ def _wrdata_cmd(result, rest: str, base_dir: str | None) -> str | None:
     cols: list[np.ndarray] = []
     missing = []
     for spec in toks[1:]:
-        got = _resolve(result, spec)
+        got = _resolve(result, spec, lets)
         if got is None:
             missing.append(spec)
             continue
         _, kind, vals = got
-        plot = dict(_current_plots(result))[kind]
-        _, x = _axis(kind, plot)
+        plot = dict(_current_plots(result)).get(kind)
+        _, x = _axis(kind, plot) if plot is not None and kind != "op" \
+            else ("", np.zeros(0))
         if len(x) != len(vals):
             x = np.arange(len(vals), dtype=np.float64)
         cols.append(x)
@@ -198,6 +305,7 @@ def run_control(result, base_dir: str | None = None) -> str:
     the CLI)."""
     circuit = result.circuit
     settings: dict[str, str] = {}
+    lets: dict[str, tuple] = {}
     out: list[str] = []
     for line in circuit.control:
         head, _, rest = line.partition(" ")
@@ -209,8 +317,18 @@ def run_control(result, base_dir: str | None = None) -> str:
             for tok in rest.split():
                 k, _, v = tok.partition("=")
                 settings[k.lower()] = v.strip("\"'").lower()
+        elif head == "let":
+            name, eq, expr = rest.partition("=")
+            name = name.strip().lower()
+            if not eq or not name.isidentifier():
+                out.append(f"let: expected `let name = expr`, got {line!r}")
+                continue
+            try:
+                lets[name] = _let_eval(result, lets, expr.strip())
+            except ValueError as err:
+                out.append(f"let: {err}")
         elif head == "print":
-            out.extend(_print_cmd(result, rest))
+            out.extend(_print_cmd(result, rest, lets))
         elif head == "write":
             toks = rest.split()
             if not toks:
@@ -221,7 +339,7 @@ def run_control(result, base_dir: str | None = None) -> str:
             write_rawfile(result, _respath(toks[0], base_dir),
                           ascii_values=settings.get("filetype") == "ascii")
         elif head == "wrdata":
-            err = _wrdata_cmd(result, rest, base_dir)
+            err = _wrdata_cmd(result, rest, base_dir, lets)
             if err:
                 out.append(err)
     return "\n".join(out)

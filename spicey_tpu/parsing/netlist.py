@@ -1757,7 +1757,8 @@ def _extract_control_blocks(text: str) -> tuple[str, list[str]]:
 _CONTROL_ANALYSES = frozenset((
     "op", "dc", "ac", "tran", "tf", "noise", "four", "meas", "measure",
     "sens", "pz", "save"))
-_CONTROL_POST = frozenset(("print", "echo", "write", "wrdata", "set"))
+_CONTROL_POST = frozenset(("print", "echo", "write", "wrdata", "set",
+                           "let"))
 _CONTROL_NOOPS = frozenset((
     "run", "listing", "setplot", "display", "version", "rusage", "reset",
     "destroy", "unset"))

@@ -149,3 +149,47 @@ def test_control_relative_paths_resolve_against_base_dir(tmp_path):
              base_dir=str(sub))
     assert (sub / "op.raw").exists()
     assert os.getcwd() == cwd
+
+
+def test_control_let_vector_expressions():
+    r = simulate(_deck("ac dec 2 1 100\n"
+                       "let gain = v(2)/v(1)\n"
+                       "let gdb = db(gain)\n"
+                       "let flat = 2k*1m\n"
+                       "print gdb flat"), dialect="extended")
+    out = r.control_output
+    assert "flat = 2.000000e+00" in out
+    # gdb rides the AC frequency axis
+    assert "frequency" in out and "gdb" in out
+    # at 1 Hz the RC divider is ~0 dB
+    first_row = [ln for ln in out.splitlines() if ln.startswith("0 ")][0]
+    assert abs(float(first_row.split()[2])) < 0.1
+
+
+def test_control_let_reductions_and_compose():
+    r = simulate(_deck("tran 0.1m 1m\n"
+                       "let vr = rms(v(2))\n"
+                       "let vm2 = vecmax(v(2)) - vecmin(v(2))\n"
+                       "print vr vm2"), dialect="extended")
+    out = r.control_output
+    vr = float(out.split("vr = ")[1].split()[0])
+    vm2 = float(out.split("vm2 = ")[1].split()[0])
+    assert 0 < vr < 5 and 0 < vm2 <= 5
+
+
+def test_control_let_errors_are_reported_not_raised():
+    r = simulate(_deck("op\nlet bad = v(nosuch)+1\nlet 1x = 2\n"
+                       "let ok = 3*2\nprint ok"),
+                 dialect="extended")
+    out = r.control_output
+    assert "no such vector v(nosuch)" in out
+    assert "expected `let name = expr`" in out
+    assert "ok = 6.000000e+00" in out
+
+
+def test_control_let_in_wrdata(tmp_path):
+    simulate(_deck("tran 0.1m 1m\nlet p = v(2)*i(v1)\n"
+                   "wrdata p.dat p"), dialect="extended",
+             base_dir=str(tmp_path))
+    data = np.loadtxt(tmp_path / "p.dat")
+    assert data.shape == (11, 2)
