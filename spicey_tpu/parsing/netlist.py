@@ -1788,6 +1788,15 @@ def _absorb_control(ckt: ParsedCircuit, lines: list[str],
             break
         if head in _CONTROL_NOOPS:
             continue
+        if head == "alter":
+            # batch semantics: the deck runs once, so alters apply before
+            # every analysis (last alter of an element wins). ngspice's
+            # interactive alter/run interleaving maps onto .step /
+            # the batch APIs instead.
+            if not _alter_element(ckt, line.split(None, 1)[1].strip()
+                                  if " " in line else ""):
+                ckt.skipped.append(line)
+            continue
         if head in _CONTROL_ANALYSES:
             dotted = "." + line
             _parse_directive(ckt, smart_tokens(dotted), dotted,
@@ -1797,6 +1806,32 @@ def _absorb_control(ckt: ParsedCircuit, lines: list[str],
             ckt.control.append(line)
             continue
         ckt.skipped.append(line)
+
+
+# alter targets: element-family list + the value attribute ngspice's bare
+# `alter <name> <value>` changes (R/C/L value; V/I DC level)
+_ALTER_ATTRS = {"r": ("R", "R"), "c": ("C", "C"), "l": ("L", "L"),
+                "v": ("V", "dc"), "i": ("I", "dc")}
+
+
+def _alter_element(ckt: ParsedCircuit, rest: str) -> bool:
+    """``alter name [=] value`` — returns False (caller skips the line)
+    for @device[param] forms, altermod, unknown names, or bad numbers."""
+    toks = rest.replace("=", " ").split()
+    if len(toks) != 2 or not toks[0] or toks[0].startswith("@"):
+        return False
+    name, val_tok = toks
+    fam = _ALTER_ATTRS.get(name[0].lower())
+    if fam is None:
+        return False
+    value = parse_number_with_units(val_tok)
+    if value != value:  # NaN: not a number
+        return False
+    for el in getattr(ckt, fam[0]):
+        if el.name.upper() == name.upper():
+            setattr(el, fam[1], value)
+            return True
+    return False
 
 
 def parse_netlist(text: str, dialect: str = "spicey",

@@ -193,3 +193,26 @@ def test_control_let_in_wrdata(tmp_path):
              base_dir=str(tmp_path))
     data = np.loadtxt(tmp_path / "p.dat")
     assert data.shape == (11, 2)
+
+
+def test_control_alter_applies_before_the_run():
+    r = simulate(_deck("alter r1 2k\nalter v1 = 10\nop\nprint v(2)"),
+                 dialect="extended")
+    # divider becomes 10 V source into 2k/open cap: v(2) settles to 10 V
+    # at DC (cap open) — check via the altered source value
+    assert "v(2) = 1.000000e+01" in r.control_output
+
+
+def test_control_alter_divider_value():
+    deck = ("* alter divider\nv1 1 0 dc 6\nr1 1 2 1k\nr2 2 0 1k\n"
+            ".control\nalter r2 3k\nop\nprint v(2)\n.endc\n.end\n")
+    r = simulate(deck, dialect="extended")
+    assert "v(2) = 4.500000e+00" in r.control_output  # 6*3k/4k
+
+
+def test_control_alter_unknown_forms_land_in_skipped():
+    ckt = parse_netlist(
+        _deck("alter rX 2k\nalter @r1[resistance]=2k\nalter r1\nop"),
+        dialect="extended")
+    assert len(ckt.skipped) == 3
+    assert ckt.op
