@@ -325,7 +325,10 @@ def run_control(result, base_dir: str | None = None) -> str:
                 continue
             try:
                 lets[name] = _let_eval(result, lets, expr.strip())
-            except ValueError as err:
+            except (ValueError, ZeroDivisionError, OverflowError) as err:
+                # scalar constants evaluate as Python floats, so 1/0 and
+                # huge ** raise; report into the output like ngspice's
+                # shell, never crash the simulation
                 out.append(f"let: {err}")
         elif head == "print":
             out.extend(_print_cmd(result, rest, lets))

@@ -216,3 +216,51 @@ def test_control_alter_unknown_forms_land_in_skipped():
         dialect="extended")
     assert len(ckt.skipped) == 3
     assert ckt.op
+
+
+def test_control_let_scalar_arithmetic_errors_reported():
+    r = simulate(_deck("op\nlet a = 1/0\nlet b = 9e99**9e99\nprint v(2)"),
+                 dialect="extended")
+    assert "v(2) = 5.000000e+00" in r.control_output
+
+
+def test_control_fuzz_parse_never_crashes_unexpectedly():
+    import random
+
+    rng = random.Random(7)
+    words = ["run", "print", "v(2)", "let", "=", "alter", "r1", "2k",
+             "echo", "$x", "set", "write", "f.raw", "quit", "foo",
+             "1e99", "(", ")", "db(v(2))", "all", "i(v1)", "*", ";",
+             "vm(2)", "wrdata", "meas", "tran", "op", "ac", "dec"]
+    for _ in range(200):
+        block = "\n".join(
+            " ".join(rng.choices(words, k=rng.randint(1, 5)))
+            for _ in range(rng.randint(1, 6)))
+        deck = (f"* fuzz\nv1 1 0 dc 1\nr1 1 2 1k\nr2 2 0 1k\n"
+                f".control\n{block}\n.endc\n.op\n.end\n")
+        try:
+            parse_netlist(deck, dialect="extended")
+        except ValueError:
+            pass  # malformed analysis commands may legitimately raise
+
+
+def test_control_fuzz_execution_never_crashes(tmp_path):
+    import random
+
+    rng = random.Random(11)
+    words = ["print", "v(2)", "let", "x", "=", "echo", "hi", "set",
+             "filetype=ascii", "write", "o.raw", "wrdata", "o.dat",
+             "all", "i(v1)", "db(v(2))", "x+1", "rms(v(2))", "1/0"]
+    for _ in range(25):
+        block = "\n".join(
+            " ".join(rng.choices(words, k=rng.randint(1, 4)))
+            for _ in range(rng.randint(1, 5)))
+        deck = (f"* fuzz exec\nv1 1 0 dc 1\nr1 1 2 1k\nr2 2 0 1k\n"
+                f".control\nop\n{block}\n.endc\n.end\n")
+        try:
+            r = simulate(deck, dialect="extended",
+                         base_dir=str(tmp_path))
+            if r.circuit.control:  # post-processing tail ran
+                assert r.control_output is not None
+        except ValueError:
+            pass
