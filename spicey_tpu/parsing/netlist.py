@@ -877,9 +877,10 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         out_pos, out_neg = _parse_v_output_spec(out_tok, ".noise", line)
         ckt.noise = NoiseAnalysis(out_pos=out_pos, out_neg=out_neg, src=src,
                                   mode=mode, N=N, f1=f1, f2=f2)
-    elif dir_name == ".save" and dialect == "extended":
+    elif dir_name in (".save", ".probe") and dialect == "extended":
         # ngspice vector selection: v() filters node output in BOTH tran
-        # and AC, i() filters recorded element currents
+        # and AC, i() filters recorded element currents. .probe is the
+        # PSpice/LTspice spelling of the same thing.
         for token in tokens[1:]:
             m = _PROBE_RE.match(token)
             if m and m.group(1):
@@ -960,7 +961,12 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
             if not 0.0 <= tstart < tstop:
                 raise ValueError(".tran tstart must be in [0, tstop)")
         ckt.tran = TranAnalysis(dt=dt, tstop=tstop, tstart=tstart)
-    elif dir_name == ".print":
+    elif dir_name == ".print" or (dir_name == ".plot"
+                                  and dialect == "extended"):
+        # extended: `.plot tran|ac v(...)` selects the same probes as
+        # .print (we record vectors, not ASCII graphs — rawfile/SVG
+        # exporters draw them); the reference dialect has no .plot and
+        # keeps dropping it into `skipped` below
         analysis_type = _require(tokens, 1, ".print missing analysis type").lower()
         if analysis_type == "tran":
             for token in tokens[2:]:

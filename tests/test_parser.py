@@ -289,3 +289,22 @@ c1 out 0 1n
     assert list(r.tran.element_currents) == ["c1"]
     ckt0 = simulate(net).circuit
     assert any(".save" in s for s in ckt0.skipped)
+
+
+def test_plot_and_probe_directives_extended():
+    from spicey_tpu import parse_netlist
+
+    deck = ("* plot/probe\nv1 1 0 dc 0 ac 1 pulse(0 1 0 1u 1u 1m 2m)\n"
+            "r1 1 2 1k\nc1 2 0 1u\n"
+            ".plot tran v(2)\n.probe v(1) i(v1)\n"
+            ".tran 0.1m 1m\n.end\n")
+    ckt = parse_netlist(deck, dialect="extended")
+    assert [p.upper() for p in ckt.tran_probes] == ["2", "1"]
+    assert [p.upper() for p in ckt.tran_iprobes] == ["V1"]
+    assert [p.upper() for p in ckt.ac_probes] == ["1"]
+    assert not ckt.skipped
+    # reference dialect: both are unknown directives, dropped per line
+    ckt_ref = parse_netlist(deck, dialect="spicey")
+    assert ".plot tran v(2)" in ckt_ref.skipped
+    assert ".probe v(1) i(v1)" in ckt_ref.skipped
+    assert not ckt_ref.tran_probes
