@@ -722,7 +722,7 @@ def main() -> None:
             extra = {"contended": True, "reps_s": rec["reps_s"]}
         return extra
 
-    print(json.dumps({
+    full = {
         "metric": "mc_ac_yield_variants_per_sec",
         "value": round(big_vps, 1),
         "unit": "variants/s (1M-variant 201-pt AC yield analysis, on-device "
@@ -776,7 +776,48 @@ def main() -> None:
             "op_dc_tf_cold_s": round(opdctf_cold_s, 3),
             "op_dc_tf_warm_ms": round(opdctf_warm_s * 1e3, 2),
         },
-    }))
+    }
+
+    # The driver keeps only a ~2,000-char TAIL of stdout, so rounds 3-4's
+    # single giant JSON blob left the driver record with `parsed: null` and
+    # no headline number (VERDICT r4 weak #1 / do #3). Fix: persist the
+    # full record to a file and print a compact (<1.5 kB) summary as the
+    # FINAL stdout line so the tail is a valid, headline-carrying document.
+    out_path = os.environ.get("SPICEY_TPU_BENCH_OUT", "BENCH_LOCAL_r05.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as err:  # never let persistence kill the bench record
+        print(f"WARNING: could not write {out_path}: {err}", file=sys.stderr)
+    lat = full["single_circuit_latency"]
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "variants/s (1M-variant 201-pt AC yield, fused Pallas f32)",
+        "vs_baseline": full["vs_baseline"],
+        "b1m_approx_q": full["b1m_approx_quantiles_variants_per_sec"],
+        "f64_tier": full["f64_tier_variants_per_sec"],
+        "f64_tier_vs_baseline": full["f64_tier_vs_baseline"],
+        "tran": full["tran_variants_per_sec"],
+        "nonlinear_tran": full["nonlinear_tran_variants_per_sec"],
+        "switch_diode_tran": full["switch_diode_tran_variants_per_sec"],
+        "tp_speedup": full["time_parallel_speedup_vs_sequential_scan"],
+        "n64_f32": full["n64_ladder_f32_variants_per_sec"],
+        "n64_f64_refined": full["n64_ladder_f64_refined_variants_per_sec"],
+        "schur_n256_vs_gj": full.get("schur_n256_speedup_vs_gj_f64"),
+        "schur_n512_vs_gj": full.get("schur_n512_speedup_vs_gj_f64"),
+        "ac_warm_ms": lat["ac_warm_ms"],
+        "tran_warm_ms": lat["tran_warm_ms"],
+        "op_dc_tf_warm_ms": lat["op_dc_tf_warm_ms"],
+        "nonlin_interp_cold_s": full.get("nonlin_interp_cold_s"),
+        "nonlin_interp_warm_ms": full.get("nonlin_interp_warm_ms"),
+        "ac_cold_s": lat["ac_cold_s"],
+        "full_record": out_path,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -242,16 +242,32 @@ def _print_cmd(result, rest: str, lets: dict | None = None) -> list[str]:
     for kind in dict.fromkeys(kinds):
         sel = [i for i, k in enumerate(kinds) if k == kind]
         plot = by_kind.get(kind)
-        if kind in (None, "op") or plot is None or len(cols[sel[0]]) == 1:
-            out.extend(f"{labels[i]} = {_fmt(cols[i][0])}" for i in sel)
+        # Scalars (single-element vectors, e.g. mean/rms lets) print as
+        # `name = value` lines; full-length vectors get tabulated. Deciding
+        # table-vs-scalar mode from the FIRST column of the group silently
+        # dropped sibling vectors when a scalar led (`print s v(2)`).
+        scalars = [i for i in sel if len(cols[i]) == 1]
+        vectors = [i for i in sel if len(cols[i]) > 1]
+        out.extend(f"{labels[i]} = {_fmt(cols[i][0])}" for i in scalars)
+        if not vectors:
+            continue
+        if kind in (None, "op") or plot is None:
+            # no analysis axis to line up against (bare lets): index scale
+            hdr = ["Index"] + [labels[i] for i in vectors]
+            out.append("  ".join(f"{h:<15}" for h in hdr).rstrip())
+            for j in range(max(len(cols[i]) for i in vectors)):
+                row = [f"{j:<15d}"]
+                row += [f"{_fmt(cols[i][j]) if j < len(cols[i]) else '':<15}"
+                        for i in vectors]
+                out.append("  ".join(row).rstrip())
             continue
         x_name, x = _axis(kind, plot)
-        hdr = ["Index", x_name] + [labels[i] for i in sel]
+        hdr = ["Index", x_name] + [labels[i] for i in vectors]
         out.append("  ".join(f"{h:<15}" for h in hdr).rstrip())
         for j in range(len(x)):
             row = [f"{j:<15d}", f"{x[j]:<15.6e}"]
             row += [f"{_fmt(cols[i][j]) if j < len(cols[i]) else '':<15}"
-                    for i in sel]
+                    for i in vectors]
             out.append("  ".join(row).rstrip())
     return out
 
@@ -283,12 +299,28 @@ def _wrdata_cmd(result, rest: str, base_dir: str | None,
             cols.append(np.asarray(vals, np.float64))
     if not cols:
         return f"wrdata: no such vector {' '.join(missing)}"
-    n = min(len(c) for c in cols)
-    with open(path, "w") as fh:
-        for j in range(n):
-            fh.write(" ".join(f"{c[j]: .12e}" for c in cols) + "\n")
-    return (f"wrdata: no such vector {' '.join(missing)}"
-            if missing else None)
+    notes = []
+    n = max(len(c) for c in cols)
+    if any(len(c) != n for c in cols):
+        # vectors from different plots (e.g. tran vs ac) have different
+        # lengths; ngspice pads rather than truncating — pad with the last
+        # value and say so instead of silently dropping trailing rows
+        notes.append("wrdata: vectors have differing lengths; shorter "
+                     "columns padded with their last value")
+        cols = [np.concatenate([c, np.full(n - len(c),
+                                           c[-1] if len(c) else 0.0)])
+                if len(c) < n else c for c in cols]
+    try:
+        with open(path, "w") as fh:
+            for j in range(n):
+                fh.write(" ".join(f"{c[j]: .12e}" for c in cols) + "\n")
+    except OSError as err:
+        # a bad output path must not discard the finished analyses
+        # (ngspice reports and continues)
+        notes.append(f"wrdata: {err}")
+    if missing:
+        notes.append(f"wrdata: no such vector {' '.join(missing)}")
+    return "\n".join(notes) if notes else None
 
 
 def _respath(path: str, base_dir: str | None) -> str:
@@ -339,8 +371,14 @@ def run_control(result, base_dir: str | None = None) -> str:
                 continue
             from ..formatting.rawfile import write_rawfile
 
-            write_rawfile(result, _respath(toks[0], base_dir),
-                          ascii_values=settings.get("filetype") == "ascii")
+            try:
+                write_rawfile(
+                    result, _respath(toks[0], base_dir),
+                    ascii_values=settings.get("filetype") == "ascii")
+            except OSError as err:
+                # an unwritable path must not crash simulate() after every
+                # analysis already ran; report like ngspice and continue
+                out.append(f"write: {err}")
         elif head == "wrdata":
             err = _wrdata_cmd(result, rest, base_dir, lets)
             if err:

@@ -118,7 +118,12 @@ def _mutual_inv(l_vals, lk):
     M = l_vals[..., :, None] * eye
     a = lk["k_pairs"][:, 0]
     b = lk["k_pairs"][:, 1]
-    m = lk["k_vals"] * jnp.sqrt(l_vals[..., a] * l_vals[..., b])
+    # k_vals are stored f64 in the IR; on the f32 tier the scatter target M
+    # is f32 — cast explicitly (implicit f64->f32 scatter demotion is a
+    # FutureWarning today and an error in future JAX; the test gate runs
+    # with -W error::FutureWarning to keep it that way).
+    m = (lk["k_vals"] * jnp.sqrt(l_vals[..., a] * l_vals[..., b])).astype(
+        dtype)
     M = M.at[..., a, b].add(m)
     M = M.at[..., b, a].add(m)
 

@@ -967,7 +967,8 @@ def _parse_directive(ckt: ParsedCircuit, tokens: list[str], line: str,
         # .print (we record vectors, not ASCII graphs — rawfile/SVG
         # exporters draw them); the reference dialect has no .plot and
         # keeps dropping it into `skipped` below
-        analysis_type = _require(tokens, 1, ".print missing analysis type").lower()
+        analysis_type = _require(
+            tokens, 1, f"{dir_name} missing analysis type").lower()
         if analysis_type == "tran":
             for token in tokens[2:]:
                 m = _PROBE_RE.match(token)
@@ -1786,7 +1787,10 @@ def _absorb_control(ckt: ParsedCircuit, lines: list[str],
     for line in lines:
         if not line or line.startswith("*"):
             continue
-        line = re.sub(r"[;$].*$", "", line).strip()
+        # ngspice end-of-line comments need whitespace before the marker
+        # ($-variable substitution is unsupported; a mid-word `$`/`;` as in
+        # `echo price is $5` stays literal)
+        line = re.sub(r"(?:^|\s)[;$].*$", "", line).strip()
         if not line:
             continue
         head = line.split(None, 1)[0].lower()

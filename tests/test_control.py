@@ -264,3 +264,60 @@ def test_control_fuzz_execution_never_crashes(tmp_path):
                 assert r.control_output is not None
         except ValueError:
             pass
+
+
+def test_control_write_bad_path_reports_and_continues(tmp_path):
+    """An unwritable output path must not discard finished analyses
+    (ngspice reports the error and continues; ADVICE r4)."""
+    r = simulate(_deck("op\nwrite /nonexistent_dir_xyz/out.raw\n"
+                       "echo still here"),
+                 dialect="extended", base_dir=str(tmp_path))
+    assert r.op is not None  # analyses survived
+    assert "write:" in r.control_output
+    assert "still here" in r.control_output
+
+
+def test_control_wrdata_bad_path_reports_and_continues(tmp_path):
+    r = simulate(_deck("op\nwrdata /nonexistent_dir_xyz/o.dat v(2)\n"
+                       "echo after"),
+                 dialect="extended", base_dir=str(tmp_path))
+    assert r.op is not None
+    assert "wrdata:" in r.control_output
+    assert "after" in r.control_output
+
+
+def test_control_print_scalar_let_before_vector_keeps_table():
+    """`print s v(2)` with s a scalar reduction must print the scalar AND
+    the full vector table — round 4 decided scalar-vs-table mode from the
+    first column and silently dropped the vector (ADVICE r4)."""
+    r = simulate(_deck("ac dec 2 1 100\nlet s = mean(vm(2))\n"
+                       "print s vm(2)"), dialect="extended")
+    out = r.control_output
+    assert "s = " in out
+    # all 5 AC rows tabulated, not just the first element
+    assert "Index" in out
+    table_rows = [ln for ln in out.splitlines()
+                  if ln and ln[0].isdigit()]
+    assert len(table_rows) == 5
+
+
+def test_control_wrdata_mixed_lengths_pads_and_warns(tmp_path):
+    """Mixing vectors of different plots (11-pt tran, 5-pt AC) pads the
+    shorter columns instead of silently truncating (ADVICE r4)."""
+    r = simulate(_deck("ac dec 2 1 100\ntran 0.1m 1m\n"
+                       "wrdata mix.dat v(2) vm(2)"),
+                 dialect="extended", base_dir=str(tmp_path))
+    data = np.loadtxt(tmp_path / "mix.dat")
+    assert data.shape[0] == 11  # longest vector wins
+    assert "differing lengths" in r.control_output
+    # the padded column repeats its last value
+    assert data[-1, -1] == data[4, -1]
+
+
+def test_control_comment_marker_needs_whitespace():
+    """Mid-word `;`/`$` stays literal; whitespace-prefixed `$` starts an
+    end-of-line comment (ngspice rules; ADVICE r4)."""
+    r = simulate(_deck("op\necho ab;cd $ tail comment"),
+                 dialect="extended")
+    assert "ab;cd" in r.control_output
+    assert "tail" not in r.control_output

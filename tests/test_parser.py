@@ -308,3 +308,15 @@ def test_plot_and_probe_directives_extended():
     assert ".plot tran v(2)" in ckt_ref.skipped
     assert ".probe v(1) i(v1)" in ckt_ref.skipped
     assert not ckt_ref.tran_probes
+
+
+def test_plot_missing_type_error_names_plot():
+    """The extended .plot directive's error must not mislabel itself as
+    .print (ADVICE r4)."""
+    import pytest
+
+    from spicey_tpu import parse_netlist
+
+    with pytest.raises(ValueError, match=r"\.plot missing analysis type"):
+        parse_netlist("* t\nv1 1 0 dc 1\nr1 1 0 1k\n.plot\n.end\n",
+                      dialect="extended")
