@@ -492,14 +492,35 @@ def main() -> None:
     # the three noisy metrics, interleaved round-robin (see
     # timed_interleaved): f64 AC tier, f32 b10k AC tier, tran MC
     trio = timed_interleaved({
+        # the f64 FIDELITY tier at its fastest shape: fused assemble+solve
+        # f32 kernel + pattern-residual mixed-precision refinement,
+        # residual-guarded at 1e-12 (mc_ac_fused_f64; VERDICT r4 do #2)
         "f64": lambda: mc_ac_stats(ckt, overrides, node="2",
-                                   tensors=tensors),
+                                   tensors=tensors, method="pallas"),
         "b10k": lambda: mc_ac_stats(ckt, overrides, **fast),
         "tran": lambda: mc_tran_stats(tckt, t_over, **tfast),
     }, reps=7)
     f64_t, f32_t, tran_t = trio["f64"], trio["b10k"], trio["tran"]
     f64_elapsed = f64_t["median"]
     batched_vps = B / f32_t["median"]
+
+    # f64 fidelity tier at THROUGHPUT scale: B=100k unchunked through the
+    # in-kernel df32-refined fused kernel (one Pallas call runs the whole
+    # mixed-precision refinement loop; ops/pallas_mc_ac._fused_dd_kernel).
+    # The b10k trio number above sits on the ~70 ms/call dispatch floor
+    # (even the f32 tier only reaches ~190k variants/s there), so the
+    # tier's real rate is measured at 100k where compute dominates.
+    B100 = 100_000
+    over100 = {"r1": 30.0 * (1 + 0.2 * rng.random(B100)),
+               "c1": 100e-6 * (1 + 0.2 * rng.random(B100))}
+    f64_kw = dict(node="2", tensors=tensors, method="pallas")
+    s100 = mc_ac_stats(ckt, over100, **f64_kw)
+    assert s100.n_valid == B100
+    s100_ref = mc_ac_stats(ckt, over100, node="2", tensors=tensors,
+                           chunk=25_000)
+    np.testing.assert_allclose(s100.mean, s100_ref.mean, rtol=1e-9)
+    f64_100k_t = timed(lambda: mc_ac_stats(ckt, over100, **f64_kw))
+    f64_100k_vps = B100 / f64_100k_t["median"]
     tran_vps = B / tran_t["median"]
 
     # --- NONLINEAR transient MC headline: 3-stage MOSFET ring oscillator
@@ -733,10 +754,18 @@ def main() -> None:
         "b10k_variants_per_sec": round(batched_vps, 1),
         "b10k_spread_pct": f32_t["spread_pct"],
         **{f"b10k_{k}": v for k, v in noisy(f32_t).items()},
-        "f64_tier_variants_per_sec": round(B / f64_elapsed, 1),
-        "f64_tier_vs_baseline": round(B / f64_elapsed / baseline_vps, 1),
-        "f64_tier_spread_pct": f64_t["spread_pct"],
-        **{f"f64_tier_{k}": v for k, v in noisy(f64_t).items()},
+        "f64_tier_variants_per_sec": round(f64_100k_vps, 1),
+        "f64_tier_unit": "variants/s (100k-variant 201-pt AC, exact "
+                         "quantiles, in-kernel df32-refined fused tier; "
+                         "rounds 3-4 measured this tier at B=10k where "
+                         "the ~70 ms dispatch floor caps ANY tier at "
+                         "~190k/s — that number continues below)",
+        "f64_tier_vs_baseline": round(f64_100k_vps / baseline_vps, 1),
+        "f64_tier_spread_pct": f64_100k_t["spread_pct"],
+        **{f"f64_tier_{k}": v for k, v in noisy(f64_100k_t).items()},
+        "f64_tier_b10k_variants_per_sec": round(B / f64_elapsed, 1),
+        "f64_tier_b10k_spread_pct": f64_t["spread_pct"],
+        **{f"f64_tier_b10k_{k}": v for k, v in noisy(f64_t).items()},
         "tran_variants_per_sec": round(tran_vps, 1),
         "tran_vs_baseline": round(tran_vps / tran_baseline_vps, 1),
         "tran_spread_pct": tran_t["spread_pct"],

@@ -199,13 +199,22 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
             # fully fused tier: assembly happens INSIDE the solve kernel
             # from the (nE, b) value slab — the augmented planes never
             # exist in HBM (ops/pallas_mc_ac.py; measured 74% of the 1M
-            # headline's chunk time was the HBM-materialized assembly)
-            from ..ops.pallas_mc_ac import combine_values, mc_ac_fused_f32
+            # headline's chunk time was the HBM-materialized assembly).
+            # f64 inputs take the refinement wrapper: the same fused f32
+            # kernel as the inner solve, f64 residuals computed from the
+            # pattern, residual-guarded (VERDICT r4 do #2)
+            from ..ops.pallas_mc_ac import (combine_values, mc_ac_fused_f32,
+                                            mc_ac_fused_f64)
 
+            f64_tier = rv.dtype == jnp.float64
             vals = combine_values(rv, cv, lv, vre, vim, ext=ext_b,
-                                  i_re=i_re, i_im=i_im)
+                                  i_re=i_re, i_im=i_im, dtype=rv.dtype)
 
             def fused_run(fr, va):
+                if f64_tier:
+                    return mc_ac_fused_f64(fr, va, nvar, node_idx,
+                                           fused_pattern, eps=_EPS,
+                                           interpret=interpret)
                 return mc_ac_fused_f32(fr, va, nvar, node_idx,
                                        fused_pattern, eps=_EPS,
                                        interpret=interpret)
@@ -572,12 +581,13 @@ def _mc_tran_fused_core(vs_grid, r_vals, c_vals, l_vals, ext, dt,
 def _fused_pattern(ckt, tensors, method: str, precision: str, ext,
                    sharded: bool):
     """Static stamp pattern for the fused assemble+solve tier, or None
-    when ineligible (non-pallas/f64 tiers, K coupling, T lines, sharded
+    when ineligible (non-pallas tiers, K coupling, T lines, sharded
     runs — pallas_call is not auto-partitionable — or N past the unroll
-    budget)."""
+    budget). Both precisions qualify: f32 runs the raw fused kernel,
+    f64 the refinement wrapper around it (mc_ac_fused_f64)."""
     from ..ops.pallas_mc_ac import _FUSED_MAX_N, build_stamp_pattern
 
-    if (method != "pallas" or precision != "f32" or sharded
+    if (method != "pallas" or sharded
             or tensors.n_k or tensors.n_t
             or not 0 < tensors.nvar <= _FUSED_MAX_N):
         return None

@@ -549,3 +549,118 @@ def test_tran_fused_sampled_padding(tran_fused_counter):
     assert fus.n_valid == ref.n_valid == 37
     np.testing.assert_allclose(fus.mean, ref.mean, rtol=1e-3,
                                atol=1e-3 * float(np.max(np.abs(ref.mean))))
+
+
+def test_fused_f64_matches_gj_reference_deck():
+    """The refined fused f64 tier (fused f32 kernel + pattern-residual
+    refinement, ops/pallas_mc_ac.mc_ac_fused_f64) must agree with the
+    plane-GJ f64 engine at fidelity tolerance, not yield tolerance."""
+    rng = np.random.default_rng(3)
+    ckt = parse_netlist(RC_NET)
+    ov = _overrides(48, rng)
+    ref = mc_ac_stats(ckt, ov, node="2", method="gj", precision="f64")
+    fus = mc_ac_stats(ckt, ov, node="2", method="pallas",
+                      precision="f64", interpret=True)
+    _stats_close(fus, ref, rtol=1e-9)
+
+
+def test_fused_f64_matches_gj_extended_deck():
+    rng = np.random.default_rng(4)
+    ckt = parse_netlist(EXT_NET, dialect="extended")
+    ov = {"r1": 1e3 * (1 + 0.1 * rng.random(32)),
+          "c1": 1e-6 * (1 + 0.1 * rng.random(32))}
+    ref = mc_ac_stats(ckt, ov, node="d", method="gj", precision="f64")
+    fus = mc_ac_stats(ckt, ov, node="d", method="pallas",
+                      precision="f64", interpret=True)
+    _stats_close(fus, ref, rtol=1e-9)
+
+
+def test_fused_f64_guard_catches_extreme_condition():
+    """A conductance spread past f32 refinement's reach (cond >~ 1e7)
+    must trigger the residual guard: with fallback=False the diverged
+    systems are flagged invalid (proving the guard fires); with the
+    default fallback the dense-f64 re-solve restores gj-grade results.
+    Nothing silently wrong is marked valid."""
+    import jax.numpy as jnp
+
+    from spicey_tpu.ir.circuit import build_tensors
+    from spicey_tpu.ops.pallas_mc_ac import (build_stamp_pattern,
+                                             combine_values,
+                                             mc_ac_fused_f64)
+    from spicey_tpu.analysis.ac import build_frequency_array
+
+    # the near-short bridge makes rows 2 and 3 of the MNA nearly linearly
+    # dependent (g=1e8 dominates both, the 1e-3 terms carry the answer):
+    # cond ~ 1e11 — far past f32 refinement's ~1e7 reach
+    net = ("near-short bridge\nv1 1 0 dc 0 ac 1\nr1 1 2 1k\n"
+           "rbig 2 3 1e-8\nr2 3 0 1k\nc1 3 0 1u\n.ac dec 2 1 100\n.end\n")
+    rng = np.random.default_rng(5)
+    ckt = parse_netlist(net)
+    tens = build_tensors(ckt)
+    B = 16
+    r_vals = np.broadcast_to(tens.r_vals, (B, 3)).copy()
+    r_vals[:, 0] = 1e3 * (1 + 0.1 * rng.random(B))
+    vals = combine_values(
+        jnp.asarray(r_vals), jnp.broadcast_to(tens.c_vals, (B, 1)),
+        jnp.zeros((B, 0)), jnp.ones((B, 1)), jnp.zeros((B, 1)),
+        dtype=jnp.float64)
+    pattern = build_stamp_pattern(tens.nvar, tens.r_idx, tens.c_idx,
+                                  tens.l_idx, tens.v_idx)
+    freqs = jnp.asarray(
+        build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2))
+    node_idx = [n.upper() for n in tens.node_names].index("3")
+    _, valid_ng = mc_ac_fused_f64(freqs, vals, tens.nvar, node_idx,
+                                  pattern, fallback=False, interpret=True)
+    assert not bool(np.asarray(valid_ng).any()), \
+        "guard never fired on a cond~1e11 system"
+    mag, valid = mc_ac_fused_f64(freqs, vals, tens.nvar, node_idx,
+                                 pattern, fallback=True, interpret=True)
+    assert bool(np.asarray(valid).all())
+    # at cond ~ 1e11 ANY exact f64 algorithm carries cond*eps64 ~ 1e-5
+    # forward error, so the fallback is compared at a condition-limited
+    # tolerance (the well-conditioned decks above pin 1e-9)
+    ov = {"r1": r_vals[:, 0]}
+    ref = mc_ac_stats(ckt, ov, node="3", method="gj", precision="f64")
+    m = np.asarray(mag)
+    np.testing.assert_allclose(m.mean(axis=0), ref.mean, rtol=1e-3)
+    np.testing.assert_allclose(m.min(axis=0), ref.min, rtol=1e-3)
+    np.testing.assert_allclose(m.max(axis=0), ref.max, rtol=1e-3)
+
+
+def test_fused_f64_dd_matches_hbm_reference_impl():
+    """The in-kernel df32 refinement (mc_ac_fused_f64) and the
+    HBM-round-trip reference implementation (mc_ac_fused_f64_hbm) are
+    two independent realizations of the same refinement scheme; they
+    must agree at df32-floor tolerance. This pins the double-float
+    arithmetic against the plain-f64 XLA residual path."""
+    import jax.numpy as jnp
+
+    from spicey_tpu.analysis.ac import build_frequency_array
+    from spicey_tpu.ir.circuit import build_tensors
+    from spicey_tpu.ops.pallas_mc_ac import (build_stamp_pattern,
+                                             combine_values,
+                                             mc_ac_fused_f64,
+                                             mc_ac_fused_f64_hbm)
+
+    rng = np.random.default_rng(9)
+    ckt = parse_netlist(RC_NET)
+    tens = build_tensors(ckt)
+    B = 32
+    r = 30.0 * (1 + 0.2 * rng.random(B))
+    c = 100e-6 * (1 + 0.2 * rng.random(B))
+    vals = combine_values(
+        jnp.asarray(r[:, None]), jnp.asarray(c[:, None]),
+        jnp.zeros((B, 0)), jnp.ones((B, 1)), jnp.zeros((B, 1)),
+        dtype=jnp.float64)
+    pattern = build_stamp_pattern(tens.nvar, tens.r_idx, tens.c_idx,
+                                  tens.l_idx, tens.v_idx)
+    freqs = jnp.asarray(
+        build_frequency_array(ckt.ac.mode, ckt.ac.N, ckt.ac.f1, ckt.ac.f2))
+    node_idx = [n.upper() for n in tens.node_names].index("2")
+    mag_dd, v_dd = mc_ac_fused_f64(freqs, vals, tens.nvar, node_idx,
+                                   pattern, interpret=True)
+    mag_h, v_h = mc_ac_fused_f64_hbm(freqs, vals, tens.nvar, node_idx,
+                                     pattern, interpret=True)
+    np.testing.assert_allclose(np.asarray(mag_dd), np.asarray(mag_h),
+                               rtol=1e-12)
+    assert np.asarray(v_dd).all() and np.asarray(v_h).all()
