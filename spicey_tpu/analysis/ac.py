@@ -256,8 +256,12 @@ def _assemble_grid_batchlast(freqs, r_idx, r_vals, c_idx, c_vals,
 def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                    v_idx, v_re, v_im, nvar: int, method: str = "gj",
                    interpret: bool = False, ext=None, i_re=None, i_im=None,
-                   lk=None, tl=None):
-    """vmapped assemble + one batched solve over the whole grid."""
+                   lk=None, tl=None, plan=None):
+    """vmapped assemble + one batched solve over the whole grid.
+
+    ``plan``: SchurPlan.arrays() dict — routes the solve through the
+    structured bordered-block-diagonal tier (ops/schur.py) instead of the
+    dense solver; assembly is unchanged."""
     if lk is not None:
         from .tran import _mutual_inv
 
@@ -268,8 +272,16 @@ def _ac_sweep_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv, tl=tl,
     )
-    x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
-                                     method=method, interpret=interpret)
+    if plan is not None:
+        from ..ops.schur import schur_solve_planes
+
+        x_re, x_im, valid = jax.vmap(
+            lambda ar, ai, br_, bi_: schur_solve_planes(
+                ar, ai, br_, bi_, plan["blk_ix"], plan["blk_mask"],
+                plan["if_ix"]))(A_re, A_im, b_re, b_im)
+    else:
+        x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
+                                         method=method, interpret=interpret)
     if minv_ok is not None:
         valid = jnp.logical_and(valid, minv_ok)
     return x_re, x_im, valid
@@ -662,20 +674,46 @@ def simulate_ac(
             ext["g_gm"] = jnp.concatenate(
                 [ext["g_gm"], jnp.asarray(ss_g)], axis=0)
 
+        # structured BBD tier: forced by method="schur", auto-dispatched
+        # for large subckt-structured systems beyond the dense fast tiers'
+        # N=128 ceiling (ops/schur.py); falls back to dense on invalid
+        plan = None
+        if method == "schur" or (method == "gj" and tensors.nvar > 128):
+            from ..ops.schur import plan_partition
+
+            _plan_obj = plan_partition(ckt, tensors)
+            if _plan_obj is not None:
+                plan = _plan_obj.arrays()
+            elif method == "schur":
+                raise ValueError(
+                    "method='schur' requires block structure "
+                    "(subcircuit instances) the circuit does not have")
+        _method = "gj" if method == "schur" else method
+
         _core = _ac_sweep_packed_tiny if is_tiny(_work) else _ac_sweep_packed
-        with exec_device(_work):
-            packed = np.asarray(_core(
-                jnp.asarray(freqs),
-                jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-                jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-                jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-                jnp.asarray(v_idx_ac), jnp.asarray(v_re), jnp.asarray(v_im),
-                nvar=tensors.nvar, method=method, interpret=interpret,
-                ext=ext,
-                i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
-                lk=lk_arrays(tensors),
-                tl=tl_arrays(tensors),
-            ))
+
+        def _run(plan_arrays):
+            with exec_device(_work):
+                return np.asarray(_core(
+                    jnp.asarray(freqs),
+                    jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+                    jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+                    jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+                    jnp.asarray(v_idx_ac), jnp.asarray(v_re),
+                    jnp.asarray(v_im),
+                    nvar=tensors.nvar, method=_method, interpret=interpret,
+                    ext=ext,
+                    i_re=jnp.asarray(i_re), i_im=jnp.asarray(i_im),
+                    lk=lk_arrays(tensors),
+                    tl=tl_arrays(tensors),
+                    plan=plan_arrays,
+                ))
+
+        packed = _run(plan)
+        if plan is not None and not bool(np.all(packed[:, -1] > 0.5)):
+            # block-local pivoting failed where global pivoting may not:
+            # retry the whole sweep dense before declaring singular
+            packed = _run(None)
         nv = tensors.nvar
         if not bool(np.all(packed[:, -1] > 0.5)):
             raise ValueError("Singular matrix in AC solve")

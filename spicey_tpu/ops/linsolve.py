@@ -87,6 +87,112 @@ def gj_solve(A: Array, b: Array,
     return x, valid
 
 
+def gj_solve_multi(A: Array, B: Array,
+                   eps: float = EPS) -> tuple[Array, Array]:
+    """Multi-RHS one-hot-pivoted Gauss-Jordan: A X = B.
+
+    A: (N, N); B: (N, M). Returns (X: (N, M), valid). Identical pivoting
+    and elimination to ``gj_solve`` — the augmented block is simply M
+    columns wide, so the Schur tier's per-block solves (solution vector
+    plus the full border) cost one elimination, not M. vmap over leading
+    axes for batching.
+    """
+    N = A.shape[-1]
+    M = B.shape[-1]
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    Ab = jnp.concatenate([A.astype(dtype), B.astype(dtype)], axis=-1)
+    used = jnp.zeros((N,), jnp.bool_)
+    perm = jnp.zeros((N,), jnp.int32)
+    valid = jnp.asarray(True)
+    rows = jnp.arange(N)
+
+    def body(k: Array, state: tuple) -> tuple:
+        Ab, used, perm, valid = state
+        col = lax.dynamic_slice_in_dim(Ab, k, 1, axis=1)[:, 0]
+        mag = jnp.abs(col)
+        score = jnp.where(used, -jnp.ones_like(mag), mag)
+        p = jnp.argmax(score)
+        onehot = rows == p
+        pivot_val = jnp.sum(jnp.where(onehot, col, jnp.zeros_like(col)))
+        ok = jnp.abs(pivot_val) >= eps
+        valid = jnp.logical_and(valid, ok)
+        safe_pv = jnp.where(ok, pivot_val, jnp.asarray(1, dtype))
+        pivot_row = (
+            jnp.sum(jnp.where(onehot[:, None], Ab, jnp.zeros_like(Ab)),
+                    axis=0) / safe_pv
+        )
+        factor = jnp.where(onehot, jnp.zeros_like(col), col)
+        Ab = Ab - factor[:, None] * pivot_row[None, :]
+        Ab = jnp.where(onehot[:, None], pivot_row[None, :], Ab)
+        used = jnp.logical_or(used, onehot)
+        perm = lax.dynamic_update_index_in_dim(
+            perm, p.astype(jnp.int32), k, 0)
+        return Ab, used, perm, valid
+
+    Ab, used, perm, valid = lax.fori_loop(0, N, body, (Ab, used, perm, valid))
+    unperm = (perm[:, None] == rows[None, :]).astype(dtype)  # (N, N)
+    X = unperm @ Ab[:, N:]
+    return X, valid
+
+
+def gj_solve_planes_multi(A_re: Array, A_im: Array, B_re: Array,
+                          B_im: Array, eps: float = EPS
+                          ) -> tuple[Array, Array, Array]:
+    """Multi-RHS complex Gauss-Jordan on (re, im) planes: A X = B.
+
+    A_*: (N, N); B_*: (N, M). Returns (X_re, X_im, valid). Same
+    |pivot|^2 pivoting as ``gj_solve_planes`` with an M-column augmented
+    block; vmap over leading axes for batching.
+    """
+    N = A_re.shape[-1]
+    dtype = jnp.result_type(A_re.dtype, B_re.dtype)
+    Ar = jnp.concatenate([A_re.astype(dtype), B_re.astype(dtype)], axis=-1)
+    Ai = jnp.concatenate([A_im.astype(dtype), B_im.astype(dtype)], axis=-1)
+    used = jnp.zeros((N,), jnp.bool_)
+    perm = jnp.zeros((N,), jnp.int32)
+    valid = jnp.asarray(True)
+    rows = jnp.arange(N)
+    eps2 = eps * eps
+
+    def body(k: Array, state: tuple) -> tuple:
+        Ar, Ai, used, perm, valid = state
+        cr = lax.dynamic_slice_in_dim(Ar, k, 1, axis=1)[:, 0]
+        ci = lax.dynamic_slice_in_dim(Ai, k, 1, axis=1)[:, 0]
+        mag2 = cr * cr + ci * ci
+        score = jnp.where(used, -jnp.ones_like(mag2), mag2)
+        p = jnp.argmax(score)
+        onehot = rows == p
+        pvr = jnp.sum(jnp.where(onehot, cr, 0.0))
+        pvi = jnp.sum(jnp.where(onehot, ci, 0.0))
+        d = pvr * pvr + pvi * pvi
+        ok = d >= eps2
+        valid = jnp.logical_and(valid, ok)
+        inv_d = 1.0 / jnp.where(ok, d, 1.0)
+        prr = jnp.sum(jnp.where(onehot[:, None], Ar, 0.0), axis=0)
+        pri = jnp.sum(jnp.where(onehot[:, None], Ai, 0.0), axis=0)
+        prow_r = (prr * pvr + pri * pvi) * inv_d
+        prow_i = (pri * pvr - prr * pvi) * inv_d
+        fr = jnp.where(onehot, 0.0, cr)
+        fi = jnp.where(onehot, 0.0, ci)
+        Ar = Ar - (fr[:, None] * prow_r[None, :]
+                   - fi[:, None] * prow_i[None, :])
+        Ai = Ai - (fr[:, None] * prow_i[None, :]
+                   + fi[:, None] * prow_r[None, :])
+        Ar = jnp.where(onehot[:, None], prow_r[None, :], Ar)
+        Ai = jnp.where(onehot[:, None], prow_i[None, :], Ai)
+        used = jnp.logical_or(used, onehot)
+        perm = lax.dynamic_update_index_in_dim(
+            perm, p.astype(jnp.int32), k, 0)
+        return Ar, Ai, used, perm, valid
+
+    Ar, Ai, used, perm, valid = lax.fori_loop(
+        0, N, body, (Ar, Ai, used, perm, valid))
+    unperm = (perm[:, None] == rows[None, :]).astype(dtype)
+    X_re = unperm @ Ar[:, N:]
+    X_im = unperm @ Ai[:, N:]
+    return X_re, X_im, valid
+
+
 def solve(A: Array, b: Array, method: str = "gj", eps: float = EPS,
           interpret: bool = False) -> tuple[Array, Array]:
     """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid)."""
