@@ -736,6 +736,67 @@ def main() -> None:
                 entry[label]["reps_s"] = t["reps_s"]
         sweep[f"N={n}"] = entry
 
+    # --- structured (Schur/BBD) tier at N past the dense ceiling
+    # (VERDICT r4 #1). Workload: a subckt board (stages x 6-interior RC
+    # chain + VCVS buffer) through method="schur"; baseline: the SAME-nvar
+    # flat ladder through dense gj_f64 (a flat circuit has no partition,
+    # so method="gj" stays dense). complex systems/s over variants x
+    # freqs, like the main sweep. ---
+    def schur_board_netlist(stages: int, inner: int = 6,
+                            freqs: int = 51) -> str:
+        sub = [".subckt stage a y"]
+        prev = "a"
+        for i in range(1, inner + 1):
+            sub.append(f"r{i} {prev} m{i} 1k")
+            sub.append(f"c{i} m{i} 0 1n")
+            prev = f"m{i}"
+        sub += [f"ebuf y 0 {prev} 0 1", ".ends"]
+        lines = ["* schur board bench"] + sub + ["vsrc in 0 dc 1 ac 1"]
+        prev = "in"
+        for s in range(1, stages + 1):
+            lines.append(f"x{s} {prev} o{s} stage")
+            prev = f"o{s}"
+        lines += [f"rload {prev} 0 10k", f".ac lin {freqs} 1 10k", ".end"]
+        return "\n".join(lines) + "\n"
+
+    structured = {}
+    for label, stages in (("N=256", 32), ("N=512", 64)):
+        ckt_s = parse_netlist(schur_board_netlist(stages),
+                              dialect="extended")
+        ts_s = build_tensors(ckt_s)
+        nv_s = ts_s.nvar
+        # schur memory is bounded by the (chunk*51, N, N) assembled f64
+        # planes: 8 variants/chunk at N~512 keeps ~1.7 GB live
+        SBs, s_chunk = (128, 32) if nv_s < 400 else (64, 8)
+        over_s = {"r1.x1": 1e3 * (1 + 0.2 * rng.random(SBs))}
+        kw_s = dict(node=f"o{stages}", tensors=ts_s, method="schur",
+                    precision="f64", chunk=s_chunk)
+        mc_ac_stats(ckt_s, over_s, **kw_s)  # warm
+        t_s = timed(lambda: mc_ac_stats(ckt_s, over_s, **kw_s))
+        sps_s = SBs * 51 / t_s["median"]
+
+        flat = parse_netlist(rc_ladder_netlist(nv_s - 2))
+        ts_d = build_tensors(flat)
+        SBd = 16 if nv_s < 400 else 4
+        over_d = {"r1": 101.0 * (1 + 0.2 * rng.random(SBd))}
+        kw_d = dict(node=f"n{nv_s - 2}", tensors=ts_d, method="gj",
+                    precision="f64", chunk=SBd)
+        mc_ac_stats(flat, over_d, **kw_d)  # warm
+        t_d = timed(lambda: mc_ac_stats(flat, over_d, **kw_d), reps=3,
+                    max_reps=5)
+        sps_d = SBd * 51 / t_d["median"]
+        structured[label] = {
+            "nvar": nv_s,
+            "schur_systems_per_sec": round(sps_s, 1),
+            "schur_spread_pct": t_s["spread_pct"],
+            "gj_f64_systems_per_sec": round(sps_d, 1),
+            "gj_f64_spread_pct": t_d["spread_pct"],
+            "speedup_vs_gj_f64": round(sps_s / sps_d, 1),
+        }
+        if t_s.get("contended"):
+            structured[label]["contended"] = True
+            structured[label]["reps_s"] = t_s["reps_s"]
+
     def noisy(rec: dict) -> dict:
         """Carry the contended flag + per-rep seconds when present."""
         extra = {}
@@ -791,6 +852,11 @@ def main() -> None:
         "vpu_peak_measured_gflops": round(vpu_peak_gflops, 1),
         "mxu_peak_measured_gflops": round(mxu_peak_gflops, 1),
         "solver_systems_per_sec_by_n": sweep,
+        "structured_solver_by_n": structured,
+        "schur_n256_speedup_vs_gj_f64":
+            structured["N=256"]["speedup_vs_gj_f64"],
+        "schur_n512_speedup_vs_gj_f64":
+            structured["N=512"]["speedup_vs_gj_f64"],
         "single_circuit_latency": {
             "device_session_init_s": round(device_init_s, 3),
             "ac_cold_s": round(ac_cold_s, 3),

@@ -166,7 +166,7 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                       interpret: bool = False, chunk: int | None = None,
                       n_real: int | None = None, lk=None, tl=None,
                       q_method: str = "exact", fused_pattern=None,
-                      mesh=None):
+                      mesh=None, plan=None):
     from ..ops.linsolve import solve_planes
 
     ext_axes = {k: (None if k.endswith("idx") else 0) for k in ext}
@@ -248,8 +248,18 @@ def _mc_ac_stats_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         A_re, A_im, b_re, b_im, mok = jax.vmap(
             one, in_axes=(0, 0, 0, 0, 0, ext_axes, tl_axes)
         )(rv, cv, lv, vre, vim, ext_b, tl_b)
-        x_re, x_im, valid = solve_planes(A_re, A_im, b_re, b_im,
-                                         method=method, interpret=interpret)
+        if plan is not None:
+            # structured BBD tier for large subckt boards (ops/schur.py):
+            # the (b, F) batch vmaps straight over the per-system solver
+            from ..ops.schur import schur_solve_planes
+
+            x_re, x_im, valid = jax.vmap(jax.vmap(
+                lambda ar, ai, br_, bi_: schur_solve_planes(
+                    ar, ai, br_, bi_, plan["blk_ix"], plan["blk_mask"],
+                    plan["if_ix"])))(A_re, A_im, b_re, b_im)
+        else:
+            x_re, x_im, valid = solve_planes(
+                A_re, A_im, b_re, b_im, method=method, interpret=interpret)
         if lk is not None:
             valid = jnp.logical_and(valid, mok[:, None])
         mag = jnp.sqrt(x_re[..., node_idx] ** 2 + x_im[..., node_idx] ** 2)
@@ -416,6 +426,21 @@ def mc_ac_stats(
     f_mesh = (_batch_mesh(device_put, B + n_pad)
               if (device_put is not None
                   and (chunk is None or chunk >= B)) else None)
+    # structured BBD tier (ops/schur.py): forced by method="schur",
+    # auto-dispatched past the dense fast tiers' N=128 ceiling
+    plan = None
+    if method == "schur" or (method == "gj" and tensors.nvar > 128):
+        from ..ops.schur import plan_partition
+
+        _plan_obj = plan_partition(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure (subcircuit "
+                "instances) the circuit does not have")
+    if method == "schur":
+        method = "gj"
     packed = _mc_ac_stats_core(
         jnp.asarray(freqs, fdt),
         jnp.asarray(tensors.r_idx), r_vals,
@@ -432,6 +457,7 @@ def mc_ac_stats(
             ckt, tensors, method, precision, ext,
             sharded=device_put is not None and f_mesh is None),
         mesh=f_mesh,
+        plan=plan,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), freqs)
     res.n_total = B

@@ -107,7 +107,7 @@ def _group_of(name: str) -> str | None:
     return None
 
 
-def _element_structs(tensors) -> list[tuple[str | None, list[int],
+def _element_structs(tensors: object) -> list[tuple[str | None, list[int],
                                             list[tuple[int, int]]]]:
     """(group, touched-unknowns, structural (row, col) entries) per element.
 
@@ -119,7 +119,7 @@ def _element_structs(tensors) -> list[tuple[str | None, list[int],
     out: list[tuple[str | None, list[int], list[tuple[int, int]]]] = []
     dump = tensors.nvar
 
-    def adm(idx_arr, names):
+    def adm(idx_arr: np.ndarray, names: tuple) -> None:
         for (i1, i2), nm in zip(idx_arr, names):
             i1, i2 = int(i1), int(i2)
             touch = [u for u in (i1, i2) if u != dump]
@@ -179,7 +179,7 @@ def _element_structs(tensors) -> list[tuple[str | None, list[int],
                 pairs += [(n, br), (br, n)]
         out.append((_group_of(nm), touch, pairs))
 
-    def three_term(idx_arr, names):
+    def three_term(idx_arr: np.ndarray, names: tuple) -> None:
         # NR linearization cross-couples all terminal pairs (overapprox
         # is safe: extra structural entries can only ADD interface nodes
         # or keep a row that the valid flag would catch)
@@ -210,7 +210,8 @@ def _element_structs(tensors) -> list[tuple[str | None, list[int],
     return out
 
 
-def plan_partition(ckt, tensors, max_interface: int = 256,
+def plan_partition(ckt: object, tensors: object,
+                   max_interface: int = 256,
                    min_blocks: int = 2,
                    min_speedup: float = 2.0) -> SchurPlan | None:
     """Derive a BBD partition from the circuit, or None if not worthwhile.
@@ -310,7 +311,9 @@ def plan_partition(ckt, tensors, max_interface: int = 256,
 # ---------------------------------------------------------------------------
 
 
-def _gather_blocks(A, blk_ix, blk_mask, if_ix, dtype):
+def _gather_blocks(A: Array, blk_ix: Array, blk_mask: Array,
+                   if_ix: Array, dtype: object
+                   ) -> tuple[Array, Array, Array, Array]:
     """Slice diagonal blocks + borders + interface block out of dense A.
 
     Padded block slots become identity rows/cols (solve to 0, harmless).
@@ -328,7 +331,9 @@ def _gather_blocks(A, blk_ix, blk_mask, if_ix, dtype):
     return Abb, Bb, Cb, D
 
 
-def _scatter_back(xk, xI, blk_ix, blk_mask, if_ix, nvar, dtype):
+def _scatter_back(xk: Array, xI: Array, blk_ix: Array,
+                  blk_mask: Array, if_ix: Array, nvar: int,
+                  dtype: object) -> Array:
     x = jnp.zeros((nvar + 1,), dtype)
     safe_ix = jnp.where(blk_mask, blk_ix, nvar)  # pads land in a dump slot
     x = x.at[safe_ix].set(xk)
