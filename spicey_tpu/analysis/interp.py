@@ -81,20 +81,17 @@ def interp_eligible_ac(ckt, tensors) -> bool:
 
 
 def interp_eligible_tran(ckt, tensors) -> bool:
-    """Transient eligibility: the reference device set (R/C/L/V/S/D) plus
-    the LINEAR extended elements — I/G/E/F/H sources, K coupling, W
-    switches (folded into the S arrays with branch-current control) — and
-    .temp/.ic (temperature is already folded into r_vals/d_is/d_n by
-    build_tensors; initial conditions arrive as the starting companion
-    state). Excluded: devices that genuinely need Newton-to-convergence
-    (M/Q/B — simulate_tran auto-upgrades them off the reference
-    break-on-switch-stability semantics, so the caller's nr=="spicey"
-    gate already rejects them; kept here as defense) and non-companion
-    state (T-line delay history, diode/BJT junction charge)."""
-    return not (
-        tensors.n_m or tensors.n_q or ckt.B or tensors.n_t
-        or tensors.has_d_charge or tensors.has_q_charge
-    )
+    """Transient eligibility: the WHOLE dialect (round 5 closed the last
+    exclusions — VERDICT r4 do #4). The reference device set (R/C/L/V/S/D)
+    and the linear extended elements ran here since round 4; the nonlinear
+    extended set (M/Q Newton-to-convergence, behavioral B sources via
+    exact dual-number partials, diode/BJT junction charge, T-line delay
+    history) now has interpreted twins in ``_interp_tran_nl`` that mirror
+    the compiled scan's semantics step for step. The reference interprets
+    *its* whole nonlinear set (simulateTRAN.ts:130-252); the rebuild now
+    interprets its own."""
+    del ckt, tensors
+    return True
 
 
 def _ge_solve(aug: np.ndarray) -> tuple[np.ndarray, bool]:
@@ -606,9 +603,658 @@ def interp_noise(tensors, freqs: np.ndarray, v_idx: np.ndarray,
     return x, z, ok_f and ok_a
 
 
+class _Dual:
+    """Forward-mode dual number: value + partials against the behavioral
+    source's reference vector. Exact derivatives (matching the compiled
+    engine's jax.jvp to rounding) through the whitelisted expression
+    grammar — the np closures from compile_bexpr(backend="np") evaluate on
+    these transparently via the NEP-13 ``__array_ufunc__`` protocol."""
+
+    __slots__ = ("v", "d")
+
+    def __init__(self, v: float, d: np.ndarray) -> None:
+        self.v = float(v)
+        self.d = np.asarray(d, np.float64)
+
+    def _co(self, o):  # coerce the other operand
+        if isinstance(o, _Dual):
+            return o.v, o.d
+        return float(o), 0.0
+
+    def __add__(self, o):
+        ov, od = self._co(o)
+        return _Dual(self.v + ov, self.d + od)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        ov, od = self._co(o)
+        return _Dual(self.v - ov, self.d - od)
+
+    def __rsub__(self, o):
+        ov, od = self._co(o)
+        return _Dual(ov - self.v, od - self.d)
+
+    def __mul__(self, o):
+        ov, od = self._co(o)
+        return _Dual(self.v * ov, self.d * ov + self.v * od)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        ov, od = self._co(o)
+        return _Dual(self.v / ov, (self.d * ov - self.v * od) / (ov * ov))
+
+    def __rtruediv__(self, o):
+        ov, od = self._co(o)
+        return _Dual(ov / self.v,
+                     (od * self.v - ov * self.d) / (self.v * self.v))
+
+    def __pow__(self, o):
+        ov, od = self._co(o)
+        val = self.v ** ov
+        if np.ndim(od) == 0 and od == 0.0:
+            # constant exponent: d(v^w) = w * v^(w-1) * v' — the direct
+            # form, NOT val*w*v'/v, which is 0*inf = NaN at v = 0 (e.g.
+            # a v(x)**2 term with the zero-seeded first Newton iterate)
+            g = ov * self.v ** (ov - 1.0) * self.d
+        else:
+            g = val * (od * np.log(self.v) + ov * self.d / self.v)
+        return _Dual(val, g)
+
+    def __rpow__(self, o):
+        ov, _ = self._co(o)
+        val = ov ** self.v
+        return _Dual(val, val * np.log(ov) * self.d)
+
+    def __neg__(self):
+        return _Dual(-self.v, -self.d)
+
+    def __pos__(self):
+        return self
+
+    _UNARY = {}
+    _BINARY = {}
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs:
+            return NotImplemented
+        if ufunc in _Dual._UNARY and len(inputs) == 1:
+            f, df = _Dual._UNARY[ufunc]
+            return _Dual(f(self.v), df(self.v) * self.d)
+        if ufunc in _Dual._BINARY and len(inputs) == 2:
+            return _Dual._BINARY[ufunc](*inputs)
+        if ufunc is np.add:
+            a, b = inputs
+            return (a.__add__(b) if isinstance(a, _Dual) else b.__radd__(a))
+        if ufunc is np.subtract:
+            a, b = inputs
+            return (a.__sub__(b) if isinstance(a, _Dual) else b.__rsub__(a))
+        if ufunc is np.multiply:
+            a, b = inputs
+            return (a.__mul__(b) if isinstance(a, _Dual) else b.__rmul__(a))
+        if ufunc is np.divide:
+            a, b = inputs
+            return (a.__truediv__(b) if isinstance(a, _Dual)
+                    else b.__rtruediv__(a))
+        if ufunc is np.power:
+            a, b = inputs
+            return (a.__pow__(b) if isinstance(a, _Dual) else b.__rpow__(a))
+        if ufunc is np.negative:
+            return -self
+        if ufunc is np.positive:
+            return self
+        return NotImplemented
+
+
+def _dual_minmax(pick_first):
+    def op(a, b):
+        av, ad = (a.v, a.d) if isinstance(a, _Dual) else (float(a), 0.0)
+        bv, bd = (b.v, b.d) if isinstance(b, _Dual) else (float(b), 0.0)
+        take_a = pick_first(av, bv)
+        g = ad if take_a else bd
+        if np.ndim(g) == 0:  # plain-float branch: zero partials
+            g = np.zeros_like(a.d if isinstance(a, _Dual) else b.d)
+        return _Dual(av if take_a else bv, g)
+
+    return op
+
+
+_Dual._UNARY = {
+    np.sqrt: (np.sqrt, lambda v: 0.5 / np.sqrt(v)),
+    np.exp: (np.exp, np.exp),
+    np.log: (np.log, lambda v: 1.0 / v),
+    np.log10: (np.log10, lambda v: 1.0 / (v * np.log(10.0))),
+    np.sin: (np.sin, np.cos),
+    np.cos: (np.cos, lambda v: -np.sin(v)),
+    np.tan: (np.tan, lambda v: 1.0 / np.cos(v) ** 2),
+    np.tanh: (np.tanh, lambda v: 1.0 - np.tanh(v) ** 2),
+    np.sinh: (np.sinh, np.cosh),
+    np.cosh: (np.cosh, np.sinh),
+    np.arctan: (np.arctan, lambda v: 1.0 / (1.0 + v * v)),
+    np.abs: (np.abs, np.sign),
+}
+_Dual._BINARY = {
+    np.minimum: _dual_minmax(lambda a, b: a <= b),
+    np.maximum: _dual_minmax(lambda a, b: a >= b),
+}
+
+
+class _DualVals:
+    """vals[..., j] accessor over a list of _Dual references."""
+
+    def __init__(self, duals: list) -> None:
+        self._d = duals
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            key = key[-1]
+        return self._d[key]
+
+
+def _bsrc_np(ckt, dump: int) -> tuple:
+    """NumPy flavor of ir.circuit.bsrc_static: same index marshaling,
+    closures rebuilt over NumPy ufuncs (backend="np") so evaluation never
+    touches jax. Reference discovery is deterministic, so the np refs
+    match the stored jnp ones order for order."""
+    from ..parsing.bexpr import compile_bexpr
+
+    def midx(node_id: int) -> int:
+        return dump if node_id == 0 else node_id - 1
+
+    out = []
+    for b in ckt.B:
+        _refs, fn = compile_bexpr(b.expr, backend="np")
+        refs = tuple(
+            (midx(a), midx(b2)) if kind == "nodes" else (a, dump)
+            for kind, a, b2 in b.ref_pairs
+        )
+        out.append((b.kind, fn, midx(b.n1), midx(b.n2),
+                    b.index if b.kind == "v" else -1, refs))
+    return tuple(out)
+
+
+def _stamp_bsources_np(A: np.ndarray, b: np.ndarray, bsrc: tuple,
+                       x_pad: np.ndarray, t: float) -> None:
+    """Behavioral-source Newton companions, interpreted (np twin of
+    tran._stamp_bsources): exact partials via dual numbers."""
+    for kind, fn, i1, i2, br, refs in bsrc:
+        nref = len(refs)
+        vals = np.asarray([x_pad[a] - x_pad[b2] for a, b2 in refs])
+        if nref:
+            eye = np.eye(nref)
+            duals = [_Dual(vals[j], eye[j]) for j in range(nref)]
+            res = fn(_DualVals(duals), t)
+        else:
+            res = fn(_DualVals([]), t)
+        if isinstance(res, _Dual):
+            f0, gs = res.v, res.d
+        else:
+            f0, gs = float(res), np.zeros(nref)
+        lin = f0 - float(gs @ vals) if nref else f0
+        if kind == "i":
+            for j in range(nref):
+                a, b2 = refs[j]
+                g = gs[j]
+                A[i1, a] += g
+                A[i1, b2] -= g
+                A[i2, a] -= g
+                A[i2, b2] += g
+            b[i1] -= lin
+            b[i2] += lin
+        else:
+            A[i1, br] += 1.0
+            A[i2, br] -= 1.0
+            A[br, i1] += 1.0
+            A[br, i2] -= 1.0
+            for j in range(nref):
+                a, b2 = refs[j]
+                A[br, a] -= gs[j]
+                A[br, b2] += gs[j]
+            b[br] += lin
+
+
+def _add_vccs_np(A: np.ndarray, idx4: np.ndarray, g: np.ndarray) -> None:
+    """VCCS stamp (ops/stamps.py stamp_vccs twin)."""
+    i1, i2, cp, cn = idx4[:, 0], idx4[:, 1], idx4[:, 2], idx4[:, 3]
+    np.add.at(A, (i1, cp), g)
+    np.add.at(A, (i1, cn), -g)
+    np.add.at(A, (i2, cp), -g)
+    np.add.at(A, (i2, cn), g)
+
+
+def _qchg_np(tensors) -> dict | None:
+    if not tensors.has_q_charge:
+        return None
+    g = tensors.q_chg
+    return {"tf": g[:, 0], "tr": g[:, 1], "cje": g[:, 2], "vje": g[:, 3],
+            "mje": g[:, 4], "cjc": g[:, 5], "vjc": g[:, 6], "mjc": g[:, 7],
+            "fc": g[:, 8]}
+
+
+def _bjt_junction_charge_np(x_pad, tensors, qchg):
+    """np twin of tran._bjt_junction_charge (see its docstring for the
+    split diffusion-at-clamped / depletion-at-true anchor)."""
+    from ..models.devices import diode_charge_cap
+
+    q_idx = tensors.q_idx
+    s = tensors.q_polarity
+    vt = tensors.vt
+    tscale = vt / VT_300K
+    u_be = s * (x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 2]])
+    u_bc = s * (x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 0]])
+    lo = DIODE_VD_MIN * tscale
+    hi = DIODE_VD_MAX * tscale
+    i_s = tensors.q_is
+
+    def one(u, tt, cjo, vj, m):
+        u_lim = np.clip(u, lo, hi)
+        ev = np.exp(u_lim / vt)
+        g_diff = np.maximum(i_s / vt * ev, GMIN)
+        q_r, c = diode_charge_cap(u, i_s * (ev - 1.0), g_diff,
+                                  tt, cjo, vj, m, qchg["fc"], xp=np)
+        cv = tt * g_diff * (s * u_lim) + (c - tt * g_diff) * (s * u)
+        return s * q_r, c, cv
+
+    q_be, c_be, cv_be = one(u_be, qchg["tf"], qchg["cje"], qchg["vje"],
+                            qchg["mje"])
+    q_bc, c_bc, cv_bc = one(u_bc, qchg["tr"], qchg["cjc"], qchg["vjc"],
+                            qchg["mjc"])
+    return q_be, c_be, q_bc, c_bc, cv_be, cv_bc
+
+
+def _interp_tran_nl(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,
+                    nr: str, nr_tol: float, bsrc: tuple,
+                    times: np.ndarray,
+                    v_prev0: np.ndarray | None,
+                    i_prev0: np.ndarray | None,
+                    ) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Full-dialect transient, interpreted — the host twin of
+    tran._tran_core's Newton scan for every device class: MOSFET/BJT
+    Newton companions (models/devices.py with xp=np), diode/BJT junction
+    charge, behavioral sources (dual-number partials), T-line delay
+    history, switches and diodes with the reference's seeding rules.
+
+    ``nr="spicey"`` keeps the reference inner-loop semantics (break when
+    no switch toggled, simulateTRAN.ts:159-161); ``nr="converged"``
+    iterates until |dx| <= tol_eff * (1 + |x|) like the compiled scan —
+    simulate_tran auto-upgrades M/Q/B runs to it before dispatching here.
+
+    Interactive-latency engineering (this loop is the cold/warm answer
+    path for every nonlinear extended deck, so per-iteration Python
+    overhead IS the latency):
+      - solves go through LAPACK (``np.linalg.solve``) — one C call
+        instead of the reference-pivot Python elimination. The extended
+        nonlinear devices carry no reference bit-parity contract (M/Q/B
+        land in the reference's `skipped`); the contract here is 1e-9
+        equivalence with the compiled engine (tests/test_interp.py).
+      - all nonlinear A/b contributions scatter through ONE
+        ``np.add.at`` each, over flat index arrays precomputed before
+        the step loop; charge-companion conductances merge into their
+        junction's Shockley pattern so the index set never grows.
+    """
+    from ..models.devices import bjt_ebers_moll, diode_charge_cap, \
+        mos_level1
+
+    n = tensors.nvar
+    n1 = n + 1
+    n_v = tensors.n_v
+    steps_p1 = vs_grid.shape[0]
+    dt_c = max(dt, EPS)
+    tol_eff = max(float(nr_tol), 16.0 * float(np.finfo(np.float64).eps))
+
+    gc = tensors.c_vals / dt_c
+    gl = dt_c / tensors.l_vals
+    gamma = None
+    if tensors.n_k:
+        minv, ok = _mutual_inv_np(tensors)
+        if not ok:
+            return (np.zeros((steps_p1, n)),
+                    np.zeros((steps_p1, tensors.n_s), dtype=bool), False)
+        gamma = dt_c * minv
+
+    # time-invariant base matrix: R, C/L companions, V rows, linear
+    # extended sources, T-line near-end port rows
+    A_base = np.zeros((n1, n1))
+    if tensors.n_r:
+        _add_adm(A_base, tensors.r_idx, 1.0 / tensors.r_vals)
+    if tensors.n_c:
+        _add_adm(A_base, tensors.c_idx, gc)
+    if tensors.n_l:
+        if gamma is not None:
+            _add_mutual(A_base, tensors.l_idx, gamma)
+        else:
+            _add_adm(A_base, tensors.l_idx, gl)
+    if n_v:
+        i1, i2, j = (tensors.v_idx[:, 0], tensors.v_idx[:, 1],
+                     tensors.v_idx[:, 2])
+        np.add.at(A_base, (i1, j), 1.0)
+        np.add.at(A_base, (j, i1), 1.0)
+        np.add.at(A_base, (i2, j), -1.0)
+        np.add.at(A_base, (j, i2), -1.0)
+    _add_ext(A_base, tensors)
+    n_t = tensors.n_t
+    if n_t:
+        ti = tensors.t_idx
+        z0 = tensors.t_z0
+        for (p, q, br) in ((ti[:, 0], ti[:, 1], ti[:, 4]),
+                           (ti[:, 2], ti[:, 3], ti[:, 5])):
+            one_t = np.ones(n_t)
+            np.add.at(A_base, (p, br), one_t)
+            np.add.at(A_base, (q, br), -one_t)
+            np.add.at(A_base, (br, p), one_t)
+            np.add.at(A_base, (br, q), -one_t)
+            np.add.at(A_base, (br, br), -z0)
+        td_steps = np.maximum(tensors.t_td / dt_c, 1.0)
+        hist_len = int(np.ceil(td_steps.max())) + 2  # tran._tline_hist_len
+        w_hist = np.zeros((hist_len, n_t, 2))
+        t_rng = np.arange(n_t)
+
+    # ---- precomputed flat scatter indices for the per-iteration stamps.
+    # Stamp patterns (ops/stamps.py): admittance = ±g at the 4 corner
+    # positions, VCCS = ±g across rows (i1,i2) x cols (cp,cn), current
+    # injection = -I at i1, +I at i2. Value layout matches index layout.
+    def _adm_flat(idx):
+        r = np.concatenate([idx[:, 0], idx[:, 1], idx[:, 0], idx[:, 1]])
+        c = np.concatenate([idx[:, 0], idx[:, 1], idx[:, 1], idx[:, 0]])
+        return r.astype(np.intp) * n1 + c.astype(np.intp)
+
+    def _adm_vals(g):
+        return np.concatenate([g, g, -g, -g])
+
+    def _vccs_flat(idx4):
+        r = np.concatenate([idx4[:, 0], idx4[:, 0], idx4[:, 1], idx4[:, 1]])
+        c = np.concatenate([idx4[:, 2], idx4[:, 3], idx4[:, 2], idx4[:, 3]])
+        return r.astype(np.intp) * n1 + c.astype(np.intp)
+
+    def _vccs_vals(g):
+        return np.concatenate([g, -g, -g, g])
+
+    def _cur_flat(idx):
+        return np.concatenate([idx[:, 0], idx[:, 1]]).astype(np.intp)
+
+    def _cur_vals(i):
+        return np.concatenate([-i, i])
+
+    a_flat_parts: list[np.ndarray] = []
+    b_flat_parts: list[np.ndarray] = []
+    m_idx = tensors.m_idx
+    q_idx = tensors.q_idx
+    if tensors.n_s:
+        s_pair = tensors.s_idx[:, :2]
+        a_flat_parts.append(_adm_flat(s_pair))
+    if tensors.n_d:
+        a_flat_parts.append(_adm_flat(tensors.d_idx))
+        b_flat_parts.append(_cur_flat(tensors.d_idx))
+    if tensors.n_m:
+        ds_cols = m_idx[:, [0, 2]]
+        a_flat_parts.append(_adm_flat(ds_cols))
+        a_flat_parts.append(_vccs_flat(m_idx[:, [0, 2, 1, 2]]))
+        b_flat_parts.append(_cur_flat(ds_cols))
+    if tensors.n_q:
+        be_cols = q_idx[:, [1, 2]]
+        bc_cols = q_idx[:, [1, 0]]
+        ce_cols = q_idx[:, [0, 2]]
+        a_flat_parts.append(_adm_flat(be_cols))
+        a_flat_parts.append(_adm_flat(bc_cols))
+        a_flat_parts.append(_vccs_flat(q_idx[:, [0, 2, 1, 2]]))
+        a_flat_parts.append(_vccs_flat(q_idx[:, [0, 2, 1, 0]]))
+        b_flat_parts.append(_cur_flat(be_cols))
+        b_flat_parts.append(_cur_flat(bc_cols))
+        b_flat_parts.append(_cur_flat(ce_cols))
+    a_flat = (np.concatenate(a_flat_parts) if a_flat_parts
+              else np.zeros(0, np.intp))
+    b_flat = (np.concatenate(b_flat_parts) if b_flat_parts
+              else np.zeros(0, np.intp))
+
+    # companion / Newton state
+    v_prev = (np.zeros(tensors.n_c) if v_prev0 is None
+              else np.asarray(v_prev0, np.float64).copy())
+    i_prev = (np.zeros(tensors.n_l) if i_prev0 is None
+              else np.asarray(i_prev0, np.float64).copy())
+    vd_prev = np.zeros(tensors.n_d)
+    vm_prev = np.zeros((tensors.n_m, 2))
+    vq_prev = np.zeros((tensors.n_q, 2))
+    is_on = np.zeros(tensors.n_s, dtype=bool)
+    dchg = None
+    if tensors.has_d_charge:
+        dchg = {"tt": tensors.d_tt, "cjo": tensors.d_cjo,
+                "vj": tensors.d_vj, "m": tensors.d_m, "fc": tensors.d_fc}
+        q_prev_d = np.zeros(tensors.n_d)
+    qchg = _qchg_np(tensors)
+    if qchg is not None:
+        q_prev_q = np.zeros((tensors.n_q, 2))
+
+    s_g_on = 1.0 / np.maximum(np.abs(tensors.s_ron), EPS)
+    s_g_off = 1.0 / np.maximum(np.abs(tensors.s_roff), EPS)
+    d_vth = tensors.d_n * VT_300K
+    tscale = tensors.vt / VT_300K
+    d_vmin, d_vmax = DIODE_VD_MIN * tscale, DIODE_VD_MAX * tscale
+
+    # native (C) fast path: the whole stepped Newton loop in one call
+    # (spicey_tpu/native/interp_core.c). Behavioral sources stay here
+    # (their closures are Python); everything else is marshaled arrays.
+    if not bsrc:
+        from ..native import interp_tran_nl_native
+
+        res = interp_tran_nl_native(dict(
+            n=n, steps_p1=steps_p1, dt_c=dt_c, max_nr=max_nr,
+            converged=(nr == "converged"), tol_eff=tol_eff,
+            A_base=A_base, v_branch=tensors.v_idx[:, 2],
+            i_idx=tensors.i_idx, vs_grid=vs_grid,
+            c_idx=tensors.c_idx, gc=gc, l_idx=tensors.l_idx, gl=gl,
+            gamma=gamma,
+            s_idx=tensors.s_idx, s_g_on=s_g_on, s_g_off=s_g_off,
+            s_von=tensors.s_von, s_voff=tensors.s_voff,
+            d_idx=tensors.d_idx, d_is=tensors.d_is, d_vth=d_vth,
+            d_vmin=d_vmin, d_vmax=d_vmax, dchg=dchg,
+            m_idx=m_idx, m_beta=tensors.m_beta, m_vto=tensors.m_vto,
+            m_lam=tensors.m_lambda, m_pol=tensors.m_polarity,
+            q_idx=q_idx, q_is=tensors.q_is, q_bf=tensors.q_bf,
+            q_br=tensors.q_br, q_pol=tensors.q_polarity,
+            q_vt=tensors.vt,
+            qchg=tensors.q_chg if qchg is not None else None,
+            t_idx=tensors.t_idx, t_z0=tensors.t_z0,
+            td_steps=(td_steps if n_t else np.zeros(0)),
+            hist_len=(hist_len if n_t else 1),
+            v_prev0=v_prev, i_prev0=i_prev,
+        ))
+        if res is not None:
+            return res
+
+    xs = np.zeros((steps_p1, n))
+    sw_states = np.zeros((steps_p1, tensors.n_s), dtype=bool)
+    x_pad = np.zeros(n1)
+    A_flatbuf = np.zeros(n1 * n1)
+    b_step = np.zeros(n1)
+    have_b = bool(bsrc)
+    s_ic = tensors.s_idx[:, 2] if tensors.n_s else None
+    s_in = tensors.s_idx[:, 3] if tensors.n_s else None
+    solve = np.linalg.solve
+    lae = np.linalg.LinAlgError
+
+    for step in range(steps_p1):
+        t_step = float(times[step])
+        if n_t:
+            # delayed far-end Thevenin sources (tran.tline_read twin)
+            p = step - td_steps
+            k = np.floor(p)
+            frac = (p - k)[:, None]
+            ki = k.astype(int)
+            w_k = w_hist[ki % hist_len, t_rng]
+            w_k1 = w_hist[(ki + 1) % hist_len, t_rng]
+            w_k = np.where((ki >= 0)[:, None], w_k, 0.0)
+            w_k1 = np.where((ki >= -1)[:, None], w_k1, 0.0)
+            w = w_k * (1.0 - frac) + w_k1 * frac
+            e_t = np.stack([w[:, 1], w[:, 0]], axis=-1)
+
+        # per-step constant RHS (C/L companions, sources, line history)
+        b_step[:] = 0.0
+        if tensors.n_c:
+            _add_cur(b_step, tensors.c_idx, -gc * v_prev)
+        if tensors.n_l:
+            _add_cur(b_step, tensors.l_idx, i_prev)
+        if n_v:
+            np.add.at(b_step, tensors.v_idx[:, 2], vs_grid[step, :n_v])
+        if tensors.n_i:
+            _add_cur(b_step, tensors.i_idx, vs_grid[step, n_v:])
+        if n_t:
+            np.add.at(b_step, tensors.t_idx[:, 4], e_t[:, 0])
+            np.add.at(b_step, tensors.t_idx[:, 5], e_t[:, 1])
+
+        x_pad[:] = 0.0  # zero-seeded per step (simulateTRAN.ts:149)
+        done = False
+        it = 0
+        while it < max_nr and not done:
+            a_vals: list[np.ndarray] = []
+            b_vals: list[np.ndarray] = []
+            if tensors.n_s:
+                a_vals.append(_adm_vals(np.where(is_on, s_g_on, s_g_off)))
+            if tensors.n_d:
+                vd_it = (x_pad[tensors.d_idx[:, 0]]
+                         - x_pad[tensors.d_idx[:, 1]])
+                vd = vd_prev if it == 0 else vd_it
+                vd_l = np.clip(vd, d_vmin, d_vmax)
+                ev = np.exp(vd_l / d_vth)
+                i_d = tensors.d_is * (ev - 1.0)
+                g_d = np.maximum(tensors.d_is / d_vth * ev, GMIN)
+                g_tot = g_d
+                ieq_tot = i_d - g_d * vd_l
+                if dchg is not None:
+                    # charge companion merges into the junction pattern:
+                    # G += C/dt, Ieq += (q - q_prev - split anchors)/dt
+                    q_d, c_d = diode_charge_cap(
+                        vd, i_d, g_d, dchg["tt"], dchg["cjo"], dchg["vj"],
+                        dchg["m"], dchg["fc"], xp=np)
+                    c_dep = c_d - dchg["tt"] * g_d
+                    g_tot = g_d + c_d / dt_c
+                    ieq_tot = ieq_tot + (q_d - q_prev_d
+                                         - dchg["tt"] * g_d * vd_l
+                                         - c_dep * vd) / dt_c
+                a_vals.append(_adm_vals(g_tot))
+                b_vals.append(_cur_vals(ieq_tot))
+            if tensors.n_m:
+                vgs_it = x_pad[m_idx[:, 1]] - x_pad[m_idx[:, 2]]
+                vds_it = x_pad[m_idx[:, 0]] - x_pad[m_idx[:, 2]]
+                vgs = vm_prev[:, 0] if it == 0 else vgs_it
+                vds = vm_prev[:, 1] if it == 0 else vds_it
+                gm, gds, i_eq, _ = mos_level1(
+                    vgs, vds, tensors.m_beta, tensors.m_vto,
+                    tensors.m_lambda, tensors.m_polarity, xp=np)
+                a_vals.append(_adm_vals(gds))
+                a_vals.append(_vccs_vals(gm))
+                b_vals.append(_cur_vals(i_eq))
+            if tensors.n_q:
+                vbe_it = x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 2]]
+                vbc_it = x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 0]]
+                vbe = vq_prev[:, 0] if it == 0 else vbe_it
+                vbc = vq_prev[:, 1] if it == 0 else vbc_it
+                gbe, gbc, gmf, gmr, ibe_eq, ibc_eq, ict_eq, _, _ = \
+                    bjt_ebers_moll(vbe, vbc, tensors.q_is, tensors.q_bf,
+                                   tensors.q_br, tensors.q_polarity,
+                                   vt=tensors.vt, xp=np)
+                gbe_tot, gbc_tot = gbe, gbc
+                ibe_tot, ibc_tot = ibe_eq, ibc_eq
+                if qchg is not None:
+                    q_be, c_be, q_bc, c_bc, cv_be, cv_bc = \
+                        _bjt_junction_charge_np(x_pad, tensors, qchg)
+                    gbe_tot = gbe + c_be / dt_c
+                    gbc_tot = gbc + c_bc / dt_c
+                    ibe_tot = ibe_eq + (q_be - q_prev_q[:, 0] - cv_be) / dt_c
+                    ibc_tot = ibc_eq + (q_bc - q_prev_q[:, 1] - cv_bc) / dt_c
+                a_vals.append(_adm_vals(gbe_tot))
+                a_vals.append(_adm_vals(gbc_tot))
+                a_vals.append(_vccs_vals(gmf))
+                a_vals.append(_vccs_vals(-gmr))
+                b_vals.append(_cur_vals(ibe_tot))
+                b_vals.append(_cur_vals(ibc_tot))
+                b_vals.append(_cur_vals(ict_eq))
+
+            A_flatbuf[:] = A_base.ravel()
+            b = b_step.copy()
+            if a_flat.size:
+                np.add.at(A_flatbuf, a_flat, np.concatenate(a_vals))
+            if b_flat.size:
+                np.add.at(b, b_flat, np.concatenate(b_vals))
+            A = A_flatbuf.reshape(n1, n1)
+            if have_b:
+                _stamp_bsources_np(A, b, bsrc, x_pad, t_step)
+
+            try:
+                x_new = solve(A[:n, :n], b[:n])
+            except lae:
+                return xs, sw_states, False
+            if not np.all(np.isfinite(x_new)):
+                return xs, sw_states, False
+
+            if tensors.n_s:
+                x_tmp = np.concatenate([x_new, [0.0]])
+                vctrl = x_tmp[s_ic] - x_tmp[s_in]
+                new_on = np.where(is_on, ~(vctrl < tensors.s_voff),
+                                  vctrl > tensors.s_von)
+                switched = bool(np.any(new_on != is_on))
+            else:
+                new_on = is_on
+                switched = False
+            if nr == "converged":
+                delta = float(np.max(np.abs(x_new - x_pad[:n]))) if n else 0.0
+                scale = 1.0 + (float(np.max(np.abs(x_new))) if n else 0.0)
+                settled = (not switched) and delta <= tol_eff * scale
+            else:
+                settled = not switched
+            x_pad[:n] = x_new
+            is_on = new_on
+            done = settled
+            it += 1
+
+        xs[step] = x_pad[:n]
+        sw_states[step] = is_on
+
+        # state commit (simulateTRAN.ts:221-237 + extended state)
+        if tensors.n_c:
+            v_prev = x_pad[tensors.c_idx[:, 0]] - x_pad[tensors.c_idx[:, 1]]
+        if tensors.n_l:
+            vd_l2 = x_pad[tensors.l_idx[:, 0]] - x_pad[tensors.l_idx[:, 1]]
+            i_prev = i_prev + (gamma @ vd_l2 if gamma is not None
+                               else gl * vd_l2)
+        if tensors.n_d:
+            vd_prev = x_pad[tensors.d_idx[:, 0]] - x_pad[tensors.d_idx[:, 1]]
+            if dchg is not None:
+                vd_c = np.clip(vd_prev, d_vmin, d_vmax)
+                ev_c = np.exp(vd_c / d_vth)
+                q_prev_d, _ = diode_charge_cap(
+                    vd_prev, tensors.d_is * (ev_c - 1.0),
+                    np.maximum(tensors.d_is / d_vth * ev_c, GMIN),
+                    dchg["tt"], dchg["cjo"], dchg["vj"], dchg["m"],
+                    dchg["fc"], xp=np)
+        if qchg is not None:
+            q_be_n, _, q_bc_n, _, _, _ = _bjt_junction_charge_np(
+                x_pad, tensors, qchg)
+            q_prev_q = np.stack([q_be_n, q_bc_n], axis=-1)
+        if tensors.n_m:
+            vm_prev = np.stack(
+                [x_pad[m_idx[:, 1]] - x_pad[m_idx[:, 2]],
+                 x_pad[m_idx[:, 0]] - x_pad[m_idx[:, 2]]], axis=-1)
+        if tensors.n_q:
+            vq_prev = np.stack(
+                [x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 2]],
+                 x_pad[q_idx[:, 1]] - x_pad[q_idx[:, 0]]], axis=-1)
+        if n_t:
+            t_idx = tensors.t_idx
+            w1 = (x_pad[t_idx[:, 0]] - x_pad[t_idx[:, 1]]
+                  + tensors.t_z0 * x_pad[t_idx[:, 4]])
+            w2 = (x_pad[t_idx[:, 2]] - x_pad[t_idx[:, 3]]
+                  + tensors.t_z0 * x_pad[t_idx[:, 5]])
+            w_hist[step % hist_len] = np.stack([w1, w2], axis=-1)
+
+    return xs, sw_states, True
+
+
 def interp_tran(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,
                 v_prev0: np.ndarray | None = None,
                 i_prev0: np.ndarray | None = None,
+                ckt=None, nr: str = "spicey", nr_tol: float = 1e-9,
+                times: np.ndarray | None = None,
                 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Full transient run, interpreted: returns (xs (S+1, nvar),
     sw_states (S+1, nS) bool, ok).
@@ -622,7 +1268,21 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,
     ``vs_grid`` carries V-source columns then extended I-source columns
     (ir.circuit.sample_source_values). ``v_prev0``/``i_prev0`` seed the
     capacitor/inductor companion state for extended .ic runs.
+
+    Runs needing the full nonlinear loop (MOSFET/BJT/behavioral sources,
+    junction charge, T-line history, or converged-mode Newton) dispatch
+    to ``_interp_tran_nl``; the reference-semantics S/D loop and the
+    factor-once linear fast path below stay bit-pinned for the
+    reference-dialect contract.
     """
+    has_b = bool(ckt is not None and getattr(ckt, "B", None))
+    if (tensors.n_m or tensors.n_q or has_b or tensors.has_d_charge
+            or tensors.has_q_charge or tensors.n_t or nr == "converged"):
+        if times is None:
+            times = np.arange(vs_grid.shape[0], dtype=np.float64) * dt
+        bsrc = _bsrc_np(ckt, tensors.nvar) if has_b else ()
+        return _interp_tran_nl(tensors, vs_grid, dt, max_nr, nr, nr_tol,
+                               bsrc, times, v_prev0, i_prev0)
     n = tensors.nvar
     n_v = tensors.n_v
     steps_p1 = vs_grid.shape[0]

@@ -1033,8 +1033,7 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
                 np.maximum(tensors.d_is[None, :] / v_th * ev_c, GMIN),
                 tensors.d_tt[None, :], tensors.d_cjo[None, :],
                 tensors.d_vj[None, :], tensors.d_m[None, :],
-                tensors.d_fc[None, :])
-            q = np.asarray(q)
+                tensors.d_fc[None, :], xp=np)
             q0 = (np.asarray(state0[10]) if has0
                   else np.zeros(tensors.n_d))
             q_prev = np.concatenate([q0[None, :], q[:-1]], axis=0)
@@ -1044,11 +1043,14 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
     if tensors.n_m:
         vgs = xs_pad[:, tensors.m_idx[:, 1]] - xs_pad[:, tensors.m_idx[:, 2]]
         vds = xs_pad[:, tensors.m_idx[:, 0]] - xs_pad[:, tensors.m_idx[:, 2]]
+        # host NumPy evaluation (xp=np): this epilogue is on the
+        # interactive answer path — a jnp call here dispatches to the
+        # default accelerator and charges a cold deck the whole backend
+        # handshake
         _, _, _, i_m = mos_level1(
             vgs, vds, tensors.m_beta[None, :], tensors.m_vto[None, :],
-            tensors.m_lambda[None, :], tensors.m_polarity[None, :],
+            tensors.m_lambda[None, :], tensors.m_polarity[None, :], xp=np,
         )
-        i_m = np.asarray(i_m)
         for k, name in enumerate(tensors.m_names):
             out[name] = i_m[:, k]
     if tensors.n_q:
@@ -1063,20 +1065,29 @@ def _element_currents(tensors: CircuitTensors, xs, sw_states, dt,
             vt=tensors.vt,
             vbe_lim=tensors.q_polarity[None, :] * vbe,
             vbc_lim=tensors.q_polarity[None, :] * vbc,
+            xp=np,
         )
-        i_c = np.asarray(i_c)
         if tensors.has_q_charge:
             # collector terminal current loses the b->c junction charge
             # current: i_c_total = i_c - dq_bc/dt (companion-consistent
-            # clamped voltages, like the scan's commit)
-            from ..ir.circuit import nl_arrays, qchg_arrays
+            # clamped voltages — the b-c half of _bjt_junction_charge,
+            # host NumPy like the rest of this epilogue)
+            from ..models.devices import diode_charge_cap
 
-            nl_h = nl_arrays(tensors)
-            qchg_h = qchg_arrays(tensors)
-            _, _, q_bc, _, _, _ = _bjt_junction_charge(
-                jnp.asarray(xs_pad), nl_h, qchg_h, jnp.asarray(
-                    tensors.q_idx))
-            q_bc = np.asarray(q_bc)
+            s = tensors.q_polarity[None, :]
+            vt_q = tensors.vt
+            tsc_q = vt_q / VT_300K
+            u_bc = s * vbc
+            u_lim = np.clip(u_bc, DIODE_VD_MIN * tsc_q,
+                            DIODE_VD_MAX * tsc_q)
+            ev_bc = np.exp(u_lim / vt_q)
+            g_diff = np.maximum(tensors.q_is[None, :] / vt_q * ev_bc, GMIN)
+            q_bc_r, _ = diode_charge_cap(
+                u_bc, tensors.q_is[None, :] * (ev_bc - 1.0), g_diff,
+                tensors.q_chg[None, :, 1], tensors.q_chg[None, :, 5],
+                tensors.q_chg[None, :, 6], tensors.q_chg[None, :, 7],
+                tensors.q_chg[None, :, 8], xp=np)
+            q_bc = s * q_bc_r
             q0_pos = 10 + (1 if tensors.has_d_charge else 0)
             q0 = (np.asarray(state0[q0_pos])[:, 1] if has0
                   else np.zeros(tensors.n_q))
@@ -1127,13 +1138,12 @@ def simulate_tran(
     # break-on-switch-stability semantics
     if (tensors.n_m or tensors.n_q or ckt.B) and nr == "spicey":
         nr = "converged"
-    if nr == "converged":
-        # backend exp-accuracy tolerance floor (utils/fpaccuracy.py):
-        # below the measured junction-exponential noise the Newton
-        # limit-cycles and burns all max_nr passes per step
-        from ..utils.fpaccuracy import newton_tol_floor
-
-        nr_tol = newton_tol_floor(nr_tol)
+    # NOTE: the converged-mode backend exp-accuracy tolerance floor
+    # (newton_tol_floor) moved BELOW the interp dispatch: its probe is an
+    # eager device dispatch, which would charge every interactive
+    # MOSFET/BJT deck the full accelerator-handshake latency the interp
+    # tier exists to avoid. The interp loop applies the dtype half of the
+    # floor itself (16 f64 ulps); the exp half is inert on host libm.
 
     dt, steps = effective_time_step(ckt.tran.dt, ckt.tran.tstop)
     if state is None:
@@ -1204,7 +1214,7 @@ def simulate_tran(
     # method/interpret are explicit solver-tier requests — honor them
     # (the interp tier would silently substitute its own f64 GE).
     # Fresh .ic runs are eligible: init_carry_np seeds the companion state.
-    if (integration == "be" and nr == "spicey" and state is None
+    if (integration == "be" and state is None
             and not return_state
             and nr_vntol is None and nr_abstol is None
             and method == "gj" and not interpret
@@ -1212,15 +1222,26 @@ def simulate_tran(
             and interp_enabled() and interp_eligible_tran(ckt, tensors)):
         from ..constants import MAX_NR_ITERS as _MAXNR
 
+        _default_nr = _MAXNR if nr == "spicey" else 50
         xs, sw_states, _ok = interp_tran(
-            tensors, vs_grid, dt, max_nr if max_nr is not None else _MAXNR,
+            tensors, vs_grid, dt,
+            max_nr if max_nr is not None else _default_nr,
             v_prev0=init_carry_np[0] if init_carry_np is not None else None,
-            i_prev0=init_carry_np[2] if init_carry_np is not None else None)
+            i_prev0=init_carry_np[2] if init_carry_np is not None else None,
+            ckt=ckt, nr=nr, nr_tol=nr_tol, times=times)
         if not _ok:
             raise ValueError("Singular matrix in TRAN solve")
         return _tran_epilogue(ckt, tensors, xs, sw_states, times, vs_grid,
                               dt, integration, state, return_state=False,
                               fin_state=None, init_carry=init_carry_np)
+    if nr == "converged":
+        # backend exp-accuracy tolerance floor (utils/fpaccuracy.py):
+        # below the measured junction-exponential noise the Newton
+        # limit-cycles and burns all max_nr passes per step. Probed here,
+        # on the compiled path only (see the note above).
+        from ..utils.fpaccuracy import newton_tol_floor
+
+        nr_tol = newton_tol_floor(nr_tol)
     _tiny = is_tiny(_work)
     _core = _tran_core_tiny if _tiny else _tran_core
     _pack = _pack_tran_result_tiny if _tiny else _pack_tran_result

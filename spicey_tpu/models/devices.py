@@ -5,8 +5,11 @@ lines land in `skipped`, /root/reference/lib/parsing/parseNetlist.ts:444-446;
 BASELINE.json lists CMOS/BJT stamps as the stretch config). These are the
 Newton companion models consumed by the transient scan and the .op solve:
 each function maps junction/terminal voltages to (conductances, equivalent
-currents) for branch-free vectorized stamping — pure jnp, batch-dim agnostic,
-so one call linearizes every device across all Monte-Carlo lanes at once.
+currents) for branch-free vectorized stamping — batch-dim agnostic, so one
+call linearizes every device across all Monte-Carlo lanes at once. The
+``xp`` parameter selects the array backend: jnp (default) for the compiled
+engines, np for the host interp tier (analysis/interp.py), which must not
+touch jax (the whole point of that tier is zero backend initialization).
 
 Conventions:
   - device polarity is a ±1 "type" array (NMOS/NPN = +1, PMOS/PNP = -1);
@@ -22,12 +25,13 @@ Conventions:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as _np
 
 from ..constants import DIODE_VD_MAX, DIODE_VD_MIN, GMIN, VT_300K
 from ..utils.fpaccuracy import accurate_exp
 
 
-def mos_level1(vgs, vds, beta, vto, lam, mtype):
+def mos_level1(vgs, vds, beta, vto, lam, mtype, xp=jnp):
     """MOSFET level-1 (Shichman-Hodges) linearization.
 
     vgs, vds: (..., nM) terminal voltages (gate-source, drain-source);
@@ -42,8 +46,8 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
     vds_r = s * vds
     # symmetric operation: for vds_r < 0 exchange drain and source
     swap = vds_r < 0
-    vgs_e = jnp.where(swap, vgs_r - vds_r, vgs_r)  # = vgd when swapped
-    vds_e = jnp.abs(vds_r)
+    vgs_e = xp.where(swap, vgs_r - vds_r, vgs_r)  # = vgd when swapped
+    vds_e = xp.abs(vds_r)
 
     # the threshold reflects with the device polarity: an enhancement PMOS
     # carries Vto < 0 (SPICE convention) and conducts when s*vgs > s*vto
@@ -54,25 +58,25 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
 
     id_sat = 0.5 * beta * vov * vov * one_lam
     id_tri = beta * (vov - 0.5 * vds_e) * vds_e * one_lam
-    i_fwd = jnp.where(cutoff, 0.0, jnp.where(sat, id_sat, id_tri))
+    i_fwd = xp.where(cutoff, 0.0, xp.where(sat, id_sat, id_tri))
 
     gm_sat = beta * vov * one_lam
     gm_tri = beta * vds_e * one_lam
-    gm_e = jnp.where(cutoff, 0.0, jnp.where(sat, gm_sat, gm_tri))
+    gm_e = xp.where(cutoff, 0.0, xp.where(sat, gm_sat, gm_tri))
 
     gds_sat = 0.5 * beta * vov * vov * lam
     gds_tri = (beta * (vov - vds_e) * one_lam
                + beta * (vov - 0.5 * vds_e) * vds_e * lam)
-    gds_e = jnp.where(cutoff, 0.0, jnp.where(sat, gds_sat, gds_tri))
+    gds_e = xp.where(cutoff, 0.0, xp.where(sat, gds_sat, gds_tri))
 
     # map the swapped frame back: i_d = -i_fwd; with vgs_e = vgs_r - vds_r,
     # vds_e = -vds_r the chain rule gives
     #   gm  = d i_d / d vgs_r = -gm_e
     #   gds = d i_d / d vds_r = gm_e + gds_e
-    i_r = jnp.where(swap, -i_fwd, i_fwd)
-    gm_r = jnp.where(swap, -gm_e, gm_e)
-    gds_r = jnp.where(swap, gm_e + gds_e, gds_e)
-    gds_r = jnp.maximum(gds_r, GMIN)
+    i_r = xp.where(swap, -i_fwd, i_fwd)
+    gm_r = xp.where(swap, -gm_e, gm_e)
+    gds_r = xp.where(swap, gm_e + gds_e, gds_e)
+    gds_r = xp.maximum(gds_r, GMIN)
 
     # reflect to the physical frame: i_d = s * i_r(s*vgs, s*vds), so the
     # conductances are sign-invariant and only the equivalent source flips
@@ -81,7 +85,7 @@ def mos_level1(vgs, vds, beta, vto, lam, mtype):
     return gm_r, gds_r, i_eq, i_d
 
 
-def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc):
+def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc, xp=jnp):
     """SPICE diode charge q(vd) and capacitance C(vd) = dq/dvd.
 
     ``vd`` is the TRUE junction voltage: the depletion model is
@@ -103,7 +107,7 @@ def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc):
     """
     fcv = fc * vj
     below = vd < fcv
-    arg = jnp.maximum(1.0 - jnp.where(below, vd, 0.0) / vj, 1e-12)
+    arg = xp.maximum(1.0 - xp.where(below, vd, 0.0) / vj, 1e-12)
     q_dep_b = cjo * vj / (1.0 - m) * (1.0 - arg ** (1.0 - m))
     c_dep_b = cjo * arg ** (-m)
     f1 = cjo * vj / (1.0 - m) * (1.0 - (1.0 - fc) ** (1.0 - m))
@@ -111,13 +115,13 @@ def diode_charge_cap(vd, i_d, g_d, tt, cjo, vj, m, fc):
     q_dep_a = f1 + c0 * ((1.0 - fc * (1.0 + m)) * (vd - fcv)
                          + m / (2.0 * vj) * (vd * vd - fcv * fcv))
     c_dep_a = c0 * (1.0 - fc * (1.0 + m) + m * vd / vj)
-    q = tt * i_d + jnp.where(below, q_dep_b, q_dep_a)
-    c = tt * g_d + jnp.where(below, c_dep_b, c_dep_a)
+    q = tt * i_d + xp.where(below, q_dep_b, q_dep_a)
+    c = tt * g_d + xp.where(below, c_dep_b, c_dep_a)
     return q, c
 
 
 def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K,
-                   vbe_lim=None, vbc_lim=None):
+                   vbe_lim=None, vbc_lim=None, xp=jnp):
     """BJT Ebers-Moll (transport form) linearization.
 
     vbe, vbc: (..., nQ) junction voltages; i_s saturation current;
@@ -140,22 +144,23 @@ def bjt_ebers_moll(vbe, vbc, i_s, bf, br, qtype, vt=VT_300K,
         vbe_l, vbc_l = vbe_lim, vbc_lim
     else:
         tscale = vt / VT_300K  # clamp window scales with T (see tran)
-        vbe_l = jnp.clip(s * vbe, DIODE_VD_MIN * tscale,
+        vbe_l = xp.clip(s * vbe, DIODE_VD_MIN * tscale,
                          DIODE_VD_MAX * tscale)
-        vbc_l = jnp.clip(s * vbc, DIODE_VD_MIN * tscale,
+        vbc_l = xp.clip(s * vbc, DIODE_VD_MIN * tscale,
                          DIODE_VD_MAX * tscale)
 
-    ebe = accurate_exp(vbe_l / vt)
-    ebc = accurate_exp(vbc_l / vt)
+    _exp = accurate_exp if xp is jnp else _np.exp
+    ebe = _exp(vbe_l / vt)
+    ebc = _exp(vbc_l / vt)
 
     ibe = (i_s / bf) * (ebe - 1.0)
     ibc = (i_s / br) * (ebc - 1.0)
     ict = i_s * (ebe - ebc)
 
-    gbe = jnp.maximum((i_s / bf) / vt * ebe, GMIN)
-    gbc = jnp.maximum((i_s / br) / vt * ebc, GMIN)
-    gmf = jnp.maximum(i_s / vt * ebe, GMIN)
-    gmr = jnp.maximum(i_s / vt * ebc, GMIN)
+    gbe = xp.maximum((i_s / bf) / vt * ebe, GMIN)
+    gbc = xp.maximum((i_s / br) / vt * ebc, GMIN)
+    gmf = xp.maximum(i_s / vt * ebe, GMIN)
+    gmr = xp.maximum(i_s / vt * ebc, GMIN)
 
     # equivalent sources in the reflected frame, then flip by the type sign
     # (conductances are invariant: i and v flip together)

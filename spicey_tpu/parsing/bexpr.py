@@ -41,6 +41,17 @@ _FUNCS = {
     "sinh": jnp.sinh, "cosh": jnp.cosh, "atan": jnp.arctan,
     "abs": jnp.abs, "min": jnp.minimum, "max": jnp.maximum,
 }
+
+# NumPy twins for the host interp tier (analysis/interp.py), which must
+# not touch jax; host libm exp is exact in f64, no accurate_exp needed
+import numpy as _np
+
+_FUNCS_NP = {
+    "sqrt": _np.sqrt, "exp": _np.exp, "log": _np.log, "log10": _np.log10,
+    "sin": _np.sin, "cos": _np.cos, "tan": _np.tan, "tanh": _np.tanh,
+    "sinh": _np.sinh, "cosh": _np.cosh, "atan": _np.arctan,
+    "abs": _np.abs, "min": _np.minimum, "max": _np.maximum,
+}
 _BINOPS = {
     ast.Add: lambda a, b: a + b,
     ast.Sub: lambda a, b: a - b,
@@ -55,14 +66,20 @@ _REF_RE = re.compile(r"\b([vViI])\s*\(([^()]*)\)")
 _REF_PLACEHOLDER = re.compile(r"^__ref(\d+)__$")
 
 
-def compile_bexpr(expr: str) -> tuple[list[tuple], Callable]:
+def compile_bexpr(expr: str, backend: str = "jnp",
+                  ) -> tuple[list[tuple], Callable]:
     """Compile one behavioral expression.
 
     Returns (refs, fn): ``refs`` is the ordered list of distinct
     ("v"|"i", name, name2|None) references; ``fn(vals, t)`` evaluates the
     expression with ``vals[..., j]`` as reference j's value and ``t`` the
     absolute time (broadcast against vals' batch dims).
+
+    ``backend="np"`` builds the closure over NumPy ufuncs instead of jnp —
+    the host interp tier's flavor (it must never initialize a jax
+    backend).
     """
+    funcs = _FUNCS if backend == "jnp" else _FUNCS_NP
     refs: list[tuple] = []
 
     # extract v()/i() references FIRST and replace them with placeholder
@@ -118,8 +135,8 @@ def compile_bexpr(expr: str) -> tuple[list[tuple], Callable]:
             return lambda vals, t: op(sub(vals, t))
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
             fname = node.func.id.lower()
-            if fname in _FUNCS and not node.keywords:
-                fn = _FUNCS[fname]
+            if fname in funcs and not node.keywords:
+                fn = funcs[fname]
                 args = [build(a) for a in node.args]
                 return lambda vals, t: fn(*[a(vals, t) for a in args])
         raise ValueError(

@@ -389,10 +389,11 @@ V2 g 0 dc 3
         assert v == pytest.approx(re_.op.node_voltages[k], rel=1e-9), k
 
 
-def test_tline_ac_rides_interp_tran_falls_back(interp_on, interp_counter,
-                                               monkeypatch):
+def test_tline_ac_and_tran_ride_interp(interp_on, interp_counter,
+                                       monkeypatch):
     """T lines: the exact phasor model is linear (interp AC stamps it);
-    the transient delay-line history stays on the compiled engine."""
+    since round 5 the transient delay-line history interprets too
+    (_interp_tran_nl's circular w-buffer, VERDICT r4 #4)."""
     net = """tline deck
 V1 in 0 ac 1 PULSE(0 1 0 1n 1n 50n 200n)
 R1 in a 50
@@ -404,20 +405,21 @@ R2 b 0 50
 """
     ri = simulate(net, dialect="extended")
     assert interp_counter["ac"] == 1
-    assert interp_counter["tran"] == 0
+    assert interp_counter["tran"] == 1
     monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
     re_ = simulate(net, dialect="extended")
     _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
     _series_close(ri.ac.element_currents, re_.ac.element_currents,
                   rtol=1e-12)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages, rtol=1e-9)
 
 
-def test_nonlinear_extended_tran_falls_back_ac_rides(interp_on,
-                                                     interp_counter,
-                                                     monkeypatch):
-    """MOSFET decks: tran needs Newton-to-convergence (compiled engine);
-    default-mode AC ignores nonlinear devices entirely, so the interp
-    tier takes it — matching the compiled default-mode AC."""
+def test_nonlinear_extended_tran_and_ac_ride_interp(interp_on,
+                                                    interp_counter,
+                                                    monkeypatch):
+    """MOSFET decks: default-mode AC ignores nonlinear devices (the
+    interp tier always took it); since round 5 the Newton-to-convergence
+    transient interprets too (VERDICT r4 #4)."""
     net = """an nmos deck
 V1 d 0 dc 5 ac 1
 R1 d dd 1k
@@ -430,30 +432,32 @@ V2 g 0 dc 3 PULSE(0 3 0 1u 1u 40u 100u)
 """
     ri = simulate(net, dialect="extended")
     assert interp_counter["ac"] == 1
-    assert interp_counter["tran"] == 0
+    assert interp_counter["tran"] == 1
     monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
     re_ = simulate(net, dialect="extended")
     _series_close(ri.ac.node_voltages, re_.ac.node_voltages, rtol=1e-12)
-    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages, rtol=1e-9)
 
 
 def test_non_default_tran_modes_fall_back(interp_on, interp_counter):
     ckt = parse_netlist(netlists.RC_PULSE)
     simulate_tran(ckt, integration="trap")
-    simulate_tran(ckt, nr="converged")
     simulate_tran(ckt, return_state=True)
     simulate_tran(ckt, method="lax")  # explicit solver-tier request
     assert interp_counter["tran"] == 0
-    simulate_tran(ckt)
+    # converged-mode Newton interprets since round 5 (_interp_tran_nl)
+    simulate_tran(ckt, nr="converged")
     assert interp_counter["tran"] == 1
+    simulate_tran(ckt)
+    assert interp_counter["tran"] == 2
 
 
-def test_diode_charge_model_falls_back(interp_on, interp_counter,
-                                        monkeypatch):
-    """Extended model params on reference element TYPES must disqualify:
-    diode TT/CJO adds a charge companion the interp tier does not stamp
-    (found in round-4 review: 0.53 V silent divergence before the
-    has_d_charge gate)."""
+def test_diode_charge_model_rides_interp(interp_on, interp_counter,
+                                         monkeypatch):
+    """Extended model params on reference element TYPES: diode TT/CJO
+    adds a charge companion — round 4 had to disqualify these decks
+    (0.53 V silent divergence without the gate); round 5 interprets the
+    charge companion itself and must match the compiled engine."""
     net = """charge-storage diode deck
 V1 a 0 PULSE(0 5 0 1u 1u 40u 100u)
 R1 a b 1k
@@ -463,10 +467,10 @@ D1 b 0 DX
 .end
 """
     ri = simulate(net, dialect="extended")
-    assert interp_counter["tran"] == 0
+    assert interp_counter["tran"] == 1
     monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
     re_ = simulate(net, dialect="extended")
-    _series_close(ri.tran.node_voltages, re_.tran.node_voltages)
+    _series_close(ri.tran.node_voltages, re_.tran.node_voltages, rtol=1e-9)
 
 
 def test_large_work_falls_back(interp_on, interp_counter, monkeypatch):
@@ -520,3 +524,203 @@ def test_interp_route_never_initializes_jax_backends():
     out = subprocess.run([sys.executable, "-c", snippet], env=env,
                          capture_output=True, text=True, timeout=300)
     assert "JAX_FREE_OK" in out.stdout, out.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the whole nonlinear extended dialect interprets (VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+_NL_DECKS = {
+    "mosfet_ring": """t
+.model mn nmos(vto=1 kp=2m)
+.model mp pmos(vto=-1 kp=2m)
+vdd vdd 0 5
+mn1 n1 n3 0 mn
+mp1 n1 n3 vdd mp
+c1 n1 0 1n
+mn2 n2 n1 0 mn
+mp2 n2 n1 vdd mp
+c2 n2 0 1n
+mn3 n3 n2 0 mn
+mp3 n3 n2 vdd mp
+c3 n3 0 1n
+ikick 0 n1 PULSE(0 2m 0 1n 1n 3u 1)
+.tran 0.2u 30u
+""",
+    "bjt_amp": """t
+.model qn npn(is=1e-16 bf=100)
+vcc vcc 0 5
+vin bs 0 SIN(0.7 0.005 100k)
+rc vcc c 1k
+q1 c bs 0 qn
+.tran 0.2u 20u
+""",
+    "bsource_tanh": """t
+vin in 0 PULSE(0 2 0 1u 1u 40u 100u)
+r1 in 0 1k
+bq out 0 I=1m*tanh(3*v(in))
+rload out 0 2k
+cload out 0 1n
+.tran 1u 100u
+""",
+    "bsource_vkind_time": """t
+vin in 0 SIN(0 1 20k)
+r1 in 0 1k
+bv out 0 V=0.5*v(in)**2 + 0.1*sin(6.28e4*time)
+rload out 0 1k
+.tran 1u 100u
+""",
+    "diode_charge": """t
+.model dj d(is=1e-14 tt=5n cjo=2p vj=0.7 m=0.5)
+vin in 0 SIN(0 2 50k)
+rs in a 100
+d1 a 0 dj
+.tran 0.2u 40u
+""",
+    "bjt_charge": """t
+.model qc npn(is=1e-15 bf=80 tf=1n cje=2p cjc=1p)
+vcc vcc 0 5
+vb bs 0 PULSE(0 0.8 1u 0.1u 0.1u 10u 40u)
+rb bs b 1k
+rc vcc c 2k
+q1 c b 0 qc
+.tran 0.2u 30u
+""",
+    "tline_pulse": """t
+vin in 0 PULSE(0 1 0 1n 1n 100n 1u)
+rs in a 50
+t1 a 0 b 0 z0=50 td=20n
+rl b 0 100
+.tran 1n 500n
+""",
+    "mixed_switch_diode_mos": """t
+.model sw vswitch(ron=1 roff=1e9 von=0.5 voff=0.2)
+.model dd d(is=1e-14)
+.model mn nmos(vto=1 kp=2m)
+vdd vdd 0 5
+vctl ct 0 PULSE(0 1 2u 0.1u 0.1u 10u 20u)
+s1 vdd a ct 0 sw
+d1 a b dd
+rb b 0 500
+m1 o ct 0 mn
+ro vdd o 2k
+co o 0 1n
+.tran 0.5u 40u
+""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_NL_DECKS))
+def test_nonlinear_tran_interp_matches_engine(name, interp_on,
+                                              interp_counter, monkeypatch):
+    """Interp-vs-compiled equivalence at 1e-9 across the nonlinear
+    extended dialect (MOSFET/BJT Newton-to-convergence, behavioral
+    sources with dual-number partials, diode/BJT junction charge,
+    T-line history) — VERDICT r4 #4's Done bar."""
+    import jax
+
+    net = _NL_DECKS[name]
+    r_i = simulate_tran(parse_netlist(net, dialect="extended"))
+    assert interp_counter["tran"] == 1, "interp tier was not selected"
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    with jax.default_device(jax.devices("cpu")[0]):
+        r_c = simulate_tran(parse_netlist(net, dialect="extended"))
+    _series_close(r_i.node_voltages, r_c.node_voltages, rtol=1e-9)
+    _series_close(r_i.element_currents, r_c.element_currents, rtol=1e-9)
+
+
+def test_nonlinear_tran_interp_is_jax_free(interp_on):
+    """A MOSFET ring deck through simulate() must not initialize any jax
+    backend (the whole point of interpreting the nonlinear dialect:
+    interactive answers without the accelerator handshake)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    deck = _NL_DECKS["mosfet_ring"].replace("\n", "\\n")
+    snippet = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "from spicey_tpu import simulate\n"
+        f"net = '{deck}'\n"
+        "r = simulate(net, dialect='extended')\n"
+        "assert r.tran is not None and len(r.tran.times) == 151\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb.backends_are_initialized(), 'backend touched'\n"
+        "print('NL_JAX_FREE_OK')\n"
+    )
+    env = dict(os.environ, SPICEY_TPU_INTERP="1")
+    env.pop("SPICEY_TPU_CPU_THRESHOLD", None)
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "NL_JAX_FREE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dual_numbers_match_finite_differences():
+    """The _Dual forward-mode partials agree with central differences on
+    a gnarly composite expression (exactness backstop for the
+    behavioral-source Newton)."""
+    from spicey_tpu.analysis.interp import _Dual, _DualVals
+    from spicey_tpu.parsing.bexpr import compile_bexpr
+
+    expr = ("2*tanh(3*v(a)) + exp(0.5*v(b)) / (1 + v(a)**2)"
+            " + max(v(a), v(b)) + sqrt(abs(v(b)) + 2)")
+    refs, fn = compile_bexpr(expr, backend="np")
+    assert len(refs) == 2
+    vals = np.array([0.37, -1.21])
+    eye = np.eye(2)
+    res = fn(_DualVals([_Dual(vals[j], eye[j]) for j in range(2)]), 0.0)
+    h = 1e-6
+    for j in range(2):
+        vp, vm = vals.copy(), vals.copy()
+        vp[j] += h
+        vm[j] -= h
+        fd = (fn(vp, 0.0) - fn(vm, 0.0)) / (2 * h)
+        assert res.d[j] == pytest.approx(fd, rel=1e-8, abs=1e-10)
+
+
+@pytest.fixture
+def native_reset():
+    """Reset the native loader's memoized state around env flips."""
+    import spicey_tpu.native as nat
+
+    yield nat
+    nat._lib_tried = False
+    nat._lib = None
+
+
+def test_native_loop_matches_numpy_loop(interp_on, monkeypatch,
+                                        native_reset):
+    """The C transient loop (spicey_tpu/native/interp_core.c) must match
+    the NumPy loop it accelerates at 1e-9 on every nonlinear device
+    class (the NumPy loop is the semantic reference)."""
+    nat = native_reset
+    if not nat.native_available():
+        pytest.skip("no C compiler in this environment")
+    for name in ("mosfet_ring", "bjt_charge", "diode_charge",
+                 "tline_pulse", "mixed_switch_diode_mos"):
+        net = _NL_DECKS[name]
+        nat._lib_tried = False
+        nat._lib = None
+        monkeypatch.setenv("SPICEY_TPU_NATIVE", "1")
+        r_c = simulate_tran(parse_netlist(net, dialect="extended"))
+        monkeypatch.setenv("SPICEY_TPU_NATIVE", "0")
+        nat._lib_tried = False
+        nat._lib = None
+        r_p = simulate_tran(parse_netlist(net, dialect="extended"))
+        _series_close(r_c.node_voltages, r_p.node_voltages, rtol=1e-9)
+        _series_close(r_c.element_currents, r_p.element_currents,
+                      rtol=1e-9)
+
+
+def test_native_disabled_falls_back_cleanly(interp_on, monkeypatch,
+                                            native_reset):
+    """SPICEY_TPU_NATIVE=0 must keep everything working on the NumPy
+    loop (environments without a C compiler see exactly this path)."""
+    nat = native_reset
+    monkeypatch.setenv("SPICEY_TPU_NATIVE", "0")
+    nat._lib_tried = False
+    nat._lib = None
+    r = simulate_tran(parse_netlist(_NL_DECKS["bjt_amp"],
+                                    dialect="extended"))
+    assert r is not None and np.isfinite(r.node_voltages["c"]).all()
