@@ -363,6 +363,35 @@ def main() -> None:
     ext_cold_s = cold_subprocess(ext_deck, _no_cache, dialect="extended")
     opdctf_cold_s = cold_subprocess(opdctf_deck, _no_cache,
                                     dialect="extended")
+    # nonlinear extended-dialect interactive decks (round 5: the interp
+    # tier's _interp_tran_nl + native C loop cover the whole dialect —
+    # VERDICT r4 #4's cold < 0.3 s / warm < 5 ms decks)
+    ring_deck = (
+        "mosfet ring latency deck\n"
+        ".model mn nmos(vto=1 kp=2m)\n"
+        ".model mp pmos(vto=-1 kp=2m)\n"
+        "vdd vdd 0 5\n"
+        "mn1 n1 n3 0 mn\nmp1 n1 n3 vdd mp\nc1 n1 0 1n\n"
+        "mn2 n2 n1 0 mn\nmp2 n2 n1 vdd mp\nc2 n2 0 1n\n"
+        "mn3 n3 n2 0 mn\nmp3 n3 n2 vdd mp\nc3 n3 0 1n\n"
+        "ikick 0 n1 PULSE(0 2m 0 1n 1n 3u 1)\n"
+        ".tran 0.2u 30u\n"
+        ".end\n"
+    )
+    bjt_amp_deck = (
+        "bjt amp latency deck\n"
+        ".model qn npn(is=1e-16 bf=100)\n"
+        "vcc vcc 0 5\n"
+        "vin bs 0 SIN(0.7 0.005 100k)\n"
+        "rc vcc c 1k\n"
+        "q1 c bs 0 qn\n"
+        ".tran 0.2u 20u\n"
+        ".end\n"
+    )
+    nonlin_ring_cold_s = cold_subprocess(ring_deck, _no_cache,
+                                         dialect="extended")
+    nonlin_bjt_cold_s = cold_subprocess(bjt_amp_deck, _no_cache,
+                                        dialect="extended")
     simulate(basics01)  # first in-process call before the warm timing
     ac_warm_s = best_of(lambda: simulate(basics01))
     simulate(transient01)
@@ -370,6 +399,12 @@ def main() -> None:
     simulate(opdctf_deck, dialect="extended")
     opdctf_warm_s = best_of(lambda: simulate(opdctf_deck,
                                              dialect="extended"))
+    simulate(ring_deck, dialect="extended")
+    nonlin_ring_warm_s = best_of(
+        lambda: simulate(ring_deck, dialect="extended"))
+    simulate(bjt_amp_deck, dialect="extended")
+    nonlin_bjt_warm_s = best_of(
+        lambda: simulate(bjt_amp_deck, dialect="extended"))
 
     # --- device-session init: the FIRST blocking round trip in a process
     # pays a device-claim handshake set entirely by the backend/tunnel
@@ -870,8 +905,17 @@ def main() -> None:
             "ext_ac_tran_cold_s": round(ext_cold_s, 3),
             "op_dc_tf_cold_s": round(opdctf_cold_s, 3),
             "op_dc_tf_warm_ms": round(opdctf_warm_s * 1e3, 2),
+            "nonlin_ring_cold_s": round(nonlin_ring_cold_s, 3),
+            "nonlin_ring_warm_ms": round(nonlin_ring_warm_s * 1e3, 2),
+            "nonlin_bjt_cold_s": round(nonlin_bjt_cold_s, 3),
+            "nonlin_bjt_warm_ms": round(nonlin_bjt_warm_s * 1e3, 2),
         },
     }
+    full["nonlin_interp_cold_s"] = max(round(nonlin_ring_cold_s, 3),
+                                       round(nonlin_bjt_cold_s, 3))
+    full["nonlin_interp_warm_ms"] = max(
+        round(nonlin_ring_warm_s * 1e3, 2),
+        round(nonlin_bjt_warm_s * 1e3, 2))
 
     # The driver keeps only a ~2,000-char TAIL of stdout, so rounds 3-4's
     # single giant JSON blob left the driver record with `parsed: null` and

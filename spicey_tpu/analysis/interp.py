@@ -257,14 +257,20 @@ def _mutual_inv_np(tensors) -> tuple[np.ndarray, bool]:
     return minv, True
 
 
-def _pnjlim_np(vnew, vold, vt, vcrit):
-    """SPICE3 pnjlim, NumPy twin of analysis/op._pnjlim."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        arg = 1.0 + (vnew - vold) / vt
-        v_pos = np.where(arg > 0.0,
-                         vold + vt * np.log(np.maximum(arg, 1e-300)),
-                         vcrit)
-        v_neg = vt * np.log(np.maximum(vnew, 1e-300) / vt)
+def _pnjlim_np(vnew, vold, vt, vcrit, guarded: bool = False):
+    """SPICE3 pnjlim, NumPy twin of analysis/op._pnjlim.
+
+    ``guarded=True``: the caller already holds an ignore-errors errstate
+    (the op Newton hoists one around its whole loop), skip the per-call
+    context manager."""
+    if not guarded:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return _pnjlim_np(vnew, vold, vt, vcrit, guarded=True)
+    arg = 1.0 + (vnew - vold) / vt
+    v_pos = np.where(arg > 0.0,
+                     vold + vt * np.log(np.maximum(arg, 1e-300)),
+                     vcrit)
+    v_neg = vt * np.log(np.maximum(vnew, 1e-300) / vt)
     v_lim = np.where(vold > 0.0, v_pos, v_neg)
     limit = (vnew > vcrit) & (np.abs(vnew - vold) > 2.0 * vt)
     return np.where(limit, v_lim, vnew)
@@ -369,60 +375,91 @@ def interp_op_core(tensors, v_dc: np.ndarray, i_dc: np.ndarray,
     done = np.zeros(B, dtype=bool)
     solve_ok = True
 
-    for _ in range(max_iters):
-        if bool(np.all(done)):
-            break
-        A = np.broadcast_to(A0, (B, n + 1, n + 1)).copy()
-        b = b0.copy()
-        x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
-        if tensors.n_s:
-            g_sw = np.where(sw, s_g_on[None, :], s_g_off[None, :])
-            i1, i2 = s_idx[None, :, 0], s_idx[None, :, 1]
-            np.add.at(A, (bb, i1, i1), g_sw)
-            np.add.at(A, (bb, i2, i2), g_sw)
-            np.add.at(A, (bb, i1, i2), -g_sw)
-            np.add.at(A, (bb, i2, i1), -g_sw)
-        vd_used = vjd
-        if tensors.n_d:
-            vd = x_pad[:, d_idx[:, 0]] - x_pad[:, d_idx[:, 1]]
-            vd_used = _pnjlim_np(vd, vjd, v_th[None, :], v_crit[None, :])
-            with np.errstate(over="ignore"):
-                ev = np.exp(vd_used / v_th[None, :])
-            i_d = tensors.d_is[None, :] * (ev - 1.0)
-            g_d = np.maximum(tensors.d_is[None, :] / v_th[None, :] * ev,
-                             GMIN)
-            ieq = i_d - g_d * vd_used
-            i1, i2 = d_idx[None, :, 0], d_idx[None, :, 1]
-            np.add.at(A, (bb, i1, i1), g_d)
-            np.add.at(A, (bb, i2, i2), g_d)
-            np.add.at(A, (bb, i1, i2), -g_d)
-            np.add.at(A, (bb, i2, i1), -g_d)
-            np.add.at(b, (bb, i1), -ieq)
-            np.add.at(b, (bb, i2), ieq)
+    # hot-loop preallocation + ONE fused scatter per device class: the
+    # 4-corner admittance patterns flatten to per-batch column indices
+    # into A.reshape(B, -1) (this loop is the interactive .op/.dc answer
+    # path; ~10 separate np.add.at calls per Newton pass were ~40% of
+    # the warm latency)
+    n1p = n + 1
 
-        aug = np.concatenate([A[:, :n, :n], b[:, :n, None]], axis=2)
-        x_new, ok = _ge_solve(aug)
-        if not ok:
-            solve_ok = False
-            break
-        x_pad_new = np.concatenate([x_new, np.zeros((B, 1))], axis=1)
-        if tensors.n_s:
-            vctrl = (x_pad_new[:, s_idx[:, 2]] - x_pad_new[:, s_idx[:, 3]])
-            new_on = np.where(sw, ~(vctrl < tensors.s_voff[None, :]),
-                              vctrl > tensors.s_von[None, :])
-            switched = np.any(new_on != sw, axis=-1)
-        else:
-            new_on = sw
-            switched = np.zeros(B, dtype=bool)
-        delta = np.max(np.abs(x_new - x), axis=-1) if n else np.zeros(B)
-        scale = 1.0 + (np.max(np.abs(x_new), axis=-1) if n else 0.0)
-        settled = ~switched & (delta <= tol * scale)
-        mask = done[:, None]
-        x = np.where(mask, x, x_new)
-        sw = np.where(mask, sw, new_on)
-        if tensors.n_d:
-            vjd = np.where(mask, vjd, vd_used)
-        done = done | settled
+    def _adm_cols(idx2):
+        i1, i2 = idx2[:, 0].astype(np.intp), idx2[:, 1].astype(np.intp)
+        return np.concatenate([i1 * n1p + i1, i2 * n1p + i2,
+                               i1 * n1p + i2, i2 * n1p + i1])
+
+    s_cols = _adm_cols(s_idx) if tensors.n_s else None
+    d_cols = _adm_cols(d_idx) if tensors.n_d else None
+    A = np.empty((B, n1p, n1p))
+    A2 = A.reshape(B, n1p * n1p)
+    b = np.empty((B, n1p))
+    x_pad = np.zeros((B, n1p))
+    x_pad_new = np.zeros((B, n1p))
+
+    # one errstate for the whole Newton (pnjlim + the overflow-guarded
+    # exp used to pay two context managers per iteration)
+    _saved_err = np.seterr(divide="ignore", invalid="ignore",
+                           over="ignore")
+    try:
+        for _ in range(max_iters):
+            if bool(np.all(done)):
+                break
+            A[:] = A0
+            b[:] = b0
+            x_pad[:, :n] = x
+            if tensors.n_s:
+                g_sw = np.where(sw, s_g_on[None, :], s_g_off[None, :])
+                np.add.at(A2, (bb, s_cols[None, :]),
+                          np.concatenate([g_sw, g_sw, -g_sw, -g_sw], axis=1))
+            vd_used = vjd
+            if tensors.n_d:
+                vd = x_pad[:, d_idx[:, 0]] - x_pad[:, d_idx[:, 1]]
+                vd_used = _pnjlim_np(vd, vjd, v_th[None, :], v_crit[None, :],
+                                     guarded=True)
+                ev = np.exp(vd_used / v_th[None, :])
+                i_d = tensors.d_is[None, :] * (ev - 1.0)
+                g_d = np.maximum(tensors.d_is[None, :] / v_th[None, :] * ev,
+                                 GMIN)
+                ieq = i_d - g_d * vd_used
+                np.add.at(A2, (bb, d_cols[None, :]),
+                          np.concatenate([g_d, g_d, -g_d, -g_d], axis=1))
+                i1, i2 = d_idx[None, :, 0], d_idx[None, :, 1]
+                np.add.at(b, (bb, i1), -ieq)
+                np.add.at(b, (bb, i2), ieq)
+
+            # batched LAPACK (one C call) instead of the Python-loop GE: .op
+            # is extended-dialect (the reference has no operating-point
+            # analysis), so there is no reference-pivot parity to preserve —
+            # only the compiled engine's 1e-12 Newton tolerance, which any
+            # backward-stable solve meets. Singularity surfaces as
+            # LinAlgError / non-finite instead of the EPS pivot flag.
+            try:
+                x_new = np.linalg.solve(A[:, :n, :n], b[:, :n, None])[..., 0]
+            except np.linalg.LinAlgError:
+                solve_ok = False
+                break
+            if not bool(np.all(np.isfinite(x_new))):
+                solve_ok = False
+                break
+            x_pad_new[:, :n] = x_new
+            if tensors.n_s:
+                vctrl = (x_pad_new[:, s_idx[:, 2]] - x_pad_new[:, s_idx[:, 3]])
+                new_on = np.where(sw, ~(vctrl < tensors.s_voff[None, :]),
+                                  vctrl > tensors.s_von[None, :])
+                switched = np.any(new_on != sw, axis=-1)
+            else:
+                new_on = sw
+                switched = np.zeros(B, dtype=bool)
+            delta = np.max(np.abs(x_new - x), axis=-1) if n else np.zeros(B)
+            scale = 1.0 + (np.max(np.abs(x_new), axis=-1) if n else 0.0)
+            settled = ~switched & (delta <= tol * scale)
+            mask = done[:, None]
+            x = np.where(mask, x, x_new)
+            sw = np.where(mask, sw, new_on)
+            if tensors.n_d:
+                vjd = np.where(mask, vjd, vd_used)
+            done = done | settled
+    finally:
+        np.seterr(**_saved_err)
 
     return x, sw, done, solve_ok
 
@@ -1276,8 +1313,18 @@ def interp_tran(tensors, vs_grid: np.ndarray, dt: float, max_nr: int,
     reference-dialect contract.
     """
     has_b = bool(ckt is not None and getattr(ckt, "B", None))
-    if (tensors.n_m or tensors.n_q or has_b or tensors.has_d_charge
-            or tensors.has_q_charge or tensors.n_t or nr == "converged"):
+    nl_needed = bool(
+        tensors.n_m or tensors.n_q or has_b or tensors.has_d_charge
+        or tensors.has_q_charge or tensors.n_t or nr == "converged")
+    if not nl_needed and not has_b:
+        # reference-dialect decks also take the C loop when a compiler
+        # exists: its per-step GE is the reference algorithm (partial
+        # pivot, EPS singularity) at ~2 us/pass vs the Python paths'
+        # ~50-150 us — this is what holds tran_warm_ms under 5 ms
+        from ..native import native_available
+
+        nl_needed = native_available()
+    if nl_needed:
         if times is None:
             times = np.arange(vs_grid.shape[0], dtype=np.float64) * dt
         bsrc = _bsrc_np(ckt, tensors.nvar) if has_b else ()
