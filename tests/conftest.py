@@ -81,6 +81,12 @@ _SLOW = {
     "test_fit_ac_with_tline_recovers_source_resistor",
     "test_fit_tran_with_bsource_recovers_resistor",
     "test_sensitivity_with_poly_source",
+    # round-5 additions
+    "test_fuzz_nonlinear_fused_kernel_matches_scan_extended",
+    "test_ua741_slew_rate_datasheet",
+    "test_ua741_inverting_amp_closed_loop_gain",
+    "test_ua741_output_swing_clamps_near_rails",
+    "test_ua741_integrator_frequency_response",
 }
 
 

