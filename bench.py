@@ -104,6 +104,88 @@ def timed_interleaved(fns: dict, reps: int = 5, max_reps: int = 13) -> dict:
     return {k: _summary(v) for k, v in ts.items()}
 
 
+# --- quiet-window retry (VERDICT r4 #5): a metric whose spread is still
+# >25% after the adaptive 13 reps was measured inside a contention burst;
+# its median cannot falsify a 2x cross-round regression. Every tracked
+# summary that stays contended is queued here and re-measured LATER (after
+# all first-pass measurement, behind a cool-down), inside a wall-clock
+# budget; the lower-spread run replaces the summary IN PLACE, so all
+# derived numbers must be computed after ``requiet()`` runs. Metrics that
+# stay contended even then carry the per-rep seconds plus ``best_s`` — the
+# min over >=13 reps is the contention-robust kernel-only companion (a
+# burst only ever ADDS time), so the committed record can always bound a
+# real regression.
+
+_RETRY: list = []  # (label, retry_fn) — retry_fn remeasures, returns spread
+
+
+def _track(label: str, summary: dict, fn, **kw) -> dict:
+    if summary["spread_pct"] <= 25.0:
+        return summary
+
+    def retry() -> float:
+        new = timed(fn, **kw)
+        if new["spread_pct"] < summary["spread_pct"]:
+            summary.clear()
+            summary.update(new)
+        return summary["spread_pct"]
+
+    _RETRY.append((label, retry))
+    return summary
+
+
+def timed_tracked(label: str, fn, **kw) -> dict:
+    return _track(label, timed(fn, **kw), fn, **kw)
+
+
+def timed_interleaved_tracked(label: str, fns: dict, **kw) -> dict:
+    out = timed_interleaved(fns, **kw)
+    if max(s["spread_pct"] for s in out.values()) > 25.0:
+
+        def retry() -> float:
+            new = timed_interleaved(fns, **kw)
+            for k in out:
+                if new[k]["spread_pct"] < out[k]["spread_pct"]:
+                    out[k].clear()
+                    out[k].update(new[k])
+            return max(s["spread_pct"] for s in out.values())
+
+        _RETRY.append((label, retry))
+    return out
+
+
+def requiet(budget_s: float = 420.0, cooldown_s: float = 25.0) -> dict:
+    """Re-measure every still-contended metric in a later quiet window:
+    up to two passes, each behind a cool-down sleep (bursts on the shared
+    relay last seconds-to-tens-of-seconds), bounded by ``budget_s`` total.
+    Returns {label: {passes, final_spread_pct[, still_contended]}} for the
+    bench record, so the policy's outcome is self-describing."""
+    report: dict = {}
+    if not _RETRY:
+        return report
+    deadline = time.monotonic() + budget_s
+    queue = list(_RETRY)
+    for _pass in (1, 2):
+        if not queue or time.monotonic() + cooldown_s >= deadline:
+            break
+        time.sleep(cooldown_s)
+        nxt = []
+        for label, retry in queue:
+            if time.monotonic() >= deadline:
+                nxt.append((label, retry))
+                continue
+            sp = retry()
+            rec = report.setdefault(label, {"passes": 0})
+            rec["passes"] += 1
+            rec["final_spread_pct"] = sp
+            if sp > 25.0:
+                nxt.append((label, retry))
+        queue = nxt
+    for label, _ in queue:
+        report.setdefault(label, {"passes": 0})["still_contended"] = True
+    return report
+
+
 def measure_vpu_peak_gflops() -> float:
     """Measured f32 VPU elementwise throughput via a VMEM-resident Pallas
     FMA loop: each grid cell runs a 16384-deep z = z*a + b chain (2048
@@ -366,8 +448,10 @@ def main() -> None:
     # nonlinear extended-dialect interactive decks (round 5: the interp
     # tier's _interp_tran_nl + native C loop cover the whole dialect —
     # VERDICT r4 #4's cold < 0.3 s / warm < 5 ms decks)
+    # NB titles must not start with an element letter (title quirk above);
+    # "m"/"b" would parse as MOSFET / behavioral-source lines
     ring_deck = (
-        "mosfet ring latency deck\n"
+        "a mosfet ring latency deck\n"
         ".model mn nmos(vto=1 kp=2m)\n"
         ".model mp pmos(vto=-1 kp=2m)\n"
         "vdd vdd 0 5\n"
@@ -379,7 +463,7 @@ def main() -> None:
         ".end\n"
     )
     bjt_amp_deck = (
-        "bjt amp latency deck\n"
+        "a bjt amp latency deck\n"
         ".model qn npn(is=1e-16 bf=100)\n"
         "vcc vcc 0 5\n"
         "vin bs 0 SIN(0.7 0.005 100k)\n"
@@ -478,8 +562,7 @@ def main() -> None:
                   tensors=tensors, precision="f32", method="pallas")
     big = mc_ac_sampled(ckt, **big_kw)  # warm up
     assert big.n_valid == BIG
-    big_t = timed(lambda: mc_ac_sampled(ckt, **big_kw))
-    big_vps = BIG / big_t["median"]
+    big_t = timed_tracked("b1m", lambda: mc_ac_sampled(ckt, **big_kw))
 
     # same workload with approximate quantiles (quantile_method="approx"
     # = fused CDF bisection, see mc._bisect_quantiles): the exact
@@ -489,8 +572,8 @@ def main() -> None:
     # cross-round comparability.
     big_approx_kw = dict(big_kw, quantile_method="approx")
     mc_ac_sampled(ckt, **big_approx_kw)  # warm up
-    big_approx_vps = BIG / timed(
-        lambda: mc_ac_sampled(ckt, **big_approx_kw))["median"]
+    big_approx_t = timed_tracked(
+        "b1m_approx", lambda: mc_ac_sampled(ckt, **big_approx_kw))
 
     # --- transient MC: 201-step RC pulse, 10k variants in one scan ---
     tran_net = (
@@ -526,7 +609,7 @@ def main() -> None:
 
     # the three noisy metrics, interleaved round-robin (see
     # timed_interleaved): f64 AC tier, f32 b10k AC tier, tran MC
-    trio = timed_interleaved({
+    trio = timed_interleaved_tracked("trio_f64_b10k_tran", {
         # the f64 FIDELITY tier at its fastest shape: fused assemble+solve
         # f32 kernel + pattern-residual mixed-precision refinement,
         # residual-guarded at 1e-12 (mc_ac_fused_f64; VERDICT r4 do #2)
@@ -536,8 +619,6 @@ def main() -> None:
         "tran": lambda: mc_tran_stats(tckt, t_over, **tfast),
     }, reps=7)
     f64_t, f32_t, tran_t = trio["f64"], trio["b10k"], trio["tran"]
-    f64_elapsed = f64_t["median"]
-    batched_vps = B / f32_t["median"]
 
     # f64 fidelity tier at THROUGHPUT scale: B=100k unchunked through the
     # in-kernel df32-refined fused kernel (one Pallas call runs the whole
@@ -554,9 +635,8 @@ def main() -> None:
     s100_ref = mc_ac_stats(ckt, over100, node="2", tensors=tensors,
                            chunk=25_000)
     np.testing.assert_allclose(s100.mean, s100_ref.mean, rtol=1e-9)
-    f64_100k_t = timed(lambda: mc_ac_stats(ckt, over100, **f64_kw))
-    f64_100k_vps = B100 / f64_100k_t["median"]
-    tran_vps = B / tran_t["median"]
+    f64_100k_t = timed_tracked(
+        "f64_100k", lambda: mc_ac_stats(ckt, over100, **f64_kw))
 
     # --- NONLINEAR transient MC headline: 3-stage MOSFET ring oscillator
     # (extended dialect, Newton-to-convergence per step) — the engine's
@@ -598,8 +678,8 @@ def main() -> None:
                         dialect="extended")
     scale = float(np.max(np.abs(r64.mean))) + 1e-30
     assert float(np.max(np.abs(rstats.mean - r64.mean))) < 5e-3 * scale
-    ring_t = timed(lambda: mc_tran_stats(rckt, ring_over, **rfast))
-    ring_vps = NB / ring_t["median"]
+    ring_t = timed_tracked(
+        "nonlinear_ring", lambda: mc_tran_stats(rckt, ring_over, **rfast))
 
     # --- switch+diode transient MC headline: the reference's own
     # nonlinear set (S switch + D diode, diode-switch.test.ts) through
@@ -621,8 +701,8 @@ def main() -> None:
     )
     bckt = parse_netlist(boost_net)
     btens = build_tensors(bckt)
-    SB = 100_000
-    sw_over = {"RR1": 1e3 * (1 + 0.1 * rng.random(SB))}
+    SWB = 100_000
+    sw_over = {"RR1": 1e3 * (1 + 0.1 * rng.random(SWB))}
     KSW = 4
     simulate_tran(bckt, tensors=btens)  # warm up
     t0 = time.perf_counter()
@@ -634,15 +714,15 @@ def main() -> None:
     sfast = dict(node="N3", tensors=btens, precision="f32",
                  method="pallas")
     sw_stats = mc_tran_stats(bckt, sw_over, **sfast)  # warm up
-    assert sw_stats.n_valid == SB
+    assert sw_stats.n_valid == SWB
     # cross-tier sanity vs the f64 engine on a small slice
     sw64 = mc_tran_stats(bckt, {"RR1": sw_over["RR1"][:64]},
                          node="N3", tensors=btens)
     sw32 = mc_tran_stats(bckt, {"RR1": sw_over["RR1"][:64]}, **sfast)
     scale = float(np.max(np.abs(sw64.mean))) + 1e-30
     assert float(np.max(np.abs(sw32.mean - sw64.mean))) < 5e-3 * scale
-    sw_t = timed(lambda: mc_tran_stats(bckt, sw_over, **sfast))
-    sw_vps = SB / sw_t["median"]
+    sw_t = timed_tracked(
+        "switch_diode", lambda: mc_tran_stats(bckt, sw_over, **sfast))
 
     # --- parallel-in-time linear transient (the engine's own
     # differentiator — analysis/timeparallel.py): long-horizon RLC MC,
@@ -669,7 +749,7 @@ def main() -> None:
     tp_stats = mc_tran_stats(tp_ckt, tp_over, **tp_kw)  # warm (auto=tp)
     mc_tran_stats(tp_ckt, tp_over, time_parallel="never", **tp_kw)  # warm
     assert tp_stats.n_valid == TB
-    tp_pair = timed_interleaved({
+    tp_pair = timed_interleaved_tracked("time_parallel_pair", {
         "tp": lambda: mc_tran_stats(tp_ckt, tp_over, **tp_kw),
         "seq": lambda: mc_tran_stats(tp_ckt, tp_over,
                                      time_parallel="never", **tp_kw),
@@ -696,7 +776,7 @@ def main() -> None:
     # smallest that works. At N=64, f32 planes for the whole 2048x51
     # batch are ~3.5 GB (fits); the f64 tiers carry f64 residual/GJ
     # buffers so they stream 1024-variant blocks.
-    n64 = {}
+    n64_t = {}
     for label, kw in (
         ("f32_pallas", dict(precision="f32", method="pallas")),
         ("f64_pallas_refined", dict(precision="f64", method="pallas",
@@ -705,9 +785,12 @@ def main() -> None:
     ):
         s = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64, **kw)
         assert s.n_valid == LB, (label, s.n_valid)
-        n64[label] = LB / timed(
-            lambda: mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
-                                **kw))["median"]
+        # bind kw: the tracked thunk may be re-invoked by requiet() after
+        # the loop variable has moved on
+        n64_t[label] = timed_tracked(
+            f"n64_{label}",
+            lambda kw=kw: mc_ac_stats(lad64, lad_over, node="n62",
+                                      tensors=lt64, **kw))
     # cross-tier correctness at N=64: guarded-pallas f32 tracks f64 means,
     # and the refined-pallas f64 tier matches the pure-f64 path tightly
     s32 = mc_ac_stats(lad64, lad_over, node="n62", tensors=lt64,
@@ -728,7 +811,7 @@ def main() -> None:
     # the measured attempt and its analysis live in ops/pallas_mxu.py). ---
     vpu_peak_gflops = measure_vpu_peak_gflops()
     mxu_peak_gflops = measure_mxu_peak_gflops()
-    sweep = {}
+    sweep_raw = {}  # {"N=n": {label: (SB, n, summary)}} — derived after requiet
     for n in (8, 16, 32, 64, 128):
         # SB x 51 systems per call: sized so each call's compute is several
         # times the ~30-40 ms remote-dispatch round trip — at SB=512 the
@@ -755,21 +838,12 @@ def main() -> None:
             ("gj_f64", dict(precision="f64", method="gj", chunk=f64_chunk)),
         ):
             mc_ac_stats(lad, over, node=node, tensors=lt, **kw)  # warm
-            t = timed(lambda: mc_ac_stats(lad, over, node=node,
-                                          tensors=lt, **kw))
-            sps = SB * 51 / t["median"]  # complex systems/s
-            gfs = sps * gj_complex_flops(n) / 1e9
-            entry[label] = {
-                "systems_per_sec": round(sps, 1),
-                "spread_pct": t["spread_pct"],
-                "achieved_gflops": round(gfs, 1),
-                "pct_of_vpu_peak": round(100.0 * gfs / vpu_peak_gflops, 2),
-                "pct_of_mxu_peak": round(100.0 * gfs / mxu_peak_gflops, 2),
-            }
-            if t.get("contended"):
-                entry[label]["contended"] = True
-                entry[label]["reps_s"] = t["reps_s"]
-        sweep[f"N={n}"] = entry
+            t = timed_tracked(
+                f"sweep_N{n}_{label}",
+                lambda lad=lad, over=over, node=node, lt=lt, kw=kw:
+                    mc_ac_stats(lad, over, node=node, tensors=lt, **kw))
+            entry[label] = (SB, n, t)
+        sweep_raw[f"N={n}"] = entry
 
     # --- structured (Schur/BBD) tier at N past the dense ceiling
     # (VERDICT r4 #1). Workload: a subckt board (stages x 6-interior RC
@@ -794,7 +868,7 @@ def main() -> None:
         lines += [f"rload {prev} 0 10k", f".ac lin {freqs} 1 10k", ".end"]
         return "\n".join(lines) + "\n"
 
-    structured = {}
+    structured_raw = {}  # {"N=n": (nvar, SBs, t_schur, SBd, t_dense)}
     for label, stages in (("N=256", 32), ("N=512", 64)):
         ckt_s = parse_netlist(schur_board_netlist(stages),
                               dialect="extended")
@@ -807,8 +881,10 @@ def main() -> None:
         kw_s = dict(node=f"o{stages}", tensors=ts_s, method="schur",
                     precision="f64", chunk=s_chunk)
         mc_ac_stats(ckt_s, over_s, **kw_s)  # warm
-        t_s = timed(lambda: mc_ac_stats(ckt_s, over_s, **kw_s))
-        sps_s = SBs * 51 / t_s["median"]
+        t_s = timed_tracked(
+            f"schur_{label}",
+            lambda ckt_s=ckt_s, over_s=over_s, kw_s=kw_s:
+                mc_ac_stats(ckt_s, over_s, **kw_s))
 
         flat = parse_netlist(rc_ladder_netlist(nv_s - 2))
         ts_d = build_tensors(flat)
@@ -817,8 +893,52 @@ def main() -> None:
         kw_d = dict(node=f"n{nv_s - 2}", tensors=ts_d, method="gj",
                     precision="f64", chunk=SBd)
         mc_ac_stats(flat, over_d, **kw_d)  # warm
-        t_d = timed(lambda: mc_ac_stats(flat, over_d, **kw_d), reps=3,
-                    max_reps=5)
+        t_d = timed_tracked(
+            f"schur_baseline_{label}",
+            lambda flat=flat, over_d=over_d, kw_d=kw_d:
+                mc_ac_stats(flat, over_d, **kw_d),
+            reps=3, max_reps=5)
+        structured_raw[label] = (nv_s, SBs, t_s, SBd, t_d)
+
+    # --- quiet-window retry pass, THEN all derived numbers (VERDICT r4
+    # #5): every contended summary above re-measures here, and nothing
+    # below reads a median until the retries have settled. ---
+    requiet_report = requiet()
+    if requiet_report:
+        print(f"requiet: {json.dumps(requiet_report)}", file=sys.stderr)
+
+    big_vps = BIG / big_t["median"]
+    big_approx_vps = BIG / big_approx_t["median"]
+    f64_elapsed = f64_t["median"]
+    batched_vps = B / f32_t["median"]
+    f64_100k_vps = B100 / f64_100k_t["median"]
+    tran_vps = B / tran_t["median"]
+    ring_vps = NB / ring_t["median"]
+    sw_vps = SWB / sw_t["median"]
+    n64 = {k: LB / t["median"] for k, t in n64_t.items()}
+
+    sweep = {}
+    for nlabel, raw in sweep_raw.items():
+        entry = {}
+        for label, (sb_n, n, t) in raw.items():
+            sps = sb_n * 51 / t["median"]  # complex systems/s
+            gfs = sps * gj_complex_flops(n) / 1e9
+            entry[label] = {
+                "systems_per_sec": round(sps, 1),
+                "spread_pct": t["spread_pct"],
+                "achieved_gflops": round(gfs, 1),
+                "pct_of_vpu_peak": round(100.0 * gfs / vpu_peak_gflops, 2),
+                "pct_of_mxu_peak": round(100.0 * gfs / mxu_peak_gflops, 2),
+            }
+            if t.get("contended"):
+                entry[label]["contended"] = True
+                entry[label]["reps_s"] = t["reps_s"]
+                entry[label]["best_s"] = round(t["best"], 4)
+        sweep[nlabel] = entry
+
+    structured = {}
+    for label, (nv_s, SBs, t_s, SBd, t_d) in structured_raw.items():
+        sps_s = SBs * 51 / t_s["median"]
         sps_d = SBd * 51 / t_d["median"]
         structured[label] = {
             "nvar": nv_s,
@@ -831,12 +951,18 @@ def main() -> None:
         if t_s.get("contended"):
             structured[label]["contended"] = True
             structured[label]["reps_s"] = t_s["reps_s"]
+            structured[label]["best_s"] = round(t_s["best"], 4)
 
     def noisy(rec: dict) -> dict:
-        """Carry the contended flag + per-rep seconds when present."""
+        """Carry the contended flag, per-rep seconds, and the best-rep
+        companion when present. ``best_s`` is the min over >=13 reps —
+        contention only ever ADDS wall time, so the min is the
+        low-variance kernel-only companion that can still falsify a 2x
+        regression when the median is burst-poisoned (VERDICT r4 #5)."""
         extra = {}
         if rec.get("contended"):
-            extra = {"contended": True, "reps_s": rec["reps_s"]}
+            extra = {"contended": True, "reps_s": rec["reps_s"],
+                     "best_s": round(rec["best"], 4)}
         return extra
 
     full = {
@@ -888,6 +1014,7 @@ def main() -> None:
         "mxu_peak_measured_gflops": round(mxu_peak_gflops, 1),
         "solver_systems_per_sec_by_n": sweep,
         "structured_solver_by_n": structured,
+        "quiet_window_retries": requiet_report,
         "schur_n256_speedup_vs_gj_f64":
             structured["N=256"]["speedup_vs_gj_f64"],
         "schur_n512_speedup_vs_gj_f64":
