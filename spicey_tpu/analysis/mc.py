@@ -637,7 +637,8 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
                         interpret: bool = False, lk=None, bsrc=(),
                         tl=None, hist_len: int = 0, dchg=None, qchg=None,
                         chunk: int | None = None, n_real: int | None = None,
-                        q_method: str = "exact", integration: str = "be"):
+                        q_method: str = "exact", integration: str = "be",
+                        plan=None):
     # batch-native scan: one (B, N, N) solve per step (see tran._tran_core);
     # a batched source grid arrives time-major as (S+1, B, nSrc).
     # record=node_idx keeps only the probed node per step, so the full
@@ -649,7 +650,7 @@ def _mc_tran_stats_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx,
             nvar=nvar, method=method, nr=nr, ext=ext, nl=nl, lk=lk,
             bsrc=bsrc, integration=integration,
             batch=rv.shape[0], interpret=interpret, record=node_idx,
-            tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg,
+            tl=tl, hist_len=hist_len, dchg=dchg, qchg=qchg, plan=plan,
         )
         return jnp.moveaxis(xs, 0, 1), valid  # (b, S+1), (b,)
 
@@ -838,7 +839,21 @@ def mc_tran_stats(
         res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
         res.n_total = B
         return res
-    if (time_parallel == "auto"
+    # structured BBD tier (ops/schur.py): forced by method="schur",
+    # auto-dispatched for large subckt-structured systems; invalid lanes
+    # are excluded from the stats like any other per-variant failure
+    plan = None
+    if method == "schur" or (method == "gj" and tensors.nvar > 128):
+        from ..ops.schur import plan_partition
+
+        _plan_obj = plan_partition(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure (subcircuit "
+                "instances) the circuit does not have")
+    if (time_parallel == "auto" and method != "schur"
             and _tp_eligible(tensors, ckt, nr, integration)
             and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
                                tp_mem_budget, tp_crossover, integration)):
@@ -872,7 +887,8 @@ def mc_tran_stats(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
         ext, nl,
-        nvar=tensors.nvar, node_idx=node_idx, method=method,
+        nvar=tensors.nvar, node_idx=node_idx,
+        method="gj" if method == "schur" else method,
         qs=tuple(float(q) for q in quantiles), nr=nr, interpret=interpret,
         q_method=quantile_method,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
@@ -881,6 +897,7 @@ def mc_tran_stats(
         dchg=dchg_arrays(tensors, dtype=fdt),
         qchg=qchg_arrays(tensors, dtype=fdt),
         integration=integration,
+        plan=plan,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B
@@ -1104,7 +1121,19 @@ def mc_tran_sampled(
         raise ValueError("time_parallel must be 'auto' or 'never'")
     if integration not in ("be", "trap", "gear2"):
         raise ValueError("integration must be 'be', 'trap' or 'gear2'")
-    if (time_parallel == "auto"
+    # structured BBD tier for large subckt boards (see mc_tran_stats)
+    plan = None
+    if method == "schur" or (method == "gj" and tensors.nvar > 128):
+        from ..ops.schur import plan_partition
+
+        _plan_obj = plan_partition(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure (subcircuit "
+                "instances) the circuit does not have")
+    if (time_parallel == "auto" and method != "schur"
             and _tp_eligible(tensors, ckt, nr, integration)
             and chunk is None
             and _tp_worthwhile(tensors, steps, B, fdt.dtype.itemsize,
@@ -1138,7 +1167,8 @@ def mc_tran_sampled(
         jnp.asarray(tensors.d_idx),
         jnp.asarray(tensors.d_is, fdt), jnp.asarray(tensors.d_n, fdt),
         ext, nl,
-        nvar=tensors.nvar, node_idx=node_idx, method=method,
+        nvar=tensors.nvar, node_idx=node_idx,
+        method="gj" if method == "schur" else method,
         qs=tuple(float(q) for q in quantiles), nr=nr,
         q_method=quantile_method,
         lk=lk_arrays(tensors), bsrc=bsrc_static(ckt, tensors.nvar),
@@ -1147,6 +1177,7 @@ def mc_tran_sampled(
         qchg=qchg_arrays(tensors, dtype=fdt),
         chunk=chunk, n_real=B if n_pad else None,
         integration=integration,
+        plan=plan,
     )
     res = _unpack_stats(np.asarray(packed), tuple(quantiles), times)
     res.n_total = B

@@ -456,7 +456,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                record: int | None = None, init_state=None,
                resume: bool = False, bsrc=(), times=None,
                tl=None, hist_len: int = 0, dchg=None, qchg=None,
-               nr_floor=None):
+               nr_floor=None, plan=None):
     """scan over timesteps; returns stacked (x, sw_on, valid) per step.
 
     Defaults reproduce the reference exactly. Improvement toggles:
@@ -585,7 +585,7 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
         def inv_of(A):
             def col(e):
                 return solve(A, jnp.broadcast_to(e, A.shape[:-1]),
-                             method="gj")
+                             method="gj", plan=plan)
 
             X, oks = jax.vmap(col, out_axes=(-1, 0))(
                 jnp.eye(nvar, dtype=dtype))
@@ -637,7 +637,8 @@ def _tran_core(vs_grid, dt, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 dchg=dchg, q_prev_d=q_prev_d,
                 qchg=qchg, q_prev_q=q_prev_q,
             )
-            x_new, solve_ok = solve(A, b, method=method, interpret=interpret)
+            x_new, solve_ok = solve(A, b, method=method, interpret=interpret,
+                                    plan=plan)
             x_pad_new = pad_solution(x_new, nvar)
             new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad_new)
             switched = jnp.any(new_on != sw, axis=-1)  # per-lane
@@ -1242,48 +1243,74 @@ def simulate_tran(
         from ..utils.fpaccuracy import newton_tol_floor
 
         nr_tol = newton_tol_floor(nr_tol)
+    # structured BBD tier: forced by method="schur", auto-dispatched for
+    # large subckt-structured systems beyond the dense fast tiers' N=128
+    # ceiling (ops/schur.py — the SAME plan the AC tier uses: the tran
+    # companion stamps only touch node pairs the static patterns already
+    # cover); falls back to a dense re-run on invalid
+    plan = None
+    if method == "schur" or (method == "gj" and tensors.nvar > 128):
+        from ..ops.schur import plan_partition
+
+        _plan_obj = plan_partition(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure "
+                "(subcircuit instances) the circuit does not have")
+    _method = "gj" if method == "schur" else method
+
     _tiny = is_tiny(_work)
     _core = _tran_core_tiny if _tiny else _tran_core
     _pack = _pack_tran_result_tiny if _tiny else _pack_tran_result
-    with exec_device(_work):
-        xs, sw_states, valid, fin_state = _core(
-            jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
-            jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-            jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
-            jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-            jnp.asarray(tensors.v_idx),
-            jnp.asarray(tensors.s_idx),
-            jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
-            jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
-            jnp.asarray(tensors.d_idx),
-            jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
-            nvar=tensors.nvar, method=method, integration=integration,
-            nr=nr, nr_tol=nr_tol, max_nr=max_nr,
-            # .options vntol/abstol: ngspice's per-unknown convergence
-            # floors (node-voltage rows then branch-current rows)
-            nr_floor=(None if nr_vntol is None and nr_abstol is None
-                      else jnp.asarray(np.where(
-                          np.arange(tensors.nvar) < tensors.n_node_vars,
-                          1e-6 if nr_vntol is None else nr_vntol,
-                          1e-12 if nr_abstol is None else nr_abstol))),
-            ext=ext_arrays(tensors), nl=nl_arrays(tensors),
-            lk=lk_arrays(tensors),
-            bsrc=bsrc_static(ckt, tensors.nvar),
-            times=jnp.asarray(times),
-            interpret=interpret,
-            init_state=init_state,
-            resume=state is not None,
-            tl=tl_arrays(tensors),
-            hist_len=_tline_hist_len(tensors, dt),
-            dchg=dchg_arrays(tensors),
-            qchg=qchg_arrays(tensors),
-        )
-        # one packed device->host transfer for the solution, switch
-        # states, and the validity flag (round-trips are ~30 ms each over
-        # the tunnel); packing runs as one jitted program, not three
-        # eager dispatches
-        n_sw = tensors.n_s
-        packed = np.asarray(_pack(xs, sw_states, valid))
+    def _run(plan_arrays):
+        with exec_device(_work):
+            xs, sw_states, valid, fin_state = _core(
+                jnp.asarray(vs_grid), jnp.asarray(dt, dtype=jnp.float64),
+                jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+                jnp.asarray(tensors.c_idx), jnp.asarray(tensors.c_vals),
+                jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+                jnp.asarray(tensors.v_idx),
+                jnp.asarray(tensors.s_idx),
+                jnp.asarray(tensors.s_ron), jnp.asarray(tensors.s_roff),
+                jnp.asarray(tensors.s_von), jnp.asarray(tensors.s_voff),
+                jnp.asarray(tensors.d_idx),
+                jnp.asarray(tensors.d_is), jnp.asarray(tensors.d_n),
+                nvar=tensors.nvar, method=_method, integration=integration,
+                nr=nr, nr_tol=nr_tol, max_nr=max_nr,
+                # .options vntol/abstol: ngspice's per-unknown convergence
+                # floors (node-voltage rows then branch-current rows)
+                nr_floor=(None if nr_vntol is None and nr_abstol is None
+                          else jnp.asarray(np.where(
+                              np.arange(tensors.nvar) < tensors.n_node_vars,
+                              1e-6 if nr_vntol is None else nr_vntol,
+                              1e-12 if nr_abstol is None else nr_abstol))),
+                ext=ext_arrays(tensors), nl=nl_arrays(tensors),
+                lk=lk_arrays(tensors),
+                bsrc=bsrc_static(ckt, tensors.nvar),
+                times=jnp.asarray(times),
+                interpret=interpret,
+                init_state=init_state,
+                resume=state is not None,
+                tl=tl_arrays(tensors),
+                hist_len=_tline_hist_len(tensors, dt),
+                dchg=dchg_arrays(tensors),
+                qchg=qchg_arrays(tensors),
+                plan=plan_arrays,
+            )
+            # one packed device->host transfer for the solution, switch
+            # states, and the validity flag (round-trips are ~30 ms each
+            # over the tunnel); packing runs as one jitted program, not
+            # three eager dispatches
+            return np.asarray(_pack(xs, sw_states, valid)), fin_state
+
+    packed, fin_state = _run(plan)
+    if plan is not None and not bool(packed[0, -1] > 0.5):
+        # block-local pivoting failed where global pivoting may not:
+        # retry the whole run dense before declaring singular
+        packed, fin_state = _run(None)
+    n_sw = tensors.n_s
     xs = packed[:, :tensors.nvar]
     sw_states = packed[:, tensors.nvar:tensors.nvar + n_sw] > 0.5
     if not bool(packed[0, -1] > 0.5):

@@ -194,8 +194,24 @@ def gj_solve_planes_multi(A_re: Array, A_im: Array, B_re: Array,
 
 
 def solve(A: Array, b: Array, method: str = "gj", eps: float = EPS,
-          interpret: bool = False) -> tuple[Array, Array]:
-    """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid)."""
+          interpret: bool = False,
+          plan: dict | None = None) -> tuple[Array, Array]:
+    """Batched solve. A: (..., N, N); b: (..., N). Returns (x, valid).
+
+    ``plan``: SchurPlan.arrays() dict — routes through the structured
+    bordered-block-diagonal tier (ops/schur.py), which gathers diagonal
+    blocks + borders out of the dense-assembled system; callers fall back
+    to a dense re-solve when the returned valid flag is False."""
+    if plan is not None:
+        from .schur import schur_solve
+
+        def fn(Ai: Array, bi: Array) -> tuple[Array, Array]:
+            return schur_solve(Ai, bi, plan["blk_ix"], plan["blk_mask"],
+                               plan["if_ix"], eps)
+
+        for _ in range(A.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(A, b)
     if method == "lax":
         x = jnp.linalg.solve(A, b[..., None])[..., 0]
         valid = jnp.all(

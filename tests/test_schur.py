@@ -97,20 +97,25 @@ def test_schur_solve_flags_singular_block():
 # ---------------------------------------------------------------------------
 
 
-def _ladder_netlist(n_stages: int, inner: int = 4) -> str:
+def _ladder_netlist(n_stages: int, inner: int = 4,
+                    analysis: str = ".ac dec 5 1 1e6",
+                    source: str = "vsrc in 0 dc 1 ac 1",
+                    stage_extra: tuple = ()) -> str:
     """RC low-pass chain of identical subckt stages with VCVS buffers.
 
     Each stage has ``inner`` internal nodes (an RC chain) plus a unity
     VCVS output buffer — one branch unknown per stage that couples
-    interior to interface, exercising the border logic.
+    interior to interface, exercising the border logic. ``stage_extra``
+    lines (e.g. a clamp diode) are appended inside the stage body.
     """
-    body = ["vsrc in 0 dc 1 ac 1", f".ac dec 5 1 1e6"]
+    body = [source, analysis]
     sub = [".subckt stage a y"]
     prev = "a"
     for i in range(1, inner + 1):
         sub.append(f"r{i} {prev} m{i} 1k")
         sub.append(f"c{i} m{i} 0 1n")
         prev = f"m{i}"
+    sub.extend(stage_extra)
     sub.append(f"ebuf y 0 {prev} 0 1")
     sub.append(".ends")
     lines = ["* schur ladder fixture"] + sub + body
@@ -235,3 +240,95 @@ def test_ac_schur_forced_on_flat_circuit_raises():
     net = "* flat\nvin in 0 ac 1\nr1 in out 1k\nc1 out 0 1n\n.ac dec 2 1 1e3\n.end"
     with pytest.raises(ValueError, match="schur"):
         st.simulate_ac(st.parse_netlist(net), method="schur")
+
+
+# ---------------------------------------------------------------------------
+# Transient through the structured tier (round 5): the tran Newton loop
+# re-solves the dense-assembled companion system every iteration; the SAME
+# SchurPlan routes those solves through ops/schur.schur_solve
+# (analysis/tran.py plan threading; reference hot loop simulateTRAN.ts:152).
+# ---------------------------------------------------------------------------
+
+_TRAN_KW = dict(analysis=".tran 1u 50u",
+                source="vsrc in 0 PULSE(0 5 0 1n 1n 50u 100u)")
+
+
+def test_tran_schur_matches_dense_linear():
+    """Linear subckt board past N=128: structured vs dense at 1e-9. The
+    linear path factors once (inv_of) — the plan threads through the
+    column solves too."""
+    net = _ladder_netlist(24, inner=5, **_TRAN_KW)
+    ckt = st.parse_netlist(net, dialect="extended")
+    tensors = build_tensors(ckt)
+    assert tensors.nvar > 128
+    assert plan_partition(ckt, tensors) is not None
+    r_s = st.simulate_tran(st.parse_netlist(net, dialect="extended"),
+                           method="schur")
+    r_d = st.simulate_tran(st.parse_netlist(net, dialect="extended"),
+                           method="lax")
+    for node in ("o1", "o12", "o24"):
+        a = np.asarray(r_s.node_voltages[node])
+        d = np.asarray(r_d.node_voltages[node])
+        scale = np.max(np.abs(d)) + 1e-30
+        np.testing.assert_allclose(a, d, rtol=0, atol=1e-9 * scale)
+
+
+def test_tran_schur_nonlinear_diode_clamps():
+    """Clamp diodes inside every stage: the per-step Newton re-assembles
+    and re-solves through the structured tier; must match dense."""
+    net = _ladder_netlist(
+        24, inner=4,
+        stage_extra=(".model dd d(is=1e-14)", "dcl m2 0 dd"),
+        **_TRAN_KW)
+    ckt = st.parse_netlist(net, dialect="extended")
+    tensors = build_tensors(ckt)
+    assert tensors.nvar > 128 and tensors.n_d == 24
+    r_s = st.simulate_tran(st.parse_netlist(net, dialect="extended"),
+                           method="schur")
+    r_d = st.simulate_tran(st.parse_netlist(net, dialect="extended"),
+                           method="lax")
+    a = np.asarray(r_s.node_voltages["o24"])
+    d = np.asarray(r_d.node_voltages["o24"])
+    scale = np.max(np.abs(d)) + 1e-30
+    np.testing.assert_allclose(a, d, rtol=0, atol=1e-9 * scale)
+
+
+def test_tran_schur_auto_dispatch_default_method():
+    """method='gj' (the default) auto-routes nvar>128 subckt boards
+    through the plan; results must equal the dense reference path."""
+    net = _ladder_netlist(24, inner=5, **_TRAN_KW)
+    r_a = st.simulate_tran(st.parse_netlist(net, dialect="extended"))
+    r_d = st.simulate_tran(st.parse_netlist(net, dialect="extended"),
+                           method="lax")
+    a = np.asarray(r_a.node_voltages["o24"])
+    d = np.asarray(r_d.node_voltages["o24"])
+    scale = np.max(np.abs(d)) + 1e-30
+    np.testing.assert_allclose(a, d, rtol=0, atol=1e-9 * scale)
+
+
+def test_mc_tran_schur_matches_dense():
+    """Batched variants through the structured transient tier."""
+    from spicey_tpu.analysis.mc import mc_tran_stats
+
+    net = _ladder_netlist(
+        24, inner=4,
+        stage_extra=(".model dd d(is=1e-14)", "dcl m2 0 dd"),
+        **_TRAN_KW)
+    rng = np.random.default_rng(5)
+    B = 8
+    overrides = {"r1.x1": 1e3 * (1 + 0.2 * rng.random(B))}
+    kw = dict(node="o24", quantiles=(50.0,), dialect="extended")
+    s_schur = mc_tran_stats(net, overrides, method="schur", **kw)
+    s_dense = mc_tran_stats(net, overrides, method="lax", **kw)
+    assert s_schur.n_valid == B == s_dense.n_valid
+    scale = np.max(np.abs(s_dense.quantiles[50.0])) + 1e-30
+    np.testing.assert_allclose(
+        s_schur.quantiles[50.0], s_dense.quantiles[50.0],
+        rtol=0, atol=1e-9 * scale)
+
+
+def test_tran_schur_forced_on_flat_circuit_raises():
+    net = ("* flat\nvin in 0 PULSE(0 1 0 1n 1n 5u 10u)\nr1 in out 1k\n"
+           "c1 out 0 1n\n.tran 1u 10u\n.end")
+    with pytest.raises(ValueError, match="schur"):
+        st.simulate_tran(st.parse_netlist(net), method="schur")
