@@ -165,19 +165,25 @@ def _noise_generators(tensors: CircuitTensors, op) -> tuple[
 @partial(jax.jit, static_argnames=("nvar", "method"))
 def _noise_core(freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals,
                 v_idx, v_re, v_im, i_re, i_im, ext, e_out,
-                nvar: int, method: str, minv=None, tl=None):
+                nvar: int, method: str, minv=None, tl=None, plan=None):
     """Assemble + forward solve + adjoint solve + pack as ONE compiled
     program: eager vmap/fori_loop here would re-trace on every call
     (~0.9 s warm measured), turning the interactive .noise path into a
-    tracer benchmark."""
+    tracer benchmark.
+
+    ``plan`` routes both solves through the structured BBD tier
+    (ops/schur.py): the transpose of a BBD matrix is BBD with the SAME
+    partition (blocks transpose, borders swap roles), so the adjoint
+    solve reuses the plan unchanged."""
     A_re, A_im, b_re, b_im = _assemble_grid(
         freqs, r_idx, r_vals, c_idx, c_vals, l_idx, l_vals, v_idx,
         v_re, v_im, nvar, ext=ext, i_re=i_re, i_im=i_im, minv=minv, tl=tl)
-    x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method)
+    x_re, x_im, ok_f = solve_planes(A_re, A_im, b_re, b_im, method=method,
+                                    plan=plan)
     e = jnp.broadcast_to(e_out, (freqs.shape[0], nvar))
     z_re, z_im, ok_a = solve_planes(
         jnp.swapaxes(A_re, -1, -2), jnp.swapaxes(A_im, -1, -2),
-        e, jnp.zeros_like(e), method=method)
+        e, jnp.zeros_like(e), method=method, plan=plan)
     return jnp.concatenate(
         [x_re, x_im, z_re, z_im,
          ok_f[:, None].astype(x_re.dtype), ok_a[:, None].astype(x_re.dtype)],
@@ -293,19 +299,41 @@ def simulate_noise(
                         "Singular coupled-inductance matrix in .noise")
             else:
                 minv = None
+            # structured BBD tier (AC space; ops/schur.py), dense retry
+            # on block-pivot failure
+            plan = None
+            if method == "schur" or (method == "gj" and nvar > 128):
+                from ..ops.schur import plan_partition
+
+                _plan_obj = plan_partition(ckt, tensors)
+                if _plan_obj is not None:
+                    plan = _plan_obj.arrays()
+                elif method == "schur":
+                    raise ValueError(
+                        "method='schur' requires block structure "
+                        "(subcircuit instances) the circuit does not have")
+
             # ONE compiled program: assembly + forward solve (gain(f) =
             # v(out) per unit input) + adjoint solve (A^T z = e_out) + pack
-            packed = np.asarray(_noise_core(
-                jnp.asarray(freqs),
-                jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
-                jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
-                jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
-                jnp.asarray(v_idx_ac),
-                jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
-                jnp.asarray(i_unit), jnp.zeros(tensors.n_i),
-                ext, jnp.asarray(e_pad[:nvar]),
-                nvar=nvar, method=method, minv=minv, tl=tl_arrays(tensors),
-            ))
+            def _noise_run(plan_arrays):
+                return np.asarray(_noise_core(
+                    jnp.asarray(freqs),
+                    jnp.asarray(tensors.r_idx), jnp.asarray(tensors.r_vals),
+                    jnp.asarray(c_idx_eff), jnp.asarray(c_vals_eff),
+                    jnp.asarray(tensors.l_idx), jnp.asarray(tensors.l_vals),
+                    jnp.asarray(v_idx_ac),
+                    jnp.asarray(v_unit), jnp.zeros(v_unit.shape[0]),
+                    jnp.asarray(i_unit), jnp.zeros(tensors.n_i),
+                    ext, jnp.asarray(e_pad[:nvar]),
+                    nvar=nvar,
+                    method="gj" if method == "schur" else method,
+                    minv=minv, tl=tl_arrays(tensors),
+                    plan=plan_arrays,
+                ))
+
+            packed = _noise_run(plan)
+            if plan is not None and not bool(np.all(packed[:, -2:] > 0.5)):
+                packed = _noise_run(None)
             if not bool(np.all(packed[:, -2:] > 0.5)):
                 raise ValueError("Singular matrix in .noise solve")
         x = packed[:, :nvar] + 1j * packed[:, nvar:2 * nvar]

@@ -92,7 +92,7 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
              s_von, s_voff, d_idx, d_is, d_n, i_dc, ext, nl,
              nvar_op: int, max_iters: int = 100, tol: float = 1e-12,
              method: str = "gj", batch: int | None = None, x0=None,
-             bsrc=(), tl=None, node_diag=None, gshunt=None):
+             bsrc=(), tl=None, node_diag=None, gshunt=None, plan=None):
     """Newton/hysteresis iteration to the DC solution.
 
     l_bidx: (nL, 3) = [i1, i2, branch] for the 0V inductor shorts.
@@ -174,7 +174,7 @@ def _op_core(r_idx, r_vals, l_bidx, v_idx, v_dc, s_idx, s_ron, s_roff,
     def body(st):
         x, sw, vjd, vjq, it, done, ok = st
         A, b, vd_used, vq_used = assemble(x, sw, it, vjd, vjq)
-        x_new, solve_ok = solve(A, b, method=method)
+        x_new, solve_ok = solve(A, b, method=method, plan=plan)
         x_pad = pad_solution(x_new, nvar_op)
         new_on = _switch_update(s_idx, s_von, s_voff, sw, x_pad)
         switched = (jnp.any(new_on != sw, axis=-1) if n_s
@@ -237,7 +237,7 @@ def _op_indices(tensors: CircuitTensors):
 
 def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
                  r_vals, max_iters, tol, method, ext=None, nl=None,
-                 batch=None, x0=None, bsrc=(), gshunt=None):
+                 batch=None, x0=None, bsrc=(), gshunt=None, plan=None):
     dump = nvar_op
     tl = None
     if tensors.n_t:
@@ -259,7 +259,7 @@ def _run_op_core(tensors, remap, l_bidx, v_idx_op, nvar_op, v_dc, i_dc,
         batch=batch, x0=x0, bsrc=bsrc, tl=tl,
         node_diag=(None if gshunt is None
                    else jnp.arange(tensors.n_node_vars, dtype=jnp.int32)),
-        gshunt=gshunt,
+        gshunt=gshunt, plan=plan,
     )
 
 
@@ -313,14 +313,30 @@ def simulate_op(
     tol = newton_tol_floor(tol)
     bsrc = bsrc_static(ckt, nvar_op)
 
+    # structured BBD tier: forced by method="schur", auto-dispatched for
+    # large subckt-structured op systems (ops/schur.plan_partition_op);
+    # a failed schur attempt retries dense before the homotopy ladder
+    plan = None
+    if method == "schur" or (method == "gj" and nvar_op > 128):
+        from ..ops.schur import plan_partition_op
+
+        _plan_obj = plan_partition_op(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure "
+                "(subcircuit instances) the circuit does not have")
+    _method = "gj" if method == "schur" else method
+
     def attempt(x_seed, v_scale=1.0, gshunt=None):
         x_a, sw_a, ok_a = _run_op_core(
             tensors, remap, l_bidx, v_idx_op, nvar_op,
             jnp.asarray(tensors.v_dc * v_scale),
             jnp.asarray(tensors.i_dc * v_scale),
             jnp.asarray(tensors.r_vals),
-            max_iters=max_iters, tol=tol, method=method, x0=x_seed,
-            bsrc=bsrc, gshunt=gshunt,
+            max_iters=max_iters, tol=tol, method=_method, x0=x_seed,
+            bsrc=bsrc, gshunt=gshunt, plan=plan,
         )
         packed_a = np.asarray(jnp.concatenate(
             [x_a, sw_a.astype(x_a.dtype), jnp.full((1,), ok_a, x_a.dtype)]))
@@ -334,6 +350,11 @@ def simulate_op(
 
     with exec_device(24.0 * max_iters * nvar_op ** 3):
         packed, ok = attempt(x0)
+        if not ok and plan is not None:
+            # block-local pivoting (or a vanished-C structural hole) failed
+            # where global pivoting may not: retry dense, then the ladder
+            plan = None
+            packed, ok = attempt(x0)
         if not ok:
             # ngspice-style convergence aids, tried in order (each stage
             # seeds the next from its converged solution):
@@ -533,18 +554,39 @@ def simulate_dc(
         from ..utils.fpaccuracy import newton_tol_floor
 
         tol = newton_tol_floor(tol)
+        # structured BBD tier (see simulate_op); lanes the block pivoting
+        # fails retry dense as a whole sweep before surfacing invalid
+        plan = None
+        if method == "schur" or (method == "gj" and nvar_op > 128):
+            from ..ops.schur import plan_partition_op
+
+            _plan_obj = plan_partition_op(ckt, tensors)
+            if _plan_obj is not None:
+                plan = _plan_obj.arrays()
+            elif method == "schur":
+                raise ValueError(
+                    "method='schur' requires block structure "
+                    "(subcircuit instances) the circuit does not have")
+        _method = "gj" if method == "schur" else method
+
         # tiny-but-ineligible runs still avoid the accelerator round trips
         # on the host CPU backend (utils/placement.py)
-        with exec_device(_work):
-            xj, sw_on, valid = _run_op_core(
-                tensors, remap, l_bidx, v_idx_op, nvar_op,
-                jnp.asarray(v_dc), jnp.asarray(i_dc),
-                jnp.asarray(tensors.r_vals),
-                max_iters=max_iters, tol=tol, method=method, batch=B,
-                bsrc=bsrc_static(ckt, nvar_op),
-            )
-            packed = np.asarray(jnp.concatenate(
-                [xj, valid[:, None].astype(xj.dtype)], axis=1))
+        def _dc_run(plan_arrays):
+            with exec_device(_work):
+                xj, sw_on, valid = _run_op_core(
+                    tensors, remap, l_bidx, v_idx_op, nvar_op,
+                    jnp.asarray(v_dc), jnp.asarray(i_dc),
+                    jnp.asarray(tensors.r_vals),
+                    max_iters=max_iters, tol=tol, method=_method, batch=B,
+                    bsrc=bsrc_static(ckt, nvar_op),
+                    plan=plan_arrays,
+                )
+                return np.asarray(jnp.concatenate(
+                    [xj, valid[:, None].astype(xj.dtype)], axis=1))
+
+        packed = _dc_run(plan)
+        if plan is not None and not bool(np.all(packed[:, -1] > 0.5)):
+            packed = _dc_run(None)
         x = packed[:, :nvar_op]    # (B, nvar_op)
         valid = packed[:, -1] > 0.5  # (B,)
     x_pad = np.concatenate([x, np.zeros((B, 1))], axis=1)
@@ -648,11 +690,25 @@ def op_batch(
                                    np.asarray(v)).astype(np.int32))
               if k.endswith("idx") else v)
           for k, v in _batched_nl(tensors, overrides, B).items()}
+    # structured BBD tier (see simulate_op); invalid lanes surface in the
+    # per-variant valid flags like any other batch failure
+    plan = None
+    if method == "schur" or (method == "gj" and nvar_op > 128):
+        from ..ops.schur import plan_partition_op
+
+        _plan_obj = plan_partition_op(ckt, tensors)
+        if _plan_obj is not None:
+            plan = _plan_obj.arrays()
+        elif method == "schur":
+            raise ValueError(
+                "method='schur' requires block structure "
+                "(subcircuit instances) the circuit does not have")
     x, _sw, valid = _run_op_core(
         tensors, remap, l_bidx, v_idx_op, nvar_op,
         jnp.asarray(v_dc), jnp.asarray(i_dc), jnp.asarray(r_vals),
-        max_iters=max_iters, tol=tol, method=method,
-        ext=ext, nl=nl, batch=B, bsrc=bsrc_static(ckt, nvar_op),
+        max_iters=max_iters, tol=tol,
+        method="gj" if method == "schur" else method,
+        ext=ext, nl=nl, batch=B, bsrc=bsrc_static(ckt, nvar_op), plan=plan,
     )
     return BatchOPResult(node_names=tensors.node_names, x=np.asarray(x),
                          valid=np.asarray(valid))

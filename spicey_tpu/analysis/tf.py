@@ -200,12 +200,34 @@ def simulate_tf(
             raise ValueError("Singular matrix in .tf small-signal solve")
         x_pad = np.concatenate([xs, np.zeros((2, 1))], axis=1)
     else:
-        with exec_device(_work):
-            x, ok = _solve_jit(
-                jnp.broadcast_to(jnp.asarray(A), (2,) + A.shape),
-                jnp.asarray(rhs_np), method=method)
-            packed = np.asarray(jnp.concatenate(
-                [x, ok[:, None].astype(x.dtype)], axis=1))
+        # structured BBD tier (ops/schur.py): the op-linearized system
+        # lives in op space (nodes + branches + L shorts), so the op plan
+        # applies; dense retry on block-pivot failure
+        plan = None
+        if method == "schur" or (method == "gj" and nvar_op > 128):
+            from ..ops.schur import plan_partition_op
+
+            _plan_obj = plan_partition_op(ckt, tensors)
+            if _plan_obj is not None:
+                plan = _plan_obj.arrays()
+            elif method == "schur":
+                raise ValueError(
+                    "method='schur' requires block structure "
+                    "(subcircuit instances) the circuit does not have")
+
+        def _tf_solve(plan_arrays):
+            with exec_device(_work):
+                x, ok = _solve_jit(
+                    jnp.broadcast_to(jnp.asarray(A), (2,) + A.shape),
+                    jnp.asarray(rhs_np),
+                    method="gj" if method == "schur" else method,
+                    plan=plan_arrays)
+                return np.asarray(jnp.concatenate(
+                    [x, ok[:, None].astype(x.dtype)], axis=1))
+
+        packed = _tf_solve(plan)
+        if plan is not None and not bool(np.all(packed[:, -1] > 0.5)):
+            packed = _tf_solve(None)
         if not bool(np.all(packed[:, -1] > 0.5)):
             raise ValueError("Singular matrix in .tf small-signal solve")
         x_pad = np.concatenate([packed[:, :nvar_op],

@@ -303,7 +303,8 @@ def gj_solve_planes(A_re: Array, A_im: Array, b_re: Array, b_im: Array,
 
 def solve_planes(A_re: Array, A_im: Array, b_re: Array, b_im: Array,
                  method: str = "gj", eps: float = EPS,
-                 interpret: bool = False) -> tuple[Array, Array, Array]:
+                 interpret: bool = False,
+                 plan: dict | None = None) -> tuple[Array, Array, Array]:
     """Complex solve on (re, im) planes with method dispatch.
 
     method:
@@ -314,8 +315,20 @@ def solve_planes(A_re: Array, A_im: Array, b_re: Array, b_im: Array,
       - "pallas": batch-major Pallas kernel on the planes directly (fast
         tier; f32 inputs run the raw kernel, f64 inputs get mixed-precision
         refinement). Leading batch dims are flattened for the kernel.
+    ``plan``: SchurPlan.arrays() — structured BBD tier (see ``solve``).
     Shapes: A_*: (..., N, N); b_*: (..., N). Returns (x_re, x_im, valid).
     """
+    if plan is not None:
+        from .schur import schur_solve_planes
+
+        def pfn(ar: Array, ai: Array, br: Array,
+                bi: Array) -> tuple[Array, Array, Array]:
+            return schur_solve_planes(ar, ai, br, bi, plan["blk_ix"],
+                                      plan["blk_mask"], plan["if_ix"], eps)
+
+        for _ in range(A_re.ndim - 2):
+            pfn = jax.vmap(pfn)
+        return pfn(A_re, A_im, b_re, b_im)
     if method == "gj":
         fn = gj_solve_planes
         batch_dims = A_re.ndim - 2

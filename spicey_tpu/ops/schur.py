@@ -306,6 +306,63 @@ def plan_partition(ckt: object, tensors: object,
                      nvar=nvar, group_names=names)
 
 
+def plan_partition_op(ckt: object, tensors: object,
+                      **kw: object) -> SchurPlan | None:
+    """Partition for the DC operating-point system (analysis/op.py).
+
+    Op unknowns 0..nvar-1 are exactly the tran/AC unknowns; one extra
+    0V-short branch per inductor is appended at nvar+k (_op_indices), so
+    the base plan transfers with two deltas:
+
+      - capacitors stamp NOTHING at DC — structural entries only
+        *disappear*, which can never put an entry outside the partition;
+        a block made structurally singular by a vanished C is caught by
+        the per-system valid flag and the caller's dense fallback;
+      - each inductor's admittance pattern becomes the V-short pattern
+        (rows/cols between its nodes and the NEW branch unknown). The
+        branch joins its inductor's block when one of the nodes is
+        interior there — its row/col then has an in-block entry — and
+        borders otherwise (e.g. an L directly between two ports).
+    """
+    base = plan_partition(ckt, tensors, **kw)
+    if base is None:
+        return None
+    nvar = tensors.nvar
+    n_l = tensors.n_l
+    if n_l == 0:
+        return base
+    block_of: dict[int, int] = {}
+    for k in range(base.n_blocks):
+        for i in range(base.n_max):
+            if base.blk_mask[k, i]:
+                block_of[int(base.blk_ix[k, i])] = k
+    groups: dict[int, list[int]] = {k: [] for k in range(base.n_blocks)}
+    for u, k in block_of.items():
+        groups[k].append(u)
+    interface = [int(u) for u in base.if_ix]
+    gname = {g: k for k, g in enumerate(base.group_names)}
+    for j, ((i1, i2), nm) in enumerate(zip(tensors.l_idx, tensors.l_names)):
+        br = nvar + j
+        g = _group_of(nm)
+        k = gname.get(g) if g is not None else None
+        if k is not None and (block_of.get(int(i1)) == k
+                              or block_of.get(int(i2)) == k):
+            groups[k].append(br)
+        else:
+            interface.append(br)
+    K = base.n_blocks
+    n_max = max(len(us) for us in groups.values())
+    blk_ix = np.zeros((K, n_max), np.int32)
+    blk_mask = np.zeros((K, n_max), bool)
+    for k in range(K):
+        us = sorted(groups[k])
+        blk_ix[k, :len(us)] = us
+        blk_mask[k, :len(us)] = True
+    return SchurPlan(blk_ix=blk_ix, blk_mask=blk_mask,
+                     if_ix=np.asarray(sorted(interface), np.int32),
+                     nvar=nvar + n_l, group_names=base.group_names)
+
+
 # ---------------------------------------------------------------------------
 # Device-side solves (one system; vmap for batches)
 # ---------------------------------------------------------------------------

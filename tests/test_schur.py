@@ -332,3 +332,95 @@ def test_tran_schur_forced_on_flat_circuit_raises():
            "c1 out 0 1n\n.tran 1u 10u\n.end")
     with pytest.raises(ValueError, match="schur"):
         st.simulate_tran(st.parse_netlist(net), method="schur")
+
+
+# ---------------------------------------------------------------------------
+# Operating point / DC sweep / .tf / .noise through the structured tier
+# (round 5). The op system appends one 0V L-short branch per inductor
+# after the shared unknowns; plan_partition_op extends the base plan with
+# those branches and relies on the valid-flag fallback for DC structural
+# holes (C open). .tf reuses the op plan; .noise runs the AC-space plan on
+# forward AND adjoint solves (transpose of BBD is BBD, same partition).
+# ---------------------------------------------------------------------------
+
+
+def _op_board(stages: int, inner: int = 4, tail: str = "") -> str:
+    """Nonlinear DC board: each stage carries an interior inductor (an op
+    L-short branch) and a clamp diode, driven by a DC source."""
+    sub = [".subckt stage a y", ".model dd d(is=1e-14)"]
+    prev = "a"
+    for i in range(1, inner + 1):
+        sub.append(f"r{i} {prev} m{i} 1k")
+        sub.append(f"c{i} m{i} 0 1n")
+        prev = f"m{i}"
+    sub += ["l1 m1 m2 1m", "dcl m2 0 dd", f"ebuf y 0 {prev} 0 1", ".ends"]
+    lines = ["* op schur board"] + sub + ["vsrc in 0 dc 2"]
+    prev = "in"
+    for s in range(1, stages + 1):
+        lines.append(f"x{s} {prev} o{s} stage")
+        prev = f"o{s}"
+    lines += [f"rload {prev} 0 10k", tail, ".end"]
+    return "\n".join(lines) + "\n"
+
+
+def test_op_schur_matches_dense_with_l_short_branches():
+    from spicey_tpu.analysis.op import simulate_op
+    from spicey_tpu.ops.schur import plan_partition_op
+
+    ckt = st.parse_netlist(_op_board(28), dialect="extended")
+    tensors = build_tensors(ckt)
+    plan = plan_partition_op(ckt, tensors)
+    assert plan is not None
+    # plan covers the appended L-short branches exactly once
+    assert plan.nvar == tensors.nvar + tensors.n_l
+    covered = set(plan.if_ix.tolist())
+    for k in range(plan.n_blocks):
+        covered.update(plan.blk_ix[k, plan.blk_mask[k]].tolist())
+    assert covered == set(range(plan.nvar))
+    r_s = simulate_op(ckt, tensors=tensors, method="schur")
+    r_d = simulate_op(ckt, tensors=tensors, method="lax")
+    for k, v in r_d.node_voltages.items():
+        assert abs(r_s.node_voltages[k] - v) < 1e-9
+    # inductor currents ride the appended branch unknowns
+    l_names = [n for n in r_d.element_currents if n.startswith("l1.")]
+    assert l_names
+    for n in l_names:
+        assert abs(r_s.element_currents[n]
+                   - r_d.element_currents[n]) < 1e-9
+
+
+def test_dc_sweep_schur_matches_dense():
+    from spicey_tpu.analysis.op import simulate_dc
+
+    net = _op_board(28, tail=".dc vsrc 0 3 0.5")
+    ckt = st.parse_netlist(net, dialect="extended")
+    d_s = simulate_dc(ckt, method="schur")
+    d_d = simulate_dc(ckt, method="lax")
+    assert d_s.valid.all() and d_d.valid.all()
+    np.testing.assert_allclose(d_s.node_voltages["o28"],
+                               d_d.node_voltages["o28"],
+                               rtol=0, atol=1e-9)
+
+
+def test_tf_schur_matches_dense():
+    from spicey_tpu.analysis.tf import simulate_tf
+
+    net = _op_board(28, tail=".tf v(o28) vsrc")
+    ckt = st.parse_netlist(net, dialect="extended")
+    t_s = simulate_tf(ckt, method="schur")
+    t_d = simulate_tf(ckt, method="lax")
+    assert t_s.transfer_function == pytest.approx(
+        t_d.transfer_function, rel=1e-9)
+    assert t_s.output_impedance == pytest.approx(
+        t_d.output_impedance, rel=1e-6)
+
+
+def test_noise_schur_matches_dense():
+    from spicey_tpu.analysis.noise import simulate_noise
+
+    net = _op_board(28, tail=".noise v(o28) vsrc dec 5 1k 1meg")
+    ckt = st.parse_netlist(net, dialect="extended")
+    n_s = simulate_noise(ckt, method="schur")
+    n_d = simulate_noise(ckt, method="lax")
+    np.testing.assert_allclose(n_s.output_psd, n_d.output_psd,
+                               rtol=1e-8, atol=0)
