@@ -900,6 +900,68 @@ def main() -> None:
             reps=3, max_reps=5)
         structured_raw[label] = (nv_s, SBs, t_s, SBd, t_d)
 
+    # --- structured tier, TRANSIENT (round 5): the same subckt board
+    # through mc_tran_stats method="schur" (per-Newton-step structured
+    # solves inside the scan) vs the SAME-nvar flat ladder through dense
+    # gj_f64 — variants/s over B x S. ---
+    def tran_board_netlist(stages: int, inner: int = 6) -> str:
+        # clamp diode per stage: the scan's per-step Newton re-solve is
+        # the hot path being measured (not the linear factor-once route)
+        sub = [".subckt stage a y", ".model dd d(is=1e-14)"]
+        prev = "a"
+        for i in range(1, inner + 1):
+            sub.append(f"r{i} {prev} m{i} 1k")
+            sub.append(f"c{i} m{i} 0 1n")
+            prev = f"m{i}"
+        sub += ["dcl m2 0 dd", f"ebuf y 0 {prev} 0 1", ".ends"]
+        lines = (["* schur tran board bench"] + sub
+                 + ["vsrc in 0 PULSE(0 5 0 1n 1n 50u 100u)"])
+        prev = "in"
+        for s in range(1, stages + 1):
+            lines.append(f"x{s} {prev} o{s} stage")
+            prev = f"o{s}"
+        lines += [f"rload {prev} 0 10k", ".tran 1u 50u", ".end"]
+        return "\n".join(lines) + "\n"
+
+    def tran_ladder_netlist(sections: int) -> str:
+        lines = ["* flat tran ladder bench", ".model dd d(is=1e-14)",
+                 "v1 in 0 PULSE(0 5 0 1n 1n 50u 100u)"]
+        prev = "in"
+        for i in range(1, sections + 1):
+            lines.append(f"r{i} {prev} n{i} {100 + i}")
+            lines.append(f"c{i} n{i} 0 1u")
+            prev = f"n{i}"
+        lines += ["dcl n2 0 dd", ".tran 1u 50u", ".end"]
+        return "\n".join(lines) + "\n"
+
+    from spicey_tpu.analysis.mc import mc_tran_stats as _mcts
+    tb_net = tran_board_netlist(32)
+    tb_ckt = parse_netlist(tb_net, dialect="extended")
+    tb_tens = build_tensors(tb_ckt)
+    TB_S = 32
+    tb_over = {"r1.x1": 1e3 * (1 + 0.2 * rng.random(TB_S))}
+    tb_kw = dict(node="o32", tensors=tb_tens, method="schur",
+                 dialect="extended")
+    tb_stats = _mcts(tb_net, tb_over, **tb_kw)  # warm
+    assert tb_stats.n_valid == TB_S
+    tb_t = timed_tracked(
+        "schur_tran_N256",
+        lambda: _mcts(tb_net, tb_over, **tb_kw),
+        reps=3, max_reps=7)
+
+    tfl_net = tran_ladder_netlist(tb_tens.nvar - 2)
+    tfl_tens = build_tensors(parse_netlist(tfl_net, dialect="extended"))
+    TB_D = 4
+    tfl_over = {"r1": 101.0 * (1 + 0.2 * rng.random(TB_D))}
+    tfl_kw = dict(node=f"n{tb_tens.nvar - 2}", tensors=tfl_tens,
+                  method="gj", dialect="extended")
+    tfl_stats = _mcts(tfl_net, tfl_over, **tfl_kw)  # warm
+    assert tfl_stats.n_valid == TB_D
+    tfl_t = timed_tracked(
+        "schur_tran_dense_baseline",
+        lambda: _mcts(tfl_net, tfl_over, **tfl_kw),
+        reps=3, max_reps=5)
+
     # --- quiet-window retry pass, THEN all derived numbers (VERDICT r4
     # #5): every contended summary above re-measures here, and nothing
     # below reads a median until the retries have settled. ---
@@ -907,6 +969,8 @@ def main() -> None:
     if requiet_report:
         print(f"requiet: {json.dumps(requiet_report)}", file=sys.stderr)
 
+    schur_tran_vps = TB_S / tb_t["median"]
+    schur_tran_dense_vps = TB_D / tfl_t["median"]
     big_vps = BIG / big_t["median"]
     big_approx_vps = BIG / big_approx_t["median"]
     f64_elapsed = f64_t["median"]
@@ -1014,6 +1078,16 @@ def main() -> None:
         "mxu_peak_measured_gflops": round(mxu_peak_gflops, 1),
         "solver_systems_per_sec_by_n": sweep,
         "structured_solver_by_n": structured,
+        "schur_tran_board": {
+            "nvar": tb_tens.nvar,
+            "schur_variants_per_sec": round(schur_tran_vps, 2),
+            "schur_spread_pct": tb_t["spread_pct"],
+            "dense_gj_f64_variants_per_sec": round(schur_tran_dense_vps, 2),
+            "dense_spread_pct": tfl_t["spread_pct"],
+            "speedup_per_variant": round(
+                schur_tran_vps / schur_tran_dense_vps, 1),
+            **{f"schur_{k}": v for k, v in noisy(tb_t).items()},
+        },
         "quiet_window_retries": requiet_report,
         "schur_n256_speedup_vs_gj_f64":
             structured["N=256"]["speedup_vs_gj_f64"],
@@ -1073,6 +1147,8 @@ def main() -> None:
         "n64_f64_refined": full["n64_ladder_f64_refined_variants_per_sec"],
         "schur_n256_vs_gj": full.get("schur_n256_speedup_vs_gj_f64"),
         "schur_n512_vs_gj": full.get("schur_n512_speedup_vs_gj_f64"),
+        "schur_tran_vs_dense": full["schur_tran_board"][
+            "speedup_per_variant"],
         "ac_warm_ms": lat["ac_warm_ms"],
         "tran_warm_ms": lat["tran_warm_ms"],
         "op_dc_tf_warm_ms": lat["op_dc_tf_warm_ms"],
