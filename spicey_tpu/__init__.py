@@ -28,7 +28,7 @@ import jax as _jax
 # reference's package.json:3 "version" field). pyproject.toml must carry the
 # same string — tests/test_version.py pins the two together, and the release
 # workflow's wheel smoke test prints this attribute.
-__version__ = "0.6.1"
+__version__ = "0.7.0"
 
 _jax.config.update("jax_enable_x64", True)
 
