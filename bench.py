@@ -869,14 +869,20 @@ def main() -> None:
         return "\n".join(lines) + "\n"
 
     structured_raw = {}  # {"N=n": (nvar, SBs, t_schur, SBd, t_dense)}
-    for label, stages in (("N=256", 32), ("N=512", 64)):
+    for label, stages in (("N=256", 32), ("N=512", 64), ("N=1024", 128)):
         ckt_s = parse_netlist(schur_board_netlist(stages),
                               dialect="extended")
         ts_s = build_tensors(ckt_s)
         nv_s = ts_s.nvar
         # schur memory is bounded by the (chunk*51, N, N) assembled f64
-        # planes: 8 variants/chunk at N~512 keeps ~1.7 GB live
-        SBs, s_chunk = (128, 32) if nv_s < 400 else (64, 8)
+        # planes: 8 variants/chunk at N~512 keeps ~1.7 GB live; at N~1024
+        # the planes quadruple, so stream 2-variant chunks (~1.7 GB again)
+        if nv_s < 400:
+            SBs, s_chunk = 128, 32
+        elif nv_s < 800:
+            SBs, s_chunk = 64, 8
+        else:
+            SBs, s_chunk = 16, 2
         over_s = {"r1.x1": 1e3 * (1 + 0.2 * rng.random(SBs))}
         kw_s = dict(node=f"o{stages}", tensors=ts_s, method="schur",
                     precision="f64", chunk=s_chunk)
@@ -888,7 +894,9 @@ def main() -> None:
 
         flat = parse_netlist(rc_ladder_netlist(nv_s - 2))
         ts_d = build_tensors(flat)
-        SBd = 16 if nv_s < 400 else 4
+        # the dense O(N^3) baseline is ~5 systems/s at N=1024: keep its
+        # workload to one chunk so 3 reps stay under a minute
+        SBd = 16 if nv_s < 400 else (4 if nv_s < 800 else 2)
         over_d = {"r1": 101.0 * (1 + 0.2 * rng.random(SBd))}
         kw_d = dict(node=f"n{nv_s - 2}", tensors=ts_d, method="gj",
                     precision="f64", chunk=SBd)
@@ -1093,6 +1101,8 @@ def main() -> None:
             structured["N=256"]["speedup_vs_gj_f64"],
         "schur_n512_speedup_vs_gj_f64":
             structured["N=512"]["speedup_vs_gj_f64"],
+        "schur_n1024_speedup_vs_gj_f64":
+            structured["N=1024"]["speedup_vs_gj_f64"],
         "single_circuit_latency": {
             "device_session_init_s": round(device_init_s, 3),
             "ac_cold_s": round(ac_cold_s, 3),
@@ -1147,6 +1157,7 @@ def main() -> None:
         "n64_f64_refined": full["n64_ladder_f64_refined_variants_per_sec"],
         "schur_n256_vs_gj": full.get("schur_n256_speedup_vs_gj_f64"),
         "schur_n512_vs_gj": full.get("schur_n512_speedup_vs_gj_f64"),
+        "schur_n1024_vs_gj": full.get("schur_n1024_speedup_vs_gj_f64"),
         "schur_tran_vs_dense": full["schur_tran_board"][
             "speedup_per_variant"],
         "ac_warm_ms": lat["ac_warm_ms"],

@@ -211,7 +211,7 @@ def _element_structs(tensors: object) -> list[tuple[str | None, list[int],
 
 
 def plan_partition(ckt: object, tensors: object,
-                   max_interface: int = 256,
+                   max_interface: int | None = None,
                    min_blocks: int = 2,
                    min_speedup: float = 2.0) -> SchurPlan | None:
     """Derive a BBD partition from the circuit, or None if not worthwhile.
@@ -221,6 +221,11 @@ def plan_partition(ckt: object, tensors: object,
     companion couples every inductor), fewer than ``min_blocks`` non-empty
     blocks emerge, the interface exceeds ``max_interface``, or the
     estimated flop ratio vs dense elimination is below ``min_speedup``.
+
+    ``max_interface`` defaults to ``max(256, nvar // 2)``: the profitability
+    guard is the flop model, not the absolute border size — a board whose
+    border grows with its stage count (2 unknowns/stage on the bench board)
+    must not fall back to the O(N^3) dense tier just for being large.
     """
     if ckt is not None and getattr(ckt, "B", None):
         return None
@@ -229,6 +234,8 @@ def plan_partition(ckt: object, tensors: object,
     nvar = tensors.nvar
     if nvar < 32:
         return None
+    if max_interface is None:
+        max_interface = max(256, nvar // 2)
 
     elems = _element_structs(tensors)
 

@@ -179,6 +179,23 @@ def test_plan_promotes_port_to_port_branch():
             assert int(br) in set(plan.if_ix.tolist())
 
 
+def test_plan_interface_cap_scales_with_nvar():
+    """At 128 stages the border holds ~2 unknowns/stage (258 > 256); the
+    default ``max_interface`` must scale as max(256, nvar // 2) so big
+    boards don't fall back to the O(N^3) dense tier just for being big —
+    the flop model remains the profitability guard."""
+    ckt = st.parse_netlist(_ladder_netlist(128, inner=6),
+                           dialect="extended")
+    tensors = build_tensors(ckt)
+    assert tensors.nvar > 1000
+    plan = plan_partition(ckt, tensors)
+    assert plan is not None
+    assert plan.n_blocks == 128
+    assert plan.n_interface > 256  # would have been rejected by a flat cap
+    # explicit caps still honored
+    assert plan_partition(ckt, tensors, max_interface=100) is None
+
+
 def test_plan_rejects_flat_circuit():
     net = ["* flat", "vin in 0 ac 1", ".ac dec 2 1 1e3"]
     prev = "in"
